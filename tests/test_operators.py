@@ -1,0 +1,72 @@
+"""Unit tests for the reusable temporal operators on tiny hand-built frames."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from video_etl_spark.operators.temporal import fill_forward, merge_asof, sessionize
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_merge_asof_picks_newest_preceding(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:10"), "L1"), (1, _ts("2024-01-01T00:00:02"), "L2"),
+         (2, _ts("2024-01-01T00:00:05"), "L3")],
+        "k long, lts timestamp, lid string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:01"), 100), (1, _ts("2024-01-01T00:00:09"), 200),
+         (1, _ts("2024-01-01T00:00:11"), 300), (3, _ts("2024-01-01T00:00:00"), 400)],
+        "k long, rts timestamp, rv long",
+    )
+    out = merge_asof(
+        left, right, keys=["k"], left_ts="lts", right_ts="rts",
+        pickup={"rv": "rv_out"}, right_tiebreak=["rv"],
+    )
+    got = {r["lid"]: r["rv_out"] for r in out.collect()}
+    assert got == {"L1": 200, "L2": 100, "L3": None}
+
+
+def test_merge_asof_inclusive_and_tiebreak(spark):
+    t = _ts("2024-01-01T00:00:05")
+    left = spark.createDataFrame([(1, t, "L")], "k long, lts timestamp, lid string")
+    right = spark.createDataFrame(
+        [(1, t, 7), (1, t, 9)], "k long, rts timestamp, rv long"
+    )
+    out = merge_asof(
+        left, right, keys=["k"], left_ts="lts", right_ts="rts",
+        pickup={"rv": "rv_out"}, right_tiebreak=["rv"],
+    )
+    assert out.collect()[0]["rv_out"] == 9  # same-ts match allowed, max tiebreak
+
+
+def test_sessionize_islands(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00")),
+        (1, _ts("2024-01-01T00:10:00")),   # same session (gap 600 < 1800)
+        (1, _ts("2024-01-01T01:00:00")),   # new session (gap 3000 > 1800)
+        (2, _ts("2024-01-01T00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts timestamp")
+    out = sessionize(df, key="user", ts="ts", gap_seconds=1800)
+    got = {(r["user"], r["ts"].minute, r["ts"].hour): r["session_id"] for r in out.collect()}
+    assert got[(1, 0, 0)] == 0 and got[(1, 10, 0)] == 0
+    assert got[(1, 0, 1)] == 1
+    assert got[(2, 0, 0)] == 0
+
+
+def test_fill_forward(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 10.0),
+        (1, _ts("2024-01-01T00:00:01"), None),
+        (1, _ts("2024-01-01T00:00:02"), None),
+        (1, _ts("2024-01-01T00:00:03"), 20.0),
+        (2, _ts("2024-01-01T00:00:00"), None),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, v double")
+    out = fill_forward(df, key="user", ts="ts", col="v", out="vf")
+    got = [(r["user"], r["vf"]) for r in out.orderBy("user", "ts").collect()]
+    assert got == [(1, 10.0), (1, 10.0), (1, 10.0), (1, 20.0), (2, None)]

@@ -1,0 +1,136 @@
+"""Bounding-box / detection-geometry queries (SURVEY.md J1, P5/P6/P9).
+
+The driver's test tables carry no pixel data, so boxes are *derived
+deterministically* from the `part` table (integer arithmetic — identical in
+both engines), mirroring the shapes of the reference's detection records
+(D4, `workloads/transMOT/object_detection.py:10`): a "frame" is a `p_brand`
+group, a box is (x0, y0, x1, y1) with integer coords.
+
+* ``iou_pairs`` is the pairwise-IoU edge matrix (J1,
+  `object_detection.py:51-63`; vectorized form `sort.py:47-63`) as a
+  per-frame self-join — at scale this shuffles once on the frame key and
+  computes IoU JVM-side, no Python.
+* ``bbox_transforms`` covers clamp/derive (P6 `object_detection.py:21-36`),
+  format conversion [x0,y0,x1,y1] → [cx,cy,s,r] (P9 `sort.py:66-91`), and
+  coordinate remap (P5 `covid_workload.py:74-81`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from video_etl_spark.registry import query
+from video_etl_spark.session import load_table
+
+# Deterministic synthetic boxes from `part` (integer math only).
+_DUCK_BOXES = """
+    SELECT p_partkey AS box_id, p_brand AS frame,
+           CAST(p_partkey % 50 AS DOUBLE) AS x0,
+           CAST((p_partkey * 7) % 40 AS DOUBLE) AS y0,
+           CAST(p_partkey % 50 + 5 + p_partkey % 13 AS DOUBLE) AS x1,
+           CAST((p_partkey * 7) % 40 + 3 + p_partkey % 11 AS DOUBLE) AS y1
+    FROM part
+"""
+
+
+def _spark_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("box_id"),
+        F.col("p_brand").alias("frame"),
+        (F.col("p_partkey") % 50).cast("double").alias("x0"),
+        ((F.col("p_partkey") * 7) % 40).cast("double").alias("y0"),
+        (F.col("p_partkey") % 50 + 5 + F.col("p_partkey") % 13)
+        .cast("double")
+        .alias("x1"),
+        ((F.col("p_partkey") * 7) % 40 + 3 + F.col("p_partkey") % 11)
+        .cast("double")
+        .alias("y1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 — pairwise IoU edges within a frame (per-frame self-join).
+@query(
+    "iou_pairs",
+    oracle=f"""
+    WITH boxes AS ({_DUCK_BOXES})
+    SELECT a.box_id AS box_a, b.box_id AS box_b,
+           CAST(greatest(least(a.x1, b.x1) - greatest(a.x0, b.x0), 0)
+              * greatest(least(a.y1, b.y1) - greatest(a.y0, b.y0), 0) AS DOUBLE)
+           / ((a.x1 - a.x0) * (a.y1 - a.y0) + (b.x1 - b.x0) * (b.y1 - b.y0)
+              - greatest(least(a.x1, b.x1) - greatest(a.x0, b.x0), 0)
+              * greatest(least(a.y1, b.y1) - greatest(a.y0, b.y0), 0)) AS iou
+    FROM boxes a JOIN boxes b ON a.frame = b.frame AND a.box_id < b.box_id
+    WHERE greatest(least(a.x1, b.x1) - greatest(a.x0, b.x0), 0)
+        * greatest(least(a.y1, b.y1) - greatest(a.y0, b.y0), 0) > 0
+    """,
+)
+def iou_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    boxes = _spark_boxes(spark, sf_dir)
+    a = boxes.select(
+        F.col("box_id").alias("box_a"), F.col("frame"),
+        F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+    )
+    b = boxes.select(
+        F.col("box_id").alias("box_b"), F.col("frame").alias("frame_b"),
+        F.col("x0").alias("bx0"), F.col("y0").alias("by0"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+    )
+    ix = F.greatest(F.least("ax1", "bx1") - F.greatest("ax0", "bx0"), F.lit(0.0))
+    iy = F.greatest(F.least("ay1", "by1") - F.greatest("ay0", "by0"), F.lit(0.0))
+    inter = ix * iy
+    area_a = (F.col("ax1") - F.col("ax0")) * (F.col("ay1") - F.col("ay0"))
+    area_b = (F.col("bx1") - F.col("bx0")) * (F.col("by1") - F.col("by0"))
+    return (
+        a.join(b, (F.col("frame") == F.col("frame_b")) & (F.col("box_a") < F.col("box_b")))
+        .withColumn("iou", inter / (area_a + area_b - inter))
+        .filter(inter > 0)
+        .select("box_a", "box_b", "iou")
+    )
+
+
+# --------------------------------------------------------------------------
+# P5/P6/P9 — clamp to bounds, tile-coordinate remap, center-format convert.
+@query(
+    "bbox_transforms",
+    oracle=f"""
+    WITH boxes AS ({_DUCK_BOXES})
+    SELECT box_id, frame,
+           greatest(x0, 0) AS x0c,
+           greatest(y0, 0) AS y0c,
+           least(x1, 64) AS x1c,
+           least(y1, 48) AS y1c,
+           (greatest(x0, 0) + least(x1, 64)) / 2 AS cx,
+           (greatest(y0, 0) + least(y1, 48)) / 2 AS cy,
+           (least(x1, 64) - greatest(x0, 0)) * (least(y1, 48) - greatest(y0, 0)) AS s,
+           (least(x1, 64) - greatest(x0, 0)) / (least(y1, 48) - greatest(y0, 0)) AS r,
+           x0 + 64 AS gx0,
+           y0 + 48 AS gy0
+    FROM boxes
+    """,
+)
+def bbox_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    boxes = _spark_boxes(spark, sf_dir)
+    x0c = F.greatest("x0", F.lit(0.0))
+    y0c = F.greatest("y0", F.lit(0.0))
+    x1c = F.least("x1", F.lit(64.0))
+    y1c = F.least("y1", F.lit(48.0))
+    w = x1c - x0c
+    h = y1c - y0c
+    return boxes.select(
+        "box_id",
+        "frame",
+        x0c.alias("x0c"),
+        y0c.alias("y0c"),
+        x1c.alias("x1c"),
+        y1c.alias("y1c"),
+        ((x0c + x1c) / 2).alias("cx"),
+        ((y0c + y1c) / 2).alias("cy"),
+        (w * h).alias("s"),
+        (w / h).alias("r"),
+        (F.col("x0") + 64).alias("gx0"),
+        (F.col("y0") + 48).alias("gy0"),
+    )

@@ -1,0 +1,537 @@
+"""Relational operator surface (SURVEY.md §2 ⊕ operators).
+
+Covers: equi/semi/anti/outer joins with broadcast hints (J5/J7), grouped
+aggregation incl. rollup/cube/count-distinct (A4/A11), Pareto-frontier
+reduction (A9, `knob_tuner.py:214-237` reshaped as a dominance anti-join),
+arg-best selection (A10, `knob_tuner.py:252-261`), ranking windows (W4,
+`knob_switcher.py:35-51`), running windows (W7), dedup (O5), set ops (O8),
+global and per-group top-k (O9), and the scalar string/date function families
+(§2.7).
+
+Every query is declarative DataFrame API: Catalyst handles pushdown, pruning,
+join ordering; AQE picks broadcast vs sort-merge at runtime.  Small dimension
+tables get an explicit ``broadcast()`` hint because at the 100 TB target the
+fact side never fits and the dim side always does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from video_etl_spark.functions.parity import (
+    money_avg,
+    money_avg_sql,
+    money_sum,
+    money_sum_sql,
+)
+from video_etl_spark.registry import query
+from video_etl_spark.session import load_table
+
+
+# --------------------------------------------------------------------------
+# A4/A11 — grouped aggregation with partial (map-side) aggregation.
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {money_sum_sql('l_quantity')} AS sum_qty,
+           {money_sum_sql('l_extendedprice')} AS sum_base_price,
+           {money_sum_sql('l_extendedprice * (1 - l_discount)', 10000)} AS sum_disc_price,
+           {money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 1000000)} AS sum_charge,
+           {money_avg_sql('l_quantity')} AS avg_qty,
+           {money_avg_sql('l_extendedprice')} AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan→filter→agg; exercises pushdown + partial agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(disc_price, 10000).alias("sum_disc_price"),
+            money_sum(charge, 1000000).alias("sum_charge"),
+            money_avg("l_quantity").alias("avg_qty"),
+            money_avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 + O9 — fact⋈fact⋈dim join with broadcast dim, agg, global top-k.
+@query(
+    "top_revenue_orders",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 10000)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 — five-way star join (Q5-shaped); dims broadcast, facts shuffle on keys.
+@query(
+    "regional_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 10000)} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (supp.s_suppkey == li.l_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 — left-semi join (EXISTS).
+@query(
+    "orders_with_heavy_items",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+)
+def orders_with_heavy_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    heavy = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return orders.join(
+        heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# J7 — left-anti join (NOT EXISTS).
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 + A11 — left-outer join keeping empty groups.
+@query(
+    "customer_order_stats",
+    oracle=f"""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           COALESCE({money_sum_sql('o.o_totalprice')}, CAST(0 AS DOUBLE)) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(money_sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O9 — global top-k with deterministic tiebreak.
+@query(
+    "top_orders_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+)
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# O9/W7 — per-group top-k via ranking window (TakeOrderedAndProject per key).
+@query(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# W4/W7 — ranking windows (mirrors the switcher's per-category priority list,
+# knob_switcher.py:35-51: sort configs by quality desc within category).
+@query(
+    "supplier_rank_in_nation",
+    oracle="""
+    SELECT n.n_name, s.s_suppkey, s.s_acctbal,
+           CAST(rank() OVER (PARTITION BY s.s_nationkey
+                             ORDER BY s.s_acctbal DESC, s.s_suppkey) AS BIGINT) AS bal_rank,
+           CAST(dense_rank() OVER (PARTITION BY s.s_nationkey
+                                   ORDER BY s.s_acctbal DESC, s.s_suppkey) AS BIGINT) AS bal_dense_rank
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "s_suppkey",
+            "s_acctbal",
+            F.rank().over(w).cast("long").alias("bal_rank"),
+            F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W7 — running aggregate + lag (A4's running score sums, simulate.py:29-41,
+# as an ordered window instead of a driver loop).
+@query(
+    "running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / 100 AS DOUBLE) AS running_spend,
+           lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_price
+    FROM orders
+    """,
+)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)) / 100
+        ).cast("double").alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A11 — ROLLUP hierarchy totals.
+@query(
+    "rollup_revenue",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           {money_sum_sql('l_extendedprice', 100)} AS sum_price,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n_items",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A11 — CUBE over two dimensions.
+@query(
+    "cube_order_counts",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A11 — exact count-distinct (single and composite key).
+@query(
+    "count_distinct_lineitem",
+    oracle="""
+    SELECT count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT CAST(l_partkey AS VARCHAR) || '_' || CAST(l_suppkey AS VARCHAR)) AS n_part_supp
+    FROM lineitem
+    """,
+)
+def count_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.concat_ws("_", F.col("l_partkey").cast("string"), F.col("l_suppkey").cast("string"))
+        ).alias("n_part_supp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O8 — set operations (EXCEPT / INTERSECT / UNION semantics).
+@query(
+    "set_ops_users",
+    oracle="""
+    SELECT 'events_only' AS tag, user_id AS id FROM
+      (SELECT DISTINCT user_id FROM events
+       EXCEPT
+       SELECT DISTINCT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'both' AS tag, user_id AS id FROM
+      (SELECT DISTINCT user_id FROM events
+       INTERSECT
+       SELECT DISTINCT o_custkey FROM orders)
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("id")).distinct()
+    oc = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id")).distinct()
+    only = ev.subtract(oc).select(F.lit("events_only").alias("tag"), "id")
+    both = ev.intersect(oc).select(F.lit("both").alias("tag"), "id")
+    return only.unionByName(both)
+
+
+# --------------------------------------------------------------------------
+# A9 — Pareto-frontier reduction (knob_tuner.py:214-237 dominance filter,
+# re-expressed as a self-anti-join on the dominance predicate).
+@query(
+    "pareto_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+    """,
+)
+def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").alias("p")
+    q = load_table(spark, sf_dir, "part").alias("q")
+    dominates = (
+        (F.col("q.p_size") >= F.col("p.p_size"))
+        & (F.col("q.p_retailprice") <= F.col("p.p_retailprice"))
+        & (
+            (F.col("q.p_size") > F.col("p.p_size"))
+            | (F.col("q.p_retailprice") < F.col("p.p_retailprice"))
+        )
+    )
+    return p.join(q, dominates, "left_anti").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# A10 — arg-best selection: cheapest candidate meeting a constraint
+# (knob_tuner.py:252-261 "cheapest config with runtime <= realtime").
+@query(
+    "argbest_order_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS rn
+          FROM orders WHERE o_orderstatus = 'F')
+    WHERE rn = 1
+    """,
+)
+def argbest_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 string family — split / regexp_extract / lpad / concat_ws
+# (knob hash-string manipulation, knob_tuner.py:45-99; natural keys,
+# object_detection.py:141).
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num,
+           split_part(p_type, ' ', 1) AS type_head,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+           CAST(p_brand AS VARCHAR) || '|' || upper(split_part(p_type, ' ', 1)) AS brand_type
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long").alias("brand_num"),
+        F.split("p_type", " ").getItem(0).alias("type_head"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat(
+            F.col("p_brand"),
+            F.lit("|"),
+            F.upper(F.split("p_type", " ").getItem(0)),
+        ).alias("brand_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 date/time family — P14's filename-time arithmetic done with real
+# timestamp types (knob_plan.py:23-32 re-expressed).
+@query(
+    "datetime_functions",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           count(*) AS n_orders,
+           min(o_orderdate + INTERVAL 90 DAY) AS first_shipby
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate), CAST(year(o_orderdate) AS BIGINT)
+    """,
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("shipby"),
+        )
+        .groupBy("order_month", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("shipby").alias("first_shipby"),
+        )
+    )

@@ -1,0 +1,329 @@
+"""Temporal / windowed / streaming-shaped queries over the `events` table.
+
+Covers: tumbling 2 s chunk windows (D3 `simulate.py:27-35`, A4, W5), category
+histograms (A5 `knob_switcher.py:75-76` + D8 pivot), fill-forward (W3/P2
+`social_workload.py:147-159`), as-of join (J8, aligning the D12 score
+time-series), range join (J8), sessionization (W7 session windows), and
+lifecycle first/last labeling (J3-analog, `data_prepare.py:100-117` source/
+sink semantics on appearance streams).
+
+All comparisons run on integer microseconds (`unix_micros` / `epoch_us`) so
+Spark and the DuckDB oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from video_etl_spark.functions.parity import money_sum, money_sum_sql
+from video_etl_spark.operators.temporal import fill_forward, merge_asof, sessionize
+from video_etl_spark.registry import query
+from video_etl_spark.session import load_table
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+# --------------------------------------------------------------------------
+# D3/A4/W5 — tumbling 2 s chunk aggregation (the switcher's unit of work).
+@query(
+    "event_chunk_agg_2s",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '2 seconds', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {money_sum_sql('value')} AS value_sum
+    FROM events
+    GROUP BY time_bucket(INTERVAL '2 seconds', ts), event_type
+    """,
+)
+def event_chunk_agg_2s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 seconds").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_sum")
+    )
+
+
+# --------------------------------------------------------------------------
+# A5/D8 — content-category histogram, normalized (knob_switcher.py:75-82).
+@query(
+    "event_type_histogram",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS ratio
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)).cast("double") / F.lit(total)).alias("ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D8 — histogram pivoted to vector form (per-user event-type counts).
+@query(
+    "event_pivot_per_user",
+    oracle="""
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def event_pivot_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    df = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    for t in EVENT_TYPES:
+        df = df.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
+    return df
+
+
+# --------------------------------------------------------------------------
+# W3/P2 — fill-forward: error events carry the last good value per user.
+@query(
+    "fill_forward_values",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_raw,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+    FROM events
+    """,
+)
+def fill_forward_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_raw",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    return fill_forward(
+        ev, key="user_id", ts="ts", col="value_raw", out="value_filled",
+        order_tiebreak="event_id",
+    ).select("event_id", "user_id", "value_raw", "value_filled")
+
+
+# --------------------------------------------------------------------------
+# J8 — as-of join: each purchase joins its newest preceding click (per user).
+# Spark side uses the scalable union-merge strategy (operators.temporal).
+@query(
+    "asof_purchase_click",
+    oracle="""
+    SELECT event_id, user_id, click_event_id, click_value, gap_sec
+    FROM (
+      SELECT p.event_id, p.user_id,
+             c.event_id AS click_event_id,
+             c.value AS click_value,
+             CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE) / 1000000 AS gap_sec,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC NULLS LAST,
+                                         c.event_id DESC NULLS LAST) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts <= p.ts)
+    WHERE rn = 1
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = merge_asof(
+        purchases,
+        clicks.withColumnRenamed("ts", "click_ts"),
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        pickup={
+            "event_id": "click_event_id",
+            "value": "click_value",
+            "click_ts": "click_ts_out",
+        },
+        right_tiebreak=["event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "click_event_id",
+        "click_value",
+        (
+            (F.unix_micros("ts") - F.unix_micros("click_ts_out")).cast("double")
+            / 1_000_000
+        ).alias("gap_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J8 — event-time range join: clicks in the hour before each purchase.
+@query(
+    "range_join_clicks_before_purchase",
+    oracle=f"""
+    SELECT p.event_id, p.user_id,
+           count(c.event_id) AS n_clicks,
+           COALESCE({money_sum_sql('c.value')}, CAST(0 AS DOUBLE)) AS click_value_sum
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+        F.col("value").alias("c_value"),
+    )
+    cond = (
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts < p.p_ts)
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("c_event_id").alias("n_clicks"),
+            F.coalesce(money_sum("c_value"), F.lit(0.0)).alias("click_value_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W7 — sessionization (gaps-and-islands; batch analog of session_window).
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+               AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    with_sessions = sessionize(
+        ev, key="user_id", ts="ts", gap_seconds=1800, order_tiebreak="event_id"
+    )
+    return with_sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J3-analog — appearance lifecycle: first/last/active-days per identity
+# (source/sink labeling semantics of data_prepare.py:100-117).
+@query(
+    "user_lifecycle",
+    oracle="""
+    SELECT user_id,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen,
+           count(*) AS n_events,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS active_days,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1000000 AS tenure_sec
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.date_trunc("day", "ts")).cast("long").alias("active_days"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("double")
+            / 1_000_000
+        ).alias("tenure_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship slice-0 pipeline (SURVEY.md §7.2): stream-shaped scan → 2 s
+# tumbling window agg (A4/A5) → broadcast dim join (J5) → top-k (O9) → sink.
+@query(
+    "chunk_scores_pipeline",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT time_bucket(INTERVAL '2 seconds', ts) AS window_start,
+             event_type,
+             count(*) AS n_events,
+             {money_sum_sql('value')} AS value_sum
+      FROM events
+      GROUP BY 1, 2)
+    SELECT c.window_start, c.event_type, c.n_events,
+           c.value_sum * CAST(length(c.event_type) AS DOUBLE) AS score
+    FROM chunks c
+    ORDER BY score DESC, c.window_start, c.event_type
+    LIMIT 20
+    """,
+)
+def chunk_scores_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    chunks = (
+        ev.groupBy(F.window("ts", "2 seconds").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_sum")
+    )
+    # Tiny config dim (knob profile analog, J5) — always broadcast.
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("double"))
+    )
+    return (
+        chunks.join(F.broadcast(dim), "event_type")
+        .withColumn("score", F.col("value_sum") * F.col("weight"))
+        .select("window_start", "event_type", "n_events", "score")
+        .orderBy(F.desc("score"), "window_start", "event_type")
+        .limit(20)
+    )

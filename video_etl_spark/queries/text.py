@@ -1,0 +1,429 @@
+"""Text-analysis and deduplication queries over the `documents` table
+(SURVEY.md U21/U23 — the LLM-training-data pipeline surface).
+
+Covers: exact dedup (O5 `knob_tuner.py:189-196` seen-set → dropDuplicates),
+normalized-fingerprint dedup, MinHash signatures + banded LSH candidate pairs
+(U21), n-gram Jaccard near-dup scoring, token statistics, quality scoring,
+language-ID heuristic, and winnowing-style min-hash document fingerprints
+(U23).
+
+Scale notes: every query here is expressed with built-in JVM-side functions
+(split/transform/md5/explode) — no Python UDFs — so the hot path stays in
+whole-stage codegen.  The MinHash pair search is the LSH-banded strategy:
+signatures are tiny (4 ints/doc), candidate generation is an equi-join on
+band keys (shuffle on band hash), never an all-pairs cross join.  The n-gram
+Jaccard query co-partitions by `source` to bound the pair space; at 100 TB
+the band join replaces it entirely.
+
+Deterministic hashing uses the md5-prefix trick (functions.parity.hash60) so
+Spark == DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from video_etl_spark.registry import query
+from video_etl_spark.session import load_table
+
+# Shared sub-expressions (Spark SQL + DuckDB SQL dialect pairs) -------------
+
+_SPARK_TOKENS = "split(trim(lower(text)), '\\\\s+')"
+_DUCK_TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+_SPARK_HASH = (
+    "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+)
+_DUCK_HASH = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+MINHASH_SALTS = ("s0|", "s1|", "s2|", "s3|")
+
+_STOPWORDS = "(the|a|of|and|is|to|in)"
+_NORM_RE = "[^a-z0-9 ]"
+
+
+def _tokens_col() -> F.Column:
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+# --------------------------------------------------------------------------
+# O5/U21 — exact dedup: one canonical row per distinct text.
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.length("text").cast("long").alias("text_len"),
+    ).drop("text")
+
+
+# --------------------------------------------------------------------------
+# U21/U23 — normalized-content fingerprint dedup (md5 of canonical form).
+@query(
+    "dedup_fingerprint_documents",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             {_DUCK_HASH.format(expr="trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")} AS fingerprint
+      FROM documents)
+    SELECT fingerprint, min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), _NORM_RE, " "), " +", " "
+        )
+    )
+    fp = F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("long")
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _spark_minhash_cols():
+    """mh_j = min over 3-word shingles of hash60(salt_j || shingle)."""
+    cols = []
+    for j, salt in enumerate(MINHASH_SALTS):
+        h = _SPARK_HASH.format(expr=f"concat('{salt}', s)")
+        cols.append(
+            F.expr(
+                f"array_min(transform(shingles, s -> {h}))"
+            ).alias(f"mh{j}")
+        )
+    return cols
+
+
+def _spark_shingles(df: DataFrame) -> DataFrame:
+    return (
+        df.withColumn("toks", _tokens_col())
+        .filter(F.size("toks") >= 3)
+        .withColumn(
+            "shingles",
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), i -> "
+                "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+                "element_at(toks, i + 2)))"
+            ),
+        )
+    )
+
+
+def _duck_minhash_cte() -> str:
+    mh_exprs = ",\n             ".join(
+        "list_min([{h} FOR s IN shingles]) AS mh{j}".format(
+            h=_DUCK_HASH.format(expr=f"'{salt}' || s"), j=j
+        )
+        for j, salt in enumerate(MINHASH_SALTS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+              FOR i IN generate_series(1, len(toks) - 2)] AS shingles
+      FROM toks WHERE len(toks) >= 3
+    ), sig AS (
+      SELECT doc_id,
+             {mh_exprs}
+      FROM sh)
+    """
+
+
+# --------------------------------------------------------------------------
+# U21 — MinHash signatures (shingle → salted hash → min), 4 permutations.
+@query(
+    "minhash_signatures",
+    oracle=_duck_minhash_cte() + "SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _spark_shingles(docs).select("doc_id", *_spark_minhash_cols())
+
+
+# --------------------------------------------------------------------------
+# U21 — banded-LSH candidate pairs: docs sharing either 2-hash band.
+# Equi-joins on band keys (shuffle on band), NOT an all-pairs cross join.
+@query(
+    "minhash_band_pairs",
+    oracle=_duck_minhash_cte()
+    + """
+    , banded AS (
+      SELECT doc_id,
+             CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS band0,
+             CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band1
+      FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.doc_id < b.doc_id AND (a.band0 = b.band0)
+    UNION
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.doc_id < b.doc_id AND (a.band1 = b.band1)
+    """,
+)
+def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _spark_shingles(docs).select("doc_id", *_spark_minhash_cols())
+    banded = sig.select(
+        "doc_id",
+        F.concat_ws("_", F.col("mh0").cast("string"), F.col("mh1").cast("string")).alias("band0"),
+        F.concat_ws("_", F.col("mh2").cast("string"), F.col("mh3").cast("string")).alias("band1"),
+    )
+    pairs = None
+    for band in ("band0", "band1"):
+        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("b"))
+        b = banded.select(F.col("doc_id").alias("doc_b"), F.col(band).alias("b"))
+        p = (
+            a.join(b, "b")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+# --------------------------------------------------------------------------
+# U21 — n-gram (token-set) Jaccard near-dup scoring, bounded by co-partition
+# on `source`.  Pure relational formulation: explode distinct tokens,
+# equi-join on token, count intersections.
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(list_distinct({_DUCK_TOKENS})) AS token
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM toks a JOIN toks b
+        ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_tokens_col())).alias("token"),
+    )
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), "token"
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), "token"
+    )
+    inter = (
+        a.join(b, ["token"])
+        .filter((F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# U23 — token counting / type-token statistics.
+@query(
+    "token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, source, {_DUCK_TOKENS} AS toks,
+                      length(text) AS n_chars_real,
+                      length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+               FROM documents)
+    SELECT doc_id, lang, source,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(n_chars_real AS BIGINT) AS n_chars_real,
+           CAST(n_nonspace AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio
+    FROM t
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _tokens_col())
+    n_tokens = F.size("toks").cast("long")
+    n_distinct = F.size(F.array_distinct(F.col("toks"))).cast("long")
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars_real"),
+        (n_nonspace.cast("double") / n_tokens).alias("avg_token_len"),
+        (n_distinct.cast("double") / n_tokens).alias("type_token_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# U23 — quality scoring: length band + stopword ratio + lexical diversity.
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks, length(text) AS n,
+                      len(regexp_extract_all(lower(text), '\\b{_STOPWORDS}\\b')) AS n_stop
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN n BETWEEN 200 AND 2000 THEN 1.0
+                WHEN n < 50 THEN 0.0 ELSE 0.5 END AS len_score,
+           CAST(n_stop AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+           0.4 * (CASE WHEN n BETWEEN 200 AND 2000 THEN 1.0
+                       WHEN n < 50 THEN 0.0 ELSE 0.5 END)
+             + 0.3 * (CAST(n_stop AS DOUBLE) / len(toks))
+             + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             AS quality
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _tokens_col())
+    n = F.length("text")
+    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(rf"\b{_STOPWORDS}\b"))
+    len_score = (
+        F.when((n >= 200) & (n <= 2000), 1.0).when(n < 50, 0.0).otherwise(0.5)
+    )
+    stop_ratio = n_stop.cast("double") / F.size("toks")
+    diversity = F.size(F.array_distinct(F.col("toks"))).cast("double") / F.size("toks")
+    return docs.select(
+        "doc_id",
+        len_score.alias("len_score"),
+        stop_ratio.alias("stopword_ratio"),
+        diversity.alias("diversity"),
+        (0.4 * len_score + 0.3 * stop_ratio + 0.3 * diversity).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# U23 — language-ID n-gram/marker heuristic.  (The synthetic corpus is
+# English-shaped regardless of its `lang` label; the *operator* — marker
+# scoring + argmax with deterministic tie order — is what's under test.)
+_LANG_MARKERS = {
+    "en": "(the|a|of|and)",
+    "de": "(der|die|und)",
+    "fr": "(le|la|et)",
+    "es": "(el|los|y)",
+}
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=(
+        "WITH s AS (SELECT doc_id, lang, "
+        + ", ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{pat}\\b')) AS n_{code}"
+            for code, pat in _LANG_MARKERS.items()
+        )
+        + """ FROM documents)
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'und'
+                WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                WHEN n_fr >= n_es THEN 'fr'
+                ELSE 'es' END AS lang_pred,
+           CAST(n_en AS BIGINT) AS n_en, CAST(n_de AS BIGINT) AS n_de,
+           CAST(n_fr AS BIGINT) AS n_fr, CAST(n_es AS BIGINT) AS n_es
+    FROM s
+    """
+    ),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    counts = {
+        code: F.regexp_count(low, F.lit(rf"\b{pat}\b")).cast("long")
+        for code, pat in _LANG_MARKERS.items()
+    }
+    df = docs.select("doc_id", F.col("lang").alias("lang_label"), *[
+        c.alias(f"n_{code}") for code, c in counts.items()
+    ])
+    n = {code: F.col(f"n_{code}") for code in _LANG_MARKERS}
+    pred = (
+        F.when(
+            (n["en"] == 0) & (n["de"] == 0) & (n["fr"] == 0) & (n["es"] == 0), "und"
+        )
+        .when((n["en"] >= n["de"]) & (n["en"] >= n["fr"]) & (n["en"] >= n["es"]), "en")
+        .when((n["de"] >= n["fr"]) & (n["de"] >= n["es"]), "de")
+        .when(n["fr"] >= n["es"], "fr")
+        .otherwise("es")
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+# --------------------------------------------------------------------------
+# U23 — winnowing-style document fingerprint: min hash over 5-gram shingles
+# (rolling-hash fingerprinting re-expressed with built-ins).
+@query(
+    "doc_winnow_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                      || toks[i+3] || ' ' || toks[i+4]
+              FOR i IN generate_series(1, len(toks) - 4)] AS shingles
+      FROM toks WHERE len(toks) >= 5)
+    SELECT doc_id,
+           list_min([{_DUCK_HASH.format(expr="'w|' || s")} FOR s IN shingles])
+             AS fingerprint
+    FROM sh
+    """,
+)
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = _SPARK_HASH.format(expr="concat('w|', s)")
+    return (
+        docs.withColumn("toks", _tokens_col())
+        .filter(F.size("toks") >= 5)
+        .withColumn(
+            "shingles",
+            F.expr(
+                "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', "
+                "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2), "
+                "element_at(toks, i + 3), element_at(toks, i + 4)))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"array_min(transform(shingles, s -> {h}))").alias("fingerprint"),
+        )
+    )

@@ -1,0 +1,187 @@
+"""Embedding / vector queries over the `embeddings` table (SURVEY.md U22,
+P13, U4-U7's embedding-column downstream ops).
+
+Covers: brute-force cosine top-k (the ANN baseline — U22), embedding-cosine
+near-duplicate pairs (U21's embedding variant), mean-pooling per group (P13,
+`transmot.py:175-184`'s view+mean re-expressed as posexplode+agg), and vector
+norms (scalar math family §2.7).
+
+Cross-engine determinism: float math is quantized to integer micro-units
+(round(x*1e6) as BIGINT) before any aggregation, so dot products and norms
+are *exact* integer arithmetic in both engines; only the final
+divide/sqrt runs in IEEE double, which is bit-reproducible.  The LSH-bucketed
+scale path lives in llm_ops/similarity.py (rows-only check: result quality is
+asserted against this brute-force oracle in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from video_etl_spark.registry import query
+from video_etl_spark.session import load_table
+
+# Quantized-vector helpers --------------------------------------------------
+
+_SPARK_QUANT = (
+    "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+)
+_DUCK_QUANT = (
+    "[CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) FOR x IN embedding]"
+)
+
+# dot(qa, qb) as exact BIGINT, then cast to double
+_SPARK_DOT = (
+    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+)
+_DUCK_DOT = "list_sum([qa[i] * qb[i] FOR i IN generate_series(1, len(qa))])"
+
+_SPARK_SQ = "aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v)"
+_DUCK_SQ = "list_sum([x * x FOR x IN q])"
+
+
+# --------------------------------------------------------------------------
+# U22 — brute-force cosine top-k (ANN baseline): 5 query vectors against the
+# rest of the corpus; rank per query.  The scan side never shuffles: the tiny
+# query set is broadcast and similarity+top-k run map-side then TakeOrdered.
+@query(
+    "knn_cosine_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q, CAST({_DUCK_SQ} AS DOUBLE) AS sq FROM q
+    ), pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST({_DUCK_DOT.replace('qa', 'a.q').replace('len(qa)', 'len(a.q)').replace('qb', 'b.q')} AS DOUBLE)
+               / (sqrt(a.sq) * sqrt(b.sq)) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id >= 5)
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn <= 10
+    """,
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "q", F.expr(_SPARK_QUANT)
+    ).withColumn("sq", F.expr(_SPARK_SQ).cast("double"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("sq").alias("sqa"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("sq").alias("sqb"),
+    )
+    pairs = corpus.join(F.broadcast(queries)).withColumn(
+        "cos_sim",
+        F.expr(_SPARK_DOT).cast("double")
+        / (F.sqrt(F.col("sqa")) * F.sqrt(F.col("sqb"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# U21 — embedding-cosine near-duplicate pairs within a label bucket
+# (blocked all-pairs; blocking key bounds the pair space like LSH buckets).
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_DUCK_QUANT} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, q, CAST({_DUCK_SQ} AS DOUBLE) AS sq FROM q)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST({_DUCK_DOT.replace('qa', 'a.q').replace('len(qa)', 'len(a.q)').replace('qb', 'b.q')} AS DOUBLE)
+             / (sqrt(a.sq) * sqrt(b.sq)) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CAST({_DUCK_DOT.replace('qa', 'a.q').replace('len(qa)', 'len(a.q)').replace('qb', 'b.q')} AS DOUBLE)
+             / (sqrt(a.sq) * sqrt(b.sq)) >= 0.5
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "q", F.expr(_SPARK_QUANT)
+    ).withColumn("sq", F.expr(_SPARK_SQ).cast("double"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"),
+        F.col("q").alias("qa"), F.col("sq").alias("sqa"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("q").alias("qb"), F.col("sq").alias("sqb"),
+    )
+    sim = F.expr(_SPARK_DOT).cast("double") / (F.sqrt("sqa") * F.sqrt("sqb"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= 0.5)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# P13 — mean-pool per (label, dim): posexplode + exact integer aggregation
+# (the reference's view+mean feature pooling, transmot.py:175-184).
+@query(
+    "embedding_mean_pool",
+    oracle=f"""
+    WITH q AS (
+      SELECT label,
+             unnest({_DUCK_QUANT}) AS qv,
+             unnest(generate_series(1, len(embedding))) AS dim
+      FROM embeddings)
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(CAST(sum(qv) AS DOUBLE) / (count(*) * 1000000) AS DOUBLE) AS mean_val,
+           count(*) AS n_vectors
+    FROM q GROUP BY label, dim
+    """,
+)
+def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn("q", F.expr(_SPARK_QUANT))
+    exploded = emb.select(
+        "label", F.posexplode("q").alias("dim0", "qv")
+    ).withColumn("dim", (F.col("dim0") + 1).cast("long"))
+    return exploded.groupBy("label", "dim").agg(
+        (
+            (F.sum("qv") / (F.count(F.lit(1)) * 1_000_000))
+        ).cast("double").alias("mean_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 math family — vector L2 norms via higher-order functions, top-k.
+@query(
+    "vector_norms_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, {_DUCK_QUANT} AS q FROM embeddings)
+    SELECT vec_id, label,
+           sqrt(CAST({_DUCK_SQ} AS DOUBLE)) / 1000000 AS l2_norm
+    FROM q
+    ORDER BY l2_norm DESC, vec_id
+    LIMIT 10
+    """,
+)
+def vector_norms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn("q", F.expr(_SPARK_QUANT))
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            (F.sqrt(F.expr(_SPARK_SQ).cast("double")) / 1_000_000).alias("l2_norm"),
+        )
+        .orderBy(F.desc("l2_norm"), "vec_id")
+        .limit(10)
+    )

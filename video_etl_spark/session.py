@@ -1,0 +1,110 @@
+"""SparkSession factory and test-table loaders.
+
+Tuned for the deployment target described in SURVEY.md §7: a large cluster
+reading ~100 TB, but runnable on local[N] for correctness work.  All knobs are
+declarative so Catalyst/AQE pick physical strategies at runtime:
+
+* AQE on (runtime re-planning, skew-join splitting, partition coalescing).
+* Arrow on (pandas-UDF ops in llm_ops/ and streaming/ are vectorized).
+* Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle used by the correctness gate.
+* ``spark.sql.shuffle.partitions`` defaults to the local core count; on a real
+  cluster AQE coalescing makes the initial number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver generates under /root/testdata/sf*/ (TESTDATA.md).
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _default_conf(cpus: str) -> dict[str, str]:
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": cpus,
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        # Small dims (region/nation/supplier/profile tables) must broadcast.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
+    }
+
+
+def get_spark(app_name: str = "video-etl-spark", conf: dict | None = None) -> SparkSession:
+    """Return the active session or build one on local[$SPARK_GRAFT_CPUS]."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    )
+    merged = _default_conf(cpus)
+    merged.update(conf or {})
+    for key, value in merged.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = _read_parquet_nanos_safe(spark, table_path(sf_dir, name))
+    return df
+
+
+def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, tolerating TIMESTAMP(NANOS) columns.
+
+    The driver's `events` table stores nanosecond timestamps, which vanilla
+    Spark rejects ([PARQUET_TYPE_ILLEGAL]).  We read nanos as LONG and
+    truncate to microseconds — exactly what DuckDB does when it casts
+    TIMESTAMP_NS to its microsecond TIMESTAMP, so oracle comparisons agree.
+    """
+    try:
+        df = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — fall through to nanos path
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for field_name, dtype in df.dtypes:
+        if field_name == "ts" and dtype == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (for spark.sql queries)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
