@@ -19,6 +19,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_every_query_has_oracle_or_is_flagged(spark):
     # Queries without oracles get only a rows-only check from the driver;
     # keep the list explicit so additions are deliberate.
+    from video_etl_spark.queries.advanced import ROWS_ONLY_QUERIES
+
     rows_only = set(registry.QUERIES) - set(registry.ORACLES)
-    allowed_rows_only = set()  # populated when non-SQL-expressible ops land
-    assert rows_only == allowed_rows_only
+    assert rows_only == set(ROWS_ONLY_QUERIES)

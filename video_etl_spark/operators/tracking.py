@@ -1,0 +1,176 @@
+"""Multi-object tracking operators (SURVEY.md W2/J2/U12).
+
+Re-expresses the reference's SORT tracker (`workloads/transMOT/sort.py`:
+Kalman predict/update 94-151, IoU association 154-196, track lifecycle
+210-253) as a Spark ``applyInPandas`` operator: detections are grouped by
+stream key, each group is processed in frame order by a vectorized
+per-partition tracker.  This is the (b) strategy from the build brief —
+per-key ordered state that Spark's built-in operators can't express.
+
+Differences from the reference, by design:
+* scipy isn't shipped, so association is greedy best-IoU-first instead of
+  Hungarian — the reference itself falls back to a non-optimal matcher when
+  `lap` is missing (`sort.py:36-44`); greedy is deterministic and O(n²logn).
+* the motion model is constant-velocity on the box center/scale — the same
+  state the reference's Kalman tracks (x∈R⁷, `sort.py:101-115`) minus the
+  covariance bookkeeping, which only matters with noisy real detections.
+
+Scale posture: one shuffle on the stream key, then per-key work is linear in
+frames — the same layout a 1000-executor cluster wants (each stream's frames
+co-located, state never crosses executors).  The streaming twin of this
+operator is `applyInPandasWithState` keyed the same way.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+TRACKS_SCHEMA = (
+    "stream string, frame_no long, track_id long, x0 double, y0 double, "
+    "x1 double, y1 double, age long, hits long"
+)
+
+
+def _iou(a: tuple, b: tuple) -> float:
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    if inter <= 0:
+        return 0.0
+    area_a = (a[2] - a[0]) * (a[3] - a[1])
+    area_b = (b[2] - b[0]) * (b[3] - b[1])
+    return inter / (area_a + area_b - inter)
+
+
+class _Track:
+    __slots__ = ("track_id", "box", "vel", "age", "hits", "misses")
+
+    def __init__(self, track_id: int, box: tuple) -> None:
+        self.track_id = track_id
+        self.box = box
+        self.vel = (0.0, 0.0)
+        self.age = 0
+        self.hits = 1
+        self.misses = 0
+
+    def predict(self) -> tuple:
+        dx, dy = self.vel
+        x0, y0, x1, y1 = self.box
+        return (x0 + dx, y0 + dy, x1 + dx, y1 + dy)
+
+    def update(self, box: tuple) -> None:
+        pcx = (self.box[0] + self.box[2]) / 2
+        pcy = (self.box[1] + self.box[3]) / 2
+        ncx = (box[0] + box[2]) / 2
+        ncy = (box[1] + box[3]) / 2
+        self.vel = (ncx - pcx, ncy - pcy)
+        self.box = box
+        self.hits += 1
+        self.misses = 0
+
+
+def track_group(
+    pdf: pd.DataFrame,
+    iou_threshold: float = 0.3,
+    max_age: int = 3,
+) -> pd.DataFrame:
+    """Run the tracker over one stream's detections (frame-ordered).
+
+    Mirrors `sort.py:210-253`: predict all live tracks, associate by IoU
+    (greedy, threshold 0.3 like `sort.py:158`), spawn tracks for unmatched
+    detections, kill tracks after `max_age` misses.
+    """
+    pdf = pdf.sort_values(["frame_no", "x0", "y0"])
+    stream = pdf["stream"].iloc[0] if len(pdf) else None
+    tracks: list[_Track] = []
+    next_id = 0
+    out: list[tuple] = []
+
+    for frame_no, frame in pdf.groupby("frame_no", sort=True):
+        dets = [
+            (r.x0, r.y0, r.x1, r.y1) for r in frame.itertuples(index=False)
+        ]
+        preds = [(t, t.predict()) for t in tracks]
+        # Greedy association: best IoU pair first (deterministic tiebreak).
+        candidates = sorted(
+            (
+                (-_iou(p, d), ti, di)
+                for ti, (_, p) in enumerate(preds)
+                for di, d in enumerate(dets)
+                if _iou(p, d) >= iou_threshold
+            ),
+        )
+        used_t: set[int] = set()
+        used_d: set[int] = set()
+        for neg_iou, ti, di in candidates:
+            if ti in used_t or di in used_d:
+                continue
+            used_t.add(ti)
+            used_d.add(di)
+            preds[ti][0].update(dets[di])
+        # Unmatched detections spawn new tracks (`sort.py:241-244`).
+        for di, d in enumerate(dets):
+            if di not in used_d:
+                tracks.append(_Track(next_id, d))
+                next_id += 1
+        # Age/kill unmatched tracks (`sort.py:245-253`).
+        survivors: list[_Track] = []
+        for ti, t in enumerate(preds):
+            tr = t[0]
+            if ti not in used_t:
+                tr.misses += 1
+                tr.box = t[1]  # coast on prediction
+            tr.age += 1
+            if tr.misses <= max_age:
+                survivors.append(tr)
+        tracks = survivors + [t for t in tracks if t.age == 0]
+        for t in tracks:
+            if t.age == 0 or t.misses == 0:
+                out.append(
+                    (
+                        stream,
+                        int(frame_no),
+                        t.track_id,
+                        t.box[0],
+                        t.box[1],
+                        t.box[2],
+                        t.box[3],
+                        t.age,
+                        t.hits,
+                    )
+                )
+
+    return pd.DataFrame(
+        out,
+        columns=[
+            "stream",
+            "frame_no",
+            "track_id",
+            "x0",
+            "y0",
+            "x1",
+            "y1",
+            "age",
+            "hits",
+        ],
+    )
+
+
+def sort_tracker(detections: DataFrame, **kw) -> DataFrame:
+    """Distribute the tracker: one shuffle on the stream key, then
+    per-stream frame-ordered tracking inside ``applyInPandas``.
+
+    Input schema: stream string, frame_no long, x0/y0/x1/y1 double (conf and
+    extra columns pass through ungrouped).
+    """
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(detections.sparkSession)
+    cols = ["stream", "frame_no", "x0", "y0", "x1", "y1"]
+    return (
+        detections.select(*cols)
+        .groupBy("stream")
+        .applyInPandas(lambda pdf: track_group(pdf, **kw), TRACKS_SCHEMA)
+    )

@@ -1,0 +1,135 @@
+"""Non-SQL-expressible operator queries (rows-only driver checks).
+
+Each of these is a genuinely iterative / stateful / pandas-UDF-backed
+operator per the driver contract's escape hatch; their correctness is
+covered by pytest against oracle-verified baselines or golden semantics
+instead of DuckDB SQL:
+
+* simhash_near_dup_pairs — Arrow pandas-UDF signatures (U21);
+  tested against exact-dup ground truth in tests/test_llm_ops.py.
+* knn_lsh_bucketed — LSH ANN scale path (U22); tested for subset-
+  consistency against the oracle-verified brute-force query.
+* multimodal_features — binary-column mapInPandas plumbing (D2/U1-U7 stub).
+* sort_tracker_synthetic — per-key ordered tracker state (W2/J2/U12).
+* switch_log_replay — the full C1/C2 control loop over 2 s chunks (E1);
+  golden-tested in tests/test_control.py + tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from video_etl_spark.registry import query
+from video_etl_spark.session import load_table
+
+ROWS_ONLY_QUERIES = frozenset(
+    {
+        "simhash_near_dup_pairs",
+        "knn_lsh_bucketed",
+        "multimodal_features",
+        "sort_tracker_synthetic",
+        "switch_log_replay",
+    }
+)
+
+
+@query("simhash_near_dup_pairs")
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+@query("knn_lsh_bucketed")
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return lsh_topk(corpus, queries_df, k=10)
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        extract_features,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = attach_fake_payload(sample_frames(docs, stride=2))
+    return extract_features(frames)
+
+
+@query("sort_tracker_synthetic")
+def sort_tracker_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic detections (derived from lineitem) through
+    the SORT-style tracker — exercises the shuffle-once-then-ordered-state
+    layout on real table data."""
+    from video_etl_spark.operators.tracking import sort_tracker
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dets = li.select(
+        F.col("l_returnflag").alias("stream"),
+        (F.col("l_orderkey") % 50).alias("frame_no"),
+        (F.col("l_partkey") % 100).cast("double").alias("x0"),
+        (F.col("l_suppkey") % 80).cast("double").alias("y0"),
+        ((F.col("l_partkey") % 100) + 12).cast("double").alias("x1"),
+        ((F.col("l_suppkey") % 80) + 9).cast("double").alias("y1"),
+    )
+    return sort_tracker(dets)
+
+
+@query("switch_log_replay")
+def switch_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 batch replay: 2 s chunk scores through the C1 switcher, emitting
+    the D15 switch log."""
+    from video_etl_spark.control.buffer import ProcessingBuffer
+    from video_etl_spark.control.switcher import KnobSwitcher, Profile
+
+    ev = load_table(spark, sf_dir, "events")
+    chunks = (
+        ev.groupBy(F.window("ts", "2 seconds").alias("w"))
+        .agg(
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100)
+            .cast("double")
+            .alias("value_sum"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "value_sum", "n_events")
+        .orderBy("window_start")
+        .collect()
+    )
+    quality = [[0.9, 0.6, 0.2], [0.7, 0.5, 0.1], [0.3, 0.2, 0.05]]
+    profile = Profile(
+        runtime=(1.9, 1.0, 0.4, 1.2, 0.7, 0.3),
+        cloud_cost=(0.0, 0.0, 0.0, 2.0, 1.5, 1.0),
+        knob_config=(0, 1, 2, 0, 1, 2),
+        size_bytes=(1e8,) * 6,
+    )
+    switcher = KnobSwitcher(
+        quality,
+        profile,
+        ProcessingBuffer(16e9, profile.config_sizes()),
+        cloud_budget=0.0,
+        planning_interval=100,
+        initial_histogram=[1.0, 1.0, 1.0],
+    )
+    rows = []
+    for r in chunks:
+        # score normalized into the quality range [0, 1]
+        score = min(1.0, abs(r["value_sum"]) / (500.0 * max(r["n_events"], 1)))
+        d = switcher.switch(score)
+        rows.append(
+            (d.chunk_id, r["window_start"], d.config, d.placement,
+             d.cloud_cost, d.runtime, score)
+        )
+    return spark.createDataFrame(
+        rows,
+        "chunk_id long, window_start timestamp, config int, placement int, "
+        "cloud_cost double, runtime double, score double",
+    )

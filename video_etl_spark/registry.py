@@ -54,6 +54,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every query module so the registry is fully populated."""
     from video_etl_spark.queries import (  # noqa: F401
+        advanced,
         boxes,
         relational,
         temporal,

@@ -108,3 +108,31 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for spark.sql queries)."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def ensure_executor_package(spark: SparkSession) -> None:
+    """Make `video_etl_spark` importable on executor Python workers.
+
+    Every pandas-UDF / applyInPandas operator pickles functions that live in
+    this package; executors unpickle them by re-importing the module.  When
+    the driver process found the package via cwd/sys.path (e.g. the external
+    verify harness), executor workers won't — so ship the package once as a
+    zip via ``addPyFile``.  Idempotent per session.
+    """
+    if getattr(spark, "_vetl_pkg_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "video_etl_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._vetl_pkg_shipped = True
