@@ -34,10 +34,10 @@ HEADLINE = [
     "asof_purchase_click",
     "range_join_clicks_before_purchase",
     "minhash_band_pairs",
-    "ngram_jaccard_pairs",
+    "jaccard_pair_stats",
     "knn_cosine_bruteforce",
     "token_stats",
-    "iou_pairs",
+    "iou_edge_stats",
     "chunk_scores_pipeline",
 ]
 
@@ -55,9 +55,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).count()  # warm-up (not timed)
+        spark.catalog.clearCache()  # persists inside queries start cold
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

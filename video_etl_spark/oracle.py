@@ -64,6 +64,17 @@ def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
         return problems
+    for col in sorted(spark_df.columns):
+        sk = spark_df[col].dtype.kind
+        ok = oracle_df[col].dtype.kind
+        if sk != ok:
+            problems.append(
+                f"dtype kind mismatch [{col}]: spark={spark_df[col].dtype} "
+                f"oracle={oracle_df[col].dtype} (cast the oracle explicitly — "
+                "DuckDB sum(int) returns HUGEINT)"
+            )
+    if problems:
+        return problems
     s = _normalize(spark_df)
     o = _normalize(oracle_df)
     n_bad = 0

@@ -134,3 +134,48 @@ def bbox_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x0") + 64).alias("gx0"),
         (F.col("y0") + 48).alias("gy0"),
     )
+
+
+# --------------------------------------------------------------------------
+# J1+A1 — per-frame IoU edge statistics: the same per-frame self-join as
+# iou_pairs but reduced to per-frame aggregates (the shape a tracker
+# actually consumes; also the bench headliner — output stays tiny while the
+# full O(n²/frame) join still executes).  IoU sums are quantized to 1e-6
+# units so the aggregation is order-independent across engines.
+@query(
+    "iou_edge_stats",
+    oracle=f"""
+    WITH boxes AS ({_DUCK_BOXES}),
+    pairs AS (
+      SELECT a.frame,
+             CAST(greatest(least(a.x1, b.x1) - greatest(a.x0, b.x0), 0)
+                * greatest(least(a.y1, b.y1) - greatest(a.y0, b.y0), 0) AS DOUBLE)
+             / ((a.x1 - a.x0) * (a.y1 - a.y0) + (b.x1 - b.x0) * (b.y1 - b.y0)
+                - greatest(least(a.x1, b.x1) - greatest(a.x0, b.x0), 0)
+                * greatest(least(a.y1, b.y1) - greatest(a.y0, b.y0), 0)) AS iou
+      FROM boxes a JOIN boxes b ON a.frame = b.frame AND a.box_id < b.box_id
+      WHERE greatest(least(a.x1, b.x1) - greatest(a.x0, b.x0), 0)
+          * greatest(least(a.y1, b.y1) - greatest(a.y0, b.y0), 0) > 0)
+    SELECT frame,
+           count(*) AS n_edges,
+           CAST(CAST(sum(CAST(round(iou * 1000000) AS BIGINT)) AS DOUBLE)
+                / (count(*) * 1000000) AS DOUBLE) AS avg_iou
+    FROM pairs GROUP BY frame
+    """,
+)
+def iou_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = iou_pairs(spark, sf_dir)
+    boxes = _spark_boxes(spark, sf_dir).select(
+        F.col("box_id").alias("box_a"), "frame"
+    )
+    return (
+        pairs.join(boxes, "box_a")
+        .groupBy("frame")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            (
+                F.sum(F.round(F.col("iou") * 1_000_000).cast("long"))
+                / (F.count(F.lit(1)) * 1_000_000)
+            ).cast("double").alias("avg_iou"),
+        )
+    )

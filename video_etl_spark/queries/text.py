@@ -185,7 +185,9 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat_ws("_", F.col("mh0").cast("string"), F.col("mh1").cast("string")).alias("band0"),
         F.concat_ws("_", F.col("mh2").cast("string"), F.col("mh3").cast("string")).alias("band1"),
-    )
+    # the signature computation (shingling + 4 md5 passes) feeds both sides
+    # of both band self-joins; persist so it runs once, not 4x
+    ).persist()
     pairs = None
     for band in ("band0", "band1"):
         a = banded.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("b"))
@@ -230,17 +232,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(F.array_distinct(_tokens_col())).alias("token"),
-    )
+    # token explode feeds three plan branches (both join sides + counts);
+    # persist so the tokenization runs once
+    ).persist()
     counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = toks.select(
-        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), "token"
-    )
-    b = toks.select(
-        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), "token"
-    )
+    # join on (token, source) — source is part of the shuffle key, so
+    # cross-source token collisions never materialize
+    a = toks.select(F.col("doc_id").alias("doc_a"), "source", "token")
+    b = toks.select(F.col("doc_id").alias("doc_b"), "source", "token")
     inter = (
-        a.join(b, ["token"])
-        .filter((F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
+        a.join(b, ["token", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -426,4 +428,70 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr(f"array_min(transform(shingles, s -> {h}))").alias("fingerprint"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# U21 — near-dup pair statistics per source: same token-join work as
+# ngram_jaccard_pairs, reduced to per-source aggregates (bench headliner;
+# jaccard sums quantized for engine-exact aggregation).
+@query(
+    "jaccard_pair_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(list_distinct({_DUCK_TOKENS})) AS token
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_common
+      FROM toks a JOIN toks b
+        ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    ), pairs AS (
+      SELECT source,
+             CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+      FROM inter
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b)
+    SELECT source,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+           CAST(CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS DOUBLE)
+                / (count(*) * 1000000) AS DOUBLE) AS avg_jaccard
+    FROM pairs GROUP BY source
+    """,
+)
+def jaccard_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(_tokens_col())).alias("token")
+    ).persist()  # three consumers; tokenize once
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), "source", "token")
+    b = toks.select(F.col("doc_id").alias("doc_b"), "source", "token")
+    inter = (
+        a.join(b, ["token", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("source", "doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    pairs = (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn("jaccard", jac)
+    )
+    return pairs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("jaccard") >= 0.2, 1).otherwise(0)).alias("n_near_dups"),
+        (
+            F.sum(F.round(F.col("jaccard") * 1_000_000).cast("long"))
+            / (F.count(F.lit(1)) * 1_000_000)
+        ).cast("double").alias("avg_jaccard"),
     )

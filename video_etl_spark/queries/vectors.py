@@ -68,7 +68,7 @@ _DUCK_SQ = "list_sum([x * x FOR x IN q])"
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "q", F.expr(_SPARK_QUANT)
-    ).withColumn("sq", F.expr(_SPARK_SQ).cast("double"))
+    ).withColumn("sq", F.expr(_SPARK_SQ).cast("double")).persist()
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qa"),
