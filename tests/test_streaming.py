@@ -107,3 +107,41 @@ def test_tracker_kills_vanished_object(spark):
     out = sort_tracker(df, max_age=2).collect()
     ids = {r["track_id"] for r in out}
     assert len(ids) == 2  # vanished object's track died; new id assigned
+
+
+def test_stateful_user_state(spark, sf_dir, tmp_path):
+    from video_etl_spark.streaming.pipeline import events_stream
+    from video_etl_spark.streaming.stateful import running_user_state
+
+    stream = events_stream(spark, sf_dir)
+    out = running_user_state(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_user_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT * FROM t_user_state WHERE NOT expired"
+    ).collect()
+    assert rows, "stateful query produced no rows"
+    got = {r["user_id"]: (r["n_events"], r["value_sum"]) for r in rows}
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: (r["n"], r["vs"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100)
+            .cast("double")
+            .alias("vs"),
+        )
+        .collect()
+    }
+    # single availableNow batch -> final state equals the batch aggregate
+    for uid, (n, vs) in expected.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - vs) < 1e-6

@@ -1,0 +1,91 @@
+"""Stateful streaming operators (SURVEY.md W2/W6/§2.8 — per-key state with
+timeouts).
+
+The reference keeps long-lived per-key state in-process: Kalman track state
+(`sort.py:94-151`, D14), buffer occupancy (`buffer.py:36-71`, D11), and
+used-config counters (`knob_switcher.py:110-114`).  The Structured
+Streaming re-architecture is ``applyInPandasWithState``: state lives in the
+engine's state store (checkpointed, sharded by key across executors),
+updates arrive as Arrow batches, and processing-time timeouts express track
+death / session expiry.
+
+``running_user_state`` is the canonical shape: per-user running counters +
+last-value state, optionally expiring after ``timeout_ms`` idle — the same
+lifecycle as a tracker track (create on first observation, update per
+batch, expire on silence).  NOTE: enable the timeout only on continuous
+streams; under ``trigger(availableNow=True)`` a ProcessingTimeTimeout query
+never terminates (it keeps scheduling batches to fire timeouts), so bounded
+replays must use the default NoTimeout.  The batch twin used by the
+correctness gate is operators/tracking.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n_events long, value_sum double, last_value double"
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, value_sum double, last_value double, expired boolean"
+)
+
+
+def _make_update_fn(timeout_ms: int | None):
+    def update_user_state(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, n, total, last, True)],
+                columns=["user_id", "n_events", "value_sum", "last_value", "expired"],
+            )
+            return
+
+        n, total, last = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact cents accumulation (same convention as the batch queries)
+            total += float(pdf["value"].mul(100).round().astype("int64").sum()) / 100
+            if len(pdf):
+                last = float(pdf["value"].iloc[-1])
+        state.update((n, total, last))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [(user_id, n, total, last, False)],
+            columns=["user_id", "n_events", "value_sum", "last_value", "expired"],
+        )
+
+    return update_user_state
+
+
+def running_user_state(stream: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """W2-shaped stateful aggregation over a stream of events.
+
+    ``timeout_ms``: idle expiry (track-death analog) — continuous streams
+    only; leave None for availableNow replays (see module docstring).
+    """
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(stream.sparkSession)
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _make_update_fn(timeout_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )
