@@ -70,3 +70,31 @@ def test_fill_forward(spark):
     out = fill_forward(df, key="user", ts="ts", col="v", out="vf")
     got = [(r["user"], r["vf"]) for r in out.orderBy("user", "ts").collect()]
     assert got == [(1, 10.0), (1, 10.0), (1, 10.0), (1, 20.0), (2, None)]
+
+
+def test_partitioned_sink_roundtrip(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.operators.io import (
+        read_partitioned,
+        with_day_partition,
+        write_partitioned,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 5.0),
+        (2, dt.datetime(2024, 1, 2, 11), 6.0),
+        (3, dt.datetime(2024, 1, 2, 12), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    path = str(tmp_path / "sink")
+    write_partitioned(with_day_partition(df), path, ["day"])
+    back = read_partitioned(spark, path)
+    assert back.count() == 3
+    # partition pruning: filtering on day reads one directory
+    one_day = back.filter(F.col("day") == "2024-01-02")
+    assert one_day.count() == 2
+    plan = one_day.queryExecution if False else one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan

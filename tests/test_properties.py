@@ -1,0 +1,121 @@
+"""Hypothesis property tests for the control plane (FIXTURES.md
+determinism/property layer: LP feasibility, buffer conservation, simulator
+monotonicity)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from video_etl_spark.control.buffer import ProcessingBuffer
+from video_etl_spark.control.planner import InfeasibleBudgetError, assign_knobs_linear
+from video_etl_spark.control.simulator import Task, simulate_runtime
+
+finite = st.floats(
+    min_value=0.01, max_value=100.0, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.lists(finite, min_size=3, max_size=3), min_size=2, max_size=4),
+    st.lists(finite, min_size=3, max_size=3),
+    st.floats(min_value=0.1, max_value=10.0),
+)
+def test_lp_invariants(quality, knob_cost, budget_scale):
+    n_cat = len(quality)
+    mixture = [1.0 / n_cat] * n_cat
+    h, ti = 1.0, 2.0
+    min_cost = sum(
+        mixture[c] * min(knob_cost) * h * 3600.0 for c in range(n_cat)
+    )
+    budget = min_cost * budget_scale
+    try:
+        plan, score = assign_knobs_linear(quality, knob_cost, mixture, budget, h, ti)
+    except InfeasibleBudgetError:
+        assert budget_scale < 1.0 + 1e-6
+        return
+    # rows are distributions
+    for row in plan:
+        assert abs(sum(row) - 1.0) < 1e-6
+        assert all(-1e-9 <= x <= 1 + 1e-9 for x in row)
+    # budget respected
+    spent = sum(
+        mixture[c] * knob_cost[k] * 3600.0 * plan[c][k]
+        for c in range(n_cat)
+        for k in range(len(knob_cost))
+    )
+    assert spent <= budget * (1 + 1e-9) + 1e-6
+    # score is achievable: equals Σ plan·value
+    s_scale = 3600.0 / ti
+    recomputed = sum(
+        mixture[c] * quality[c][k] * s_scale * plan[c][k]
+        for c in range(n_cat)
+        for k in range(len(knob_cost))
+    )
+    assert score == pytest.approx(recomputed, rel=1e-9, abs=1e-6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(finite, min_size=2, max_size=3),
+    st.floats(min_value=1.5, max_value=4.0),
+)
+def test_lp_score_monotone_in_budget(knob_cost, factor):
+    quality = [[0.9, 0.5, 0.1][: len(knob_cost)], [0.7, 0.4, 0.2][: len(knob_cost)]]
+    mixture = [0.5, 0.5]
+    base = sum(0.5 * min(knob_cost) * 3600.0 for _ in range(2)) * 1.01
+    _, s1 = assign_knobs_linear(quality, knob_cost, mixture, base, 1.0, 2.0)
+    _, s2 = assign_knobs_linear(quality, knob_cost, mixture, base * factor, 1.0, 2.0)
+    assert s2 >= s1 - 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(finite, st.floats(min_value=0.1, max_value=5.0)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_buffer_conservation(chunks):
+    """Queued work never goes negative and drains exactly `interval` per
+    tick; byte occupancy tracks remaining runtime proportionally."""
+    sizes = {0: 10.0}
+    buf = ProcessingBuffer(1e9, sizes, interval=2.0)
+    queued = 0.0
+    for _size_unused, runtime in chunks:
+        before = buf.lag_seconds()
+        buf.update(0, runtime)
+        after = buf.lag_seconds()
+        expected = max(0.0, before + runtime - 2.0)
+        assert after == pytest.approx(expected, abs=1e-6)
+        queued = after
+        assert queued >= 0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(finite, min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=8),
+)
+def test_simulator_chain_runtime_is_sum(runtimes, cores):
+    """A pure chain can't parallelize: makespan == Σ runtimes regardless of
+    core count (single-core mode since rt_all == rt_single)."""
+    tasks = [
+        Task(i, rt, rt, rt, deps=(i - 1,) if i else ())
+        for i, rt in enumerate(runtimes)
+    ]
+    assert simulate_runtime(tasks, cores) == pytest.approx(sum(runtimes))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=16))
+def test_simulator_independent_tasks_bounded(runtimes):
+    """Independent single-core tasks: makespan between max (perfect
+    parallelism) and sum (serial)."""
+    tasks = [Task(i, rt, rt, rt) for i, rt in enumerate(runtimes)]
+    rt4 = simulate_runtime(tasks, 4)
+    assert rt4 <= sum(runtimes) + 1e-9
+    assert rt4 >= max(runtimes) - 1e-9
+    # more cores never hurt for independent single-core tasks
+    assert simulate_runtime(tasks, 8) <= rt4 + 1e-9

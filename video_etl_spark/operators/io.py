@@ -1,0 +1,57 @@
+"""Sources/sinks with 100 TB partitioning discipline (SURVEY.md S12/S14,
+§7.2 step 7: "partitioning by stream/day").
+
+The reference's sinks are CSV appends and stdout prints
+(`simulate.py:23-41`, `covid_workload.py:49`); at scale the Load target is
+partitioned parquet: hive-style `stream=<id>/day=<date>` directories so
+downstream readers get partition pruning for free, and per-partition file
+sizes stay bounded.
+
+``write_partitioned`` repartitions by the partition columns before writing
+so each output partition is produced by one task (no small-file explosion
+from every task writing every partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink partitioned by the given columns (S12 at scale)."""
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned sink back; partition filters prune directories."""
+    return spark.read.parquet(path)
+
+
+def with_day_partition(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Add the canonical `day` partition column (date-typed)."""
+    return df.withColumn("day", F.to_date(F.col(ts_col)))
+
+
+def stream_to_parquet(
+    stream: DataFrame, path: str, checkpoint: str, partition_cols: list[str]
+):
+    """S12: streaming append sink with checkpointing (exactly-once files)."""
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*partition_cols)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -45,42 +45,94 @@ def _iou(a: tuple, b: tuple) -> float:
 
 
 class _Track:
-    __slots__ = ("track_id", "box", "vel", "age", "hits", "misses")
+    __slots__ = ("track_id", "box", "vel", "age", "hits", "misses", "kf")
 
-    def __init__(self, track_id: int, box: tuple) -> None:
+    def __init__(self, track_id: int, box: tuple, motion: str) -> None:
         self.track_id = track_id
         self.box = box
         self.vel = (0.0, 0.0)
         self.age = 0
         self.hits = 1
         self.misses = 0
+        if motion == "kalman":
+            from video_etl_spark.operators.kalman import KalmanBoxFilter
+
+            self.kf = KalmanBoxFilter(box)
+        else:
+            self.kf = None
 
     def predict(self) -> tuple:
+        if self.kf is not None:
+            return self.kf.predict()
         dx, dy = self.vel
         x0, y0, x1, y1 = self.box
         return (x0 + dx, y0 + dy, x1 + dx, y1 + dy)
 
     def update(self, box: tuple) -> None:
-        pcx = (self.box[0] + self.box[2]) / 2
-        pcy = (self.box[1] + self.box[3]) / 2
-        ncx = (box[0] + box[2]) / 2
-        ncy = (box[1] + box[3]) / 2
-        self.vel = (ncx - pcx, ncy - pcy)
-        self.box = box
+        if self.kf is not None:
+            self.kf.update(box)
+            self.box = self.kf.box()
+        else:
+            pcx = (self.box[0] + self.box[2]) / 2
+            pcy = (self.box[1] + self.box[3]) / 2
+            ncx = (box[0] + box[2]) / 2
+            ncy = (box[1] + box[3]) / 2
+            self.vel = (ncx - pcx, ncy - pcy)
+            self.box = box
         self.hits += 1
         self.misses = 0
+
+
+def _associate(
+    preds: list, dets: list, iou_threshold: float, association: str
+) -> tuple[set[int], set[int], list[tuple[int, int]]]:
+    """Detection↔track association (J2).  `hungarian` solves optimal
+    min-cost assignment on −IoU then rejects pairs under the threshold
+    (`sort.py:154-196`); `greedy` takes best-IoU-first."""
+    matches: list[tuple[int, int]] = []
+    if association == "hungarian" and preds and dets:
+        from video_etl_spark.operators.assignment import hungarian
+
+        cost = [[-_iou(p, d) for d in dets] for _, p in preds]
+        for ti, di in hungarian(cost):
+            if -cost[ti][di] >= iou_threshold:
+                matches.append((ti, di))
+    else:
+        candidates = sorted(
+            (
+                (-_iou(p, d), ti, di)
+                for ti, (_, p) in enumerate(preds)
+                for di, d in enumerate(dets)
+                if _iou(p, d) >= iou_threshold
+            ),
+        )
+        seen_t: set[int] = set()
+        seen_d: set[int] = set()
+        for _neg, ti, di in candidates:
+            if ti in seen_t or di in seen_d:
+                continue
+            seen_t.add(ti)
+            seen_d.add(di)
+            matches.append((ti, di))
+    used_t = {ti for ti, _ in matches}
+    used_d = {di for _, di in matches}
+    return used_t, used_d, matches
 
 
 def track_group(
     pdf: pd.DataFrame,
     iou_threshold: float = 0.3,
     max_age: int = 3,
+    motion: str = "kalman",
+    association: str = "hungarian",
 ) -> pd.DataFrame:
     """Run the tracker over one stream's detections (frame-ordered).
 
     Mirrors `sort.py:210-253`: predict all live tracks, associate by IoU
-    (greedy, threshold 0.3 like `sort.py:158`), spawn tracks for unmatched
-    detections, kill tracks after `max_age` misses.
+    (threshold 0.3 like `sort.py:158`), spawn tracks for unmatched
+    detections, kill tracks after `max_age` misses.  `motion` picks the
+    Kalman filter (D14 parity) or a plain constant-velocity model;
+    `association` picks optimal Hungarian or greedy matching.
     """
     pdf = pdf.sort_values(["frame_no", "x0", "y0"])
     stream = pdf["stream"].iloc[0] if len(pdf) else None
@@ -93,27 +145,15 @@ def track_group(
             (r.x0, r.y0, r.x1, r.y1) for r in frame.itertuples(index=False)
         ]
         preds = [(t, t.predict()) for t in tracks]
-        # Greedy association: best IoU pair first (deterministic tiebreak).
-        candidates = sorted(
-            (
-                (-_iou(p, d), ti, di)
-                for ti, (_, p) in enumerate(preds)
-                for di, d in enumerate(dets)
-                if _iou(p, d) >= iou_threshold
-            ),
+        used_t, used_d, matches = _associate(
+            preds, dets, iou_threshold, association
         )
-        used_t: set[int] = set()
-        used_d: set[int] = set()
-        for neg_iou, ti, di in candidates:
-            if ti in used_t or di in used_d:
-                continue
-            used_t.add(ti)
-            used_d.add(di)
+        for ti, di in matches:
             preds[ti][0].update(dets[di])
         # Unmatched detections spawn new tracks (`sort.py:241-244`).
         for di, d in enumerate(dets):
             if di not in used_d:
-                tracks.append(_Track(next_id, d))
+                tracks.append(_Track(next_id, d, motion))
                 next_id += 1
         # Age/kill unmatched tracks (`sort.py:245-253`).
         survivors: list[_Track] = []
