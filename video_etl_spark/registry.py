@@ -57,6 +57,7 @@ def load_all() -> None:
         advanced,
         boxes,
         relational,
+        scalars,
         segments,
         temporal,
         text,
