@@ -95,3 +95,14 @@ def test_multimodal_real_decode_raises(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(1)
     with pytest.raises(NotImplementedError):
         extract_features(attach_fake_payload(docs), real_decode=True)
+
+
+def test_approx_count_distinct_bounded_error(spark, sf_dir):
+    from video_etl_spark.queries.advanced import approx_count_distinct
+    from video_etl_spark.queries.relational import count_distinct_lineitem
+
+    approx = approx_count_distinct(spark, sf_dir).collect()[0]
+    exact = count_distinct_lineitem(spark, sf_dir).collect()[0]
+    for a, e in [(approx["approx_parts"], exact["n_parts"]),
+                 (approx["approx_supps"], exact["n_supps"])]:
+        assert abs(a - e) / e < 0.1  # rsd=0.02 -> well within 10%

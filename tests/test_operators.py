@@ -98,3 +98,16 @@ def test_partitioned_sink_roundtrip(spark, tmp_path):
     assert one_day.count() == 2
     plan = one_day.queryExecution if False else one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan
+
+
+def test_binary_folder_scan_natural_order(spark, tmp_path):
+    from video_etl_spark.operators.io import read_binary_folder
+
+    # files named so lexicographic != numeric order
+    for name, payload in [("img2.bin", b"b"), ("img10.bin", b"c"), ("img1.bin", b"a")]:
+        (tmp_path / name).write_bytes(payload)
+    df = read_binary_folder(spark, str(tmp_path))
+    rows = df.collect()
+    assert [r["frame_no"] for r in rows] == [1, 2, 10]  # natural, not lexicographic
+    assert [bytes(r["content"]) for r in rows] == [b"a", b"b", b"c"]
+    assert all(r["n_bytes"] == 1 for r in rows)

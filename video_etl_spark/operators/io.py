@@ -55,3 +55,20 @@ def stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_binary_folder(spark: SparkSession, path: str) -> DataFrame:
+    """S2: image-folder scan (`object_detection.py:75-79`) — binary payloads
+    plus the O3 natural filename sort (`object_detection.py:132-141`): a
+    numeric frame index parsed from the filename, so `orderBy(frame_no)`
+    replaces the reference's human-order sort."""
+    df = spark.read.format("binaryFile").load(path)
+    frame_no = F.regexp_extract(
+        F.reverse(F.split(F.col("path"), "/")).getItem(0), r"(\d+)", 1
+    )
+    return df.select(
+        F.col("path"),
+        F.when(frame_no != "", frame_no.cast("long")).alias("frame_no"),
+        F.col("length").alias("n_bytes"),
+        F.col("content"),
+    ).orderBy("frame_no", "path")

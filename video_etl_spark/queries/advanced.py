@@ -30,6 +30,7 @@ ROWS_ONLY_QUERIES = frozenset(
         "multimodal_features",
         "sort_tracker_synthetic",
         "switch_log_replay",
+        "approx_count_distinct",
     }
 )
 
@@ -132,4 +133,17 @@ def switch_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "chunk_id long, window_start timestamp, config int, placement int, "
         "cloud_cost double, runtime double, score double",
+    )
+
+
+@query("approx_count_distinct")
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11's approximate-aggregation surface (HLL++). Rows-only: Spark's
+    and DuckDB's HLL sketches differ by construction; the exact-count twin
+    `count_distinct_lineitem` is the oracle-verified baseline, and pytest
+    bounds the relative error against it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
     )

@@ -179,3 +179,50 @@ def iou_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("avg_iou"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# P4 — tiling projection: slice each frame into r×c ROI tiles via explode
+# (`covid_workload.py:16-36`'s tile loop as a generate-and-explode, plus the
+# P5 tile→global coordinate remap).
+@query(
+    "tile_explode",
+    oracle="""
+    WITH frames AS (
+      SELECT DISTINCT p_brand AS frame FROM part),
+    tiles AS (
+      SELECT frame, r.r AS tile_row, c.c AS tile_col
+      FROM frames,
+           (SELECT unnest(generate_series(0, 1)) AS r) r,
+           (SELECT unnest(generate_series(0, 1)) AS c) c)
+    SELECT frame,
+           CAST(tile_row AS BIGINT) AS tile_row,
+           CAST(tile_col AS BIGINT) AS tile_col,
+           CAST(tile_col * 640 AS DOUBLE) AS tx0,
+           CAST(tile_row * 360 AS DOUBLE) AS ty0,
+           CAST(tile_col * 640 + 640 AS DOUBLE) AS tx1,
+           CAST(tile_row * 360 + 360 AS DOUBLE) AS ty1
+    FROM tiles
+    """,
+)
+def tile_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("frame")
+    ).distinct()
+    tiled = frames.select(
+        "frame",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("tile_row"),
+    ).select(
+        "frame",
+        "tile_row",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("tile_col"),
+    )
+    return tiled.select(
+        "frame",
+        F.col("tile_row").cast("long").alias("tile_row"),
+        F.col("tile_col").cast("long").alias("tile_col"),
+        (F.col("tile_col") * 640).cast("double").alias("tx0"),
+        (F.col("tile_row") * 360).cast("double").alias("ty0"),
+        (F.col("tile_col") * 640 + 640).cast("double").alias("tx1"),
+        (F.col("tile_row") * 360 + 360).cast("double").alias("ty1"),
+    )

@@ -535,3 +535,32 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("shipby").alias("first_shipby"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A11 — explicit GROUPING SETS (beyond rollup/cube): chosen subtotal combos.
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           {money_sum_sql('l_extendedprice')} AS sum_price,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100
+                    AS DOUBLE) AS sum_price,
+               count(*) AS n_items
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
