@@ -106,3 +106,22 @@ def test_approx_count_distinct_bounded_error(spark, sf_dir):
     for a, e in [(approx["approx_parts"], exact["n_parts"]),
                  (approx["approx_supps"], exact["n_supps"])]:
         assert abs(a - e) / e < 0.1  # rsd=0.02 -> well within 10%
+
+
+def test_ivf_recall_and_consistency(spark, sf_dir):
+    from video_etl_spark.queries.vectors import knn_cosine_bruteforce
+    from video_etl_spark.queries.advanced import knn_ivf
+
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in knn_cosine_bruteforce(spark, sf_dir).collect()
+    }
+    ivf_rows = knn_ivf(spark, sf_dir).collect()
+    assert ivf_rows
+    for r in ivf_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert abs(r["cos_sim"] - brute[key]) < 1e-4  # quantization delta
+    recall = len({(r["query_id"], r["neighbor_id"]) for r in ivf_rows} & set(brute)) / len(brute)
+    # probing 3/8 centroids on gaussian data: should beat random (3/8 of corpus)
+    assert recall > 0.3, f"IVF recall collapsed: {recall}"

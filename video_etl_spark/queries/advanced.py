@@ -31,6 +31,7 @@ ROWS_ONLY_QUERIES = frozenset(
         "sort_tracker_synthetic",
         "switch_log_replay",
         "approx_count_distinct",
+        "knn_ivf",
     }
 )
 
@@ -147,3 +148,16 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
     )
+
+
+@query("knn_ivf")
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U22's IVF scale path (KMeans-partitioned ANN). Rows-only: the KMeans
+    fit is iterative; recall is pytest-bounded against the oracle-verified
+    brute-force twin."""
+    from video_etl_spark.llm_ops.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivf_topk(corpus, queries_df, k=10)

@@ -564,3 +564,92 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag, l_linestatus))
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Skew discipline — salted two-phase aggregation over the 5 hot event_type
+# keys; the oracle is the *direct* group-by (results must be identical).
+@query(
+    "salted_aggregation",
+    oracle=f"""
+    SELECT event_type,
+           {money_sum_sql('value')} AS value_sum,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.operators.skew import salted_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = salted_sum(ev, "event_type", cents, n_salts=16, out="cents")
+    return out.select(
+        "event_type",
+        (F.col("cents") / 100).cast("double").alias("value_sum"),
+        F.col("cents_n").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J7/A11 — correlated aggregate subquery (TPC-H Q17 shape): revenue of
+# lineitems under 20% of their part's average quantity.  Catalyst
+# decorrelates this into an aggregate + join.
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                / 100 / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # decorrelated form: per-part avg qty (exact integer sums), join back
+    per_part = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            / (F.count(F.lit(1)) * 100)
+        ).alias("avg_qty")
+    )
+    joined = li.join(per_part, "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return joined.agg(
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100 / 7.0
+        ).cast("double").alias("avg_yearly")
+    )
+
+
+# --------------------------------------------------------------------------
+# W7/A7 — correlated scalar comparison: customers above their segment's
+# average balance (window-based decorrelation).
+@query(
+    "above_average_customers",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 100) AS seg_avg
+      FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, s.seg_avg
+    FROM customer c JOIN seg s ON s.c_mktsegment = c.c_mktsegment
+    WHERE c.c_acctbal > s.seg_avg
+    """,
+)
+def above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    with_avg = cust.withColumn(
+        "seg_avg",
+        (F.sum(cents).over(w) / (F.count(F.lit(1)).over(w) * 100)),
+    )
+    return with_avg.filter(F.col("c_acctbal") > F.col("seg_avg")).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "seg_avg"
+    )
