@@ -38,6 +38,7 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "token_stats",
     "iou_edge_stats",
+    "small_quantity_revenue",
     "chunk_scores_pipeline",
 ]
 

@@ -111,3 +111,30 @@ def test_binary_folder_scan_natural_order(spark, tmp_path):
     assert [r["frame_no"] for r in rows] == [1, 2, 10]  # natural, not lexicographic
     assert [bytes(r["content"]) for r in rows] == [b"a", b"b", b"c"]
     assert all(r["n_bytes"] == 1 for r in rows)
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    from video_etl_spark.operators.io import write_bucketed
+
+    a = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "t_bucket_a", str(tmp_path / "a"), ["k"])
+    write_bucketed(b, "t_bucket_b", str(tmp_path / "b"), ["k"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+        assert joined.count() == 10_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: sort-merge join with NO shuffle exchange on either side
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # and a bucket-key aggregation also skips the exchange
+        agg = spark.table("t_bucket_a").groupBy("k").count()
+        agg.count()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")

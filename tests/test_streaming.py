@@ -145,3 +145,39 @@ def test_stateful_user_state(spark, sf_dir, tmp_path):
     for uid, (n, vs) in expected.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - vs) < 1e-6
+
+
+def test_streaming_session_window_matches_islands(spark, sf_dir, tmp_path):
+    """W7 streaming sessions: native session_window(gap) over the replayed
+    stream must find the same per-user session count as the batch
+    gaps-and-islands query (sessionize_events)."""
+    from video_etl_spark.queries.temporal import sessionize_events
+    from video_etl_spark.streaming.pipeline import events_stream
+
+    stream = events_stream(spark, sf_dir)
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r["user_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT user_id, count(*) AS n FROM t_sessions GROUP BY user_id"
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: r["n"]
+        for r in sessionize_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == batch

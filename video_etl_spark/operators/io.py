@@ -72,3 +72,25 @@ def read_binary_folder(spark: SparkSession, path: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.col("content"),
     ).orderBy("frame_no", "path")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+) -> None:
+    """Bucketed external table (SURVEY §7.2 step 7 / build brief
+    "bucketing for co-located joins"): pre-shuffles data into
+    ``n_buckets`` sorted files per bucket column so equi-joins and
+    aggregations on the bucket key read co-located data and skip the
+    exchange entirely — the biggest shuffle saving available for repeated
+    large-fact joins at the 100 TB target."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
