@@ -181,3 +181,56 @@ def test_streaming_session_window_matches_islands(spark, sf_dir, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """§2.8 stream-stream join: purchases joined to preceding-hour clicks
+    with watermarks + event-time range condition; pair count must equal the
+    batch interval join."""
+    from video_etl_spark.streaming.pipeline import events_stream
+
+    p = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT count(*) AS n FROM t_ss_join").collect()[0]["n"]
+
+    ev = load_table(spark, sf_dir, "events")
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    batch = bp.join(
+        bc,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).count()
+    assert streamed == batch

@@ -495,3 +495,67 @@ def jaccard_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * 1_000_000)
         ).cast("double").alias("avg_jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op — deterministic hash-based dataset split (the
+# reproducible train/valid/test partitioning a 100 TB corpus needs: no
+# sampling state, any engine/worker computes the same assignment).
+@query(
+    "dataset_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             {_DUCK_HASH.format(expr="'split|' || CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 1 THEN 'test'
+                WHEN bucket < 2 THEN 'valid'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM assigned GROUP BY 1
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    bucket = h % 10
+    split = (
+        F.when(bucket < 1, "test").when(bucket < 2, "valid").otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# U23 — vocabulary statistics: term frequency + document frequency (the
+# CountVectorizer-shaped corpus pass).
+@query(
+    "vocabulary_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents)
+    SELECT token,
+           count(*) AS term_freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(count(DISTINCT doc_id) AS DOUBLE)
+             / (SELECT count(*) FROM documents) AS doc_ratio
+    FROM toks GROUP BY token
+    """,
+)
+def vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        (F.countDistinct("doc_id").cast("double") / F.lit(n_docs)).alias("doc_ratio"),
+    )
