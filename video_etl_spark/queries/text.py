@@ -559,3 +559,47 @@ def vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("doc_freq"),
         (F.countDistinct("doc_id").cast("double") / F.lit(n_docs)).alias("doc_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# U23 — TF-IDF scoring: per-(doc, token) term frequency x ln(N/df).
+# tf/df are exact integers, but ln() differs by 1 ulp between engines
+# (different libm), so the score is rounded to 6 decimals on both sides.
+@query(
+    "tfidf_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf,
+           df.df,
+           round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+    """,
+)
+def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
