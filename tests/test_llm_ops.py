@@ -125,3 +125,23 @@ def test_ivf_recall_and_consistency(spark, sf_dir):
     recall = len({(r["query_id"], r["neighbor_id"]) for r in ivf_rows} & set(brute)) / len(brute)
     # probing 3/8 centroids on gaussian data: should beat random (3/8 of corpus)
     assert recall > 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from video_etl_spark.llm_ops.dedup import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 0.1, "es": 0.1, "zh": 0.1}
+    sampled = stratified_sample(docs, "lang", fractions)
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").count()
+              .withColumnRenamed("count", "n").collect()}
+    got = {r["lang"]: r["n"] for r in sampled.groupBy("lang").count()
+           .withColumnRenamed("count", "n").collect()}
+    for lang, frac in fractions.items():
+        observed = got.get(lang, 0) / totals[lang]
+        assert abs(observed - frac) < 0.25, (lang, observed, frac)
+    # deterministic under the same seed
+    again = stratified_sample(docs, "lang", fractions)
+    assert sorted(r["doc_id"] for r in sampled.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )

@@ -96,3 +96,16 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """⊕ training-pipeline op: per-class stratified sampling (class
+    balancing for training corpora).  Seeded `sampleBy` is deterministic
+    per Spark version/partitioning; for cross-engine-reproducible splits
+    use the hash-based `dataset_split` query instead."""
+    return docs.sampleBy(strata_col, fractions, seed=seed)

@@ -710,3 +710,104 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volume")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J7/A11 — order-priority checking (TPC-H Q4 shape: EXISTS + count).
+@query(
+    "order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J7/A7 — global-relation analysis (TPC-H Q22 shape): substring bucketing,
+# filter above the global average, anti-join against recent orders
+# ("dormant but wealthy" customers).
+@query(
+    "dormant_customer_balance",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 100) AS a
+      FROM customer WHERE c_acctbal > 0)
+    SELECT substr(c.c_name, length(c.c_name), 1) AS name_digit,
+           count(*) AS numcust,
+           CAST(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                / 100 AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY substr(c.c_name, length(c.c_name), 1)
+    """,
+)
+def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(cents) / (F.count(F.lit(1)) * 100)).alias("a"))
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("a")
+    )
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return dormant.groupBy(
+        F.substring(F.col("c_name"), -1, 1).alias("name_digit")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum(cents) / 100).cast("double").alias("totacctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A11 — exact quantiles (median/p90): Spark percentile() and DuckDB
+# quantile_cont() both linear-interpolate over sorted values; on integer
+# cents inputs the results are bit-identical.
+@query(
+    "price_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
+                / 100 AS DOUBLE) AS median_price,
+           CAST(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)
+                / 100 AS DOUBLE) AS p90_price,
+           CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        (F.percentile(cents, F.lit(0.5)) / 100).cast("double").alias("median_price"),
+        (F.percentile(cents, F.lit(0.9)) / 100).cast("double").alias("p90_price"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+    )
