@@ -28,9 +28,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return chunk_scores_pipeline(spark, "/root/testdata/sf0.001")
 
 
+def _short_errors(
+    name: str, fn: Callable[[SparkSession, str], DataFrame]
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Re-raise query-build failures as one short line.
+
+    A multi-KB Spark/py4j traceback recorded verbatim into the driver's
+    ~10 KB CORRECTNESS artifact crowds out the entries for every later
+    query (round 1 lost 24 green rows this way), so cap what can escape.
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            return fn(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — deliberate boundary
+            first_line = str(exc).strip().splitlines()[0][:200]
+            raise RuntimeError(
+                f"{name}: {type(exc).__name__}: {first_line}"
+            ) from None
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    return {name: _short_errors(name, fn) for name, fn in registry.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

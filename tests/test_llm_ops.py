@@ -77,9 +77,17 @@ def test_lsh_recall_reasonable(spark, sf_dir):
 
 
 def test_multimodal_feature_plumbing(spark, sf_dir):
+    """Library path keeps the raw vector; the registered query projects it
+    to a scalar checksum (driver canonicalizers can't factorize list cells)."""
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        extract_features,
+        sample_frames,
+    )
     from video_etl_spark.queries.advanced import multimodal_features
 
-    feats = multimodal_features(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_fake_payload(sample_frames(docs, stride=2)))
     rows = feats.collect()
     assert rows, "no features produced"
     for r in rows[:5]:
@@ -87,6 +95,15 @@ def test_multimodal_feature_plumbing(spark, sf_dir):
         assert r["n_bytes"] > 0
         assert len(r["features"]) == 16
         assert all(-1.0 <= v <= 1.0 for v in r["features"])
+
+    summary = multimodal_features(spark, sf_dir)
+    assert [f.dataType.simpleString() for f in summary.schema.fields] == [
+        "bigint", "string", "bigint", "bigint"
+    ]
+    srows = summary.collect()
+    assert len(srows) == len(rows)
+    # checksum depends on the feature values, not just the ids
+    assert len({r["features_checksum"] for r in srows}) > 1
 
 
 def test_multimodal_real_decode_raises(spark, sf_dir):

@@ -88,6 +88,31 @@ def extract_features(
     return frames.mapInPandas(run, FEATURES_SCHEMA)
 
 
+def features_summary(feats: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Driver-canonicalizable projection of an ``extract_features`` output.
+
+    Raw ``array<float>`` columns crash order-insensitive canonicalizers
+    (pandas cannot factorize list cells), so the registered query exposes the
+    vector as one scalar 60-bit checksum: each float is cast to double,
+    quantized to ``round(x * scale)`` BIGINTs (exact, order-stable), joined
+    into a CSV string, and md5-prefix-hashed.  Any change to any feature
+    value changes the checksum, so the oracle still verifies the full vector.
+    """
+    quantized = F.expr(
+        "transform(features, x -> "
+        f"CAST(CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT) AS STRING))"
+    )
+    checksum = F.conv(
+        F.substring(F.md5(F.array_join(quantized, ",")), 1, 15), 16, 10
+    ).cast("long")
+    return feats.select(
+        "doc_id",
+        "modality",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        checksum.alias("features_checksum"),
+    )
+
+
 def sample_frames(frames: DataFrame, stride: int, frame_col: str = "doc_id") -> DataFrame:
     """S11/P1: keep every `stride`-th frame (`runtime.py:94-105`,
     `covid_measures.py:271-278`)."""

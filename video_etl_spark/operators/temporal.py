@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 _TAG = "_asof_tag"
 _T = "_asof_t"
+_S = "_asof_payload"
 
 
 def merge_asof(
@@ -40,29 +41,43 @@ def merge_asof(
     ``pickup`` maps right-side source column -> output alias.  Ties on
     ``right_ts`` resolve to the greatest ``right_tiebreak`` value so results
     are deterministic.
+
+    All pickup columns travel as ONE struct filled forward with a single
+    ``last(ignorenulls=True)``, so every left row receives all its values
+    from the same right row — per-column fill-forward would silently mix
+    right rows whenever a newer right row holds NULL in one pickup column.
     """
     right_tiebreak = right_tiebreak or []
     r = right.select(
         *keys,
         F.col(right_ts).alias(_T),
         F.lit(0).alias(_TAG),
-        *[F.col(src).alias(dst) for src, dst in pickup.items()],
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in pickup.items()]
+        ).alias(_S),
     )
     l = left.withColumn(_T, F.col(left_ts)).withColumn(_TAG, F.lit(1))
+    # left rows get a NULL payload struct; right rows always have a non-null
+    # struct (even when individual fields are NULL), so the fill below is
+    # row-atomic.
     unioned = l.unionByName(r, allowMissingColumns=True)
 
     # Right rows sort before left rows at equal timestamps (inclusive <=);
     # among right ties the greatest tiebreak lands last, so `last()` picks it.
     order: list[Column] = [F.col(_T), F.col(_TAG)]
-    order += [F.col(pickup[c]).asc_nulls_first() for c in right_tiebreak]
+    order += [
+        F.col(f"{_S}.{pickup[c]}").asc_nulls_first() for c in right_tiebreak
+    ]
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    filled = unioned.withColumn(_S, F.last(_S, ignorenulls=True).over(w))
+    out = filled.filter(F.col(_TAG) == 1)
     for dst in pickup.values():
-        unioned = unioned.withColumn(dst, F.last(dst, ignorenulls=True).over(w))
-    return unioned.filter(F.col(_TAG) == 1).drop(_TAG, _T)
+        out = out.withColumn(dst, F.col(f"{_S}.{dst}"))
+    return out.drop(_TAG, _T, _S)
 
 
 def sessionize(

@@ -100,10 +100,10 @@ def _associate(
     else:
         candidates = sorted(
             (
-                (-_iou(p, d), ti, di)
+                (-iou, ti, di)
                 for ti, (_, p) in enumerate(preds)
                 for di, d in enumerate(dets)
-                if _iou(p, d) >= iou_threshold
+                if (iou := _iou(p, d)) >= iou_threshold
             ),
         )
         seen_t: set[int] = set()

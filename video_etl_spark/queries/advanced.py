@@ -9,10 +9,15 @@ instead of DuckDB SQL:
   tested against exact-dup ground truth in tests/test_llm_ops.py.
 * knn_lsh_bucketed — LSH ANN scale path (U22); tested for subset-
   consistency against the oracle-verified brute-force query.
-* multimodal_features — binary-column mapInPandas plumbing (D2/U1-U7 stub).
 * sort_tracker_synthetic — per-key ordered tracker state (W2/J2/U12).
 * switch_log_replay — the full C1/C2 control loop over 2 s chunks (E1);
   golden-tested in tests/test_control.py + tests/test_streaming.py.
+
+``multimodal_features`` (binary-column mapInPandas plumbing, D2/U1-U7) is
+fully oracle-checked since round 2: the deterministic fake embedding is a
+pure function of md5 bytes, so DuckDB replicates the whole vector and the
+query exposes it as a scalar 60-bit checksum (raw array<float> cells crash
+the driver's pandas canonicalizer — CORRECTNESS_r01).
 """
 
 from __future__ import annotations
@@ -27,7 +32,6 @@ ROWS_ONLY_QUERIES = frozenset(
     {
         "simhash_near_dup_pairs",
         "knn_lsh_bucketed",
-        "multimodal_features",
         "sort_tracker_synthetic",
         "switch_log_replay",
         "approx_count_distinct",
@@ -54,17 +58,43 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(corpus, queries_df, k=10)
 
 
-@query("multimodal_features")
+# The fake payload is the 32-char md5(text) hex string as bytes, and each
+# feature byte i is byte i of md5(payload) = md5(md5(text)) — so DuckDB can
+# recompute the entire 16-float vector and its quantized checksum exactly
+# (float32 arithmetic == double-then-cast-FLOAT, verified exhaustively for
+# all 256 byte values).
+_MM_FEATURE_EXPR = (
+    "CAST(CAST(round(CAST(CAST((CAST(('0x' || substr(md5(md5(text)), 2*i-1, 2)) "
+    "AS BIGINT) - 127.5) / 127.5 AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) "
+    "AS VARCHAR)"
+)
+
+_MM_ORACLE = f"""
+SELECT doc_id,
+       'image' AS modality,
+       CAST(32 AS BIGINT) AS n_bytes,
+       CAST(('0x' || substr(md5(array_to_string(
+           [{_MM_FEATURE_EXPR} FOR i IN generate_series(1, 16)],
+           ',')), 1, 15)) AS BIGINT) AS features_checksum
+FROM documents
+WHERE doc_id % 2 = 0
+"""
+
+
+@query("multimodal_features", oracle=_MM_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/U1-U7 plumbing: binary payload scan → mapInPandas feature extract →
+    scalar checksum projection (raw vectors stay a library-level API)."""
     from video_etl_spark.llm_ops.multimodal import (
         attach_fake_payload,
         extract_features,
+        features_summary,
         sample_frames,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     frames = attach_fake_payload(sample_frames(docs, stride=2))
-    return extract_features(frames)
+    return features_summary(extract_features(frames))
 
 
 @query("sort_tracker_synthetic")

@@ -9,9 +9,12 @@ global and per-group top-k (O9), and the scalar string/date function families
 (§2.7).
 
 Every query is declarative DataFrame API: Catalyst handles pushdown, pruning,
-join ordering; AQE picks broadcast vs sort-merge at runtime.  Small dimension
-tables get an explicit ``broadcast()`` hint because at the 100 TB target the
-fact side never fits and the dim side always does.
+join ordering; AQE picks broadcast vs sort-merge at runtime.  Explicit
+``broadcast()`` hints are reserved for genuinely bounded tables (region,
+nation, one-row aggregates): a hint *forces* the plan with no AQE fallback,
+so hinting tables that grow with scale factor (customer, supplier, per-doc
+stats) would OOM at the 100 TB target.  For those, AQE's runtime
+size-based choice already picks BHJ whenever the side actually fits.
 """
 
 from __future__ import annotations
@@ -91,7 +94,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             money_sum(
@@ -133,9 +136,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (supp.s_suppkey == li.l_suppkey) & (supp.s_nationkey == cust.c_nationkey),
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -694,8 +697,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), supp.s_nationkey == ns.s_nk)
         .join(F.broadcast(nc), cust.c_nationkey == nc.c_nk)
         .filter(F.col("s_nk") != F.col("c_nk"))

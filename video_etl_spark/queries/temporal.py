@@ -63,10 +63,18 @@ def event_chunk_agg_2s(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    total = ev.count()
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.count(F.lit(1)).cast("double") / F.lit(total)).alias("ratio"),
+    # total as a broadcast 1-row aggregate: one scan in the executed plan,
+    # not a separate driver-side .count() pass over the table
+    total = ev.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("ratio"),
+        )
     )
 
 

@@ -482,9 +482,12 @@ def jaccard_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
+    # ca/cb are per-document tables (one row per doc — corpus-sized at the
+    # 100 TB target), so no broadcast hint: AQE picks BHJ at bench scale and
+    # falls back to SMJ when the side outgrows the threshold.
     pairs = (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .withColumn("jaccard", jac)
     )
     return pairs.groupBy("source").agg(
@@ -552,12 +555,23 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus size as a broadcast 1-row aggregate, not a driver-side
+    # .count() — one scan total in the executed plan
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
-    return toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("term_freq"),
-        F.countDistinct("doc_id").cast("long").alias("doc_freq"),
-        (F.countDistinct("doc_id").cast("double") / F.lit(n_docs)).alias("doc_ratio"),
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "term_freq",
+            "doc_freq",
+            (F.col("doc_freq").cast("double") / F.col("n_docs")).alias("doc_ratio"),
+        )
     )
 
 
@@ -583,14 +597,19 @@ def vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus size folded into the plan as a broadcast 1-row aggregate (no
+    # separate driver-side .count() scan)
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # df is vocabulary-sized (unbounded at corpus scale) — no broadcast
+    # hint; AQE chooses BHJ only while it actually fits.
     df = toks.groupBy("token").agg(
         F.countDistinct("doc_id").cast("long").alias("df")
     )
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
@@ -598,7 +617,7 @@ def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df",
             F.round(
                 F.col("tf").cast("double")
-                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                * F.log(F.col("n_docs") / F.col("df")),
                 6,
             ).alias("tfidf"),
         )

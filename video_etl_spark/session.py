@@ -43,6 +43,12 @@ def _default_conf(cpus: str) -> dict[str, str]:
         "spark.sql.shuffle.partitions": cpus,
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # events.parquet stores TIMESTAMP(NANOS), which vanilla Spark rejects
+        # ([PARQUET_TYPE_ILLEGAL]).  Read nanos as LONG upfront — no
+        # try/except probe, no fake ERROR lines in the logs — and
+        # load_table() truncates the events.ts column to microseconds
+        # (matching DuckDB's TIMESTAMP_NS -> TIMESTAMP cast).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.parquet.filterPushdown": "true",
         # Small dims (region/nation/supplier/profile tables) must broadcast.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
@@ -73,30 +79,24 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = _read_parquet_nanos_safe(spark, table_path(sf_dir, name))
-    return df
+    """Read one test table.
 
-
-def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
-    """Read parquet, tolerating TIMESTAMP(NANOS) columns.
-
-    The driver's `events` table stores nanosecond timestamps, which vanilla
-    Spark rejects ([PARQUET_TYPE_ILLEGAL]).  We read nanos as LONG and
-    truncate to microseconds — exactly what DuckDB does when it casts
+    With ``nanosAsLong=true`` (set in :func:`_default_conf`, and defensively
+    re-set here for externally built sessions) the events table's
+    TIMESTAMP(NANOS) ``ts`` column arrives as a BIGINT of nanoseconds; we
+    truncate it to microseconds — exactly what DuckDB does when it casts
     TIMESTAMP_NS to its microsecond TIMESTAMP, so oracle comparisons agree.
+    The rewrite is restricted to the events table so an unrelated bigint
+    column that happens to be named ``ts`` is never silently mangled.
     """
-    try:
-        df = spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — fall through to nanos path
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-    from pyspark.sql import functions as F
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
 
-    for field_name, dtype in df.dtypes:
-        if field_name == "ts" and dtype == "bigint":
-            df = df.withColumn(
-                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-            )
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
     return df
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -53,8 +54,12 @@ def _make_update_fn(timeout_ms: int | None):
         n, total, last = state.get if state.exists else (0, 0.0, None)
         for pdf in pdfs:
             n += len(pdf)
-            # exact cents accumulation (same convention as the batch queries)
-            total += float(pdf["value"].mul(100).round().astype("int64").sum()) / 100
+            # exact cents accumulation, rounded HALF_UP (away from zero) to
+            # match Spark F.round in the batch twin — pandas .round() is
+            # banker's (half-to-even) and diverges on exact half-cents
+            v = pdf["value"].to_numpy()
+            cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64")
+            total += float(cents.sum()) / 100
             if len(pdf):
                 last = float(pdf["value"].iloc[-1])
         state.update((n, total, last))
