@@ -35,7 +35,9 @@ HEADLINE = [
     "range_join_clicks_before_purchase",
     "minhash_band_pairs",
     "jaccard_pair_stats",
+    "simhash_near_dup_pairs",
     "knn_cosine_bruteforce",
+    "multimodal_features",
     "token_stats",
     "iou_edge_stats",
     "small_quantity_revenue",

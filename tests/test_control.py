@@ -287,3 +287,74 @@ def test_evaluate_assignments_parallel(spark):
     rows = {r["assign_hash"]: (r["accuracy"], r["cost"]) for r in df.collect()}
     assert rows[mk.hash((3, 20))] == (60.0, 23.0)
     assert len(rows) == 6
+
+
+# ---------------------------------------------------------------- forecaster
+def _drift_series(T=400, C=3, period=40.0, seed=3):
+    """Synthetic predictable drift: mixture rotates smoothly between
+    categories — persistence lags by one step, a trained net should not."""
+    import numpy as np
+
+    t = np.arange(T)
+    raw = np.stack(
+        [1.5 + np.sin(2 * np.pi * (t / period + c / C)) for c in range(C)],
+        axis=1,
+    )
+    rng = np.random.default_rng(seed)
+    raw = raw + rng.normal(0, 0.02, raw.shape)
+    raw = np.clip(raw, 1e-3, None)
+    return raw / raw.sum(axis=1, keepdims=True)
+
+
+def test_ffn_forecaster_beats_persistence():
+    import numpy as np
+
+    from video_etl_spark.control.forecast import FFNForecaster
+
+    series = _drift_series()
+    train, test = series[:300], series[300:]
+    f = FFNForecaster(n_categories=3, window=8, seed=0)
+    f.fit(train)
+
+    ffn_err, persist_err = [], []
+    for t in range(8, len(test)):
+        pred = f.predict_window(test[t - 8 : t])
+        ffn_err.append(np.abs(pred - test[t]).mean())
+        persist_err.append(np.abs(test[t - 1] - test[t]).mean())
+    assert np.mean(ffn_err) <= np.mean(persist_err), (
+        f"FFN MAE {np.mean(ffn_err):.4f} worse than persistence "
+        f"{np.mean(persist_err):.4f}"
+    )
+
+
+def test_ffn_forecaster_outputs_valid_mixture():
+    import numpy as np
+
+    from video_etl_spark.control.forecast import FFNForecaster
+
+    f = FFNForecaster(n_categories=4, window=4, epochs=30, seed=1)
+    f.fit(_drift_series(T=120, C=4))
+    p = f.predict_window(_drift_series(T=4, C=4))
+    assert p.shape == (4,)
+    assert abs(p.sum() - 1.0) < 1e-9
+    assert (p >= 0).all()
+
+
+def test_ffn_plugs_into_knob_planner():
+    """forecast_fn contract: persistence until window fills, NN after."""
+    from video_etl_spark.control.forecast import FFNForecaster
+
+    series = _drift_series(T=200, C=3)
+    f = FFNForecaster(n_categories=3, window=8, epochs=50, seed=0)
+    f.fit(series[:150])
+    planner = KnobPlanner(
+        quality=[[0.9, 0.5], [0.8, 0.4], [0.7, 0.3]],
+        knob_cost=[2.0, 1.0],
+        hours_plan_ahead=1.0,
+        time_interval=2.0,
+        forecast_fn=f,
+    )
+    for h in series[150:170]:
+        plan, score = planner.plan(list(h), budget=1e9)
+        assert all(abs(sum(row) - 1.0) < 1e-9 for row in plan)
+        assert score > 0

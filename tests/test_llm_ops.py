@@ -27,6 +27,33 @@ def test_simhash_identical_docs_have_zero_hamming(spark, sf_dir):
         assert key in got and got[key] == 0, f"exact dup {key} missed by simhash"
 
 
+def test_simhash_vectorized_matches_scalar_reference(monkeypatch):
+    """The numpy batch path (both dense-matmul and segment-sum branches)
+    must be bit-identical to the scalar reference implementation."""
+    import random
+    import string
+
+    import pandas as pd
+
+    import video_etl_spark.llm_ops.dedup as dd
+
+    rng = random.Random(7)
+    texts = [
+        " ".join(
+            "".join(rng.choices(string.ascii_letters + "0123456789", k=rng.randint(1, 12)))
+            for _ in range(rng.randint(0, 40))
+        )
+        for _ in range(300)
+    ]
+    texts += ["", "   ", "Hello HELLO hello", "a", None, "tab\tand  spaces"]
+    s = pd.Series(texts)
+    expected = s.fillna("").map(dd._simhash64)
+    assert (dd._simhash_series(s) == expected).all()
+    # force the large-vocabulary segment-sum branch
+    monkeypatch.setattr(dd, "_DENSE_LIMIT", 0)
+    assert (dd._simhash_series(s) == expected).all()
+
+
 def test_simhash_signature_deterministic(spark, sf_dir):
     from video_etl_spark.llm_ops.dedup import simhash_signatures
 
@@ -162,3 +189,63 @@ def test_stratified_sample_fractions(spark, sf_dir):
     assert sorted(r["doc_id"] for r in sampled.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+# ----------------------------------------------------- S15 model-cache (U1-U7)
+def test_mlp_embedding_matches_local_forward(spark, sf_dir):
+    """Spark-side UDF output must equal a driver-side numpy forward pass."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from video_etl_spark.llm_ops.models import TinyMLPEmbedder
+    from video_etl_spark.queries.advanced import mlp_embedding
+
+    rows = mlp_embedding(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    model = TinyMLPEmbedder()
+    for r in rows[:20]:
+        payload = hashlib.md5(docs[r["doc_id"]].encode()).hexdigest().encode()
+        q = model.embed_quantized(pd.Series([payload]))[0]
+        assert [r["q0"], r["q1"], r["q2"], r["q3"]] == list(q)
+
+
+def test_mlp_model_inits_once_per_worker_not_per_batch(spark, sf_dir):
+    """The S15 contract: lazy per-executor init, reused across batches."""
+    from video_etl_spark.llm_ops.models import mlp_embed_quantized
+    from video_etl_spark.llm_ops.multimodal import attach_fake_payload
+
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = attach_fake_payload(docs).repartition(8)
+    acc = spark.sparkContext.accumulator(0)
+    # fresh cache key: reused python workers may hold 'tiny-mlp' already
+    name = f"tiny-mlp-{uuid.uuid4().hex[:8]}"
+    n = frames.count()
+    # tiny Arrow batches force many batches per partition; aggregate over a
+    # UDF output column (a bare .count() would prune the UDF away entirely)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        mlp_embed_quantized(frames, init_counter=acc, model_name=name).agg(
+            F.sum("q0")
+        ).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    n_batches = max(n // 16, 1)
+    assert acc.value >= 1
+    # one init per python worker (<= partitions), NOT one per batch
+    assert acc.value <= 8 < n_batches, (
+        f"{acc.value} inits for {n_batches}+ batches — cache not reused"
+    )
+    # second run on live workers: cache warm, zero or few new inits
+    before = acc.value
+    mlp_embed_quantized(frames, init_counter=acc, model_name=name).agg(
+        F.sum("q0")
+    ).collect()
+    assert acc.value - before <= before

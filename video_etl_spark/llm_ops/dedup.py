@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -25,8 +26,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+_SIGN_BIT = np.uint64(0x8000000000000000)
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+#: below this docs×vocab product the count-matrix+matmul path wins; above it
+#: (huge batch vocabularies) fall back to the streaming segment-sum.
+_DENSE_LIMIT = 1 << 22
+
 
 def _simhash64(text: str) -> int:
+    """Scalar reference implementation (tests compare the vectorized batch
+    path against this)."""
     counts = [0] * 64
     for tok in text.lower().split():
         h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
@@ -40,7 +49,54 @@ def _simhash64(text: str) -> int:
 
 
 def _simhash_series(texts: pd.Series) -> pd.Series:
-    return texts.map(_simhash64)
+    """Vectorized per-Arrow-batch SimHash.
+
+    md5 runs ONCE per *unique* token in the batch; the 64-iteration
+    per-token bit loop of the scalar version becomes one numpy broadcast:
+    unique-token hashes -> (U, 64) ±1 matrix, gathered per occurrence and
+    segment-summed per document with ``np.add.reduceat``.
+    """
+    toks = texts.fillna("").str.lower().str.split()
+    n_docs = len(toks)
+    lengths = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n_docs)
+    flat = [tok for lst in toks for tok in lst]
+    if not flat:
+        return pd.Series(
+            np.full(len(texts), -(1 << 63), dtype=np.int64), index=texts.index
+        )
+    # hash-based factorize (O(N)) beats sort-based np.unique on object dtype
+    inv, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    buf = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in uniq)
+    h = np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+    # (U, 64) matrix of ±1: bit i of each unique-token hash
+    pm = ((h[:, None] >> _BIT_IDX) & np.uint64(1)).astype(np.int64) * 2 - 1
+    if n_docs * len(uniq) <= _DENSE_LIMIT:
+        # small vocabulary (the common LLM-corpus batch once texts are
+        # normalized): per-doc token-count matrix + one matmul — avoids
+        # materializing an (occurrences × 64) intermediate entirely.
+        doc_idx = np.repeat(np.arange(n_docs), lengths)
+        counts = np.bincount(
+            doc_idx * len(uniq) + inv, minlength=n_docs * len(uniq)
+        ).reshape(n_docs, len(uniq))
+        sums = counts @ pm
+    else:
+        contrib = pm[inv]
+        offsets = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        # reduceat needs indices < len and mishandles empty segments (equal
+        # consecutive offsets return the single row instead of 0) — clip,
+        # then overwrite empty docs with the all-zero count vector.
+        sums = np.add.reduceat(
+            contrib, np.minimum(offsets, len(contrib) - 1), axis=0
+        )
+        sums[lengths == 0] = 0
+    bits = (sums > 0).astype(np.uint64)
+    sig = np.zeros(n_docs, dtype=np.uint64)
+    for i in range(64):  # 64 column-wise ORs, independent of row count
+        sig |= bits[:, i] << _BIT_IDX[i]
+    # sig - 2**63 into signed BIGINT range, as a bit-exact reinterpret
+    signed = (sig ^ _SIGN_BIT).view(np.int64)
+    return pd.Series(signed, index=texts.index)
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,172 @@
+"""S15/U1-U7 — executor-local model cache exercised by a REAL (numpy) model.
+
+The reference ships model checkpoints to workers and lazily initializes one
+model per worker process, reusing it across batches (S15; e.g. YOLO init in
+`/root/reference/code/workloads/covid/covid_workload.py:46-66`, feature
+extractors in `workloads/transMOT/feature_extraction.py:10-89`).  Torch/TF
+aren't in this container, so the pattern is proven end-to-end with a small
+fixed-weight numpy MLP: the weights are deterministic (seeded, dyadic
+rationals), the forward pass is real matrix math, and the scalar-iterator
+pandas UDF below initializes the model ONCE per executor python worker —
+never per batch — exactly the lazy-cache shape a cv2/torch model plugs
+into.
+
+Cross-engine checkability: inputs are md5-derived bytes, weights are exact
+in both engines (k/16 has a finite 4-digit decimal expansion), the forward
+pass runs in float64, and outputs are quantized to BIGINT at 1e6 — so a
+DuckDB oracle can replay the entire MLP in SQL (generated from the same
+weights by :func:`mlp_oracle_sql`) and hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+D_IN = 16
+D_HID = 8
+D_OUT = 4
+_Q_SCALE = 1_000_000
+
+
+def _build_weights(seed: int = 7) -> dict[str, np.ndarray]:
+    """Deterministic dyadic weights: integers in [-8, 8] divided by 16, so
+    every weight has an exact 4-decimal representation that Spark-side numpy
+    and DuckDB SQL literals parse to the identical double."""
+    rng = np.random.default_rng(seed)
+    return {
+        "w1": rng.integers(-8, 9, (D_IN, D_HID)).astype(np.float64) / 16.0,
+        "b1": rng.integers(-8, 9, D_HID).astype(np.float64) / 16.0,
+        "w2": rng.integers(-8, 9, (D_HID, D_OUT)).astype(np.float64) / 16.0,
+        "b2": rng.integers(-8, 9, D_OUT).astype(np.float64) / 16.0,
+    }
+
+
+class TinyMLPEmbedder:
+    """16 -> tanh(8) -> 4 embedder over md5-byte features (float64)."""
+
+    def __init__(self, seed: int = 7) -> None:
+        w = _build_weights(seed)
+        self.w1, self.b1, self.w2, self.b2 = w["w1"], w["b1"], w["w2"], w["b2"]
+
+    @staticmethod
+    def featurize(payloads: pd.Series) -> np.ndarray:
+        """(N, 16) float64 features: bytes of md5(payload), centered."""
+        buf = b"".join(hashlib.md5(p).digest() for p in payloads)
+        raw = np.frombuffer(buf, dtype=np.uint8).reshape(-1, D_IN)
+        return (raw.astype(np.float64) - 127.5) / 127.5
+
+    def embed(self, payloads: pd.Series) -> np.ndarray:
+        x = self.featurize(payloads)
+        h = np.tanh(x @ self.w1 + self.b1)
+        return h @ self.w2 + self.b2
+
+    def embed_quantized(self, payloads: pd.Series) -> np.ndarray:
+        """(N, 4) int64 — round(y * 1e6), the oracle-comparable form."""
+        return np.rint(self.embed(payloads) * _Q_SCALE).astype(np.int64)
+
+
+# Executor-local lazy cache (S15).  Keyed per process; a worker builds the
+# model on its first batch and reuses it for every later batch/task while
+# the python worker is alive (spark.python.worker.reuse=true default).
+_MODEL_CACHE: dict[str, TinyMLPEmbedder] = {}
+
+
+def get_model(
+    name: str = "tiny-mlp", on_init: Callable[[], None] | None = None
+) -> TinyMLPEmbedder:
+    model = _MODEL_CACHE.get(name)
+    if model is None:
+        model = TinyMLPEmbedder()
+        _MODEL_CACHE[name] = model
+        if on_init is not None:
+            on_init()
+    return model
+
+
+def mlp_embed_quantized(
+    frames: DataFrame,
+    payload_col: str = "payload",
+    init_counter=None,
+    model_name: str = "tiny-mlp",
+) -> DataFrame:
+    """Scalar-iterator pandas UDF: one lazy model init per executor worker.
+
+    ``init_counter``: optional Spark accumulator, incremented once per
+    actual model construction (tests assert inits ≤ workers << batches).
+    Output: 4 BIGINT columns q0..q3 (quantized embedding dims).
+    """
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(frames.sparkSession)
+
+    on_init = (lambda: init_counter.add(1)) if init_counter is not None else None
+
+    def run(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # Iterator form: the model is resolved once per worker via the
+        # process-level cache, not once per Arrow batch.
+        model = get_model(model_name, on_init=on_init)
+        for payloads in batches:
+            q = model.embed_quantized(payloads)
+            yield pd.Series(list(q))
+
+    udf = pandas_udf(run, T.ArrayType(T.LongType()))
+    out = frames.withColumn("_q", udf(F.col(payload_col)))
+    cols = [
+        F.element_at("_q", i + 1).alias(f"q{i}") for i in range(D_OUT)
+    ]
+    return out.select("doc_id", *cols)
+
+
+def mlp_oracle_sql(where: str = "doc_id % 2 = 0") -> str:
+    """Generate the DuckDB SQL that replays the MLP bit-for-bit.
+
+    The payload is the 32-char md5(text) hex string, so feature byte i is
+    byte i of md5(md5(text)).  Weights are inlined as exact 4-decimal
+    literals; the output is quantized to BIGINT at 1e6 (float64 sum-order
+    and tanh-ulp differences are ~1e-15 — nine orders below the grid).
+    """
+    w = _build_weights()
+
+    def lit(v: float) -> str:
+        return f"{v:.4f}"
+
+    x = [
+        f"((CAST(('0x' || substr(h2, {2 * i + 1}, 2)) AS BIGINT) - 127.5) / 127.5)"
+        for i in range(D_IN)
+    ]
+    hidden = []
+    for j in range(D_HID):
+        terms = " + ".join(
+            f"{x[i]} * {lit(w['w1'][i, j])}" for i in range(D_IN)
+        )
+        # this DuckDB build ships no tanh(); the exp identity agrees with
+        # numpy tanh to a few ulp — 9 orders below the 1e-6 output grid
+        hidden.append(
+            f"(1.0 - 2.0 / (exp(2.0 * ({lit(w['b1'][j])} + {terms})) + 1.0))"
+            f" AS h{j}"
+        )
+    outputs = []
+    for k in range(D_OUT):
+        terms = " + ".join(
+            f"h{j} * {lit(w['w2'][j, k])}" for j in range(D_HID)
+        )
+        outputs.append(
+            f"CAST(round(({lit(w['b2'][k])} + {terms}) * {_Q_SCALE}) AS BIGINT)"
+            f" AS q{k}"
+        )
+    return f"""
+    WITH feat AS (
+      SELECT doc_id, md5(md5(text)) AS h2 FROM documents WHERE {where}),
+    hid AS (
+      SELECT doc_id, {", ".join(hidden)} FROM feat)
+    SELECT doc_id, {", ".join(outputs)} FROM hid
+    """

@@ -97,6 +97,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features_summary(extract_features(frames))
 
 
+def _mlp_oracle() -> str:
+    from video_etl_spark.llm_ops.models import mlp_oracle_sql
+
+    return mlp_oracle_sql()
+
+
+@query("mlp_embedding", oracle=_mlp_oracle())
+def mlp_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 pattern end-to-end with a REAL (numpy) model: binary payloads →
+    scalar-iter pandas UDF with an executor-local lazy model cache →
+    quantized BIGINT embedding columns.  The DuckDB oracle replays the
+    entire MLP (generated from the same weights), so this is a full
+    hash-checked model-inference path, not a stub."""
+    from video_etl_spark.llm_ops.models import mlp_embed_quantized
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = attach_fake_payload(sample_frames(docs, stride=2))
+    return mlp_embed_quantized(frames)
+
+
 @query("sort_tracker_synthetic")
 def sort_tracker_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic detections (derived from lineitem) through
