@@ -358,3 +358,55 @@ def test_ffn_plugs_into_knob_planner():
         plan, score = planner.plan(list(h), budget=1e9)
         assert all(abs(sum(row) - 1.0) < 1e-9 for row in plan)
         assert score > 0
+
+
+# ------------------------------------------------------------ E3 end-to-end
+def test_e3_tuning_pipeline_golden(spark):
+    """hill_climb → Spark fan-out eval → simulate → Pareto/arg-best, on the
+    detect→track DAG: the greedy climbs and the exact lattice arg-best must
+    agree on the known-optimal config."""
+    from video_etl_spark.control.simulator import detect_to_track, simulate
+    from video_etl_spark.control.tuner import (
+        Knob,
+        MultiKnob,
+        run_tuning_pipeline,
+    )
+
+    mk = MultiKnob(
+        [Knob("detect_every", [30, 60, 120]), Knob("cores", [2, 4, 8])]
+    )
+    # accuracy: detect more often -> better; cost: simulated runtime (ms)
+    acc_table = {30: 0.95, 60: 0.90, 120: 0.70}
+
+    def eval_fn(assignment):
+        knob, cores = assignment
+        runtime, _cloud = simulate(detect_to_track(knob, 120), cores=cores)
+        return acc_table[knob], runtime / 1e5
+
+    result = run_tuning_pipeline(
+        spark, mk, eval_fn, eta=0.5,
+        starts=[[120, 2], [30, 8], [60, 4]],
+    )
+    # brute-force golden: enumerate in python
+    best_cfg, best_score = None, float("-inf")
+    for a in mk.enumerate():
+        acc, cost = eval_fn(list(a))
+        if acc - 0.5 * cost > best_score:
+            best_cfg, best_score = list(a), acc - 0.5 * cost
+    assert mk.dehash(result["best"]["assign_hash"]) == best_cfg
+    assert result["best"]["score"] == pytest.approx(best_score)
+    # every greedy climb reaches the global optimum on this unimodal lattice
+    for cfg, score in result["climbed"]:
+        assert score == pytest.approx(best_score)
+        assert cfg == best_cfg
+    # Pareto frontier: contains the best config, no dominated rows
+    pareto = result["pareto"].collect()
+    hashes = {r["assign_hash"] for r in pareto}
+    assert result["best"]["assign_hash"] in hashes
+    for r in pareto:
+        for o in pareto:
+            dominates = (
+                o["accuracy"] >= r["accuracy"] and o["cost"] <= r["cost"]
+                and (o["accuracy"] > r["accuracy"] or o["cost"] < r["cost"])
+            )
+            assert not dominates, (r, o)

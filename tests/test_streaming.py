@@ -234,3 +234,68 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
         & (F.col("c_ts") < F.col("p_ts")),
     ).count()
     assert streamed == batch
+
+
+def test_stateful_timeout_emits_expiry_row(spark, tmp_path):
+    """W2 track-death for real: a key that stops receiving events must emit
+    an expired=True row carrying its final accumulated state (the streaming
+    twin of the batch tracker's max_age kill, operators/tracking.py).
+
+    ProcessingTimeTimeout cannot run under trigger(availableNow) (it never
+    terminates — see streaming/stateful.py docstring), so this test drives a
+    continuous processingTime trigger: batch 1 delivers user 1, later files
+    deliver only other users, and their batches fire user 1's idle timeout.
+    """
+    import json
+    import os
+    import time
+
+    from video_etl_spark.streaming.stateful import running_user_state
+
+    d = tmp_path / "in"
+    d.mkdir()
+
+    def write_file(i, user, value):
+        p = d / f"f{i}.json"
+        tmp = d / f"f{i}.json.tmp"
+        tmp.write_text(json.dumps({"user_id": user, "value": value}) + "\n")
+        os.rename(tmp, p)
+
+    write_file(0, 1, 10.25)
+    stream = spark.readStream.schema("user_id long, value double").json(str(d))
+    out = running_user_state(stream, timeout_ms=1500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_expiry")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    expired = []
+    t0 = time.time()
+    i = 1
+    try:
+        while time.time() - t0 < 60:
+            time.sleep(1.0)
+            write_file(i, 100 + i, 1.0)  # keep micro-batches firing
+            i += 1
+            rows = spark.sql(
+                "select * from t_expiry where expired and user_id = 1"
+            ).collect()
+            if rows:
+                expired = rows
+                break
+    finally:
+        q.stop()
+    assert expired, "no expiry row within 60s"
+    (r,) = expired
+    # final state travels with the tombstone row
+    assert r["n_events"] == 1
+    assert r["value_sum"] == 10.25
+    assert r["last_value"] == 10.25
+    # the live (non-expired) row was emitted before the tombstone
+    live = spark.sql(
+        "select * from t_expiry where not expired and user_id = 1"
+    ).collect()
+    assert len(live) == 1

@@ -126,3 +126,88 @@ def hill_climb(
             break
         cur, cur_score = best, best_score
     return cur, cur_score
+
+
+# ---------------------------------------------------------------------------
+# E3 assembled end-to-end (reference `knob_tuner.py:413-416`: build workload,
+# tune knobs, score = accuracy − η·cost `:409-410`).
+def pareto_frontier(evaluated: DataFrame) -> DataFrame:
+    """A9 dominance reduction over an evaluated-candidates DataFrame
+    ``(assign_hash, accuracy, cost)``: keep rows no other row dominates
+    (≥ accuracy AND ≤ cost, strictly better somewhere).
+
+    The dominance join is O(n²) over the *candidate set* (bounded by the
+    knob lattice, thousands at most — never data-sized), mirroring
+    `knob_tuner.py:214-237`."""
+    from pyspark.sql import functions as F
+
+    other = evaluated.select(
+        F.col("accuracy").alias("o_acc"), F.col("cost").alias("o_cost")
+    )
+    dominated = evaluated.join(
+        other,
+        (F.col("o_acc") >= F.col("accuracy"))
+        & (F.col("o_cost") <= F.col("cost"))
+        & (
+            (F.col("o_acc") > F.col("accuracy"))
+            | (F.col("o_cost") < F.col("cost"))
+        ),
+        "left_semi",
+    )
+    return evaluated.join(dominated, ["assign_hash"], "left_anti")
+
+
+def argbest_assignment(evaluated: DataFrame, eta: float) -> DataFrame:
+    """A10 arg-best: the single row maximizing the reference's score
+    ``accuracy − η·cost`` (`knob_tuner.py:409-410`), hash tiebreak."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    scored = evaluated.withColumn(
+        "score", F.col("accuracy") - F.lit(eta) * F.col("cost")
+    )
+    w = Window.orderBy(F.desc("score"), F.col("assign_hash"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def run_tuning_pipeline(
+    spark: SparkSession,
+    multiknob: MultiKnob,
+    eval_fn: Callable[[list], tuple[float, float]],
+    eta: float,
+    starts: Sequence[Sequence],
+    max_iter: int = 20,
+) -> dict:
+    """E3 end-to-end: hill-climbs (driver-side walks, U19) propose optima,
+    the full candidate lattice fans out for exact evaluation as a Spark job
+    (``evaluate_assignments``), and the A9/A10 reductions pick the Pareto
+    set and the score-optimal config — the composition the reference runs
+    in `knob_tuner.py:291-416` with serial evaluation.
+
+    Returns {"best": row, "pareto": DataFrame, "climbed": [(assignment,
+    score), ...]} — ``best`` is exact (computed over the enumerated
+    lattice), climbs are the greedy approximations to compare against.
+    """
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(spark)
+
+    def score_fn(a: list) -> float:
+        acc, cost = eval_fn(a)
+        return acc - eta * cost
+
+    climbed = [
+        hill_climb(multiknob, start, score_fn, max_iter=max_iter)
+        for start in starts
+    ]
+    evaluated = evaluate_assignments(
+        spark, multiknob, multiknob.enumerate(), eval_fn
+    )
+    evaluated = evaluated.persist()  # two consumers: pareto + argbest
+    best = argbest_assignment(evaluated, eta).collect()[0]
+    pareto = pareto_frontier(evaluated)
+    return {"best": best, "pareto": pareto, "climbed": climbed}

@@ -15,8 +15,12 @@ lifecycle as a tracker track (create on first observation, update per
 batch, expire on silence).  NOTE: enable the timeout only on continuous
 streams; under ``trigger(availableNow=True)`` a ProcessingTimeTimeout query
 never terminates (it keeps scheduling batches to fire timeouts), so bounded
-replays must use the default NoTimeout.  The batch twin used by the
-correctness gate is operators/tracking.py.
+replays must use the default NoTimeout.  The expiry path IS exercised for
+real under a ``processingTime`` trigger —
+tests/test_streaming.py::test_stateful_timeout_emits_expiry_row drives an
+idle key to its timeout and asserts the tombstone row carries the final
+state.  The batch twin used by the correctness gate is
+operators/tracking.py.
 """
 
 from __future__ import annotations
