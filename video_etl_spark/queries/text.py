@@ -464,38 +464,65 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def jaccard_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pair generation is a *salted* within-source self-join of per-doc
+    # distinct-token ARRAYS; the intersection is size(array_intersect) in
+    # whole-stage codegen.  Versus the exploded token equi-join (the
+    # oracle's formulation) this removes the N·k²/V-row shuffle, the
+    # (source, doc_a, doc_b) groupBy, and both per-doc count-lookup joins —
+    # one shuffle on (source, salt) total.  Salting spreads each source
+    # (few, large groups — classic skew) over _N_SALT partitions: the left
+    # side keys by doc_id % _N_SALT, the right side replicates _N_SALT ways.
+    # The pair space itself is still quadratic per source — at 100 TB the
+    # MinHash band join (minhash_band_pairs) replaces this query entirely.
+    _N_SALT = 16
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", F.explode(F.array_distinct(_tokens_col())).alias("token")
-    ).persist()  # three consumers; tokenize once
-    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = toks.select(F.col("doc_id").alias("doc_a"), "source", "token")
-    b = toks.select(F.col("doc_id").alias("doc_b"), "source", "token")
-    inter = (
-        a.join(b, ["token", "source"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("source", "doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # repartition before the join: the scan of a small table is one task,
+    # and a broadcast join inherits its partitioning — without the spread
+    # the quadratic intersect stage below runs single-threaded.
+    toksets = (
+        docs.select(
+            "doc_id", "source", F.array_distinct(_tokens_col()).alias("toks")
+        )
+        .repartition(64, "source", "doc_id")
+        .persist()  # both join branches; tokenize once
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
+    a = toksets.select(
+        F.col("doc_id").alias("doc_a"),
+        "source",
+        F.col("toks").alias("toks_a"),
+        F.pmod("doc_id", F.lit(_N_SALT)).cast("int").alias("salt"),
     )
-    # ca/cb are per-document tables (one row per doc — corpus-sized at the
-    # 100 TB target), so no broadcast hint: AQE picks BHJ at bench scale and
-    # falls back to SMJ when the side outgrows the threshold.
+    b = toksets.select(
+        F.col("doc_id").alias("doc_b"),
+        "source",
+        F.col("toks").alias("toks_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1))).alias("salt"),
+    )
+    # The `n_common >= 1` predicate lives in the AGGREGATES, not a filter:
+    # a filter on n_common gets pushed into the join condition by Catalyst,
+    # making the join evaluate array_intersect a second time per candidate
+    # pair.  As conditional sums the intersect is computed exactly once.
     pairs = (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .withColumn("jaccard", jac)
+        a.join(b, ["source", "salt"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("n_common", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("toks_a") + F.size("toks_b") - F.col("n_common")),
+        )
     )
+    matched = F.col("n_common") >= 1
+    n_pairs = F.sum(F.when(matched, 1).otherwise(0))
     return pairs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
+        n_pairs.alias("n_pairs"),
         F.sum(F.when(F.col("jaccard") >= 0.2, 1).otherwise(0)).alias("n_near_dups"),
         (
-            F.sum(F.round(F.col("jaccard") * 1_000_000).cast("long"))
-            / (F.count(F.lit(1)) * 1_000_000)
+            F.sum(
+                F.when(matched, F.round(F.col("jaccard") * 1_000_000).cast("long"))
+                .otherwise(0)
+            )
+            / (n_pairs * 1_000_000)
         ).cast("double").alias("avg_jaccard"),
     )
 
