@@ -68,12 +68,22 @@ def _spark_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def iou_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _iou_pairs_with_frame(spark, sf_dir).select("box_a", "box_b", "iou")
+
+
+def _iou_pairs_with_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(frame, box_a, box_b, iou) pair edges.  The streamed side is
+    round-robin repartitioned before the join: the `part` scan is a single
+    task at bench scale and a broadcast join would inherit it, leaving the
+    quadratic IoU stage single-threaded.  At cluster scale the frame-key
+    count grows with data (per-frame box counts stay bounded), so the SMJ
+    fallback AQE picks there is skew-free without salting."""
     boxes = _spark_boxes(spark, sf_dir)
     a = boxes.select(
         F.col("box_id").alias("box_a"), F.col("frame"),
         F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
         F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
-    )
+    ).repartition(64)
     b = boxes.select(
         F.col("box_id").alias("box_b"), F.col("frame").alias("frame_b"),
         F.col("x0").alias("bx0"), F.col("y0").alias("by0"),
@@ -88,7 +98,7 @@ def iou_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("frame") == F.col("frame_b")) & (F.col("box_a") < F.col("box_b")))
         .withColumn("iou", inter / (area_a + area_b - inter))
         .filter(inter > 0)
-        .select("box_a", "box_b", "iou")
+        .select("frame", "box_a", "box_b", "iou")
     )
 
 
@@ -164,12 +174,10 @@ def bbox_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def iou_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = iou_pairs(spark, sf_dir)
-    boxes = _spark_boxes(spark, sf_dir).select(
-        F.col("box_id").alias("box_a"), "frame"
-    )
+    # frame travels with the pair edges (the pair join already keyed on
+    # it) — no join back to boxes to recover it.
     return (
-        pairs.join(boxes, "box_a")
+        _iou_pairs_with_frame(spark, sf_dir)
         .groupBy("frame")
         .agg(
             F.count(F.lit(1)).alias("n_edges"),
