@@ -649,3 +649,115 @@ def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op — Gopher-style repetition / quality signals
+# (Rae et al. 2021 §A1.1 adapted to a single-line corpus): top-token and
+# top-bigram concentration, duplicate-5-gram fraction, mean word length,
+# and the combined keep/drop gate.  Every signal is a PER-ROW array
+# expression (no explode, no shuffle) — at 100 TB this is a narrow map
+# over the corpus that pipelines with the scan, the exact opposite of the
+# explode→groupBy formulation which would shuffle ~k rows per document.
+# The O(k²) per-row frequency scan is bounded by document token count.
+@query(
+    "repetition_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1])
+             ELSE [] END AS bigrams,
+             CASE WHEN len(toks) >= 5 THEN
+               list_transform(generate_series(1, len(toks) - 4),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                   || ' ' || toks[i+3] || ' ' || toks[i+4])
+             ELSE [] END AS grams5
+      FROM t)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(list_max(list_transform(list_distinct(toks),
+                  t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / n
+             AS top_token_frac,
+           CASE WHEN len(bigrams) > 0 THEN
+             CAST(list_max(list_transform(list_distinct(bigrams),
+                    t -> len(list_filter(bigrams, x -> x = t)))) AS DOUBLE)
+               / len(bigrams)
+           ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
+           CASE WHEN len(grams5) > 0 THEN
+             1.0 - CAST(len(list_distinct(grams5)) AS DOUBLE) / len(grams5)
+           ELSE CAST(0 AS DOUBLE) END AS dup_5gram_frac,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / n
+             AS mean_word_len,
+           (CAST(list_max(list_transform(list_distinct(toks),
+                   t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / n
+              <= 0.2
+            AND (CASE WHEN len(grams5) > 0 THEN
+                   1.0 - CAST(len(list_distinct(grams5)) AS DOUBLE) / len(grams5)
+                 ELSE CAST(0 AS DOUBLE) END) <= 0.3
+            AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / n
+                  BETWEEN 3 AND 10) AS gopher_keep
+    FROM g
+    """,
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _tokens_col().alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    # n-gram builders guarded for short docs: Spark sequence(1, 0) counts
+    # DOWN ([1, 0]) where DuckDB generate_series(1, 0) is empty — the CASE
+    # keeps both engines on the empty-array branch.
+    d = d.withColumn(
+        "bigrams",
+        F.when(
+            F.col("n") >= 2,
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+            ),
+        ).otherwise(F.expr("array()")),
+    ).withColumn(
+        "grams5",
+        F.when(
+            F.col("n") >= 5,
+            F.expr(
+                "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', "
+                "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2), "
+                "element_at(toks, i + 3), element_at(toks, i + 4)))"
+            ),
+        ).otherwise(F.expr("array()")),
+    )
+    top_of = lambda col: F.expr(  # noqa: E731 — local plan fragment
+        f"array_max(transform(array_distinct({col}), "
+        f"t -> size(filter({col}, x -> x = t))))"
+    )
+    top_token_frac = top_of("toks").cast("double") / F.col("n")
+    top_bigram_frac = F.when(
+        F.size("bigrams") > 0,
+        top_of("bigrams").cast("double") / F.size("bigrams"),
+    ).otherwise(F.lit(0.0))
+    dup5 = F.when(
+        F.size("grams5") > 0,
+        1.0 - F.size(F.array_distinct("grams5")).cast("double") / F.size("grams5"),
+    ).otherwise(F.lit(0.0))
+    mean_wl = (
+        F.expr("aggregate(toks, 0, (acc, x) -> acc + length(x))").cast("double")
+        / F.col("n")
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        top_token_frac.alias("top_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup5.alias("dup_5gram_frac"),
+        mean_wl.alias("mean_word_len"),
+        (
+            (top_token_frac <= 0.2)
+            & (dup5 <= 0.3)
+            & mean_wl.between(3, 10)
+        ).alias("gopher_keep"),
+    )
