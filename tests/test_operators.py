@@ -138,3 +138,26 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_bucketed_join_mismatched_buckets_reintroduces_exchange(spark, tmp_path):
+    """Negative probe for the co-location claim: when the bucket counts
+    differ, Spark must re-shuffle at least one side — proving the
+    no-Exchange assertion above is load-bearing, not vacuous."""
+    from video_etl_spark.operators.io import write_bucketed
+
+    a = spark.range(0, 1_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1_000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "t_bucket_m8", str(tmp_path / "m8"), ["k"], n_buckets=8)
+    write_bucketed(b, "t_bucket_m4", str(tmp_path / "m4"), ["k"], n_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bucket_m8").join(spark.table("t_bucket_m4"), "k")
+        assert joined.count() == 1_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_m8")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_m4")

@@ -299,3 +299,84 @@ def test_stateful_timeout_emits_expiry_row(spark, tmp_path):
         "select * from t_expiry where not expired and user_id = 1"
     ).collect()
     assert len(live) == 1
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """§2.8 late-data semantics: an event arriving behind the watermark
+    must NOT reopen (or retro-update) a window the watermark already
+    closed.  Two ordered micro-batches (maxFilesPerTrigger=1): batch 1
+    carries the on-time events and advances the watermark past the first
+    window's end; batch 2 replays a late event into that closed window.
+    Append mode emits each window exactly once — the closed window's count
+    must exclude the late row."""
+    import json
+
+    d = tmp_path / "wm_in"
+    d.mkdir()
+
+    def write(name, rows):
+        (d / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    import time
+
+    # batch 1: three events in [00:00, 00:10), max ts 00:30 -> watermark
+    # after batch 1 = 00:25, far past the [00:00, 00:10) window end.
+    write("f0.json", [
+        {"ts": "2024-01-01 00:00:01", "v": 1},
+        {"ts": "2024-01-01 00:00:03", "v": 1},
+        {"ts": "2024-01-01 00:00:07", "v": 1},
+        {"ts": "2024-01-01 00:00:30", "v": 1},
+    ])
+
+    stream = (
+        spark.readStream.schema("ts string, v long")
+        .json(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "10 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v_sum"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_watermark")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def snapshot():
+        return {
+            r["w"]["start"].strftime("%H:%M:%S"): (r["n"], r["v_sum"])
+            for r in spark.sql("select * from t_watermark").collect()
+        }
+
+    try:
+        # wait until batch 1 committed and the [00:00:00] window was
+        # emitted (watermark 00:25 closed it)
+        t0 = time.time()
+        while time.time() - t0 < 60 and "00:00:00" not in snapshot():
+            time.sleep(0.5)
+        assert snapshot().get("00:00:00") == (3, 3), snapshot()
+
+        # batch 2: late event at 00:00:05 (behind watermark 00:25) plus a
+        # fresh event advancing the watermark past every earlier window.
+        write("f1.json", [
+            {"ts": "2024-01-01 00:00:05", "v": 100},
+            {"ts": "2024-01-01 00:02:00", "v": 1},
+        ])
+        t0 = time.time()
+        while time.time() - t0 < 60 and "00:00:30" not in snapshot():
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    out = snapshot()
+    # the closed [00:00:00, 00:00:10) window kept its on-time count and the
+    # late v=100 row was dropped everywhere.
+    assert out["00:00:00"] == (3, 3)
+    assert all(v_sum < 100 for _, v_sum in out.values()), out
