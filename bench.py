@@ -42,6 +42,10 @@ HEADLINE = [
     "iou_edge_stats",
     "small_quantity_revenue",
     "chunk_scores_pipeline",
+    "repetition_scores",
+    "sole_returning_suppliers",
+    "min_cost_supplier_per_part",
+    "mlp_embedding",
 ]
 
 
