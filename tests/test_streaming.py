@@ -380,3 +380,45 @@ def test_watermark_drops_late_event(spark, tmp_path):
     # late v=100 row was dropped everywhere.
     assert out["00:00:00"] == (3, 3)
     assert all(v_sum < 100 for _, v_sum in out.values()), out
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """O5 streaming twin: dropDuplicatesWithinWatermark removes re-deliveries
+    of the same key whose event times fall inside the watermark window —
+    the streaming form of exact dedup (state is bounded by the watermark,
+    unlike dropDuplicates whose state grows forever)."""
+    import json
+
+    d = tmp_path / "dd_in"
+    d.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:01", "v": 1},
+        {"event_id": 2, "ts": "2024-01-01 00:00:02", "v": 2},
+        {"event_id": 1, "ts": "2024-01-01 00:00:03", "v": 999},  # dup of 1
+        {"event_id": 3, "ts": "2024-01-01 00:00:04", "v": 3},
+        {"event_id": 2, "ts": "2024-01-01 00:00:05", "v": 999},  # dup of 2
+    ]
+    (d / "f0.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_id long, ts string, v long")
+        .json(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = sorted(
+        (r["event_id"], r["v"])
+        for r in spark.sql("select * from t_dedup_stream").collect()
+    )
+    # first delivery wins per key; the v=999 re-deliveries are dropped
+    assert out == [(1, 1), (2, 2), (3, 3)]

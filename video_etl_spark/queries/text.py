@@ -761,3 +761,55 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             & mean_wl.between(3, 10)
         ).alias("gopher_keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op — PII redaction (email/phone scrubbing before a
+# corpus reaches training).  The synthetic tables carry no organic PII, so
+# the query *constructs* deterministic PII-shaped text from customer rows,
+# then proves the redaction operator: regexp_replace runs JVM-side in one
+# narrow map (no shuffle), and the counts make the check non-vacuous.
+@query(
+    "pii_redaction",
+    oracle="""
+    WITH synth AS (
+      SELECT c_custkey,
+             'reach ' || lower(c_name) || ' at ' || lower(c_name) ||
+             '@example.com or +1-' ||
+             lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+             ' for segment ' || c_mktsegment AS contact_text
+      FROM customer)
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(contact_text,
+                '[a-z0-9#]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(contact_text,
+                '\\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(contact_text,
+                '[a-z0-9#]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM synth
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.lit("reach "), F.lower("c_name"), F.lit(" at "),
+        F.lower("c_name"), F.lit("@example.com or +1-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" for segment "), F.col("c_mktsegment"),
+    )
+    email_re = "[a-z0-9#]+@[a-z0-9.]+"
+    phone_re = r"\+1-[0-9]{3}-[0-9]{4}"
+    d = cust.select("c_custkey", contact.alias("contact_text"))
+    return d.select(
+        "c_custkey",
+        F.regexp_count("contact_text", F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count("contact_text", F.lit(phone_re)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("contact_text", email_re, "<EMAIL>"),
+            phone_re, "<PHONE>",
+        ).alias("redacted"),
+    )
