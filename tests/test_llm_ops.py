@@ -249,3 +249,50 @@ def test_mlp_model_inits_once_per_worker_not_per_batch(spark, sf_dir):
         F.sum("q0")
     ).collect()
     assert acc.value - before <= before
+
+
+def test_pq_results_are_true_neighbors(spark, sf_dir):
+    """Every PQ hit must carry the exact cosine the brute-force oracle
+    computes (subset-consistency), and per-query <= k rows."""
+    from video_etl_spark.queries.advanced import knn_pq
+    from video_etl_spark.queries.vectors import knn_cosine_bruteforce
+
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in knn_cosine_bruteforce(spark, sf_dir).collect()
+    }
+    pq_rows = knn_pq(spark, sf_dir).collect()
+    per_query = {}
+    for r in pq_rows:
+        per_query.setdefault(r["query_id"], []).append(r)
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert r["cos_sim"] == pytest.approx(brute[key], abs=1e-4)
+    for _, rows in per_query.items():
+        assert len(rows) <= 10
+
+
+def test_pq_recall_reasonable(spark, sf_dir):
+    """PQ with m=8 x 16 codes + 4x exact re-rank on 64-dim gaussian data:
+    recall well above chance (10/495 ~ 0.02)."""
+    from video_etl_spark.queries.advanced import knn_pq
+    from video_etl_spark.queries.vectors import knn_cosine_bruteforce
+
+    brute_top = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_cosine_bruteforce(spark, sf_dir).collect()
+    }
+    pq_top = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_pq(spark, sf_dir).collect()
+    }
+    recall = len(brute_top & pq_top) / len(brute_top)
+    assert recall > 0.3, f"PQ recall collapsed: {recall}"
+
+
+def test_pq_deterministic(spark, sf_dir):
+    from video_etl_spark.queries.advanced import knn_pq
+
+    a = [(r["query_id"], r["neighbor_id"], r["rn"]) for r in knn_pq(spark, sf_dir).collect()]
+    b = [(r["query_id"], r["neighbor_id"], r["rn"]) for r in knn_pq(spark, sf_dir).collect()]
+    assert sorted(a) == sorted(b)

@@ -195,3 +195,154 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN path (third scale
+# route next to LSH and IVF).  The corpus is encoded once into m uint8
+# codes per vector (m bytes vs 4·dim — a 32× memory cut at dim=64), and
+# query scoring is m table lookups per candidate instead of dim multiplies.
+# At 100 TB the codes table *replaces* the raw vectors for the scan; raw
+# vectors are fetched only for the final exact re-rank of a bounded
+# candidate set.  Codebooks are fit on a driver-side sample (standard
+# practice — FAISS trains on ~100k samples regardless of corpus size),
+# broadcast via UDF closure; encoding is a narrow Arrow map after the scan;
+# the per-partition top-r keeps the shuffle bounded at r rows per query per
+# partition (never corpus-sized).
+
+
+def _fit_pq_codebooks(
+    sample: np.ndarray, m: int, ksub: int, seed: int = 7, iters: int = 12
+) -> np.ndarray:
+    """Lloyd k-means per subspace on L2-normalized sample rows.
+    Returns (m, ksub, dsub) codebooks, deterministic for a fixed seed."""
+    n, dim = sample.shape
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        centers = sub[rng.choice(n, size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                pts = sub[assign == c]
+                if len(pts):
+                    centers[c] = pts.mean(axis=0)
+        books[j] = centers
+    return books
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Top-k cosine neighbors per query via PQ asymmetric-distance scan +
+    exact re-rank of the top ``k * refine`` candidates.
+
+    Vectors are L2-normalized before encoding, so the additive
+    inner-product lookup approximates cosine directly.  Output shape
+    matches the brute-force oracle: (query_id, neighbor_id, cos_sim, rn).
+    """
+    from video_etl_spark.session import ensure_executor_package
+
+    spark = corpus.sparkSession
+    ensure_executor_package(spark)
+
+    # --- fit codebooks on a driver-side sample (tiny: m·ksub·dsub floats)
+    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
+    sample = _normalize(
+        np.array([r[0] for r in sample_rows], dtype=np.float64)
+    )
+    books = _fit_pq_codebooks(sample, m=m, ksub=ksub, seed=seed)
+    dsub = sample.shape[1] // m
+
+    # --- query LUTs: ip(q_sub, centroid) per (query, subspace, code)
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+    # luts[q, j, c] = q_sub_j · books[j, c]
+    luts = np.einsum(
+        "qjd,jcd->qjc", q_mat.reshape(len(q_ids), m, dsub), books
+    )
+
+    r_keep = k * refine
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("approx_ip", T.DoubleType()),
+        ]
+    )
+
+    def score_partition(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            sub = mat.reshape(len(pdf), m, dsub)
+            # encode: nearest centroid per subspace (PQ compression step)
+            d2 = (
+                (sub[:, :, None, :] - books[None, :, :, :]) ** 2
+            ).sum(axis=3)  # (batch, m, ksub)
+            codes = d2.argmin(axis=2)  # (batch, m)
+            # ADC: approx ip = sum_j luts[q, j, codes[:, j]]
+            approx = luts[:, np.arange(m)[None, :], codes].sum(axis=2)
+            # (nq, batch) -> per-query partition-local top-r
+            ids = pdf[id_col].to_numpy()
+            rows = []
+            keep = min(r_keep, approx.shape[1])
+            top = np.argpartition(-approx, keep - 1, axis=1)[:, :keep]
+            for qi in range(len(q_ids)):
+                for bi in top[qi]:
+                    rows.append((int(q_ids[qi]), int(ids[bi]), float(approx[qi, bi])))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "approx_ip"])
+
+    cand = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(score_partition, schema=out_schema)
+    )
+    w_a = Window.partitionBy("query_id").orderBy(F.desc("approx_ip"), "neighbor_id")
+    shortlist = (
+        cand.withColumn("arn", F.row_number().over(w_a))
+        .filter(F.col("arn") <= r_keep)
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- exact cosine re-rank on the shortlist only
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+    )
+    rer = shortlist.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+    qd = "transform(query_vec, x -> cast(x as double))"
+    nd = "transform(neighbor_vec, x -> cast(x as double))"
+    dot = f"aggregate(zip_with({qd}, {nd}, (a, b) -> a * b), 0D, (s, v) -> s + v)"
+    nq = f"sqrt(aggregate(transform({qd}, x -> x * x), 0D, (s, v) -> s + v))"
+    nn = f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, (s, v) -> s + v))"
+    scored = rer.withColumn("cos_sim", F.expr(f"{dot} / ({nq} * {nn})"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

@@ -36,6 +36,7 @@ ROWS_ONLY_QUERIES = frozenset(
         "switch_log_replay",
         "approx_count_distinct",
         "knn_ivf",
+        "knn_pq",
     }
 )
 
@@ -46,6 +47,19 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
+
+
+@query("knn_pq")
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U22 PQ ANN scale path: codes replace raw vectors for the scan; exact
+    re-rank on a bounded shortlist.  Recall-tested vs the brute-force twin
+    in tests/test_llm_ops.py."""
+    from video_etl_spark.llm_ops.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return pq_topk(corpus, queries_df, k=10)
 
 
 @query("knn_lsh_bucketed")
