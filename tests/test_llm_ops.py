@@ -296,3 +296,66 @@ def test_pq_deterministic(spark, sf_dir):
     a = [(r["query_id"], r["neighbor_id"], r["rn"]) for r in knn_pq(spark, sf_dir).collect()]
     b = [(r["query_id"], r["neighbor_id"], r["rn"]) for r in knn_pq(spark, sf_dir).collect()]
     assert sorted(a) == sorted(b)
+
+
+def test_asr_transcribe_plumbing(spark, sf_dir):
+    """S9/S10: JVM-side segmentation shape + transcript content checks."""
+    from video_etl_spark.llm_ops.audio import (
+        ASR_VOCAB,
+        N_SEGMENTS,
+        SEG_HEX_CHARS,
+        attach_fake_audio,
+        segment_audio,
+        transcribe_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    segs = segment_audio(attach_fake_audio(docs))
+    rows = transcribe_segments(segs).collect()
+    assert len(rows) == 25 * N_SEGMENTS
+    vocab = set(ASR_VOCAB)
+    for r in rows:
+        words = r["transcript"].split(" ")
+        assert len(words) == SEG_HEX_CHARS == r["n_words"]
+        assert set(words) <= vocab
+    # segmentation stays JVM-side: no Python stage before the UDF
+    plan = segs._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_asr_model_inits_once_per_worker(spark, sf_dir):
+    """S15 cache contract for the ASR path."""
+    import uuid
+
+    from video_etl_spark.llm_ops.audio import (
+        attach_fake_audio,
+        segment_audio,
+        transcribe_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = segment_audio(attach_fake_audio(docs)).repartition(8)
+    acc = spark.sparkContext.accumulator(0)
+    name = f"fake-asr-{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        transcribe_segments(segs, init_counter=acc, model_name=name).agg(
+            F.sum("n_words")
+        ).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert 1 <= acc.value <= 8
+
+
+def test_asr_real_gate_raises(spark, sf_dir):
+    import pytest as _pytest
+
+    from video_etl_spark.llm_ops.audio import (
+        attach_fake_audio,
+        segment_audio,
+        transcribe_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    with _pytest.raises(NotImplementedError):
+        transcribe_segments(segment_audio(attach_fake_audio(docs)), real_asr=True)

@@ -49,6 +49,23 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3)
 
 
+# S9/S10 — audio segmentation + fake-ASR transcription, fully
+# oracle-checked (the DuckDB side replays the vocab lookup in SQL).
+from video_etl_spark.llm_ops.audio import asr_oracle_sql
+
+
+@query("audio_transcripts", oracle=asr_oracle_sql())
+def audio_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.audio import (
+        attach_fake_audio,
+        segment_audio,
+        transcribe_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return transcribe_segments(segment_audio(attach_fake_audio(docs)))
+
+
 @query("knn_pq")
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U22 PQ ANN scale path: codes replace raw vectors for the scan; exact
