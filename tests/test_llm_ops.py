@@ -359,3 +359,34 @@ def test_asr_real_gate_raises(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(1)
     with _pytest.raises(NotImplementedError):
         transcribe_segments(segment_audio(attach_fake_audio(docs)), real_asr=True)
+
+
+def test_connected_components_matches_union_find(spark, sf_dir):
+    """Differential check: Spark label propagation == driver union-find on
+    the same edge set, including singleton handling."""
+    from video_etl_spark.llm_ops.dedup import connected_components
+    from video_etl_spark.queries.text import minhash_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = minhash_band_pairs(spark, sf_dir)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, docs).collect()
+    }
+
+    parent = {r["doc_id"]: r["doc_id"] for r in docs.collect()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.collect():
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
+    # clusters exist in this corpus (seeded dup docs) — non-vacuous
+    assert any(n != c for n, c in expected.items())

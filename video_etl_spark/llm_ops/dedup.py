@@ -165,3 +165,67 @@ def stratified_sample(
     per Spark version/partitioning; for cross-engine-reproducible splits
     use the hash-based `dataset_split` query instead."""
     return docs.sampleBy(strata_col, fractions, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# U21 — duplicate-CLUSTER formation: connected components over candidate
+# pair edges (the step after MinHash/SimHash candidate generation in a real
+# dedup pipeline: pairs -> components -> keep one canonical doc per
+# component).  Min-label propagation: every node starts labeled with its
+# own id; each round a node takes the min label among itself and its
+# neighbors; fixpoint = each component labeled by its smallest member.
+# Each round is one shuffle on node id; rounds are bounded by component
+# diameter — near 1-2 for dedup clusters, which are near-cliques (every
+# copy shares bands with every other).  localCheckpoint truncates lineage
+# so the plan doesn't grow per round (the classic iterative-join trap).
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    node_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node: component = min node id reachable.
+
+    ``edges`` may be directed pairs (a < b); propagation treats them as
+    undirected.  Nodes absent from edges stay singleton components.
+    """
+    from pyspark.sql import functions as F
+
+    bidir = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    bidir = bidir.distinct().persist()
+
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            bidir.join(labels, bidir["u"] == labels["node"])
+            .groupBy("v")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["v"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    bidir.unpersist()
+    return labels.select("node", F.col("label").alias("component"))

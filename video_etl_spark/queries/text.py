@@ -813,3 +813,53 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             phone_re, "<PHONE>",
         ).alias("redacted"),
     )
+
+
+# --------------------------------------------------------------------------
+# U21 — duplicate-cluster formation: MinHash band pairs -> connected
+# components -> canonical doc per cluster (the pipeline step that turns
+# candidate PAIRS into dedup DECISIONS).  Spark side: min-label propagation
+# (llm_ops.dedup.connected_components, one shuffle per round, rounds ~
+# component diameter).  Oracle side: recursive-CTE transitive closure —
+# tractable at oracle scale, where components are small.
+@query(
+    "dedup_connected_clusters",
+    oracle=_duck_minhash_cte().replace("WITH toks", "WITH RECURSIVE toks")
+    + """
+    , banded AS (
+      SELECT doc_id,
+             CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS band0,
+             CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band1
+      FROM sig),
+    edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band0 = b.band0
+      UNION
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band1 = b.band1),
+    bidir AS (
+      SELECT doc_a AS u, doc_b AS v FROM edges
+      UNION SELECT doc_b AS u, doc_a AS v FROM edges),
+    reach AS (
+      SELECT u, v FROM bidir
+      UNION
+      SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u)
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(m.mv, d.doc_id)) AS component,
+           least(d.doc_id, coalesce(m.mv, d.doc_id)) = d.doc_id AS is_canonical
+    FROM documents d
+    LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) m
+      ON m.u = d.doc_id
+    """,
+)
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_band_pairs(spark, sf_dir)
+    comp = connected_components(edges, docs.select("doc_id"))
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("component") == F.col("node")).alias("is_canonical"),
+    )
