@@ -390,3 +390,77 @@ def test_connected_components_matches_union_find(spark, sf_dir):
     assert got == expected
     # clusters exist in this corpus (seeded dup docs) — non-vacuous
     assert any(n != c for n, c in expected.items())
+
+
+def test_bilinear_resize_properties():
+    import numpy as np
+
+    from video_etl_spark.llm_ops.multimodal import (
+        bilinear_resize,
+        decode_fake_frame,
+    )
+
+    frame = decode_fake_frame(b"test-frame")
+    # identity: same-size resize returns the image unchanged
+    same = bilinear_resize(frame, frame.shape[0], frame.shape[1])
+    assert np.allclose(same, frame.astype(np.float64))
+    # constant image stays constant at any size
+    const = np.full((8, 8, 3), 42, dtype=np.uint8)
+    out = bilinear_resize(const, 5, 13)
+    assert np.allclose(out, 42.0)
+    # output range bounded by input range (convex combinations)
+    out2 = bilinear_resize(frame, 10, 10)
+    assert out2.min() >= frame.min() - 1e-9
+    assert out2.max() <= frame.max() + 1e-9
+
+
+def test_bilinear_resize_matches_naive_loop():
+    """Differential: vectorized impl vs an explicit per-pixel reference."""
+    import numpy as np
+
+    from video_etl_spark.llm_ops.multimodal import bilinear_resize, decode_fake_frame
+
+    frame = decode_fake_frame(b"diff-check")[:, :, 0]  # single channel
+    h, w = frame.shape
+    oh, ow = 7, 11
+    ref = np.empty((oh, ow))
+    for i in range(oh):
+        for j in range(ow):
+            y = (i + 0.5) * h / oh - 0.5
+            x = (j + 0.5) * w / ow - 0.5
+            y0, x0 = int(np.floor(y)), int(np.floor(x))
+            y0c, x0c = max(y0, 0), max(x0, 0)
+            y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+            wy, wx = min(max(y - y0, 0.0), 1.0), min(max(x - x0, 0.0), 1.0)
+            f = frame.astype(np.float64)
+            ref[i, j] = (
+                f[y0c, x0c] * (1 - wy) * (1 - wx)
+                + f[y0c, x1] * (1 - wy) * wx
+                + f[y1, x0c] * wy * (1 - wx)
+                + f[y1, x1] * wy * wx
+            )
+    got = bilinear_resize(frame, oh, ow)
+    assert np.allclose(got, ref)
+
+
+def test_gray_and_pool_shapes():
+    import numpy as np
+
+    from video_etl_spark.llm_ops.multimodal import (
+        FRAME_H,
+        FRAME_W,
+        box_downsample_sum,
+        decode_fake_frame,
+        rgb_to_gray_int,
+    )
+
+    frame = decode_fake_frame(b"shapes")
+    gray = rgb_to_gray_int(frame)
+    assert gray.shape == (FRAME_H, FRAME_W)
+    # pure red pixel -> 299x red value
+    red = np.zeros((2, 2, 3), dtype=np.uint8)
+    red[:, :, 0] = 10
+    assert (rgb_to_gray_int(red) == 2990).all()
+    pooled = box_downsample_sum(gray)
+    assert pooled.shape == (FRAME_H // 2, FRAME_W // 2)
+    assert pooled.sum() == gray.sum()  # sum-pooling conserves mass

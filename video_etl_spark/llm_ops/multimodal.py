@@ -117,3 +117,132 @@ def sample_frames(frames: DataFrame, stride: int, frame_col: str = "doc_id") -> 
     """S11/P1: keep every `stride`-th frame (`runtime.py:94-105`,
     `covid_measures.py:271-278`)."""
     return frames.filter(F.pmod(F.col(frame_col), F.lit(stride)) == 0)
+
+
+# ---------------------------------------------------------------------------
+# P3/P10 — color conversion + spatial downsampling with REAL array math.
+# The fake decode derives an (H, W, 3) uint8 frame from an md5 byte stream
+# (codecs are container-absent), but everything downstream is genuine image
+# processing: integer-weighted RGB->gray, 2x2 box pooling, position-weighted
+# reduction.  Because gray + box-sum + position weighting are all linear in
+# the input bytes, the final checksum equals an integer-weighted sum over
+# the byte stream — which a DuckDB oracle replays exactly, verifying every
+# pixel's PLACEMENT (any transpose/offset/channel-order bug changes it).
+
+FRAME_H = 24
+FRAME_W = 32
+_GRAY_W = (299, 587, 114)  # integer Rec.601 weights (x1000)
+
+
+def decode_fake_frame(payload: bytes, h: int = FRAME_H, w: int = FRAME_W) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 frame from an md5 counter stream."""
+    n = h * w * 3
+    blocks = -(-n // 16)
+    buf = b"".join(
+        hashlib.md5(payload + b"|%d" % i).digest() for i in range(blocks)
+    )[:n]
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+
+
+def rgb_to_gray_int(frame: np.ndarray) -> np.ndarray:
+    """P3: integer Rec.601 luma (x1000) — real channel math, exact in i64."""
+    return (
+        frame[:, :, 0].astype(np.int64) * _GRAY_W[0]
+        + frame[:, :, 1].astype(np.int64) * _GRAY_W[1]
+        + frame[:, :, 2].astype(np.int64) * _GRAY_W[2]
+    )
+
+
+def box_downsample_sum(gray: np.ndarray) -> np.ndarray:
+    """P10: 2x2 box pooling (sum form — exact integers)."""
+    h, w = gray.shape
+    return gray.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+
+
+def preprocess_checksum(frames: DataFrame) -> DataFrame:
+    """decode -> gray -> 2x2 pool -> position-weighted integer total.
+
+    mapInPandas narrow stage (binary never shuffles); output one BIGINT per
+    frame that the SQL oracle reproduces byte-for-byte."""
+    from collections.abc import Iterator as _It
+
+    from pyspark.sql import types as T
+
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(frames.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_h", T.LongType()),
+            T.StructField("frame_w", T.LongType()),
+            T.StructField("preprocess_checksum", T.LongType()),
+        ]
+    )
+    oh, ow = FRAME_H // 2, FRAME_W // 2
+    pos = (np.arange(oh)[:, None] * ow + np.arange(ow)[None, :] + 1).astype(np.int64)
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            sums = []
+            for p in pdf["payload"]:
+                pooled = box_downsample_sum(rgb_to_gray_int(decode_fake_frame(bytes(p))))
+                sums.append(int((pooled * pos).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_h": FRAME_H,
+                    "frame_w": FRAME_W,
+                    "preprocess_checksum": sums,
+                }
+            )
+
+    return frames.mapInPandas(run, schema)
+
+
+def preprocess_oracle_sql() -> str:
+    """DuckDB replay: checksum = sum over byte index b of byte(b)·coef(b),
+    with byte(b) = byte (b%16) of md5(md5(text)||'|'||(b//16)) and coef(b)
+    = gray_weight(channel) · (1 + output-cell index of the pixel)."""
+    n = FRAME_H * FRAME_W * 3
+    ow = FRAME_W // 2
+    byte_expr = (
+        "CAST(('0x' || substr(md5(md5(text) || '|' || CAST(b // 16 AS VARCHAR)), "
+        "2 * (b % 16) + 1, 2)) AS BIGINT)"
+    )
+    coef_expr = (
+        f"(CASE b % 3 WHEN 0 THEN {_GRAY_W[0]} WHEN 1 THEN {_GRAY_W[1]} "
+        f"ELSE {_GRAY_W[2]} END) * "
+        f"((((b // 3) // {FRAME_W}) // 2) * {ow} + (((b // 3) % {FRAME_W}) // 2) + 1)"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({FRAME_H} AS BIGINT) AS frame_h,
+           CAST({FRAME_W} AS BIGINT) AS frame_w,
+           CAST(list_sum([{byte_expr} * {coef_expr}
+                     FOR b IN generate_series(0, {n - 1})]) AS BIGINT)
+             AS preprocess_checksum
+    FROM documents
+    """
+
+
+def bilinear_resize(frame: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """P10 general resize: vectorized bilinear interpolation (align_corners
+    = False, the cv2.INTER_LINEAR convention).  Float path — property- and
+    differentially-tested rather than oracle-hashed."""
+    h, w = frame.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    f = frame.astype(np.float64)
+    if f.ndim == 2:
+        f = f[:, :, None]
+    top = f[y0][:, x0] * (1 - wx[..., None]) + f[y0][:, x1] * wx[..., None]
+    bot = f[y1][:, x0] * (1 - wx[..., None]) + f[y1][:, x1] * wx[..., None]
+    out = top * (1 - wy[..., None]) + bot * wy[..., None]
+    return out[:, :, 0] if frame.ndim == 2 else out

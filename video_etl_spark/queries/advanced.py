@@ -66,6 +66,22 @@ def audio_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcribe_segments(segment_audio(attach_fake_audio(docs)))
 
 
+# P3/P10 — decode -> gray -> 2x2 pool, verified byte-for-byte: the linear
+# pipeline collapses to a position-weighted integer sum the oracle replays.
+from video_etl_spark.llm_ops.multimodal import preprocess_oracle_sql
+
+
+@query("frame_preprocess_checksum", oracle=preprocess_oracle_sql())
+def frame_preprocess_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        preprocess_checksum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return preprocess_checksum(attach_fake_payload(docs))
+
+
 @query("knn_pq")
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U22 PQ ANN scale path: codes replace raw vectors for the scan; exact
