@@ -410,3 +410,66 @@ def test_e3_tuning_pipeline_golden(spark):
                 and (o["accuracy"] > r["accuracy"] or o["cost"] < r["cost"])
             )
             assert not dominates, (r, o)
+
+
+# ------------------------------------------------------------ U17 knapsack
+def test_knapsack_matches_bruteforce():
+    """Exact integral MCKP vs full enumeration on random instances."""
+    import itertools
+    import random
+
+    from video_etl_spark.control.planner import assign_knobs_knapsack
+
+    rng = random.Random(11)
+    for _ in range(25):
+        n_cat, n_cfg = rng.randint(1, 4), rng.randint(1, 4)
+        quality = [
+            [rng.uniform(0, 1) for _ in range(n_cfg)] for _ in range(n_cat)
+        ]
+        cost = [rng.uniform(0.1, 2.0) for _ in range(n_cfg)]
+        mix = [rng.uniform(0.1, 1.0) for _ in range(n_cat)]
+        budget = rng.uniform(0.5, 4.0)
+
+        # brute force over the exact (unquantized) costs
+        best = None
+        for combo in itertools.product(range(n_cfg), repeat=n_cat):
+            c_tot = sum(mix[c] * cost[k] for c, k in enumerate(combo))
+            if c_tot <= budget + 1e-12:
+                v = sum(mix[c] * quality[c][k] for c, k in enumerate(combo))
+                if best is None or v > best:
+                    best = v
+        from video_etl_spark.control.planner import InfeasibleBudgetError
+
+        try:
+            choice, score = assign_knobs_knapsack(
+                quality, cost, mix, budget, grid=20_000
+            )
+        except InfeasibleBudgetError:
+            assert best is None
+            continue
+        assert best is not None
+        # DP choice must be affordable on TRUE costs (ceil quantization
+        # guarantees it) and within a quantization hair of the optimum
+        true_cost = sum(mix[c] * cost[k] for c, k in enumerate(choice))
+        assert true_cost <= budget + 1e-9
+        assert score <= best + 1e-9
+        assert score >= best - best * 5e-3 - 1e-9
+
+
+def test_knapsack_integral_vs_lp_bound():
+    """The LP relaxation upper-bounds the integral optimum."""
+    from video_etl_spark.control.planner import (
+        assign_knobs_knapsack,
+        assign_knobs_linear,
+    )
+
+    quality = [[0.3, 0.7, 0.95], [0.2, 0.5, 0.9]]
+    cost = [1.0, 2.0, 4.0]
+    mix = [0.6, 0.4]
+    budget = 2.0
+    choice, v_int = assign_knobs_knapsack(quality, cost, mix, budget)
+    _, v_lp = assign_knobs_linear(
+        quality, cost, mix, budget, hours_plan_ahead=1 / 3600.0, time_interval=1.0
+    )
+    assert v_int <= v_lp + 1e-9
+    assert len(choice) == 2 and all(0 <= k <= 2 for k in choice)

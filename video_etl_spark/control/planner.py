@@ -165,3 +165,72 @@ class KnobPlanner:
             self.hours_plan_ahead,
             self.time_interval,
         )
+
+
+# ---------------------------------------------------------------------------
+# U17 — 0-1 knapsack alternative planner (reference `knob_plan.py:135-177`
+# left this path unfinished/NotImplementedError; this is the completed
+# exact form).  Integral assignment: each category picks EXACTLY one config
+# (no fractional mixing as in the LP above) maximizing expected quality
+# under the cost budget — the multiple-choice knapsack (MCKP) solved by DP
+# over a quantized budget grid.  Driver-side: the knob lattice is
+# control-plane sized (categories x configs), never data-sized.
+def assign_knobs_knapsack(
+    quality: Sequence[Sequence[float]],
+    knob_cost: Sequence[float],
+    mixture: Sequence[float],
+    budget: float,
+    grid: int = 1000,
+) -> tuple[list[int], float]:
+    """Exact integral MCKP via DP.
+
+    Returns (choice, expected_score): choice[c] = config index for
+    category c.  Costs are quantized onto ``grid`` budget steps (ceil —
+    never overspends).  Raises InfeasibleBudgetError when even the
+    cheapest per-category picks exceed the budget.
+    """
+    n_cat = len(quality)
+    n_cfg = len(knob_cost)
+    if budget <= 0:
+        raise InfeasibleBudgetError("budget must be positive")
+    step = budget / grid
+    # integer costs, rounded UP so a DP-feasible plan is truly affordable
+    cost_q = [
+        [int(-(-(mixture[c] * knob_cost[k]) // step)) for k in range(n_cfg)]
+        for c in range(n_cat)
+    ]
+    value = [
+        [mixture[c] * quality[c][k] for k in range(n_cfg)] for c in range(n_cat)
+    ]
+    if sum(min(row) for row in cost_q) > grid:
+        raise InfeasibleBudgetError(
+            "knapsack infeasible: cheapest integral assignment exceeds budget"
+        )
+    neg = float("-inf")
+    # dp[b] = best value using categories 0..c at total quantized cost <= b
+    dp = [0.0] + [neg] * grid
+    back: list[list[int]] = []
+    for c in range(n_cat):
+        ndp = [neg] * (grid + 1)
+        choice_at = [-1] * (grid + 1)
+        for b in range(grid + 1):
+            if dp[b] == neg:
+                continue
+            for k in range(n_cfg):
+                nb = b + cost_q[c][k]
+                if nb <= grid and dp[b] + value[c][k] > ndp[nb]:
+                    ndp[nb] = dp[b] + value[c][k]
+                    choice_at[nb] = k
+        dp = ndp
+        back.append(choice_at)
+    best_b = max(range(grid + 1), key=lambda b: (dp[b], -b))
+    if dp[best_b] == neg:
+        raise InfeasibleBudgetError("knapsack infeasible at this grid")
+    # backtrack
+    choice = [0] * n_cat
+    b = best_b
+    for c in range(n_cat - 1, -1, -1):
+        k = back[c][b]
+        choice[c] = k
+        b -= cost_q[c][k]
+    return choice, dp[best_b]
