@@ -1150,3 +1150,110 @@ def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v").cast("double") / 100).cast("double").alias("part_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A11⊕ — pivot (long→wide): per-nation order counts pivoted by priority.
+# Spark's pivot() compiles to the same conditional-aggregate plan the SQL
+# CASE columns express — one shuffle, no per-pivot-value scans.
+@query(
+    "pivot_orders_by_priority",
+    oracle="""
+    SELECT n_name,
+           count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p_urgent,
+           count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p_high,
+           count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p_medium,
+           count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p_notspec,
+           count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p_low
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def pivot_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wide = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    renames = {
+        "1-URGENT": "p_urgent", "2-HIGH": "p_high", "3-MEDIUM": "p_medium",
+        "4-NOT SPECIFIED": "p_notspec", "5-LOW": "p_low",
+    }
+    out = wide
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot count yields NULL for empty cells where SQL count(CASE) yields 0
+    return out.select(
+        "n_name",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in renames.values()],
+    )
+
+
+# --------------------------------------------------------------------------
+# W7⊕ — ranking-function surface beyond rank/row_number: ntile buckets,
+# percent_rank, cume_dist over one window pass.
+@query(
+    "window_rank_surface",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(lead(c_custkey, 1, -1) OVER w AS BIGINT) AS next_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lead("c_custkey", 1, -1).over(w).cast("long").alias("next_cust"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A11⊕ — bitwise and boolean aggregates (exact in both engines).
+@query(
+    "bitwise_bool_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(CAST(round(l_quantity) AS BIGINT)) AS qty_bit_and,
+           bit_or(CAST(round(l_quantity) AS BIGINT)) AS qty_bit_or,
+           bit_xor(CAST(round(l_quantity) AS BIGINT)) AS qty_bit_xor,
+           bool_and(l_discount <= 0.1) AS all_low_disc,
+           bool_or(l_quantity >= 49) AS any_large_qty,
+           CAST(count(CASE WHEN l_tax > 0.05 THEN 1 END) AS BIGINT) AS n_high_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def bitwise_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round("l_quantity").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(q).alias("qty_bit_and"),
+        F.bit_or(q).alias("qty_bit_or"),
+        F.bit_xor(q).alias("qty_bit_xor"),
+        F.bool_and(F.col("l_discount") <= 0.1).alias("all_low_disc"),
+        F.bool_or(F.col("l_quantity") >= 49).alias("any_large_qty"),
+        F.count_if(F.col("l_tax") > 0.05).cast("long").alias("n_high_tax"),
+    )

@@ -335,3 +335,104 @@ def chunk_scores_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "window_start", "event_type")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# W1/W3⊕ — time-series gap fill with LINEAR INTERPOLATION: resample each
+# user's event series onto a fixed 6-hour grid, lerping between the
+# surrounding observations (hold at the edges).  The Spark shape is the
+# union+two-windows pattern (grid rows carry NULL values; last/first with
+# ignorenulls attach the bracketing observations in one ordered pass per
+# side) — no range join, no per-grid-point probes; scales as one shuffle
+# on user_id.  Arithmetic runs on exact epoch microseconds; the single
+# lerp expression is evaluated identically by both engines and rounded to
+# 1e-6 to absorb fused-op differences.
+@query(
+    "interpolate_user_series",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+      FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS ts
+      FROM bounds),
+    unioned AS (
+      SELECT user_id, ts, value, 0 AS is_grid FROM events
+      UNION ALL
+      SELECT user_id, ts, NULL AS value, 1 AS is_grid FROM grid),
+    attached AS (
+      SELECT user_id, ts, is_grid,
+             last_value(value IGNORE NULLS) OVER w_prev AS prev_val,
+             last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER w_prev AS prev_ts,
+             first_value(value IGNORE NULLS) OVER w_next AS next_val,
+             first_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER w_next AS next_ts
+      FROM unioned
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY ts, is_grid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY ts, is_grid
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, ts AS grid_ts,
+           round(CASE
+             WHEN prev_val IS NOT NULL AND next_val IS NOT NULL
+                  AND epoch_us(next_ts) > epoch_us(prev_ts) THEN
+               prev_val + (next_val - prev_val)
+                 * (CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE)
+                    / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE))
+             WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN prev_val
+             WHEN prev_val IS NOT NULL THEN prev_val
+             ELSE next_val END, 6) AS interp_value
+    FROM attached WHERE is_grid = 1
+    """,
+)
+def interpolate_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(t0, t1, interval 6 hours)")).alias("ts"),
+    )
+    unioned = ev.withColumn("is_grid", F.lit(0)).unionByName(
+        grid.select("user_id", "ts", F.lit(None).cast("double").alias("value"),
+                    F.lit(1).alias("is_grid"))
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ts_if_obs = F.when(F.col("value").isNotNull(), F.col("ts"))
+    attached = unioned.select(
+        "user_id", "ts", "is_grid",
+        F.last("value", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last(ts_if_obs, ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.first("value", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first(ts_if_obs, ignorenulls=True).over(w_next).alias("next_ts"),
+    )
+    span = (F.unix_micros("next_ts") - F.unix_micros("prev_ts")).cast("double")
+    frac = (F.unix_micros("ts") - F.unix_micros("prev_ts")).cast("double") / span
+    both = F.col("prev_val").isNotNull() & F.col("next_val").isNotNull()
+    interp = (
+        F.when(both & (span > 0),
+               F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac)
+        .when(both, F.col("prev_val"))
+        .when(F.col("prev_val").isNotNull(), F.col("prev_val"))
+        .otherwise(F.col("next_val"))
+    )
+    return (
+        attached.filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("grid_ts"),
+            F.round(interp, 6).alias("interp_value"),
+        )
+    )
