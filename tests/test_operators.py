@@ -161,3 +161,49 @@ def test_bucketed_join_mismatched_buckets_reintroduces_exchange(spark, tmp_path)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bucket_m8")
         spark.sql("DROP TABLE IF EXISTS t_bucket_m4")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Scale evidence for the skew story: a hot-key sort-merge join must be
+    split by AQE's OptimizeSkewedJoin (plan shows skew=true), and the
+    negative probe (skew handling off) must not."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    # pad is incompressible (md5 hex) and flows through the join: skew
+    # detection sees COMPRESSED shuffle sizes, so a constant key column
+    # alone would dedupe to nothing and never trip the threshold.
+    left = spark.range(0, 150_000).select(
+        F.when(F.col("id") < 145_000, 0).otherwise(F.col("id")).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("pad"),
+    )
+    right = spark.range(0, 64).select(F.col("id").alias("k"))
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # NOTE: no groupBy on the join key downstream — an aggregation
+        # would REQUIRE hashpartitioning(k), which forbids AQE from
+        # splitting the skewed partition.  Collect the bare join output
+        # (executes THIS frame's plan so AQE finalizes it).
+        j = left.join(right, "k")
+        rows = j.collect()
+        assert len(rows) == 145_000 and all(r["k"] == 0 for r in rows)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        j2 = left.join(right, "k")
+        j2.collect()
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan2
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
