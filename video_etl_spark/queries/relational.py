@@ -1257,3 +1257,170 @@ def bitwise_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_quantity") >= 49).alias("any_large_qty"),
         F.count_if(F.col("l_tax") > 0.05).cast("long").alias("n_high_tax"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape — market share: 6-table join tree (region→nation→customer
+# →orders→lineitem→supplier→nation2), conditional share ratio per year.
+# The deep join tree is the Catalyst join-REORDERING showcase: only
+# region/nation carry explicit broadcast-worthy bounds; everything else is
+# AQE's choice.
+@query(
+    "nation_market_share",
+    oracle="""
+    WITH flat AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS vol,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00')
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END)
+                AS DOUBLE) / sum(vol) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    flat = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("cn_region"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"), vol.alias("vol"), "supp_nation"
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("vol")).otherwise(0))
+            .cast("double")
+            / F.sum("vol")
+        ).cast("double").alias("mkt_share")
+    ).select(F.col("o_year").cast("long").alias("o_year"), "mkt_share")
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 shape (adapted: p_retailprice stands in for ps_supplycost) —
+# product profit by supplier nation and year over a 5-table join.
+@query(
+    "product_profit_by_nation",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                    - p_retailprice * l_quantity) * 10000) AS BIGINT)) AS DOUBLE)
+                / 10000 AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000
+    ).cast("long")
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(amount).cast("double") / 10000).cast("double").alias("profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item reporting: top 20 customers by revenue
+# lost to returns in a quarter.
+@query(
+    "returned_item_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) AS DOUBLE) / 10000 AS DOUBLE) AS revenue,
+           n_name,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", F.col("c_acctbal").cast("double").alias("c_acctbal"))
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("long")
+                ).cast("double")
+                / 10000
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
+    )
