@@ -207,3 +207,40 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_plan_shapes_pushdown_and_pruning(spark, sf_dir):
+    """Plan-shape regression guards for the properties PERF.md claims:
+    predicate pushdown, column pruning, and no Python in JVM-only paths."""
+    from video_etl_spark.queries.relational import (
+        pricing_summary,
+        top_revenue_orders,
+    )
+    from video_etl_spark.queries.text import jaccard_pair_stats
+
+    # pushdown: the shipdate filter reaches the parquet scan
+    plan = (
+        pricing_summary(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+    # pruning: only the referenced lineitem columns are read
+    plan2 = (
+        top_revenue_orders(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan2)
+    li_schema = next(s for s in read_schemas if "l_orderkey" in s)
+    assert set(c.split(":")[0] for c in li_schema.split(",")) == {
+        "l_orderkey", "l_extendedprice", "l_discount",
+    }
+
+    # JVM-only path: no Python eval in the text pipeline
+    plan3 = (
+        jaccard_pair_stats(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan3 and "BatchEvalPython" not in plan3

@@ -436,3 +436,36 @@ def interpolate_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(interp, 6).alias("interp_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# W7⊕ — event-time RANGE frame: trailing-1-hour running sum/count per user
+# (rangeBetween on a numeric event-time key, not row counts — the frame
+# every rate-limit / rolling-metric query needs).  One shuffle on user_id;
+# the frame scan is a single ordered pass per partition.
+@query(
+    "trailing_hour_user_sum",
+    oracle="""
+    SELECT user_id, ts,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS trail_cents,
+           CAST(count(*) OVER w AS BIGINT) AS trail_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_hour_user_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "user_id",
+        "ts",
+        F.sum(cents).over(w).cast("long").alias("trail_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_n"),
+    )
