@@ -244,3 +244,42 @@ def test_plan_shapes_pushdown_and_pruning(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan3 and "BatchEvalPython" not in plan3
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime row-level filtering: a selective dim join injects a Bloom
+    filter (might_contain) on the fact side — rows are dropped before the
+    shuffle, the cheapest possible pre-join pruning at 100 TB.  Negative
+    probe: disabling the optimizer removes it."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    big = spark.range(0, 500_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("pad")
+    )
+    small = (
+        spark.range(0, 500_000, 9973)
+        .select(F.col("id").alias("k"))
+        .filter(F.col("k") % 2 == 0)
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = big.join(small, "k")
+        n = len(j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:1500]
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        j2 = big.join(small, "k")
+        assert len(j2.collect()) == n
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in plan2
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
