@@ -119,3 +119,25 @@ def test_simulator_independent_tasks_bounded(runtimes):
     assert rt4 >= max(runtimes) - 1e-9
     # more cores never hurt for independent single-core tasks
     assert simulate_runtime(tasks, 8) <= rt4 + 1e-9
+
+
+def test_approx_percentile_within_bound(spark, sf_dir):
+    """A11 approx surface: approx_percentile must land within the declared
+    relative-accuracy bound of the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    acc = 100  # 1/acc = 1% max rank error
+    row = li.select(
+        F.percentile(cents, F.lit(0.5)).alias("exact"),
+        F.percentile_approx(cents, F.lit(0.5), F.lit(acc)).alias("approx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    # rank error <= n/acc translates to a value-space bound via the
+    # empirical CDF; check the approx value's true rank instead
+    n_below = li.filter(cents <= row["approx"]).count()
+    rank_frac = n_below / row["n"]
+    assert abs(rank_frac - 0.5) <= 1.0 / acc + 0.01, (rank_frac, row)

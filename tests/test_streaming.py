@@ -422,3 +422,54 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     )
     # first delivery wins per key; the v=999 re-deliveries are dropped
     assert out == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_stream_static_join_ann_serving(spark, sf_dir, tmp_path):
+    """Stream-STATIC join (the serving shape for ANN/dedup lookups): a
+    replayed stream of query vectors joined per-batch against the static
+    corpus; results must equal the batch join."""
+    import json
+
+    from video_etl_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("corpus_label"),
+    )
+
+    d = tmp_path / "q_in"
+    d.mkdir()
+    queries = [
+        {"query_id": int(r["vec_id"]), "label": r["label"]}
+        for r in emb.filter(F.col("vec_id") < 5).select("vec_id", "label").collect()
+    ]
+    (d / "f0.json").write_text("\n".join(json.dumps(q) for q in queries) + "\n")
+
+    stream = spark.readStream.schema("query_id long, label string").json(str(d))
+    joined = stream.join(  # label-blocked candidate lookup, stream x static
+        corpus, stream["label"] == corpus["corpus_label"]
+    ).select("query_id", "neighbor_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ann_serve")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ann_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in spark.sql("select * from t_ann_serve").collect()
+    }
+    batch_q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label"
+    )
+    batch = {
+        (r["query_id"], r["neighbor_id"])
+        for r in batch_q.join(
+            corpus, batch_q["label"] == corpus["corpus_label"]
+        ).select("query_id", "neighbor_id").collect()
+    }
+    assert streamed == batch and streamed

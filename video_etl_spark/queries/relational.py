@@ -1424,3 +1424,40 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
     )
+
+
+# --------------------------------------------------------------------------
+# A11⊕ — unpivot (wide→long, the pivot inverse): per-lineitem charge
+# components stacked into (component, amount) rows.
+@query(
+    "unpivot_charge_components",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, component,
+           CAST(amount AS DOUBLE) AS amount
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice AS base_price,
+             round(l_extendedprice * l_discount, 2) AS discount_amt,
+             round(l_extendedprice * l_tax, 2) AS tax_amt
+      FROM lineitem WHERE l_orderkey < 200)
+    UNPIVOT (amount FOR component IN (base_price, discount_amt, tax_amt))
+    """,
+)
+def unpivot_charge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("base_price"),
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("discount_amt"),
+        F.round(F.col("l_extendedprice") * F.col("l_tax"), 2).alias("tax_amt"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["base_price", "discount_amt", "tax_amt"],
+        "component",
+        "amount",
+    ).select(
+        "l_orderkey", "l_linenumber", "component",
+        F.col("amount").cast("double").alias("amount"),
+    )
