@@ -1437,8 +1437,10 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT l_orderkey, l_linenumber,
              l_extendedprice AS base_price,
-             round(l_extendedprice * l_discount, 2) AS discount_amt,
-             round(l_extendedprice * l_tax, 2) AS tax_amt
+             CAST(round(l_extendedprice * l_discount * 100) AS BIGINT) / 100.0
+               AS discount_amt,
+             CAST(round(l_extendedprice * l_tax * 100) AS BIGINT) / 100.0
+               AS tax_amt
       FROM lineitem WHERE l_orderkey < 200)
     UNPIVOT (amount FOR component IN (base_price, discount_amt, tax_amt))
     """,
@@ -1449,8 +1451,10 @@ def unpivot_charge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.col("l_extendedprice").alias("base_price"),
-        F.round(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("discount_amt"),
-        F.round(F.col("l_extendedprice") * F.col("l_tax"), 2).alias("tax_amt"),
+        (F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+         / 100.0).alias("discount_amt"),
+        (F.round(F.col("l_extendedprice") * F.col("l_tax") * 100).cast("long")
+         / 100.0).alias("tax_amt"),
     )
     return wide.unpivot(
         ["l_orderkey", "l_linenumber"],
