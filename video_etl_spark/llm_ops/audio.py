@@ -1,7 +1,8 @@
 """S9/S10 — audio-extraction source and ASR transcription surface.
 
-The reference extracts an audio track from video and runs ASR over fixed
-windows (SURVEY §2.1 S9/S10).  Codecs and speech models are not in this
+The reference extracts an audio track from video
+(`/root/reference/code/workloads/streaming/runtime.py:47-54`, moviepy/
+ffmpeg) and runs ASR over fixed windows (`runtime.py:56-61`, paper §J).  Codecs and speech models are not in this
 container, so — as with the image path (`multimodal.py`) and the MLP
 embedder (`models.py`) — the *Spark plumbing* is real and tested while the
 decode/model step is a deterministic fake behind a ``real_asr`` gate:

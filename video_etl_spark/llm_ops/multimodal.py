@@ -120,7 +120,9 @@ def sample_frames(frames: DataFrame, stride: int, frame_col: str = "doc_id") -> 
 
 
 # ---------------------------------------------------------------------------
-# P3/P10 — color conversion + spatial downsampling with REAL array math.
+# P3/P10 — color conversion + spatial downsampling with REAL array math
+# (reference: BGR→gray `covid_measures.py:154` / `covid_workload.py:59`;
+# resize/normalize `covid_measures.py:60-65`, `feature_extraction.py:51-56`).
 # The fake decode derives an (H, W, 3) uint8 frame from an md5 byte stream
 # (codecs are container-absent), but everything downstream is genuine image
 # processing: integer-weighted RGB->gray, 2x2 box pooling, position-weighted

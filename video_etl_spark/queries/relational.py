@@ -1465,3 +1465,103 @@ def unpivot_charge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "component",
         F.col("amount").cast("double").alias("amount"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape — customer order-count distribution: LEFT join so
+# zero-order customers land in the c_count=0 bucket, then a second
+# aggregation over the first (two shuffles, both on shrinking keys).
+@query(
+    "customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape (adapted: lineitem as the part-supplier bridge) —
+# distinct-supplier counts per part attribute triple with an exclusion
+# filter.
+@query(
+    "part_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        part.join(li, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape (adapted: shipped-share in place of availqty) — suppliers
+# whose 1997 shipments of bolt parts exceed half their all-time shipments
+# of that part: grouped ratio filter + distinct semi-join to supplier.
+@query(
+    "excess_share_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                      THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS q97,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS q_all
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%bolt%'
+      GROUP BY l_suppkey, l_partkey)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier JOIN sp ON l_suppkey = s_suppkey
+    WHERE CAST(q97 AS DOUBLE) > 0.5 * CAST(q_all AS DOUBLE)
+    """,
+)
+def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bolts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey")
+    qty = F.round("l_quantity").cast("long")
+    in97 = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    sp = (
+        li.join(bolts, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in97, qty).otherwise(0)).alias("q97"),
+            F.sum(qty).alias("q_all"),
+        )
+        .filter(F.col("q97").cast("double") > 0.5 * F.col("q_all").cast("double"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(sp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
