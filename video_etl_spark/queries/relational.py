@@ -1565,3 +1565,36 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(sp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 shape — forecasting revenue change: single-table filtered agg
+# with range predicates on three columns; everything pushes to the scan.
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                 AS BIGINT)) AS DOUBLE) / 10000 AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
