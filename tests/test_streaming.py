@@ -473,3 +473,137 @@ def test_stream_static_join_ann_serving(spark, sf_dir, tmp_path):
         ).select("query_id", "neighbor_id").collect()
     }
     assert streamed == batch and streamed
+
+
+def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
+    """§2.8 outer stream-stream join: unmatched left rows are held in
+    state and emitted WITH NULLS only once the watermark passes the join
+    window — the semantics that distinguish outer from inner stream joins."""
+    import json
+    import time
+
+    d1 = tmp_path / "l_in"
+    d2 = tmp_path / "r_in"
+    d1.mkdir(); d2.mkdir()
+
+    def write(d, name, rows):
+        (d / name).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    # left event k=1 will match; k=2 never gets a right-side partner
+    write(d1, "f0.json", [
+        {"k": 1, "l_ts": "2024-01-01 00:00:01"},
+        {"k": 2, "l_ts": "2024-01-01 00:00:02"},
+        {"k": 9, "l_ts": "2024-01-01 00:05:00"},  # advances left watermark
+    ])
+    write(d2, "f0.json", [
+        {"k": 1, "r_ts": "2024-01-01 00:00:03"},
+        {"k": 8, "r_ts": "2024-01-01 00:05:00"},  # advances right watermark
+    ])
+
+    left = (
+        spark.readStream.schema("k long, l_ts string").json(str(d1))
+        .withColumn("l_ts", F.col("l_ts").cast("timestamp"))
+        .withWatermark("l_ts", "10 seconds")
+    )
+    right = (
+        spark.readStream.schema("k long, r_ts string").json(str(d2))
+        .withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+        .withColumnRenamed("k", "rk")
+        .withWatermark("r_ts", "10 seconds")
+    )
+    joined = left.join(
+        right,
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("interval 30 seconds")),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_outer_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "oj_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        t0 = time.time()
+        rows = []
+        while time.time() - t0 < 90:
+            rows = spark.sql("select * from t_outer_join").collect()
+            ks = {r["k"] for r in rows}
+            if {1, 2} <= ks:
+                break
+            time.sleep(1.0)
+            # keep micro-batches firing so watermarks advance
+            write(d1, f"t{int(time.time()*1000)}.json",
+                  [{"k": 9, "l_ts": "2024-01-01 00:09:00"}])
+            write(d2, f"t{int(time.time()*1000)}.json",
+                  [{"k": 8, "r_ts": "2024-01-01 00:09:00"}])
+    finally:
+        q.stop()
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r["k"], []).append(r)
+    # matched pair carries the right timestamp; expired unmatched row has NULLs
+    assert any(r["rk"] == 1 for r in by_k[1])
+    assert all(r["rk"] is None and r["r_ts"] is None for r in by_k[2])
+
+
+def test_foreachbatch_keyed_upsert_sink(spark, sf_dir, tmp_path):
+    """foreachBatch upsert sink (Delta-MERGE pattern without Delta): each
+    micro-batch's per-user aggregates are merged into a keyed parquet
+    table by read-union-resolve-overwrite; the final table must equal the
+    batch aggregate (exactly-once via idempotent full-key overwrite)."""
+    import os
+
+    from video_etl_spark.session import load_table
+    from video_etl_spark.streaming.pipeline import events_stream
+
+    target = str(tmp_path / "upsert_table")
+
+    def upsert(batch_df, batch_id):
+        incoming = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        spark_l = batch_df.sparkSession
+        if os.path.exists(target):
+            current = spark_l.read.parquet(target)
+            merged = (
+                current.unionByName(incoming)
+                .groupBy("user_id")
+                .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+            )
+        else:
+            merged = incoming
+        merged.write.mode("overwrite").format("parquet").save(target + ".tmp")
+        # atomic swap: parquet has no MERGE; full-key overwrite is the
+        # idempotent equivalent at this table size
+        spark_l.read.parquet(target + ".tmp").write.mode("overwrite").parquet(target)
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "up_ckpt"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in spark.read.parquet(target).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
