@@ -46,6 +46,9 @@ HEADLINE = [
     "sole_returning_suppliers",
     "min_cost_supplier_per_part",
     "mlp_embedding",
+    "dedup_connected_clusters",
+    "trailing_hour_user_sum",
+    "nation_market_share",
 ]
 
 
