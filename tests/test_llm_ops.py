@@ -464,3 +464,61 @@ def test_gray_and_pool_shapes():
     pooled = box_downsample_sum(gray)
     assert pooled.shape == (FRAME_H // 2, FRAME_W // 2)
     assert pooled.sum() == gray.sum()  # sum-pooling conserves mass
+
+
+def test_lstm_cell_matches_scalar_reference():
+    """U8 cell correctness: vectorized numpy forward vs an explicit
+    per-gate, per-element scalar reference."""
+    import math
+
+    import numpy as np
+
+    from video_etl_spark.llm_ops.models import L_HID, TinyLSTM, _lstm_weights
+
+    model = TinyLSTM()
+    w = _lstm_weights()
+    rng = np.random.default_rng(3)
+    seq = rng.uniform(-2, 2, (7, 1))
+
+    h = [0.0] * L_HID
+    c = [0.0] * L_HID
+    for t in range(seq.shape[0]):
+        z = [seq[t, 0]] + h
+        gates = {}
+        for gname in ("i", "f", "o", "g"):
+            out = []
+            for j in range(L_HID):
+                s = w[gname]["b"][j]
+                for k in range(len(z)):
+                    s += z[k] * w[gname]["w"][k, j]
+                out.append(
+                    math.tanh(s) if gname == "g" else 1.0 / (1.0 + math.exp(-s))
+                )
+            gates[gname] = out
+        c = [
+            gates["f"][j] * c[j] + gates["i"][j] * gates["g"][j]
+            for j in range(L_HID)
+        ]
+        h = [gates["o"][j] * math.tanh(c[j]) for j in range(L_HID)]
+
+    got = model.forward(seq)
+    assert np.allclose(got, h, atol=1e-12)
+
+
+def test_lstm_user_states_deterministic_and_ordered(spark, sf_dir):
+    """Sequence order matters (it's recurrent) and reruns are identical."""
+    from video_etl_spark.llm_ops.models import TinyLSTM
+    from video_etl_spark.queries.advanced import lstm_user_states
+
+    import numpy as np
+
+    a = {r["user_id"]: (r["h0"], r["h1"], r["h2"], r["h3"], r["seq_len"])
+         for r in lstm_user_states(spark, sf_dir).collect()}
+    b = {r["user_id"]: (r["h0"], r["h1"], r["h2"], r["h3"], r["seq_len"])
+         for r in lstm_user_states(spark, sf_dir).collect()}
+    assert a == b and a
+
+    # recurrence sanity: reversing a sequence changes the state
+    m = TinyLSTM()
+    seq = np.array([[0.1], [0.7], [-0.3]])
+    assert not np.allclose(m.forward(seq), m.forward(seq[::-1].copy()))

@@ -170,3 +170,104 @@ def mlp_oracle_sql(where: str = "doc_id % 2 = 0") -> str:
       SELECT doc_id, {", ".join(hidden)} FROM feat)
     SELECT doc_id, {", ".join(outputs)} FROM hid
     """
+
+
+# ---------------------------------------------------------------------------
+# U8 — LFLSTM pattern (reference `workloads/streaming/lflstm.py:56-133`:
+# late-fusion LSTM over per-chunk features).  Torch is container-absent, so
+# the recurrent cell is pure numpy with the same deterministic dyadic
+# weights as the MLP above; the Spark integration is the real shape — an
+# applyInPandas over per-key ORDERED sequences with the executor-local
+# model cache.  tanh/sigmoid make the outputs non-SQL-replayable, so the
+# registered query is rows-only; correctness comes from the per-gate
+# differential test (tests/test_llm_ops.py).
+
+L_IN = 1
+L_HID = 4
+
+
+def _lstm_weights(seed: int = 13) -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+
+    def mat(r, c):
+        return rng.integers(-8, 9, (r, c)).astype(np.float64) / 16.0
+
+    return {
+        g: {"w": mat(L_IN + L_HID, L_HID), "b": mat(1, L_HID)[0]}
+        for g in ("i", "f", "o", "g")
+    }
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class TinyLSTM:
+    """Single-layer LSTM: (T, 1) value sequence -> final hidden (4,)."""
+
+    def __init__(self, seed: int = 13) -> None:
+        self.w = _lstm_weights(seed)
+
+    def forward(self, seq: np.ndarray) -> np.ndarray:
+        h = np.zeros(L_HID)
+        c = np.zeros(L_HID)
+        for t in range(seq.shape[0]):
+            z = np.concatenate([seq[t], h])
+            i = _sigmoid(z @ self.w["i"]["w"] + self.w["i"]["b"])
+            f = _sigmoid(z @ self.w["f"]["w"] + self.w["f"]["b"])
+            o = _sigmoid(z @ self.w["o"]["w"] + self.w["o"]["b"])
+            g = np.tanh(z @ self.w["g"]["w"] + self.w["g"]["b"])
+            c = f * c + i * g
+            h = o * np.tanh(c)
+        return h
+
+
+_LSTM_CACHE: dict[str, TinyLSTM] = {}
+
+
+def get_lstm(name: str = "tiny-lstm", on_init: Callable[[], None] | None = None) -> TinyLSTM:
+    model = _LSTM_CACHE.get(name)
+    if model is None:
+        model = TinyLSTM()
+        _LSTM_CACHE[name] = model
+        if on_init is not None:
+            on_init()
+    return model
+
+
+def lstm_user_states(
+    events: DataFrame,
+    max_len: int = 16,
+    init_counter=None,
+    model_name: str = "tiny-lstm",
+) -> DataFrame:
+    """Per-user LSTM final state over the time-ordered value sequence.
+
+    applyInPandas per user_id (ONE shuffle on the key); each group sorts
+    its own rows by ts — the standard sequence-model-over-keyed-events
+    shape.  Output: user_id, seq_len, h0..h3 quantized to 1e6 BIGINTs.
+    """
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(events.sparkSession)
+    on_init = (lambda: init_counter.add(1)) if init_counter is not None else None
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        model = get_lstm(model_name, on_init=on_init)
+        pdf = pdf.sort_values("ts").head(max_len)
+        seq = (pdf["value"].to_numpy(dtype=np.float64) / 100.0).reshape(-1, 1)
+        h = np.rint(model.forward(seq) * 1_000_000).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "seq_len": [int(len(seq))],
+                **{f"h{j}": [int(h[j])] for j in range(L_HID)},
+            }
+        )
+
+    schema = (
+        "user_id long, seq_len long, h0 long, h1 long, h2 long, h3 long"
+    )
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
+        run, schema
+    )

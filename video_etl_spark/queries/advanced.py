@@ -37,6 +37,7 @@ ROWS_ONLY_QUERIES = frozenset(
         "approx_count_distinct",
         "knn_ivf",
         "knn_pq",
+        "lstm_user_states",
     }
 )
 
@@ -262,3 +263,98 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5)
     corpus = emb.filter(F.col("vec_id") >= 5)
     return ivf_topk(corpus, queries_df, k=10)
+
+
+@query("lstm_user_states")
+def lstm_user_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U8 LFLSTM pattern: numpy LSTM over per-user ordered event values
+    (applyInPandas, executor-cached weights). Rows-only: the recurrent
+    tanh/sigmoid chain is not SQL-replayable; the cell is differentially
+    tested against a per-gate scalar reference."""
+    from video_etl_spark.llm_ops.models import lstm_user_states as _lstm
+
+    ev = load_table(spark, sf_dir, "events")
+    return _lstm(ev)
+
+
+# --------------------------------------------------------------------------
+# U10 — GCN layer as a RELATIONAL plan (reference TransMOT's graph conv,
+# `workloads/transMOT/` GCN stack): one round of neighborhood message
+# passing H = ReLU((A+I) X W) over the nation graph (edges = shared
+# region, self-loops included).  Features are md5-derived integers, W is
+# dyadic (k/16), accumulation is exact integer arithmetic until one final
+# double division — so the whole layer hash-matches the DuckDB oracle.
+# The Spark shape IS the scale shape: adjacency as an equi-join on the
+# blocking key, aggregation as groupBy(dst) — a billion-edge graph runs
+# the same plan.
+_GCN_W = [  # deterministic 4x4 dyadic weights (k/16, k in [-8, 8])
+    [3, -5, 7, 1], [-2, 4, -6, 8], [5, -1, 2, -7], [-8, 6, -3, 4],
+]
+
+
+def _gcn_feature_exprs(engine: str) -> list[str]:
+    """x_i(node) = byte i of md5(nation name), engine-specific SQL."""
+    if engine == "spark":
+        return [
+            f"cast(conv(substr(md5(n_name), {2 * i + 1}, 2), 16, 10) as bigint)"
+            for i in range(4)
+        ]
+    return [
+        f"CAST(('0x' || substr(md5(n_name), {2 * i + 1}, 2)) AS BIGINT)"
+        for i in range(4)
+    ]
+
+
+def _gcn_oracle_sql() -> str:
+    x = _gcn_feature_exprs("duck")
+    feat = ", ".join(f"{e} AS x{i}" for i, e in enumerate(x))
+    agg = ", ".join(f"sum(b.x{i}) AS s{i}" for i in range(4))
+    outs = []
+    for j in range(4):
+        terms = " + ".join(f"s{i} * ({_GCN_W[i][j]})" for i in range(4))
+        outs.append(
+            f"CAST(greatest(CAST(({terms}) AS DOUBLE) / 16, 0) AS DOUBLE) AS h{j}"
+        )
+    return f"""
+    WITH feat AS (
+      SELECT n_nationkey, n_regionkey, n_name, {feat} FROM nation),
+    msg AS (
+      SELECT a.n_nationkey AS dst, {agg}
+      FROM feat a JOIN feat b ON a.n_regionkey = b.n_regionkey
+      GROUP BY a.n_nationkey)
+    SELECT dst AS n_nationkey, {", ".join(outs)} FROM msg
+    """
+
+
+@query("gcn_layer_nations", oracle=_gcn_oracle_sql())
+def gcn_layer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    x = _gcn_feature_exprs("spark")
+    feat = nation.select(
+        "n_nationkey", "n_regionkey",
+        *[F.expr(e).alias(f"x{i}") for i, e in enumerate(x)],
+    )
+    a = feat.select(
+        F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("rg")
+    )
+    b = feat.select(
+        F.col("n_regionkey").alias("rg"),
+        *[F.col(f"x{i}") for i in range(4)],
+    )
+    # (A+I)X: neighbors = same region (self included by the equi-join)
+    msg = (
+        a.join(b, "rg")
+        .groupBy("dst")
+        .agg(*[F.sum(f"x{i}").alias(f"s{i}") for i in range(4)])
+    )
+    outs = []
+    for j in range(4):
+        lin = None
+        for i in range(4):
+            term = F.col(f"s{i}") * F.lit(_GCN_W[i][j])
+            lin = term if lin is None else lin + term
+        outs.append(
+            F.greatest(lin.cast("double") / 16, F.lit(0.0))
+            .cast("double").alias(f"h{j}")
+        )
+    return msg.select(F.col("dst").alias("n_nationkey"), *outs)
