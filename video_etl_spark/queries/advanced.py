@@ -358,3 +358,78 @@ def gcn_layer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias(f"h{j}")
         )
     return msg.select(F.col("dst").alias("n_nationkey"), *outs)
+
+
+# --------------------------------------------------------------------------
+# U9 — TransMOT-style graph ATTENTION layer as a relational plan
+# (reference `workloads/transMOT/` spatial-graph transformer): per-edge
+# scores from projected features, per-destination softmax, attention-
+# weighted neighbor aggregation.  Edge scores use exact integer
+# arithmetic; only exp() introduces engine ulp differences, absorbed by
+# round(.., 6) on both sides (same convention as tfidf's ln).  The plan —
+# edge equi-join, groupBy(dst) softmax denominator, weighted sum — is the
+# standard distributed-attention shape.
+def _gat_oracle_sql() -> str:
+    x = _gcn_feature_exprs("duck")
+    feat = ", ".join(f"{e} AS x{i}" for i, e in enumerate(x))
+    # scalar projections: p = sum_i x_i * w_i / 16 (dyadic), exact halves
+    p_src = " + ".join(f"a.x{i} * ({_GCN_W[0][i]})" for i in range(4))
+    p_dst = " + ".join(f"b.x{i} * ({_GCN_W[1][i]})" for i in range(4))
+    return f"""
+    WITH feat AS (
+      SELECT n_nationkey, n_regionkey, n_name, {feat} FROM nation),
+    edges AS (
+      SELECT b.n_nationkey AS dst, a.n_nationkey AS src,
+             exp(CAST(({p_src}) + ({p_dst}) AS DOUBLE) / 4096) AS escore,
+             a.x0 AS sx0, a.x1 AS sx1, a.x2 AS sx2, a.x3 AS sx3
+      FROM feat a JOIN feat b ON a.n_regionkey = b.n_regionkey),
+    attn AS (
+      SELECT dst, src, escore / sum(escore) OVER (PARTITION BY dst) AS alpha,
+             sx0, sx1, sx2, sx3
+      FROM edges)
+    SELECT dst AS n_nationkey,
+           round(sum(alpha * sx0), 6) AS a0,
+           round(sum(alpha * sx1), 6) AS a1,
+           round(sum(alpha * sx2), 6) AS a2,
+           round(sum(alpha * sx3), 6) AS a3
+    FROM attn GROUP BY dst
+    """
+
+
+@query("gat_attention_nations", oracle=_gat_oracle_sql())
+def gat_attention_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    nation = load_table(spark, sf_dir, "nation")
+    x = _gcn_feature_exprs("spark")
+    feat = nation.select(
+        "n_nationkey", "n_regionkey",
+        *[F.expr(e).alias(f"x{i}") for i, e in enumerate(x)],
+    )
+    a = feat.select(
+        F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("rg"),
+        *[F.col(f"x{i}").alias(f"sx{i}") for i in range(4)],
+    )
+    b = feat.select(
+        F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("rg"),
+        *[F.col(f"x{i}").alias(f"dx{i}") for i in range(4)],
+    )
+    p_src = sum(
+        (F.col(f"sx{i}") * F.lit(_GCN_W[0][i]) for i in range(1, 4)),
+        F.col("sx0") * F.lit(_GCN_W[0][0]),
+    )
+    p_dst = sum(
+        (F.col(f"dx{i}") * F.lit(_GCN_W[1][i]) for i in range(1, 4)),
+        F.col("dx0") * F.lit(_GCN_W[1][0]),
+    )
+    edges = a.join(b, "rg").withColumn(
+        "escore", F.exp((p_src + p_dst).cast("double") / 4096)
+    )
+    w = Window.partitionBy("dst")
+    attn = edges.withColumn("alpha", F.col("escore") / F.sum("escore").over(w))
+    return attn.groupBy(F.col("dst").alias("n_nationkey")).agg(
+        *[
+            F.round(F.sum(F.col("alpha") * F.col(f"sx{i}")), 6).alias(f"a{i}")
+            for i in range(4)
+        ]
+    )
