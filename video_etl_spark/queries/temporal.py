@@ -469,3 +469,77 @@ def trailing_hour_user_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w).cast("long").alias("trail_cents"),
         F.count(F.lit(1)).over(w).cast("long").alias("trail_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# W7⊕ — ordered-funnel analysis (view → click → purchase): per user, the
+# earliest event of each stage must occur strictly after the previous
+# stage's earliest event.  One shuffle on user_id; stage timestamps come
+# from a single conditional aggregation (no self-joins, no window
+# storms) — the MATCH_RECOGNIZE-lite shape every product-analytics
+# pipeline runs.
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy_any
+      FROM events GROUP BY user_id),
+    seq AS (
+      SELECT user_id, t_view,
+             (SELECT min(e.ts) FROM events e
+              WHERE e.user_id = stages.user_id AND e.event_type = 'click'
+                AND e.ts > t_view) AS t_click
+      FROM stages WHERE t_view IS NOT NULL),
+    seq2 AS (
+      SELECT user_id, t_view, t_click,
+             (SELECT min(e.ts) FROM events e
+              WHERE e.user_id = seq.user_id AND e.event_type = 'purchase'
+                AND e.ts > t_click) AS t_buy
+      FROM seq)
+    SELECT count(*) AS n_viewed,
+           CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicked,
+           CAST(sum(CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchased
+    FROM seq2
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    stages = ev.groupBy("user_id").agg(t_view.alias("t_view"))
+    # stage-2/3 "first event after X" via conditional min over a re-join
+    # of the per-user events (one shuffle, both sides keyed on user_id)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    seq = (
+        stages.filter(F.col("t_view").isNotNull())
+        .join(clicks, "user_id", "left")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(F.when(F.col("c_ts") > F.col("t_view"), F.col("c_ts")))
+            .alias("t_click")
+        )
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("b_ts")
+    )
+    seq2 = (
+        seq.join(buys, "user_id", "left")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(F.when(F.col("b_ts") > F.col("t_click"), F.col("b_ts")))
+            .alias("t_buy")
+        )
+    )
+    return seq2.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_clicked"),
+        F.sum(F.when(F.col("t_buy").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_purchased"),
+    )
