@@ -283,3 +283,41 @@ def test_runtime_bloom_filter_join_pruning(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_plan_shapes_no_pathological_joins(spark, sf_dir):
+    """More plan goldens: the headline candidate-generation queries must
+    never contain a cartesian product or broadcast nested loop, the as-of
+    join must be the union+window form (no range join explosion), and the
+    brute-force kNN must broadcast the query side."""
+    from video_etl_spark.queries.temporal import (
+        asof_purchase_click,
+        sessionize_events,
+    )
+    from video_etl_spark.queries.text import minhash_band_pairs
+    from video_etl_spark.queries.vectors import knn_cosine_bruteforce
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for df in (
+        minhash_band_pairs(spark, sf_dir),
+        asof_purchase_click(spark, sf_dir),
+        sessionize_events(spark, sf_dir),
+    ):
+        p = plan_of(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+    # as-of is union+window: no join operator at all in the plan
+    p_asof = plan_of(asof_purchase_click(spark, sf_dir))
+    assert "Join" not in p_asof
+
+    # brute-force kNN: the 5-row query side is BROADCAST against the
+    # streaming corpus — a BroadcastNestedLoopJoin is the correct plan for
+    # a keyless pairing with a tiny side (what must NOT appear is a
+    # shuffle-based CartesianProduct, which would reshuffle the corpus)
+    p_knn = plan_of(knn_cosine_bruteforce(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p_knn
+    assert "CartesianProduct" not in p_knn
