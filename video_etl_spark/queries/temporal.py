@@ -543,3 +543,68 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("t_buy").isNotNull(), 1).otherwise(0))
         .cast("long").alias("n_purchased"),
     )
+
+
+# --------------------------------------------------------------------------
+# W7⊕ — cohort retention: users grouped by signup week, retention = share
+# of the cohort active in each subsequent week.  Two aggregations over one
+# join (cohort assignment is a per-user reduction reused as a join side) —
+# the canonical product-analytics matrix.
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             CAST(datediff('week', c.cohort_week,
+                           date_trunc('week', e.ts)) AS BIGINT) AS week_no
+      FROM events e JOIN cohorts c ON c.user_id = e.user_id
+      WHERE e.ts >= c.cohort_week),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM cohorts
+      GROUP BY cohort_week)
+    SELECT a.cohort_week, a.week_no,
+           count(*) AS n_active,
+           CAST(count(*) AS DOUBLE) / s.cohort_size AS retention
+    FROM activity a JOIN sizes s ON s.cohort_week = a.cohort_week
+    GROUP BY a.cohort_week, a.week_no, s.cohort_size
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        ev.join(cohorts, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("long").alias("week_no"),
+        )
+        .distinct()
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_no")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_no",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size"))
+            .alias("retention"),
+        )
+    )
