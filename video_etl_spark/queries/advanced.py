@@ -433,3 +433,95 @@ def gat_attention_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# U10 (deep) — TWO stacked GCN layers, still oracle-EXACT: weight
+# denominators are deferred (W holds integer numerators, /16 per layer →
+# /256 once at the end), ReLU on integers is exact greatest(x, 0), so both
+# rounds of message passing accumulate in BIGINTs.  Composition = two
+# chained (equi-join → groupBy) blocks — the multi-layer GNN training shape
+# with zero floating point until the final projection.
+def _gcn2_oracle_sql() -> str:
+    x = _gcn_feature_exprs("duck")
+    feat = ", ".join(f"{e} AS x{i}" for i, e in enumerate(x))
+    agg1 = ", ".join(f"sum(b.x{i}) AS s{i}" for i in range(4))
+    h1 = []
+    for j in range(4):
+        terms = " + ".join(f"s{i} * ({_GCN_W[i][j]})" for i in range(4))
+        h1.append(f"greatest({terms}, 0) AS h{j}")  # integer ReLU
+    agg2 = ", ".join(f"sum(b2.h{i}) AS t{i}" for i in range(4))
+    outs = []
+    for j in range(4):
+        # layer-2 weights: transpose of _GCN_W for variety, still dyadic
+        terms = " + ".join(f"t{i} * ({_GCN_W[j][i]})" for i in range(4))
+        outs.append(
+            f"CAST(greatest(CAST(({terms}) AS DOUBLE) / 256, 0) AS DOUBLE)"
+            f" AS z{j}"
+        )
+    return f"""
+    WITH feat AS (
+      SELECT n_nationkey, n_regionkey, n_name, {feat} FROM nation),
+    msg1 AS (
+      SELECT a.n_nationkey AS node, a.n_regionkey AS rg, {agg1}
+      FROM feat a JOIN feat b ON a.n_regionkey = b.n_regionkey
+      GROUP BY a.n_nationkey, a.n_regionkey),
+    lay1 AS (
+      SELECT node, rg, {", ".join(h1)} FROM msg1),
+    msg2 AS (
+      SELECT a2.node AS node, {agg2}
+      FROM lay1 a2 JOIN lay1 b2 ON a2.rg = b2.rg
+      GROUP BY a2.node)
+    SELECT node AS n_nationkey, {", ".join(outs)} FROM msg2
+    """
+
+
+@query("gcn_two_layer_nations", oracle=_gcn2_oracle_sql())
+def gcn_two_layer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    x = _gcn_feature_exprs("spark")
+    feat = nation.select(
+        "n_nationkey", "n_regionkey",
+        *[F.expr(e).alias(f"x{i}") for i, e in enumerate(x)],
+    )
+
+    def message_pass(df, val_prefix, out_prefix):
+        a = df.select(
+            F.col("n_nationkey").alias("node"), F.col("n_regionkey").alias("rg")
+        )
+        b = df.select(
+            F.col("n_regionkey").alias("rg"),
+            *[F.col(f"{val_prefix}{i}") for i in range(4)],
+        )
+        return (
+            a.join(b, "rg")
+            .groupBy("node", "rg")
+            .agg(*[F.sum(f"{val_prefix}{i}").alias(f"{out_prefix}{i}") for i in range(4)])
+        )
+
+    msg1 = message_pass(feat, "x", "s")
+    h1 = msg1.select(
+        F.col("node").alias("n_nationkey"), F.col("rg").alias("n_regionkey"),
+        *[
+            F.greatest(
+                sum(
+                    (F.col(f"s{i}") * F.lit(_GCN_W[i][j]) for i in range(1, 4)),
+                    F.col("s0") * F.lit(_GCN_W[0][j]),
+                ),
+                F.lit(0),
+            ).alias(f"h{j}")
+            for j in range(4)
+        ],
+    )
+    msg2 = message_pass(h1, "h", "t")
+    outs = []
+    for j in range(4):
+        lin = sum(
+            (F.col(f"t{i}") * F.lit(_GCN_W[j][i]) for i in range(1, 4)),
+            F.col("t0") * F.lit(_GCN_W[j][0]),
+        )
+        outs.append(
+            F.greatest(lin.cast("double") / 256, F.lit(0.0))
+            .cast("double").alias(f"z{j}")
+        )
+    return msg2.select(F.col("node").alias("n_nationkey"), *outs)
