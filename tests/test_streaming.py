@@ -607,3 +607,66 @@ def test_foreachbatch_keyed_upsert_sink(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_pq_serving_matches_driver_reference(spark, sf_dir, tmp_path):
+    """Online ANN serving: a stream of query vectors scored per micro-batch
+    against broadcast PQ codes must equal the driver-side numpy reference
+    (same codebooks, same ADC math)."""
+    import json
+
+    import numpy as np
+
+    from video_etl_spark.llm_ops.similarity import (
+        _normalize,
+        pq_encode_corpus,
+        pq_serve_stream,
+    )
+    from video_etl_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    books, ids, codes = pq_encode_corpus(corpus)
+
+    q_rows = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    d = tmp_path / "pq_in"
+    d.mkdir()
+    (d / "f0.json").write_text(
+        "\n".join(
+            json.dumps({"query_id": int(r["vec_id"]),
+                        "embedding": [float(x) for x in r["embedding"]]})
+            for r in q_rows
+        ) + "\n"
+    )
+    stream = spark.readStream.schema(
+        "query_id long, embedding array<double>"
+    ).json(str(d))
+    out = pq_serve_stream(stream, books, ids, codes, k=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_pq_serve")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["query_id"], r["rn"]): (r["neighbor_id"], r["approx_ip"])
+        for r in spark.sql("select * from t_pq_serve").collect()
+    }
+
+    # driver-side reference with the identical artifacts
+    m, dsub = books.shape[0], books.shape[2]
+    want = {}
+    for r in q_rows:
+        qv = _normalize(np.array([r["embedding"]], dtype=np.float64))
+        luts = np.einsum("qjd,jcd->qjc", qv.reshape(1, m, dsub), books)
+        approx = luts[:, np.arange(m)[None, :], codes].sum(axis=2)[0]
+        order = np.lexsort((ids, -approx))[:5]
+        for rank, bi in enumerate(order, start=1):
+            want[(int(r["vec_id"]), rank)] = (int(ids[bi]), float(approx[bi]))
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0]
+        assert abs(got[key][1] - want[key][1]) < 1e-9

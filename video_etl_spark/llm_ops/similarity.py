@@ -346,3 +346,86 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming PQ serving: the compressed codes table is small by construction
+# (m bytes/vector — 8 MB per million vectors at m=8), so it broadcasts to
+# every executor and a STREAM of query vectors scores per micro-batch in a
+# narrow mapInPandas — no stream-side shuffle, no state.  This is the
+# online-serving twin of pq_topk's offline scan.
+
+
+def pq_encode_corpus(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+):
+    """Driver-side PQ artifacts: (codebooks, ids, codes) numpy arrays.
+
+    codes are uint8 (m per vector); at scale these come from the encoded
+    parquet table pq_topk's narrow map writes, not a collect."""
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
+    books = _fit_pq_codebooks(mat[: min(sample_size, len(mat))], m=m, ksub=ksub, seed=seed)
+    dsub = mat.shape[1] // m
+    sub = mat.reshape(len(mat), m, dsub)
+    d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    codes = d2.argmin(axis=2).astype(np.uint8)
+    return books, ids, codes
+
+
+def pq_serve_stream(
+    stream_queries: DataFrame,
+    books: np.ndarray,
+    ids: np.ndarray,
+    codes: np.ndarray,
+    k: int = 10,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score a (possibly streaming) DataFrame of query vectors against the
+    broadcast PQ codes; emits (query_id, neighbor_id, approx_ip, rn)."""
+    from pyspark.sql import types as T
+
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(stream_queries.sparkSession)
+    m = books.shape[0]
+    dsub = books.shape[2]
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("approx_ip", T.DoubleType()),
+            T.StructField("rn", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            luts = np.einsum("qjd,jcd->qjc", q.reshape(len(q), m, dsub), books)
+            approx = luts[:, np.arange(m)[None, :], codes].sum(axis=2)
+            rows = []
+            for qi in range(len(q)):
+                order = np.lexsort((ids, -approx[qi]))[:k]
+                for rank, bi in enumerate(order, start=1):
+                    rows.append(
+                        (int(pdf[id_col].iloc[qi]), int(ids[bi]),
+                         float(approx[qi, bi]), rank)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["query_id", "neighbor_id", "approx_ip", "rn"]
+            )
+
+    return stream_queries.mapInPandas(run, schema)
