@@ -1598,3 +1598,74 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ data-quality op — referential-integrity audit: orphan counts across
+# every FK edge of the star schema in ONE pass each (left-anti joins
+# reduced to counts), plus the parent row totals that make zero-orphan
+# results meaningful.  The shape a 100 TB nightly quality gate runs.
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans,
+           (SELECT count(*) FROM lineitem) AS n_child_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer c WHERE NOT EXISTS
+             (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+           (SELECT count(*) FROM customer)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def audit(edge, child, parent, ck, pk):
+        # one lazy plan per edge: anti-join count x child total, no
+        # driver-side actions (they'd serialize the audit into 2N jobs)
+        orphans = (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        total = child.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        return (
+            orphans.crossJoin(F.broadcast(total))
+            .select(
+                F.lit(edge).alias("fk_edge"), "n_orphans", "n_child_rows"
+            )
+        )
+
+    frames = [
+        audit("lineitem->orders", li, orders, "l_orderkey", "o_orderkey"),
+        audit("orders->customer", orders, cust, "o_custkey", "c_custkey"),
+        audit("lineitem->part", li, part, "l_partkey", "p_partkey"),
+        audit("lineitem->supplier", li, supp, "l_suppkey", "s_suppkey"),
+        audit("customer->nation", cust, nation, "c_nationkey", "n_nationkey"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
