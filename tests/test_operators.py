@@ -321,3 +321,66 @@ def test_plan_shapes_no_pathological_joins(spark, sf_dir):
     p_knn = plan_of(knn_cosine_bruteforce(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p_knn
     assert "CartesianProduct" not in p_knn
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Idempotent backfill: with dynamic partitionOverwriteMode, rewriting
+    one day replaces ONLY that partition — the nightly-rerun pattern that
+    makes a 100 TB partitioned sink safely re-runnable."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "days")
+    rows = [
+        (1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0), (3, "2024-01-03", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, day string, v double")
+    df.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        fix = spark.createDataFrame(
+            [(99, "2024-01-02", 99.0)], "id long, day string, v double"
+        )
+        fix.write.partitionBy("day").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    back = {
+        (str(r["day"]), r["id"]): r["v"]  # partition col inferred as DATE
+        for r in spark.read.parquet(path).collect()
+    }
+    # day2 replaced, day1/day3 untouched
+    assert back == {
+        ("2024-01-01", 1): 10.0,
+        ("2024-01-02", 99): 99.0,
+        ("2024-01-03", 3): 30.0,
+    }
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """Schema evolution: batches written with added columns are readable
+    as one table with mergeSchema; missing cells are NULL."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(p + "/b1")
+    spark.createDataFrame(
+        [(2, "b", 3.5)], "id long, s string, score double"
+    ).write.parquet(p + "/b2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p + "/b1", p + "/b2")
+    assert set(merged.columns) == {"id", "s", "score"}
+    got = {r["id"]: r["score"] for r in merged.collect()}
+    assert got == {1: None, 2: 3.5}
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    """O9 plan golden: a global orderBy+limit must compile to
+    TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    full sort."""
+    from video_etl_spark.queries.relational import top_orders_global
+
+    df = top_orders_global(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
