@@ -608,3 +608,89 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# W7⊕ — SCD Type-2 history build: turn a change stream into versioned
+# dimension rows (valid_from / valid_to / is_current) with one lead()
+# window per key — the warehouse pattern for slowly-changing dimensions.
+# Change events = each user's event_type transitions (dedup of consecutive
+# repeats via lag()).
+@query(
+    "scd2_user_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+      SELECT user_id, ts, event_type FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type),
+    versioned AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM changes)
+    SELECT user_id, state, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM versioned
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "ts", "event_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+# --------------------------------------------------------------------------
+# W7⊕ — burst detection: users with >= 3 'error' events inside any rolling
+# 5-minute window (event-time RANGE frame count + max-per-user reduction) —
+# the alerting-rule shape.
+@query(
+    "error_burst_users",
+    oracle="""
+    WITH errs AS (
+      SELECT user_id, ts,
+             count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                            RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+               AS burst_n
+      FROM events WHERE event_type = 'error')
+    SELECT user_id,
+           CAST(max(burst_n) AS BIGINT) AS max_burst,
+           CAST(count(*) AS BIGINT) AS n_errors
+    FROM errs GROUP BY user_id
+    HAVING max(burst_n) >= 3
+    """,
+)
+def error_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-300_000_000, Window.currentRow)
+    )
+    bursts = ev.withColumn("burst_n", F.count(F.lit(1)).over(w))
+    return (
+        bursts.groupBy("user_id")
+        .agg(
+            F.max("burst_n").cast("long").alias("max_burst"),
+            F.count(F.lit(1)).cast("long").alias("n_errors"),
+        )
+        .filter(F.col("max_burst") >= 3)
+    )
