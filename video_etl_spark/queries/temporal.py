@@ -658,7 +658,7 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # W7⊕ — burst detection: users with >= 3 'error' events inside any rolling
-# 5-minute window (event-time RANGE frame count + max-per-user reduction) —
+# 6-hour window (event-time RANGE frame count + max-per-user reduction) —
 # the alerting-rule shape.
 @query(
     "error_burst_users",
@@ -666,7 +666,7 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH errs AS (
       SELECT user_id, ts,
              count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                            RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+                            RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
                AS burst_n
       FROM events WHERE event_type = 'error')
     SELECT user_id,
@@ -683,7 +683,7 @@ def error_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-300_000_000, Window.currentRow)
+        .rangeBetween(-21_600_000_000, Window.currentRow)
     )
     bursts = ev.withColumn("burst_n", F.count(F.lit(1)).over(w))
     return (
