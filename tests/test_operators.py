@@ -384,3 +384,27 @@ def test_global_topk_uses_take_ordered(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_observation_metrics_piggyback_on_action(spark, sf_dir):
+    """df.observe() collects pipeline metrics DURING the action — at 100 TB
+    the row-count/sum audit comes for free with the job instead of a
+    second full scan."""
+    from pyspark.sql import Observation
+
+    from video_etl_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("audit")
+    audited = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+    )
+    kept = audited.filter(F.col("l_quantity") > 25).count()
+    m = obs.get
+    assert m["n_rows"] == li.count()
+    assert m["cents"] == li.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert 0 < kept < m["n_rows"]
