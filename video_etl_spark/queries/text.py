@@ -863,3 +863,51 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("component") == F.col("node")).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------
+# U21⊕ — fuzzy near-match pairs via edit distance with prefix blocking:
+# the string-similarity leg of the dedup family (exact/fingerprint/minhash/
+# simhash/embedding + THIS).  The pair space is bounded by the blocking
+# key (12-char normalized prefix) — never corpus², same discipline as the
+# band joins (cross-source on purpose: near-dups across crawls/sources are
+# the realistic fuzzy-match target); levenshtein runs JVM-side on
+# candidates only.
+@query(
+    "fuzzy_text_pairs",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    blocked AS (
+      SELECT doc_id, t, substr(t, 1, 12) AS blk FROM normed)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.t, 1, 64), substr(b.t, 1, 64)) AS BIGINT)
+             AS edit_distance
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.t, 1, 64), substr(b.t, 1, 64)) <= 16
+    """,
+)
+def fuzzy_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("t"),
+    ).withColumn("blk", F.substring("t", 1, 12))
+    a = normed.select(
+        F.col("doc_id").alias("doc_a"), "blk",
+        F.substring("t", 1, 64).alias("ta"),
+    )
+    b = normed.select(
+        F.col("doc_id").alias("doc_b"), "blk",
+        F.substring("t", 1, 64).alias("tb"),
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_distance", F.levenshtein("ta", "tb").cast("long"))
+        .filter(F.col("edit_distance") <= 16)
+        .select("doc_a", "doc_b", "edit_distance")
+    )
