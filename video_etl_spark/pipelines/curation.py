@@ -51,8 +51,21 @@ def curate_documents(
 
     docs = load_table(spark, sf_dir, "documents")
 
-    rep = repetition_scores(spark, sf_dir).select("doc_id", "gopher_keep")
-    qual = text_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    # persist the tiny per-doc gate columns (2 scalars × corpus): joining
+    # and filtering the raw query frames lets Catalyst collapse the
+    # projection into the filter, re-expanding the O(k²) higher-order
+    # lambdas per conjunct with no common-subexpression elimination — a
+    # measured 100× blowup (50 s vs 0.5 s at sf0.1).
+    rep = (
+        repetition_scores(spark, sf_dir)
+        .select("doc_id", "gopher_keep")
+        .persist()
+    )
+    qual = (
+        text_quality_scores(spark, sf_dir)
+        .select("doc_id", "quality")
+        .persist()
+    )
     gates = rep.join(qual, "doc_id").filter(
         F.col("gopher_keep") & (F.col("quality") >= min_quality)
     )
