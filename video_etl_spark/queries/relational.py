@@ -1669,3 +1669,41 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# --------------------------------------------------------------------------
+# A11/W7⊕ — month-over-month revenue growth: windowed lag over a monthly
+# aggregate (agg → window compose).  Growth is one division of two exact
+# quantized sums, so cross-engine exact.
+@query(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY date_trunc('month', o_orderdate))
+    SELECT month,
+           CAST(CAST(rev_c AS DOUBLE) / 100 AS DOUBLE) AS revenue,
+           CAST(CASE WHEN lag(rev_c) OVER (ORDER BY month) IS NULL THEN NULL
+                ELSE 100.0 * (rev_c - lag(rev_c) OVER (ORDER BY month))
+                     / lag(rev_c) OVER (ORDER BY month) END AS DOUBLE)
+             AS mom_growth_pct
+    FROM monthly
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev_c").over(w)
+    return monthly.select(
+        "month",
+        (F.col("rev_c").cast("double") / 100).cast("double").alias("revenue"),
+        F.when(
+            prev.isNull(), F.lit(None).cast("double")
+        ).otherwise(
+            (100.0 * (F.col("rev_c") - prev) / prev).cast("double")
+        ).alias("mom_growth_pct"),
+    )
