@@ -21,7 +21,7 @@ Spark == DuckDB bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from video_etl_spark.registry import query
@@ -910,4 +910,58 @@ def fuzzy_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edit_distance", F.levenshtein("ta", "tb").cast("long"))
         .filter(F.col("edit_distance") <= 16)
         .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op — sequence PACKING: assign documents to fixed
+# token-budget packs (the pretraining step that concatenates short docs
+# into full context windows).  Offset-based assignment: a doc joins the
+# pack its cumulative-offset starts in — one window pass per source, fully
+# deterministic, no sequential driver loop (the exact greedy first-fit is
+# inherently serial; offset packing is the standard distributed
+# approximation and over-fills a pack by at most one document).
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents),
+    offs AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS off
+      FROM toks),
+    packed AS (
+      SELECT source, CAST(off // 256 AS BIGINT) AS pack_id,
+             doc_id, n_tokens FROM offs)
+    SELECT source, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(_tokens_col()).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = toks.withColumn(
+        "off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    packed = offs.withColumn(
+        "pack_id", F.floor(F.col("off") / 256).cast("long")
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
     )
