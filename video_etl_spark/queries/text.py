@@ -965,3 +965,57 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# U23⊕ — count-based bigram language-model table: conditional continuation
+# probabilities P(w2 | w1) = c(w1 w2) / c(w1 ·) over the corpus — the
+# n-gram-LM statistics build (quality scoring, perplexity filters, and
+# contamination checks all start from this table).  Two aggregations over
+# one explode; the probability is a single division of two exact counts.
+@query(
+    "bigram_lm_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    pairs_l AS (
+      SELECT [t[i] || ' ' || t[i + 1]
+              FOR i IN generate_series(1, len(t) - 1)] AS bgs
+      FROM toks WHERE len(t) >= 2),
+    bigrams AS (
+      SELECT string_split(u.bg, ' ')[1] AS w1,
+             string_split(u.bg, ' ')[2] AS w2
+      FROM pairs_l, unnest(bgs) AS u(bg)),
+    pair_c AS (
+      SELECT w1, w2, count(*) AS c_pair FROM bigrams GROUP BY w1, w2),
+    head_c AS (
+      SELECT w1, count(*) AS c_head FROM bigrams GROUP BY w1)
+    SELECT p.w1, p.w2, p.c_pair, h.c_head,
+           CAST(CAST(p.c_pair AS DOUBLE) / h.c_head AS DOUBLE) AS cond_p
+    FROM pair_c p JOIN head_c h ON h.w1 = p.w1
+    WHERE p.c_pair >= 5
+    """,
+)
+def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(_tokens_col().alias("t")).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pair_c = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    head_c = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_head"))
+    return (
+        pair_c.filter(F.col("c_pair") >= 5)
+        .join(head_c, "w1")
+        .select(
+            "w1", "w2", "c_pair", "c_head",
+            (F.col("c_pair").cast("double") / F.col("c_head"))
+            .cast("double").alias("cond_p"),
+        )
+    )
