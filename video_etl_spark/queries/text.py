@@ -1019,3 +1019,60 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("cond_p"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op — per-source corpus report: the governance rollup
+# a curation run publishes (doc counts, token mass, duplicate share via
+# normalized fingerprints, length profile) — one grouped pass over
+# per-doc scalars plus a fingerprint sub-aggregation.
+@query(
+    "corpus_source_report",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_toks,
+             {_DUCK_HASH.format(expr="trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")} AS fp
+      FROM documents),
+    fp_counts AS (
+      SELECT source, fp, count(*) AS n FROM per_doc GROUP BY source, fp)
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(d.n_toks) AS BIGINT) AS total_tokens,
+           CAST(CAST(sum(d.n_toks) AS DOUBLE) / count(*) AS DOUBLE)
+             AS mean_doc_tokens,
+           CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(min(d.n_toks) AS BIGINT) AS min_tokens,
+           CAST(max(d.n_toks) AS BIGINT) AS max_tokens
+    FROM per_doc d JOIN fp_counts f ON f.source = d.source AND f.fp = d.fp
+    GROUP BY d.source
+    """,
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), _NORM_RE, " "), " +", " "
+        )
+    )
+    fp = F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("long")
+    per_doc = docs.select(
+        "doc_id", "source",
+        F.size(_tokens_col()).alias("n_toks"),
+        fp.alias("fp"),
+    )
+    fp_counts = per_doc.groupBy("source", "fp").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = per_doc.join(fp_counts, ["source", "fp"])
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        (F.sum("n_toks").cast("double") / F.count(F.lit(1)))
+        .cast("double").alias("mean_doc_tokens"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("long").alias("n_dup_docs"),
+        F.min("n_toks").cast("long").alias("min_tokens"),
+        F.max("n_toks").cast("long").alias("max_tokens"),
+    )
