@@ -243,5 +243,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter with labels still moving means the returned
+        # components are WRONG (some nodes haven't reached their
+        # component's min id) — that must never be silent.
+        bidir.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); with pointer jumping the "
+            "round count is ~log2(component diameter) — raise max_iter"
+        )
     bidir.unpersist()
     return labels.select("node", F.col("label").alias("component"))

@@ -82,18 +82,33 @@ def lsh_topk(
     bucketize = _bucket_udf(planes)
 
     def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
-        b = df.select(
+        # ids + bucket keys only: the vectors must NOT ride through the
+        # candidate join/distinct (a pair appearing in several tables would
+        # shuffle 2×dim doubles per duplicate); they are joined back once
+        # per UNIQUE pair for the re-rank.
+        return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
             F.posexplode(bucketize(F.col(vec_col))).alias("table_id", "bucket"),
         )
-        return b
 
-    cand = (
+    pair_ids = (
         with_buckets(queries, "query")
         .join(with_buckets(corpus, "neighbor"), ["table_id", "bucket"])
-        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    cand = pair_ids.join(
+        F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+            )
+        ),
+        "query_id",
+    ).join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+        ),
+        "neighbor_id",
     )
 
     # Exact cosine re-rank on candidates only (JVM-side higher-order fns).
@@ -215,8 +230,16 @@ def _fit_pq_codebooks(
     sample: np.ndarray, m: int, ksub: int, seed: int = 7, iters: int = 12
 ) -> np.ndarray:
     """Lloyd k-means per subspace on L2-normalized sample rows.
-    Returns (m, ksub, dsub) codebooks, deterministic for a fixed seed."""
+    Returns (m, ksub, dsub) codebooks, deterministic for a fixed seed.
+    ``ksub`` is clamped to the sample size (k-means can't seed more
+    centroids than points); dim must split evenly into m subspaces."""
     n, dim = sample.shape
+    if dim % m:
+        raise ValueError(
+            f"PQ requires dim % m == 0 (got dim={dim}, m={m}); a truncated "
+            "dsub would silently corrupt the subspace reshape"
+        )
+    ksub = min(ksub, n)
     dsub = dim // m
     rng = np.random.default_rng(seed)
     books = np.empty((m, ksub, dsub))
@@ -251,6 +274,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """Top-k cosine neighbors per query via PQ asymmetric-distance scan +
     exact re-rank of the top ``k * refine`` candidates.
@@ -258,6 +282,11 @@ def pq_topk(
     Vectors are L2-normalized before encoding, so the additive
     inner-product lookup approximates cosine directly.  Output shape
     matches the brute-force oracle: (query_id, neighbor_id, cos_sim, rn).
+
+    The QUERY set is collected to the driver (its LUTs broadcast to the
+    corpus scan), so it must be bounded — a call with more than
+    ``max_queries`` rows raises instead of silently OOMing the driver.
+    The corpus side is never collected.
     """
     from video_etl_spark.session import ensure_executor_package
 
@@ -273,7 +302,15 @@ def pq_topk(
     dsub = sample.shape[1] // m
 
     # --- query LUTs: ip(q_sub, centroid) per (query, subspace, code)
-    q_rows = queries.select(id_col, vec_col).collect()
+    # limit(max_queries + 1) bounds the collect itself: the guard must not
+    # pull an unbounded query set into driver memory just to count it.
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk query set exceeds max_queries={max_queries}; "
+            "batch the queries (or raise max_queries deliberately) — the "
+            "query LUTs are driver-built and broadcast"
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
     # luts[q, j, c] = q_sub_j · books[j, c]
@@ -364,19 +401,65 @@ def pq_encode_corpus(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    max_rows: int = 4_000_000,
 ):
     """Driver-side PQ artifacts: (codebooks, ids, codes) numpy arrays.
 
-    codes are uint8 (m per vector); at scale these come from the encoded
-    parquet table pq_topk's narrow map writes, not a collect."""
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
-    books = _fit_pq_codebooks(mat[: min(sample_size, len(mat))], m=m, ksub=ksub, seed=seed)
-    dsub = mat.shape[1] // m
-    sub = mat.reshape(len(mat), m, dsub)
-    d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-    codes = d2.argmin(axis=2).astype(np.uint8)
+    Codebooks are fit on a bounded sample; ENCODING runs distributed in a
+    narrow Arrow map so only the m-byte codes (not the 4·dim-byte raw
+    vectors) ever reach the driver — at m=8 that is 8 MB per million
+    vectors, the size that later broadcasts to every executor for
+    streaming serving.  A corpus above ``max_rows`` raises instead of
+    materializing: past that size the codes belong in an encoded parquet
+    table (pq_topk's scan path), not a driver array.
+    """
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(corpus.sparkSession)
+
+    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
+    sample = _normalize(np.array([r[0] for r in sample_rows], dtype=np.float64))
+    books = _fit_pq_codebooks(sample, m=m, ksub=ksub, seed=seed)
+    dsub = sample.shape[1] // m
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            sub = mat.reshape(len(mat), m, dsub)
+            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "code": [row.tolist() for row in codes],
+                }
+            )
+
+    encoded = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(encode, schema=enc_schema)
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(encoded) > max_rows:
+        raise ValueError(
+            f"pq_encode_corpus corpus exceeds max_rows={max_rows}; write the "
+            "codes to a parquet table instead of collecting driver-side "
+            "artifacts (raise max_rows only if the driver can broadcast them)"
+        )
+    ids = np.array([r["vec_id"] for r in encoded], dtype=np.int64)
+    codes = np.array([r["code"] for r in encoded], dtype=np.uint8)
     return books, ids, codes
 
 

@@ -28,8 +28,13 @@ from pyspark.sql import functions as F
 
 from video_etl_spark.session import load_table
 
-EMAIL_RE = "[a-z0-9#._-]+@[a-z0-9.-]+"
-PHONE_RE = r"\+?[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}"
+# Case-insensitive and separator-tolerant: real corpora mix case in
+# addresses and write phone numbers with -, ., space, or (area) groups.
+EMAIL_RE = "(?i)[a-z0-9#._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = (
+    r"(\+?[0-9]{1,3}[-. ])?(\([0-9]{2,4}\)[-. ]?|[0-9]{2,4}[-. ])"
+    r"[0-9]{3,4}[-. ]?[0-9]{4}"
+)
 
 
 def curate_documents(

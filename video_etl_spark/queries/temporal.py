@@ -370,9 +370,9 @@ def chunk_scores_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER w_next AS next_ts
       FROM unioned
       WINDOW
-        w_prev AS (PARTITION BY user_id ORDER BY ts, is_grid
+        w_prev AS (PARTITION BY user_id ORDER BY ts, is_grid, value NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        w_next AS (PARTITION BY user_id ORDER BY ts, is_grid
+        w_next AS (PARTITION BY user_id ORDER BY ts, is_grid, value NULLS LAST
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT user_id, ts AS grid_ts,
            round(CASE
@@ -400,14 +400,17 @@ def interpolate_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.select("user_id", "ts", F.lit(None).cast("double").alias("value"),
                     F.lit(1).alias("is_grid"))
     )
+    # Tiebreak on value (NULLS LAST on both engines) so duplicate
+    # (user_id, ts) observations bracket deterministically cross-engine.
+    order = [F.col("ts"), F.col("is_grid"), F.asc_nulls_last("value")]
     w_prev = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_grid")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_next = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_grid")
+        .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     ts_if_obs = F.when(F.col("value").isNotNull(), F.col("ts"))

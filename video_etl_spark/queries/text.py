@@ -514,16 +514,24 @@ def jaccard_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     matched = F.col("n_common") >= 1
     n_pairs = F.sum(F.when(matched, 1).otherwise(0))
-    return pairs.groupBy("source").agg(
-        n_pairs.alias("n_pairs"),
-        F.sum(F.when(F.col("jaccard") >= 0.2, 1).otherwise(0)).alias("n_near_dups"),
-        (
-            F.sum(
-                F.when(matched, F.round(F.col("jaccard") * 1_000_000).cast("long"))
-                .otherwise(0)
-            )
-            / (n_pairs * 1_000_000)
-        ).cast("double").alias("avg_jaccard"),
+    return (
+        pairs.groupBy("source")
+        .agg(
+            n_pairs.alias("n_pairs"),
+            F.sum(F.when(F.col("jaccard") >= 0.2, 1).otherwise(0)).alias("n_near_dups"),
+            (
+                F.sum(
+                    F.when(matched, F.round(F.col("jaccard") * 1_000_000).cast("long"))
+                    .otherwise(0)
+                )
+                / (n_pairs * 1_000_000)
+            ).cast("double").alias("avg_jaccard"),
+        )
+        # The oracle's token equi-join never materializes zero-match pairs,
+        # so a source whose pairs share no tokens must emit no row here
+        # either (all-pairs enumeration would otherwise produce
+        # n_pairs=0 / avg_jaccard=NULL for it).
+        .filter(F.col("n_pairs") > 0)
     )
 
 
@@ -705,6 +713,14 @@ def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # The test corpus parquet is a single row group, so the scan is one
+    # task and the heavy per-row n-gram lambdas below would run
+    # single-threaded.  Real corpora scan into many partitions (the guard
+    # keeps this a no-op there — no corpus-wide shuffle at scale); locally
+    # the repartition buys cores × speedup.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, target // 2):
+        docs = docs.repartition(target)
     d = docs.select("doc_id", _tokens_col().alias("toks")).withColumn(
         "n", F.size("toks")
     )
@@ -872,16 +888,27 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key (12-char normalized prefix) — never corpus², same discipline as the
 # band joins (cross-source on purpose: near-dups across crawls/sources are
 # the realistic fuzzy-match target); levenshtein runs JVM-side on
-# candidates only.
+# candidates only.  Two skew defenses for crawl corpora where a boilerplate
+# header sends everything to one block: (1) block size is CAPPED at
+# _FUZZY_MAX_BLOCK docs (min doc_id first — deterministic, mirrored in the
+# oracle's QUALIFY), bounding any block's pair space; (2) the self-join is
+# SALTED so even a full block's quadratic compute spreads across
+# _FUZZY_SALT partitions instead of one straggler task.
+_FUZZY_MAX_BLOCK = 256
+_FUZZY_SALT = 8
+
+
 @query(
     "fuzzy_text_pairs",
-    oracle="""
+    oracle=f"""
     WITH normed AS (
       SELECT doc_id,
              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       FROM documents),
     blocked AS (
-      SELECT doc_id, t, substr(t, 1, 12) AS blk FROM normed)
+      SELECT doc_id, t, substr(t, 1, 12) AS blk FROM normed
+      QUALIFY row_number() OVER (PARTITION BY blk ORDER BY doc_id)
+              <= {_FUZZY_MAX_BLOCK})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(substr(a.t, 1, 64), substr(b.t, 1, 64)) AS BIGINT)
              AS edit_distance
@@ -892,20 +919,29 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    normed = docs.select(
-        "doc_id",
-        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("t"),
-    ).withColumn("blk", F.substring("t", 1, 12))
+    w_blk = Window.partitionBy("blk").orderBy("doc_id")
+    normed = (
+        docs.select(
+            "doc_id",
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("t"),
+        )
+        .withColumn("blk", F.substring("t", 1, 12))
+        .withColumn("blk_rn", F.row_number().over(w_blk))
+        .filter(F.col("blk_rn") <= _FUZZY_MAX_BLOCK)
+        .persist()  # both join branches; normalize + rank once
+    )
     a = normed.select(
         F.col("doc_id").alias("doc_a"), "blk",
         F.substring("t", 1, 64).alias("ta"),
+        F.pmod("doc_id", F.lit(_FUZZY_SALT)).cast("int").alias("salt"),
     )
     b = normed.select(
         F.col("doc_id").alias("doc_b"), "blk",
         F.substring("t", 1, 64).alias("tb"),
+        F.explode(F.sequence(F.lit(0), F.lit(_FUZZY_SALT - 1))).alias("salt"),
     )
     return (
-        a.join(b, ["blk"])
+        a.join(b, ["blk", "salt"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("edit_distance", F.levenshtein("ta", "tb").cast("long"))
         .filter(F.col("edit_distance") <= 16)
