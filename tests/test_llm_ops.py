@@ -522,3 +522,61 @@ def test_lstm_user_states_deterministic_and_ordered(spark, sf_dir):
     m = TinyLSTM()
     seq = np.array([[0.1], [0.7], [-0.3]])
     assert not np.allclose(m.forward(seq), m.forward(seq[::-1].copy()))
+
+
+def test_lflstm_fusion_matches_numpy_reference(spark, sf_dir):
+    """U8 end-to-end differential: the Spark applyInPandas late-fusion
+    query must reproduce, per user, a single-process numpy forward pass
+    over the same ordered value sequence — per-leg hidden states, fused
+    logits, AND the argmax label (reference lflstm.py:56-133 shape)."""
+    import numpy as np
+    import pandas as pd
+
+    from video_etl_spark.llm_ops.models import (
+        _LF_SEEDS,
+        L_HID,
+        TinyLSTM,
+        lf_modality_channels,
+        lflstm_forward,
+    )
+    from video_etl_spark.queries.advanced import lflstm_fusion_users
+
+    got = {
+        r["user_id"]: (r["seq_len"], r["label"], r["logit0"], r["logit1"], r["logit2"])
+        for r in lflstm_fusion_users(spark, sf_dir).collect()
+    }
+    assert got
+
+    # independent single-process reference straight from the parquet file
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["user_id", "ts", "value"]]
+    for uid, g in list(ev.groupby("user_id"))[:20]:
+        values = g.sort_values("ts").head(16)["value"].to_numpy(np.float64)
+        logits, label = lflstm_forward(values)
+        q = tuple(int(x) for x in np.rint(logits * 1_000_000).astype(np.int64))
+        assert got[uid] == (len(values), label, *q), f"user {uid}"
+
+    # per-leg differential: each modality leg is a genuine independent LSTM
+    # (distinct weights), fed the documented channel transform
+    values = np.array([12.5, 80.0, 33.3, 7.0])
+    chans = lf_modality_channels(values)
+    finals = {}
+    for mod, seed in _LF_SEEDS.items():
+        leg = TinyLSTM(seed)
+        finals[mod] = leg.forward(chans[mod].reshape(-1, 1))
+        assert finals[mod].shape == (L_HID,)
+    assert not np.allclose(finals["text"], finals["visual"])
+    assert not np.allclose(finals["visual"], finals["acoustic"])
+
+
+def test_transmot_stack_nondegenerate(spark, sf_dir):
+    """The stacked encoder/decoder must produce node-DEPENDENT outputs
+    (dot-product attention — an additive score would cancel the query side
+    in the softmax and collapse every node to identical scores) and a
+    virtual-source score in (0, 1)."""
+    from video_etl_spark.queries.advanced import transmot_stack_nations
+
+    rows = transmot_stack_nations(spark, sf_dir).collect()
+    assert len(rows) == 25
+    distinct = {(r["z0"], r["z1"], r["z2"], r["z3"], r["src_score"]) for r in rows}
+    assert len(distinct) == 25
+    assert all(0.0 < r["src_score"] < 1.0 for r in rows)

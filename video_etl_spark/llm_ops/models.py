@@ -225,10 +225,14 @@ class TinyLSTM:
 _LSTM_CACHE: dict[str, TinyLSTM] = {}
 
 
-def get_lstm(name: str = "tiny-lstm", on_init: Callable[[], None] | None = None) -> TinyLSTM:
+def get_lstm(
+    name: str = "tiny-lstm",
+    on_init: Callable[[], None] | None = None,
+    seed: int = 13,
+) -> TinyLSTM:
     model = _LSTM_CACHE.get(name)
     if model is None:
-        model = TinyLSTM()
+        model = TinyLSTM(seed)
         _LSTM_CACHE[name] = model
         if on_init is not None:
             on_init()
@@ -270,4 +274,104 @@ def lstm_user_states(
     )
     return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
         run, schema
+    )
+
+
+# --------------------------------------------------------------------------
+# U8 (full) — LATE-FUSION LSTM assembled end-to-end (reference
+# `workloads/streaming/lflstm.py:56-133`): three modality legs (text /
+# visual / acoustic), each a recurrent LSTM over the per-key ordered
+# sequence, late-fused by concatenating the final hidden states into a
+# fusion FC head that emits logits + a label — the reference's
+# extract_features×3 → cat → fc1 → relu → fc2 forward pass, re-expressed
+# as ONE applyInPandas over per-key sequences (one shuffle on the key;
+# every leg runs inside the same group pass, so the three modalities are
+# never joined post-hoc).  Torch is container-absent (sanctioned), so the
+# legs are the same differential-tested numpy TinyLSTM cell with
+# per-modality weight seeds; the MOSEI-shaped modality channels are
+# deterministic functions of the event row, making the whole pipeline
+# replayable by the single-process numpy reference in the tests.
+
+_LF_SEEDS = {"text": 13, "visual": 17, "acoustic": 19}
+_LF_LABELS = 3
+
+
+def _lf_fc_weights(seed: int = 23) -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+
+    def mat(r, c):
+        return rng.integers(-8, 9, (r, c)).astype(np.float64) / 16.0
+
+    return {
+        "fc1_w": mat(3 * L_HID, L_HID),
+        "fc1_b": mat(1, L_HID)[0],
+        "fc2_w": mat(L_HID, _LF_LABELS),
+        "fc2_b": mat(1, _LF_LABELS)[0],
+    }
+
+
+def lf_modality_channels(values: np.ndarray) -> dict[str, np.ndarray]:
+    """Deterministic MOSEI-shaped modality channels from event values.
+
+    Stands in for the reference's text(300)/visual(35)/acoustic(74)
+    feature streams: each channel is a pure function of the row value, so
+    any engine (or the numpy test reference) recomputes them identically.
+    """
+    return {
+        "text": values / 100.0,
+        "visual": np.mod(values * 3.0, 50.0) / 50.0,
+        "acoustic": np.mod(values * 7.0, 30.0) / 30.0,
+    }
+
+
+def lflstm_forward(values: np.ndarray) -> tuple[np.ndarray, int]:
+    """Single-sequence forward pass: 3 LSTM legs → concat → fc1 → ReLU →
+    fc2 → (logits, argmax label).  Pure numpy; shared by the Spark query
+    and the differential test."""
+    chans = lf_modality_channels(values)
+    hs = []
+    for mod, seed in _LF_SEEDS.items():
+        leg = get_lstm(f"lf-{mod}", seed=seed)
+        hs.append(leg.forward(chans[mod].reshape(-1, 1)))
+    h = np.concatenate(hs)  # (3*L_HID,) — the reference's torch.cat
+    fc = _lf_fc_weights()
+    z1 = np.maximum(h @ fc["fc1_w"] + fc["fc1_b"], 0.0)
+    logits = z1 @ fc["fc2_w"] + fc["fc2_b"]
+    return logits, int(np.argmax(logits))
+
+
+def lflstm_fusion(
+    events: DataFrame,
+    max_len: int = 16,
+    init_counter=None,
+) -> DataFrame:
+    """Per-user late-fusion forward pass over the time-ordered event
+    sequence.  Output: user_id, seq_len, label, logit0..2 quantized to
+    1e6 BIGINTs (exact cross-run comparison)."""
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(events.sparkSession)
+    on_init = (lambda: init_counter.add(1)) if init_counter is not None else None
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if on_init is not None:
+            get_lstm("lf-text", seed=_LF_SEEDS["text"], on_init=on_init)
+        pdf = pdf.sort_values("ts").head(max_len)
+        values = pdf["value"].to_numpy(dtype=np.float64)
+        logits, label = lflstm_forward(values)
+        q = np.rint(logits * 1_000_000).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "seq_len": [int(len(values))],
+                "label": [label],
+                **{f"logit{j}": [int(q[j])] for j in range(_LF_LABELS)},
+            }
+        )
+
+    schema = "user_id long, seq_len long, label long, logit0 long, logit1 long, logit2 long"
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(run, schema)
     )

@@ -38,6 +38,7 @@ ROWS_ONLY_QUERIES = frozenset(
         "knn_ivf",
         "knn_pq",
         "lstm_user_states",
+        "lflstm_fusion_users",
     }
 )
 
@@ -263,6 +264,20 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5)
     corpus = emb.filter(F.col("vec_id") >= 5)
     return ivf_topk(corpus, queries_df, k=10)
+
+
+@query("lflstm_fusion_users")
+def lflstm_fusion_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U8 assembled end-to-end (reference lflstm.py:56-133): MOSEI-shaped
+    text/visual/acoustic channels per event row → three numpy-LSTM legs →
+    concat → fusion FC → per-user label + quantized logits, all inside one
+    applyInPandas group pass.  Rows-only: the recurrent tanh/sigmoid chain
+    is not SQL-replayable; the full forward pass is differentially tested
+    against a single-process numpy reference (tests/test_llm_ops.py)."""
+    from video_etl_spark.llm_ops.models import lflstm_fusion
+
+    ev = load_table(spark, sf_dir, "events")
+    return lflstm_fusion(ev)
 
 
 @query("lstm_user_states")
@@ -525,3 +540,288 @@ def gcn_two_layer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias(f"z{j}")
         )
     return msg2.select(F.col("node").alias("n_nationkey"), *outs)
+
+
+# --------------------------------------------------------------------------
+# U9 (full) — TransMOT stacked encoder/decoder as ONE relational program
+# (reference `workloads/transMOT/transmot.py:149-252`): feature embedding →
+# 2-layer SPATIAL graph-attention encoder (per-timestep, region graph) →
+# TEMPORAL attention encoder over the T=5 sliding history per node (the W1
+# window) → cross-attention DECODER whose memory is padded with the
+# reference's constant-1 virtual SOURCE row (`transmot.py:224-227`),
+# emitting per-node association features plus the virtual-source
+# (new-track) score.  Every stage is the same scale shape as the single
+# GAT layer: edge equi-join → window softmax → groupBy weighted sum; the
+# decoder's memory side is a bounded 26-row broadcast.  Layer outputs are
+# (attention + residual) / 2, keeping magnitudes constant so the
+# dot-product attention argument (p_src·p_dst / 2^24 — the reference's
+# TransformerEncoder uses scaled dot-product, not additive-GAT scores)
+# stays within ±16 regardless of depth.  exp is the only
+# engine-divergent op (1 ulp); round(.., 6) on the final outputs absorbs
+# it — same convention as `gat_attention_nations`.
+_TM_T = 5  # sliding-history length (W1)
+_TM_LAYERS = (  # (wa_row, wb_row) into _GCN_W per attention stage
+    (0, 1),  # spatial layer 1
+    (2, 3),  # spatial layer 2
+    (1, 2),  # temporal layer
+    (3, 0),  # decoder cross-attention
+)
+
+
+def _tm_oracle_sql() -> str:
+    x = _gcn_feature_exprs("duck")
+    feats = ", ".join(
+        f"({e} + t * {i + 1}) AS x{i}" for i, e in enumerate(x)
+    )
+    emb = ", ".join(
+        "CAST(greatest("
+        + " + ".join(f"x{i} * ({_GCN_W[i][j]})" for i in range(4))
+        + ", 0) AS DOUBLE) / 16 AS f0_" + str(j)
+        for j in range(4)
+    )
+
+    w = _GCN_W
+    sp1 = _TM_LAYERS[0]
+    sp2 = _TM_LAYERS[1]
+    tmp = _TM_LAYERS[2]
+    dec = _TM_LAYERS[3]
+
+    def edge_block(name, src, keys, fin, fout, lay, part_extra, carry):
+        wa, wb = w[lay[0]], w[lay[1]]
+        p_src = " + ".join(f"a.{fin}{i} * ({wa[i]})" for i in range(4))
+        p_dst = " + ".join(f"b.{fin}{i} * ({wb[i]})" for i in range(4))
+        on = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+        carry_cols = ", ".join(f"b.{c} AS {c}" for c in carry)
+        part = ", ".join(part_extra)
+        sums = ", ".join(f"sum(alpha * s{i}) AS at{i}" for i in range(4))
+        gb = ", ".join(["dst_id"] + list(carry))
+        res_on = " AND ".join(
+            [f"r.{c} = o.{c}" for c in carry] + ["r.node = o.dst_id"]
+        )
+        res = ", ".join(
+            f"(o.at{i} + r.{fin}{i}) / 2 AS {fout}{i}" for i in range(4)
+        )
+        return f"""
+    {name}_edges AS (
+      SELECT {carry_cols}{"," if carry else ""} b.node AS dst_id,
+             exp(CAST(({p_src}) * ({p_dst}) AS DOUBLE) / 16777216) AS sc,
+             {", ".join(f"a.{fin}{i} AS s{i}" for i in range(4))}
+      FROM {src} a JOIN {src} b ON {on}),
+    {name}_attn AS (
+      SELECT *, sc / sum(sc) OVER (PARTITION BY {part}) AS alpha
+      FROM {name}_edges),
+    {name}_out AS (
+      SELECT {gb}, {sums} FROM {name}_attn GROUP BY {gb}),
+    {name} AS (
+      SELECT {", ".join(f"o.{c}" for c in carry)}{"," if carry else ""}
+             o.dst_id AS node, {res}
+      FROM {name}_out o JOIN {src} r ON {res_on})"""
+
+    sp1_sql = edge_block(
+        "sp1", "emb", ["t", "rg"], "f0_", "f1_", sp1,
+        ["dst_id", "t"], ["t", "rg"],
+    )
+    sp2_sql = edge_block(
+        "sp2", "sp1", ["t", "rg"], "f1_", "f2_", sp2,
+        ["dst_id", "t"], ["t", "rg"],
+    )
+    # temporal: attends across the T history per node (join key = node,
+    # softmax per (node, dst t)); 'carry' is the destination timestep
+    wa, wb = w[tmp[0]], w[tmp[1]]
+    p_src = " + ".join(f"a.f2_{i} * ({wa[i]})" for i in range(4))
+    p_dst = " + ".join(f"b.f2_{i} * ({wb[i]})" for i in range(4))
+    tmp_sql = f"""
+    tp_edges AS (
+      SELECT b.node AS node, b.t AS t,
+             exp(CAST(({p_src}) * ({p_dst}) AS DOUBLE) / 16777216) AS sc,
+             {", ".join(f"a.f2_{i} AS s{i}" for i in range(4))}
+      FROM sp2 a JOIN sp2 b ON a.node = b.node),
+    tp_attn AS (
+      SELECT *, sc / sum(sc) OVER (PARTITION BY node, t) AS alpha
+      FROM tp_edges),
+    tp_out AS (
+      SELECT node, t, {", ".join(f"sum(alpha * s{i}) AS at{i}" for i in range(4))}
+      FROM tp_attn GROUP BY node, t),
+    tp AS (
+      SELECT o.node, o.t,
+             {", ".join(f"(o.at{i} + r.f2_{i}) / 2 AS g{i}" for i in range(4))}
+      FROM tp_out o JOIN sp2 r ON r.node = o.node AND r.t = o.t)"""
+    # decoder memory: temporal output at the current frame + the constant-1
+    # virtual source row (transmot.py pads memory with value 1)
+    wa, wb = w[dec[0]], w[dec[1]]
+    p_dec = " + ".join(f"d.f2_{i} * ({wa[i]})" for i in range(4))
+    p_mem = " + ".join(f"m.g{i} * ({wb[i]})" for i in range(4))
+    dec_sql = f"""
+    memory AS (
+      SELECT node AS mem_id, g0, g1, g2, g3 FROM tp WHERE t = {_TM_T - 1}
+      UNION ALL
+      SELECT -1 AS mem_id, 1.0 AS g0, 1.0 AS g1, 1.0 AS g2, 1.0 AS g3),
+    dec_in AS (
+      SELECT node, f2_0, f2_1, f2_2, f2_3 FROM sp2 WHERE t = {_TM_T - 1}),
+    dec_edges AS (
+      SELECT d.node AS node, m.mem_id,
+             exp(CAST(({p_dec}) * ({p_mem}) AS DOUBLE) / 16777216) AS sc,
+             m.g0 AS m0, m.g1 AS m1, m.g2 AS m2, m.g3 AS m3
+      FROM dec_in d CROSS JOIN memory m),
+    dec_attn AS (
+      SELECT *, sc / sum(sc) OVER (PARTITION BY node) AS alpha
+      FROM dec_edges)"""
+    return f"""
+    WITH grid AS (
+      SELECT n_nationkey AS node, n_regionkey AS rg, n_name, t
+      FROM nation, (SELECT unnest(generate_series(0, {_TM_T - 1})) AS t) ts),
+    feat AS (
+      SELECT node, rg, t, {feats} FROM grid),
+    emb AS (
+      SELECT node, rg, t, {emb} FROM feat),{sp1_sql},{sp2_sql},{tmp_sql},{dec_sql}
+    SELECT node AS n_nationkey,
+           {", ".join(f"round(sum(alpha * m{i}), 6) AS z{i}" for i in range(4))},
+           round(sum(CASE WHEN mem_id = -1 THEN alpha ELSE 0 END), 6)
+             AS src_score
+    FROM dec_attn GROUP BY node
+    """
+
+
+def _tm_attn_layer(df, part_keys, fin, fout, wa, wb):
+    """One attention stage: edge equi-join on ``part_keys`` → softmax per
+    (part_keys, dst) → attention-weighted sum + residual, halved.  ``df``
+    must carry ``node`` + part_keys + ``{fin}0..3``; output has the same
+    shape with ``{fout}0..3``."""
+    from pyspark.sql import Window
+
+    a = df.select(
+        *part_keys,
+        *[F.col(f"{fin}{i}").alias(f"s{i}") for i in range(4)],
+    )
+    b = df.select(
+        *part_keys,
+        F.col("node").alias("dst_id"),
+        *[F.col(f"{fin}{i}").alias(f"d{i}") for i in range(4)],
+    )
+    p_src = sum(
+        (F.col(f"s{i}") * F.lit(wa[i]) for i in range(1, 4)),
+        F.col("s0") * F.lit(wa[0]),
+    )
+    p_dst = sum(
+        (F.col(f"d{i}") * F.lit(wb[i]) for i in range(1, 4)),
+        F.col("d0") * F.lit(wb[0]),
+    )
+    edges = a.join(b, list(part_keys)).withColumn(
+        "sc", F.exp((p_src * p_dst).cast("double") / 16777216)
+    )
+    w_sm = Window.partitionBy(*part_keys, "dst_id")
+    attn = edges.withColumn("alpha", F.col("sc") / F.sum("sc").over(w_sm))
+    out = attn.groupBy(*part_keys, "dst_id").agg(
+        *[F.sum(F.col("alpha") * F.col(f"s{i}")).alias(f"at{i}") for i in range(4)]
+    )
+    res = df.select(
+        *part_keys,
+        F.col("node").alias("dst_id"),
+        *[F.col(f"{fin}{i}").alias(f"r{i}") for i in range(4)],
+    )
+    return out.join(res, [*part_keys, "dst_id"]).select(
+        *part_keys,
+        F.col("dst_id").alias("node"),
+        *[
+            ((F.col(f"at{i}") + F.col(f"r{i}")) / 2).alias(f"{fout}{i}")
+            for i in range(4)
+        ],
+    )
+
+
+@query("transmot_stack_nations", oracle=_tm_oracle_sql())
+def transmot_stack_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = _GCN_W
+    nation = load_table(spark, sf_dir, "nation")
+    x = _gcn_feature_exprs("spark")
+    grid = nation.select(
+        F.col("n_nationkey").alias("node"),
+        F.col("n_regionkey").alias("rg"),
+        "n_name",
+        F.explode(F.expr(f"sequence(0, {_TM_T - 1})")).alias("t"),
+    )
+    feat = grid.select(
+        "node", "rg", "t",
+        *[
+            (F.expr(e) + F.col("t") * F.lit(i + 1)).alias(f"x{i}")
+            for i, e in enumerate(x)
+        ],
+    )
+    # embedding: ReLU(X·We)/16 — the reference's Linear+relu input stage
+    emb = feat.select(
+        "node", "rg", "t",
+        *[
+            (
+                F.greatest(
+                    sum(
+                        (F.col(f"x{i}") * F.lit(w[i][j]) for i in range(1, 4)),
+                        F.col("x0") * F.lit(w[0][j]),
+                    ),
+                    F.lit(0),
+                ).cast("double")
+                / 16
+            ).alias(f"f0_{j}")
+            for j in range(4)
+        ],
+    )
+    # spatial encoder ×2 (region graph per timestep), temporal encoder ×1
+    sp1 = _tm_attn_layer(emb, ["t", "rg"], "f0_", "f1_",
+                         w[_TM_LAYERS[0][0]], w[_TM_LAYERS[0][1]])
+    sp2 = _tm_attn_layer(sp1, ["t", "rg"], "f1_", "f2_",
+                         w[_TM_LAYERS[1][0]], w[_TM_LAYERS[1][1]])
+    # temporal attention joins on node (full attention over the T history);
+    # reuse the layer with part_keys=[node] and dst=t requires a rename:
+    # treat t as the "node" within each node-partition.
+    sp2_t = sp2.select(
+        F.col("node").alias("track"), F.col("t").alias("node"),
+        *[F.col(f"f2_{i}") for i in range(4)],
+    )
+    tp = _tm_attn_layer(sp2_t, ["track"], "f2_", "g",
+                        w[_TM_LAYERS[2][0]], w[_TM_LAYERS[2][1]]).select(
+        F.col("track").alias("node"), F.col("node").alias("t"),
+        *[F.col(f"g{i}") for i in range(4)],
+    )
+    # decoder memory = temporal output at the current frame + the
+    # constant-1 virtual source row (transmot.py:224-227 F.pad value=1)
+    virtual = spark.range(1).select(
+        F.lit(-1).cast("long").alias("mem_id"),
+        *[F.lit(1.0).alias(f"g{i}") for i in range(4)],
+    )
+    memory = (
+        tp.filter(F.col("t") == _TM_T - 1)
+        .select(F.col("node").cast("long").alias("mem_id"),
+                *[F.col(f"g{i}") for i in range(4)])
+        .unionByName(virtual)
+    )
+    dec_in = sp2.filter(F.col("t") == _TM_T - 1).select(
+        "node", *[F.col(f"f2_{i}") for i in range(4)]
+    )
+    wa, wb = w[_TM_LAYERS[3][0]], w[_TM_LAYERS[3][1]]
+    p_dec = sum(
+        (F.col(f"f2_{i}") * F.lit(wa[i]) for i in range(1, 4)),
+        F.col("f2_0") * F.lit(wa[0]),
+    )
+    p_mem = sum(
+        (F.col(f"g{i}") * F.lit(wb[i]) for i in range(1, 4)),
+        F.col("g0") * F.lit(wb[0]),
+    )
+    # memory is bounded (current-frame tracks + 1 virtual row) → broadcast
+    dec_edges = dec_in.crossJoin(F.broadcast(memory)).withColumn(
+        "sc", F.exp((p_dec * p_mem).cast("double") / 16777216)
+    )
+    w_sm = Window.partitionBy("node")
+    dec_attn = dec_edges.withColumn(
+        "alpha", F.col("sc") / F.sum("sc").over(w_sm)
+    )
+    return dec_attn.groupBy(F.col("node").alias("n_nationkey")).agg(
+        *[
+            F.round(F.sum(F.col("alpha") * F.col(f"g{i}")), 6).alias(f"z{i}")
+            for i in range(4)
+        ],
+        F.round(
+            F.sum(F.when(F.col("mem_id") == -1, F.col("alpha")).otherwise(0.0)),
+            6,
+        ).alias("src_score"),
+    )
