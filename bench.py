@@ -4,9 +4,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed twice: a warm-up pass (JIT, code cache, file listing)
-is NOT counted; the timed pass collects the full result to the driver, so
-the number includes scan + shuffle + result materialization.
+Each query runs one warm-up pass (JIT, code cache, file listing — NOT
+counted) and then $SPARK_GRAFT_BENCH_REPS timed passes (default 3); the
+reported number is the per-query MEDIAN, which kills the ±40 % single-shot
+noise observed in rounds 2-3.  Timed passes collect the full result to the
+driver, so the number includes scan + shuffle + result materialization.
 """
 
 from __future__ import annotations
@@ -61,15 +63,19 @@ def main() -> None:
     spark = get_spark("video-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).count()  # warm-up (not timed)
         spark.catalog.clearCache()  # persists inside queries start cold
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
 
     total = round(sum(timings.values()), 4)
     print(

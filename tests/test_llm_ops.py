@@ -535,7 +535,7 @@ def test_lflstm_fusion_matches_numpy_reference(spark, sf_dir):
     from video_etl_spark.llm_ops.models import (
         _LF_SEEDS,
         L_HID,
-        TinyLSTM,
+        TinyBiLSTM2,
         lf_modality_channels,
         lflstm_forward,
     )
@@ -550,22 +550,70 @@ def test_lflstm_fusion_matches_numpy_reference(spark, sf_dir):
     # independent single-process reference straight from the parquet file
     ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["user_id", "ts", "value"]]
     for uid, g in list(ev.groupby("user_id"))[:20]:
-        values = g.sort_values("ts").head(16)["value"].to_numpy(np.float64)
+        values = (
+            g.sort_values(["ts", "value"], kind="mergesort")
+            .head(16)["value"]
+            .to_numpy(np.float64)
+        )
         logits, label = lflstm_forward(values)
         q = tuple(int(x) for x in np.rint(logits * 1_000_000).astype(np.int64))
         assert got[uid] == (len(values), label, *q), f"user {uid}"
 
-    # per-leg differential: each modality leg is a genuine independent LSTM
-    # (distinct weights), fed the documented channel transform
+    # per-leg differential: each modality leg is a genuine independent
+    # 2-layer bidirectional LSTM (distinct weights per modality AND per
+    # direction), fed the documented channel transform
     values = np.array([12.5, 80.0, 33.3, 7.0])
     chans = lf_modality_channels(values)
     finals = {}
     for mod, seed in _LF_SEEDS.items():
-        leg = TinyLSTM(seed)
-        finals[mod] = leg.forward(chans[mod].reshape(-1, 1))
-        assert finals[mod].shape == (L_HID,)
+        leg = TinyBiLSTM2(seed)
+        f1, f2 = leg.extract_features(chans[mod].reshape(-1, 1))
+        assert f1.shape == (2 * L_HID,) and f2.shape == (2 * L_HID,)
+        finals[mod] = np.concatenate([f1, f2])
     assert not np.allclose(finals["text"], finals["visual"])
     assert not np.allclose(finals["visual"], finals["acoustic"])
+
+    # both directions are live: the forward-direction half reacts to a
+    # sequence reversal differently from the backward half (distinct
+    # per-direction weights), and neither half is all-zero
+    leg = TinyBiLSTM2(_LF_SEEDS["text"])
+    seq = chans["text"].reshape(-1, 1)
+    f1_fwd, _ = leg.extract_features(seq)
+    f1_rev, _ = leg.extract_features(seq[::-1].copy())
+    assert not np.allclose(f1_fwd, f1_rev)
+    assert np.abs(f1_fwd[:L_HID]).max() > 0 and np.abs(f1_fwd[L_HID:]).max() > 0
+    # and the two directions disagree on the same input (independent weights)
+    assert not np.allclose(f1_fwd[:L_HID], f1_fwd[L_HID:])
+
+
+def test_recurrent_group_sort_stable_under_duplicate_ts(spark):
+    """Duplicate (user_id, ts) rows must sequence identically no matter the
+    input partition/arrival order (mergesort + value tiebreak inside the
+    applyInPandas group fn) — round-3 ask #2."""
+    from video_etl_spark.llm_ops.models import lflstm_fusion, lstm_user_states
+
+    rows = [
+        (1, 100, 5.0), (1, 100, -3.0), (1, 100, 9.0), (1, 200, 1.0),
+        (2, 50, 2.0), (2, 50, 2.0), (2, 50, 7.0),
+    ]
+
+    def build(order, parts):
+        import datetime as dt
+
+        data = [
+            (u, dt.datetime(2024, 1, 1, 0, 0, t % 60, tzinfo=dt.timezone.utc), v)
+            for u, t, v in order
+        ]
+        return spark.createDataFrame(
+            data, "user_id long, ts timestamp, value double"
+        ).repartition(parts, "user_id")
+
+    a = build(rows, 2)
+    b = build(list(reversed(rows)), 5)
+    for op in (lstm_user_states, lflstm_fusion):
+        ra = sorted(map(tuple, op(a).collect()))
+        rb = sorted(map(tuple, op(b).collect()))
+        assert ra == rb and ra, op.__name__
 
 
 def test_transmot_stack_nondegenerate(spark, sf_dir):

@@ -408,3 +408,70 @@ def test_observation_metrics_piggyback_on_action(spark, sf_dir):
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
     ).collect()[0][0]
     assert 0 < kept < m["n_rows"]
+
+
+# ---------------------------------------------------------------------------
+# Plan goldens for EVERY bench.py headline query (round-3 ask #4 / round-4
+# ask #8).  Baseline contract for all 24: no cartesian product, no
+# row-at-a-time Python eval (BatchEvalPython) in the hot path; arrow-
+# vectorized python (ArrowEvalPython / *InPandas) is the sanctioned slow
+# path for model/UDF ops only.  Per-query extras pin the physical strategy
+# a 100 TB user needs (pushdown reaching the scan, broadcast on the dim
+# side, TakeOrdered for global top-k, union+window for as-of...).
+
+import pytest as _pytest
+
+# (must_contain, may_use_bnlj, may_use_python)
+_HEADLINE_PLAN_EXPECTATIONS = {
+    "pricing_summary": (["HashAggregate", "PushedFilters: [IsNotNull(l_shipdate)"], False, False),
+    "top_revenue_orders": (["TakeOrderedAndProject"], False, False),
+    "regional_revenue": (["BroadcastHashJoin"], False, False),
+    "top_orders_per_customer": (["Window"], False, False),
+    "event_chunk_agg_2s": (["HashAggregate"], False, False),
+    "sessionize_events": (["Window"], False, False),
+    "asof_purchase_click": (["Window"], False, False),
+    "range_join_clicks_before_purchase": ([], False, False),
+    "minhash_band_pairs": ([], False, True),
+    "jaccard_pair_stats": ([], False, True),
+    "simhash_near_dup_pairs": ([], False, True),
+    "knn_cosine_bruteforce": (["BroadcastNestedLoopJoin"], True, False),
+    "multimodal_features": (["MapInPandas"], False, True),
+    "token_stats": (["PushedFilters"], False, False),
+    "iou_edge_stats": (["HashAggregate"], False, False),
+    "small_quantity_revenue": (["PushedFilters"], False, False),
+    "chunk_scores_pipeline": (["BroadcastHashJoin"], False, False),
+    "repetition_scores": ([], False, True),
+    "sole_returning_suppliers": (["Join"], False, False),
+    "min_cost_supplier_per_part": ([], False, False),
+    "mlp_embedding": ([], False, True),
+    "dedup_connected_clusters": ([], False, True),
+    "trailing_hour_user_sum": (["Window"], False, False),
+    "nation_market_share": (["BroadcastHashJoin"], False, False),
+}
+
+
+def test_headline_plan_expectations_cover_bench():
+    """The expectation table must stay in lockstep with bench.HEADLINE."""
+    import bench
+
+    assert set(_HEADLINE_PLAN_EXPECTATIONS) == set(bench.HEADLINE)
+
+
+@_pytest.mark.parametrize("name", sorted(_HEADLINE_PLAN_EXPECTATIONS))
+def test_headline_plan_golden(spark, sf_dir, name):
+    from video_etl_spark import registry
+
+    registry.load_all()
+    must_contain, may_bnlj, may_python = _HEADLINE_PLAN_EXPECTATIONS[name]
+    df = registry.QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if not may_bnlj:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+    if not may_python:
+        assert "ArrowEvalPython" not in plan, f"{name}: unexpected Python stage"
+        assert "InPandas" not in plan, f"{name}: unexpected Python stage"
+    for token in must_contain:
+        assert token in plan, f"{name}: expected {token!r} in physical plan"

@@ -186,14 +186,14 @@ L_IN = 1
 L_HID = 4
 
 
-def _lstm_weights(seed: int = 13) -> dict[str, np.ndarray]:
+def _lstm_weights(seed: int = 13, in_dim: int = L_IN) -> dict[str, np.ndarray]:
     rng = np.random.default_rng(seed)
 
     def mat(r, c):
         return rng.integers(-8, 9, (r, c)).astype(np.float64) / 16.0
 
     return {
-        g: {"w": mat(L_IN + L_HID, L_HID), "b": mat(1, L_HID)[0]}
+        g: {"w": mat(in_dim + L_HID, L_HID), "b": mat(1, L_HID)[0]}
         for g in ("i", "f", "o", "g")
     }
 
@@ -203,14 +203,16 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
 
 
 class TinyLSTM:
-    """Single-layer LSTM: (T, 1) value sequence -> final hidden (4,)."""
+    """Single-layer LSTM cell run over a (T, in_dim) sequence."""
 
-    def __init__(self, seed: int = 13) -> None:
-        self.w = _lstm_weights(seed)
+    def __init__(self, seed: int = 13, in_dim: int = L_IN) -> None:
+        self.w = _lstm_weights(seed, in_dim)
 
-    def forward(self, seq: np.ndarray) -> np.ndarray:
+    def forward_seq(self, seq: np.ndarray) -> np.ndarray:
+        """(T, in_dim) -> all hidden states (T, L_HID)."""
         h = np.zeros(L_HID)
         c = np.zeros(L_HID)
+        hs = np.zeros((seq.shape[0], L_HID))
         for t in range(seq.shape[0]):
             z = np.concatenate([seq[t], h])
             i = _sigmoid(z @ self.w["i"]["w"] + self.w["i"]["b"])
@@ -219,7 +221,59 @@ class TinyLSTM:
             g = np.tanh(z @ self.w["g"]["w"] + self.w["g"]["b"])
             c = f * c + i * g
             h = o * np.tanh(c)
-        return h
+            hs[t] = h
+        return hs
+
+    def forward(self, seq: np.ndarray) -> np.ndarray:
+        """(T, in_dim) -> final hidden (L_HID,)."""
+        if seq.shape[0] == 0:
+            return np.zeros(L_HID)
+        return self.forward_seq(seq)[-1]
+
+
+class TinyBiLSTM2:
+    """Two stacked bidirectional LSTM layers with layer norm between —
+    the reference's per-modality leg shape (`lflstm.py:67-75`:
+    ``rnn1 = nn.LSTM(in, H, bidirectional=True)`` →
+    ``layer_norm`` → ``rnn2 = nn.LSTM(2H, H, bidirectional=True)``;
+    `lflstm.py:88-96` ``extract_features`` returns the final hidden of
+    BOTH layers, each the two directions concatenated)."""
+
+    def __init__(self, seed: int = 13, in_dim: int = L_IN) -> None:
+        self.l1f = TinyLSTM(seed, in_dim)
+        self.l1b = TinyLSTM(seed + 101, in_dim)
+        self.l2f = TinyLSTM(seed + 202, 2 * L_HID)
+        self.l2b = TinyLSTM(seed + 303, 2 * L_HID)
+
+    @staticmethod
+    def _layer_norm(h: np.ndarray) -> np.ndarray:
+        # Per-timestep LN over the feature dim (torch nn.LayerNorm default
+        # eps, elementwise affine weights left at identity).
+        mu = h.mean(axis=1, keepdims=True)
+        var = h.var(axis=1, keepdims=True)
+        return (h - mu) / np.sqrt(var + 1e-5)
+
+    def extract_features(self, seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(T, in_dim) -> (final_h1, final_h2), each (2*L_HID,).
+
+        Backward direction runs over the reversed sequence; its final
+        hidden is the state after consuming the whole reversal (torch's
+        h_n for the reverse direction).
+        """
+        if seq.shape[0] == 0:
+            z = np.zeros(2 * L_HID)
+            return z, z.copy()
+        h1f = self.l1f.forward_seq(seq)                  # (T, H)
+        h1b_rev = self.l1b.forward_seq(seq[::-1])        # (T, H), reversed time
+        final_h1 = np.concatenate([h1f[-1], h1b_rev[-1]])
+        # torch bi-LSTM output: per-timestep concat of fwd state and the
+        # bwd state aligned back to original positions
+        h1 = np.concatenate([h1f, h1b_rev[::-1]], axis=1)  # (T, 2H)
+        normed = self._layer_norm(h1)
+        h2f = self.l2f.forward_seq(normed)
+        h2b_rev = self.l2b.forward_seq(normed[::-1])
+        final_h2 = np.concatenate([h2f[-1], h2b_rev[-1]])
+        return final_h1, final_h2
 
 
 _LSTM_CACHE: dict[str, TinyLSTM] = {}
@@ -234,6 +288,23 @@ def get_lstm(
     if model is None:
         model = TinyLSTM(seed)
         _LSTM_CACHE[name] = model
+        if on_init is not None:
+            on_init()
+    return model
+
+
+_BILSTM_CACHE: dict[str, TinyBiLSTM2] = {}
+
+
+def get_bilstm(
+    name: str,
+    on_init: Callable[[], None] | None = None,
+    seed: int = 13,
+) -> TinyBiLSTM2:
+    model = _BILSTM_CACHE.get(name)
+    if model is None:
+        model = TinyBiLSTM2(seed)
+        _BILSTM_CACHE[name] = model
         if on_init is not None:
             on_init()
     return model
@@ -258,7 +329,9 @@ def lstm_user_states(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         model = get_lstm(model_name, on_init=on_init)
-        pdf = pdf.sort_values("ts").head(max_len)
+        # Stable sort + value tiebreak: duplicate (user_id, ts) rows must
+        # yield the same sequence regardless of Arrow batch arrival order.
+        pdf = pdf.sort_values(["ts", "value"], kind="mergesort").head(max_len)
         seq = (pdf["value"].to_numpy(dtype=np.float64) / 100.0).reshape(-1, 1)
         h = np.rint(model.forward(seq) * 1_000_000).astype(np.int64)
         return pd.DataFrame(
@@ -280,20 +353,24 @@ def lstm_user_states(
 # --------------------------------------------------------------------------
 # U8 (full) — LATE-FUSION LSTM assembled end-to-end (reference
 # `workloads/streaming/lflstm.py:56-133`): three modality legs (text /
-# visual / acoustic), each a recurrent LSTM over the per-key ordered
-# sequence, late-fused by concatenating the final hidden states into a
-# fusion FC head that emits logits + a label — the reference's
-# extract_features×3 → cat → fc1 → relu → fc2 forward pass, re-expressed
-# as ONE applyInPandas over per-key sequences (one shuffle on the key;
-# every leg runs inside the same group pass, so the three modalities are
-# never joined post-hoc).  Torch is container-absent (sanctioned), so the
-# legs are the same differential-tested numpy TinyLSTM cell with
-# per-modality weight seeds; the MOSEI-shaped modality channels are
-# deterministic functions of the event row, making the whole pipeline
-# replayable by the single-process numpy reference in the tests.
+# visual / acoustic), each a TWO-LAYER BIDIRECTIONAL LSTM with layer norm
+# between the layers (`lflstm.py:67-75`), late-fused by concatenating the
+# final hidden states of BOTH layers and BOTH directions per leg
+# (`lflstm.py:112-114`: cat of final_h1/final_h2 × 3 modalities =
+# sum(hidden)*4 features) into a fusion FC head that emits logits + a
+# label — extract_features×3 → cat → fc1 → relu → fc2, re-expressed as ONE
+# applyInPandas over per-key sequences (one shuffle on the key; every leg
+# runs inside the same group pass, so the three modalities are never
+# joined post-hoc).  Torch is container-absent (sanctioned), so the legs
+# are the differential-tested numpy TinyBiLSTM2 with per-modality weight
+# seeds; the MOSEI-shaped modality channels are deterministic functions of
+# the event row, making the whole pipeline replayable by the
+# single-process numpy reference in the tests.
 
 _LF_SEEDS = {"text": 13, "visual": 17, "acoustic": 19}
 _LF_LABELS = 3
+# Per-leg fused feature width: final_h1 (2H) + final_h2 (2H).
+_LF_LEG_DIM = 4 * L_HID
 
 
 def _lf_fc_weights(seed: int = 23) -> dict[str, np.ndarray]:
@@ -303,7 +380,7 @@ def _lf_fc_weights(seed: int = 23) -> dict[str, np.ndarray]:
         return rng.integers(-8, 9, (r, c)).astype(np.float64) / 16.0
 
     return {
-        "fc1_w": mat(3 * L_HID, L_HID),
+        "fc1_w": mat(3 * _LF_LEG_DIM, L_HID),
         "fc1_b": mat(1, L_HID)[0],
         "fc2_w": mat(L_HID, _LF_LABELS),
         "fc2_b": mat(1, _LF_LABELS)[0],
@@ -325,15 +402,17 @@ def lf_modality_channels(values: np.ndarray) -> dict[str, np.ndarray]:
 
 
 def lflstm_forward(values: np.ndarray) -> tuple[np.ndarray, int]:
-    """Single-sequence forward pass: 3 LSTM legs → concat → fc1 → ReLU →
-    fc2 → (logits, argmax label).  Pure numpy; shared by the Spark query
-    and the differential test."""
+    """Single-sequence forward pass: 3 two-layer bi-LSTM legs → concat of
+    both layers' final hiddens → fc1 → ReLU → fc2 → (logits, argmax
+    label).  Pure numpy; shared by the Spark query and the differential
+    test."""
     chans = lf_modality_channels(values)
     hs = []
     for mod, seed in _LF_SEEDS.items():
-        leg = get_lstm(f"lf-{mod}", seed=seed)
-        hs.append(leg.forward(chans[mod].reshape(-1, 1)))
-    h = np.concatenate(hs)  # (3*L_HID,) — the reference's torch.cat
+        leg = get_bilstm(f"lf-{mod}", seed=seed)
+        f1, f2 = leg.extract_features(chans[mod].reshape(-1, 1))
+        hs.append(np.concatenate([f1, f2]))  # (4*L_HID,) per leg
+    h = np.concatenate(hs)  # (3*4*L_HID,) — the reference's torch.cat
     fc = _lf_fc_weights()
     z1 = np.maximum(h @ fc["fc1_w"] + fc["fc1_b"], 0.0)
     logits = z1 @ fc["fc2_w"] + fc["fc2_b"]
@@ -355,8 +434,11 @@ def lflstm_fusion(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if on_init is not None:
-            get_lstm("lf-text", seed=_LF_SEEDS["text"], on_init=on_init)
-        pdf = pdf.sort_values("ts").head(max_len)
+            get_bilstm("lf-text", seed=_LF_SEEDS["text"], on_init=on_init)
+        # Stable sort + value tiebreak (same determinism contract as
+        # lstm_user_states): duplicate (user_id, ts) rows sequence
+        # identically regardless of input partition order.
+        pdf = pdf.sort_values(["ts", "value"], kind="mergesort").head(max_len)
         values = pdf["value"].to_numpy(dtype=np.float64)
         logits, label = lflstm_forward(values)
         q = np.rint(logits * 1_000_000).astype(np.int64)

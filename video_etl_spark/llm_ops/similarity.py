@@ -69,15 +69,29 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 1_000_000,
 ) -> DataFrame:
     """Top-k cosine neighbors per query among LSH bucket candidates.
 
     Returns (query_id, neighbor_id, cos_sim, rn) — same shape as the
     brute-force oracle query, so recall is directly measurable.
+
+    The query side (ids + vectors) is broadcast into the candidate
+    re-rank, so it must be bounded: more than ``max_queries`` rows raises
+    instead of silently OOMing executors (same contract as ``pq_topk``).
+    The corpus side is never broadcast or collected.
     """
     from video_etl_spark.session import ensure_executor_package
 
     ensure_executor_package(corpus.sparkSession)
+    # limit(max+1) bounds the count job itself; one cheap action up front
+    # beats an executor OOM mid-join.
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"lsh_topk query set exceeds max_queries={max_queries}; "
+            "batch the queries (or raise max_queries deliberately) — the "
+            "query vectors are broadcast to every executor for the re-rank"
+        )
     planes = _planes(n_tables, n_planes, dim)
     bucketize = _bucket_udf(planes)
 

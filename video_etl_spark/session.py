@@ -49,6 +49,12 @@ def _default_conf(cpus: str) -> dict[str, str]:
         # load_table() truncates the events.ts column to microseconds
         # (matching DuckDB's TIMESTAMP_NS -> TIMESTAMP cast).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Driver-generated events.parquet has changed format across rounds
+        # (TIMESTAMP(NANOS) -> timestamp[us] with no tz).  Plain timestamp[us]
+        # would otherwise surface as TIMESTAMP_NTZ, which `unix_micros` et al.
+        # reject; with the session tz pinned to UTC, reading it as a regular
+        # TIMESTAMP is value-exact and keeps DuckDB-oracle parity.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.sql.parquet.filterPushdown": "true",
         # Small dims (region/nation/supplier/profile tables) must broadcast.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
@@ -88,15 +94,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP_NS to its microsecond TIMESTAMP, so oracle comparisons agree.
     The rewrite is restricted to the events table so an unrelated bigint
     column that happens to be named ``ts`` is never silently mangled.
+
+    The driver has also shipped events.parquet as plain ``timestamp[us]``
+    with no timezone (round-5 testdata refresh), which Spark reads as
+    TIMESTAMP_NTZ; normalize that to TIMESTAMP too (session tz is UTC, so
+    the cast is value-exact and DuckDB ``epoch_us`` parity holds).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        elif ts_type == "timestamp_ntz":
+            # Belt-and-suspenders: fires only if the session was built
+            # without inferTimestampNTZ=false (externally built sessions).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

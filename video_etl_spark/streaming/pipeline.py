@@ -29,19 +29,31 @@ from pyspark.sql import types as T
 from video_etl_spark.control.switcher import KnobSwitcher
 from video_etl_spark.session import table_path
 
-# The driver's events.parquet stores TIMESTAMP(NANOS); streaming reads need
-# an explicit schema, so read ts as LONG nanos and truncate to micros
-# (same convention as session._read_parquet_nanos_safe).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The driver's events.parquet format has varied across testdata refreshes:
+# TIMESTAMP(NANOS) in early rounds (must be read as LONG nanos under
+# nanosAsLong and truncated), plain timestamp[us] with no tz since round 5
+# (reads as TIMESTAMP once inferTimestampNTZ=false).  Streaming reads need an
+# explicit schema, so probe the parquet footer and build the right one.
+
+
+def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """Return (schema, ts_is_nanos_long) matching the on-disk events file."""
+    import pyarrow.parquet as pq
+
+    arrow_ts = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    ts_is_nanos = str(arrow_ts) in ("int64", "timestamp[ns]")
+    ts_field = T.LongType() if ts_is_nanos else T.TimestampType()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_field),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, ts_is_nanos
 
 SWITCH_LOG_SCHEMA = (
     "chunk_id long, window_start timestamp, config int, placement int, "
@@ -56,16 +68,20 @@ def events_stream(
     replays video from disk at 30 fps, paper §5.1; rate limiting here is
     `maxFilesPerTrigger`)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema, ts_is_nanos = _events_raw_schema(sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         # the events table is a single parquet file; FileStreamSource needs a
         # directory or glob, so match the file with a glob pattern
         .parquet(f"{sf_dir.rstrip('/')}/events.*")
     )
-    return raw.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-    )
+    if ts_is_nanos:
+        raw = raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    return raw
 
 
 def chunk_aggregates(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
