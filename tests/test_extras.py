@@ -26,19 +26,25 @@ pytestmark = pytest.mark.extras
 
 def test_real_decode_seam_raises_without_codec(spark, sf_dir):
     """In an extras-less env the seam must raise loudly, never fake."""
-    from video_etl_spark.llm_ops.multimodal import docs_as_frames, extract_features
+    from video_etl_spark.llm_ops.multimodal import attach_fake_payload, extract_features
     from video_etl_spark.session import load_table
 
-    frames = docs_as_frames(load_table(spark, sf_dir, "documents").limit(4))
+    frames = attach_fake_payload(load_table(spark, sf_dir, "documents").limit(4))
     with pytest.raises(NotImplementedError, match="codec"):
         extract_features(frames, real_decode=True)
 
 
 def test_real_asr_seam_raises_without_model(spark, sf_dir):
-    from video_etl_spark.llm_ops.audio import audio_segments, transcribe_segments
+    from video_etl_spark.llm_ops.audio import (
+        attach_fake_audio,
+        segment_audio,
+        transcribe_segments,
+    )
     from video_etl_spark.session import load_table
 
-    segs = audio_segments(load_table(spark, sf_dir, "documents").limit(4))
+    segs = segment_audio(
+        attach_fake_audio(load_table(spark, sf_dir, "documents").limit(4))
+    )
     with pytest.raises(NotImplementedError, match="speech model"):
         transcribe_segments(segs, real_asr=True)
 

@@ -628,3 +628,16 @@ def test_transmot_stack_nondegenerate(spark, sf_dir):
     distinct = {(r["z0"], r["z1"], r["z2"], r["z3"], r["src_score"]) for r in rows}
     assert len(distinct) == 25
     assert all(0.0 < r["src_score"] < 1.0 for r in rows)
+
+
+def test_lsh_topk_query_broadcast_guard(spark, sf_dir):
+    """Oversized query sets must raise (the query vectors broadcast to every
+    executor for the re-rank) instead of silently OOMing — round-4 ask #5."""
+    import pytest
+
+    from video_etl_spark.llm_ops.similarity import lsh_topk
+    from video_etl_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        lsh_topk(emb, emb.limit(10), max_queries=5)

@@ -15,6 +15,8 @@ distributed op.
 
 from __future__ import annotations
 
+import numpy as np
+
 INF = float("inf")
 
 
@@ -22,59 +24,61 @@ def hungarian(cost: list[list[float]]) -> list[tuple[int, int]]:
     """Min-cost assignment on an n×m cost matrix.
 
     Returns [(row, col)] pairs covering min(n, m) rows/cols, sorted by row.
+
+    The column scans of the augmenting-path search are numpy-vectorized
+    (the tracker calls this once per frame on boxes×tracks matrices;
+    Python-level scans were the per-frame hot spot).  Tie-breaking matches
+    the scalar reference exactly: the pivot column is the FIRST index
+    attaining the minimum reduced cost (np.argmin's first-occurrence rule
+    = the ascending scan's strict `<` update).
     """
-    n = len(cost)
-    if n == 0 or len(cost[0]) == 0:
+    C = np.asarray(cost, dtype=np.float64)
+    if C.size == 0:
         return []
-    m = len(cost[0])
+    n, m = C.shape
     transposed = n > m
     if transposed:
-        cost = [[cost[i][j] for i in range(n)] for j in range(m)]
+        C = C.T
         n, m = m, n
 
-    u = [0.0] * (n + 1)
-    v = [0.0] * (m + 1)
-    p = [0] * (m + 1)  # p[j] = row (1-based) matched to col j; p[0] = work row
-    way = [0] * (m + 1)  # predecessor column on the augmenting path
+    u = np.zeros(n + 1)
+    v = np.zeros(m + 1)
+    p = np.zeros(m + 1, dtype=np.int64)  # p[j] = row matched to col j (1-based)
+    way = np.zeros(m + 1, dtype=np.int64)  # predecessor col on augmenting path
 
     for i in range(1, n + 1):
         p[0] = i
         j0 = 0
-        minv = [INF] * (m + 1)
-        used = [False] * (m + 1)
+        minv = np.full(m + 1, INF)
+        used = np.zeros(m + 1, dtype=bool)
         while True:
             used[j0] = True
             i0 = p[j0]
-            delta = INF
-            j1 = 0
-            for j in range(1, m + 1):
-                if used[j]:
-                    continue
-                cur = cost[i0 - 1][j - 1] - u[i0] - v[j]
-                if cur < minv[j]:
-                    minv[j] = cur
-                    way[j] = j0
-                if minv[j] < delta:
-                    delta = minv[j]
-                    j1 = j
-            for j in range(m + 1):
-                if used[j]:
-                    u[p[j]] += delta
-                    v[j] -= delta
-                else:
-                    minv[j] -= delta
+            # reduced costs of row i0 against every unused column
+            cur = np.full(m + 1, INF)
+            cur[1:] = C[i0 - 1] - u[i0] - v[1:]
+            cur[used] = INF
+            improve = cur < minv
+            way[improve] = j0
+            np.minimum(minv, cur, out=minv)
+            scan = np.where(used, INF, minv)
+            j1 = int(np.argmin(scan))
+            delta = scan[j1]
+            u[p[used]] += delta
+            v[used] -= delta
+            minv[~used] -= delta
             j0 = j1
             if p[j0] == 0:
                 break
         while j0:
-            j1 = way[j0]
+            j1 = int(way[j0])
             p[j0] = p[j1]
             j0 = j1
 
     pairs = []
     for j in range(1, m + 1):
         if p[j]:
-            r, c = p[j] - 1, j - 1
+            r, c = int(p[j]) - 1, j - 1
             pairs.append((c, r) if transposed else (r, c))
     return sorted(pairs)
 

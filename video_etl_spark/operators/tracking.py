@@ -23,6 +23,7 @@ operator is `applyInPandasWithState` keyed the same way.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -83,6 +84,29 @@ class _Track:
         self.misses = 0
 
 
+def _iou_matrix(pred_boxes: list, det_boxes: list) -> np.ndarray:
+    """(T, N) IoU matrix via numpy broadcasting — the per-frame hot loop,
+    so no Python-level pairwise calls."""
+    P = np.asarray(pred_boxes, dtype=np.float64)
+    D = np.asarray(det_boxes, dtype=np.float64)
+    ix = np.maximum(
+        0.0,
+        np.minimum(P[:, None, 2], D[None, :, 2])
+        - np.maximum(P[:, None, 0], D[None, :, 0]),
+    )
+    iy = np.maximum(
+        0.0,
+        np.minimum(P[:, None, 3], D[None, :, 3])
+        - np.maximum(P[:, None, 1], D[None, :, 1]),
+    )
+    inter = ix * iy
+    area_p = (P[:, 2] - P[:, 0]) * (P[:, 3] - P[:, 1])
+    area_d = (D[:, 2] - D[:, 0]) * (D[:, 3] - D[:, 1])
+    union = area_p[:, None] + area_d[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(inter > 0, inter / union, 0.0)
+
+
 def _associate(
     preds: list, dets: list, iou_threshold: float, association: str
 ) -> tuple[set[int], set[int], list[tuple[int, int]]]:
@@ -90,25 +114,22 @@ def _associate(
     min-cost assignment on −IoU then rejects pairs under the threshold
     (`sort.py:154-196`); `greedy` takes best-IoU-first."""
     matches: list[tuple[int, int]] = []
-    if association == "hungarian" and preds and dets:
+    if not preds or not dets:
+        return set(), set(), matches
+    iou = _iou_matrix([p for _, p in preds], dets)
+    if association == "hungarian":
         from video_etl_spark.operators.assignment import hungarian
 
-        cost = [[-_iou(p, d) for d in dets] for _, p in preds]
-        for ti, di in hungarian(cost):
-            if -cost[ti][di] >= iou_threshold:
+        for ti, di in hungarian((-iou).tolist()):
+            if iou[ti, di] >= iou_threshold:
                 matches.append((ti, di))
     else:
-        candidates = sorted(
-            (
-                (-iou, ti, di)
-                for ti, (_, p) in enumerate(preds)
-                for di, d in enumerate(dets)
-                if (iou := _iou(p, d)) >= iou_threshold
-            ),
-        )
+        ti_idx, di_idx = np.nonzero(iou >= iou_threshold)
+        order = np.lexsort((di_idx, ti_idx, -iou[ti_idx, di_idx]))
         seen_t: set[int] = set()
         seen_d: set[int] = set()
-        for _neg, ti, di in candidates:
+        for pos in order:
+            ti, di = int(ti_idx[pos]), int(di_idx[pos])
             if ti in seen_t or di in seen_d:
                 continue
             seen_t.add(ti)

@@ -174,12 +174,22 @@ def mlp_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sort_tracker_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic detections (derived from lineitem) through
     the SORT-style tracker — exercises the shuffle-once-then-ordered-state
-    layout on real table data."""
+    layout on real table data.
+
+    The stream key is (returnflag × orderkey%16) ≈ 48 camera streams, the
+    multi-camera shape the tracker is built for: parallelism scales with
+    the stream count (one applyInPandas group per stream), and per-frame
+    detection density stays bounded (~tens of boxes) so the Hungarian
+    association's O(n³) inner step never sees a pathological frame.  The
+    earlier 3-stream formulation put ~400 boxes in every frame — a 70 s
+    single-task hotspot at sf0.01 and a non-starter at 100×."""
     from video_etl_spark.operators.tracking import sort_tracker
 
     li = load_table(spark, sf_dir, "lineitem")
     dets = li.select(
-        F.col("l_returnflag").alias("stream"),
+        F.concat(
+            F.col("l_returnflag"), F.lit("-"), (F.col("l_orderkey") % 16)
+        ).alias("stream"),
         (F.col("l_orderkey") % 50).alias("frame_no"),
         (F.col("l_partkey") % 100).cast("double").alias("x0"),
         (F.col("l_suppkey") % 80).cast("double").alias("y0"),
@@ -197,6 +207,12 @@ def switch_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_etl_spark.control.switcher import KnobSwitcher, Profile
 
     ev = load_table(spark, sf_dir, "events")
+    # Driver-side collect is the SURVEY §2.10 design: the switcher is a
+    # sequential <1 ms/decision control loop over per-chunk AGGREGATES —
+    # one row per 2 s window, never raw events.  Size is bounded by the
+    # stream's wall-clock span (a year of 2 s chunks ≈ 16 M tiny rows),
+    # not by data volume; _MAX_CHUNKS keeps a mis-scoped call loud.
+    _MAX_CHUNKS = 2_000_000
     chunks = (
         ev.groupBy(F.window("ts", "2 seconds").alias("w"))
         .agg(
@@ -207,8 +223,15 @@ def switch_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "value_sum", "n_events")
         .orderBy("window_start")
+        .limit(_MAX_CHUNKS + 1)
         .collect()
     )
+    if len(chunks) > _MAX_CHUNKS:
+        raise ValueError(
+            f"switch_log_replay: more than {_MAX_CHUNKS} 2s chunks; replay "
+            "a narrower time slice (the switcher is a sequential control "
+            "loop — it cannot consume an unbounded chunk stream at once)"
+        )
     quality = [[0.9, 0.6, 0.2], [0.7, 0.5, 0.1], [0.3, 0.2, 0.05]]
     profile = Profile(
         runtime=(1.9, 1.0, 0.4, 1.2, 0.7, 0.3),
