@@ -641,3 +641,37 @@ def test_lsh_topk_query_broadcast_guard(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="max_queries"):
         lsh_topk(emb, emb.limit(10), max_queries=5)
+
+
+def test_connected_components_path_graph_worst_case(spark):
+    """A single path 0-1-2-...-127 is the max-diameter graph per node
+    count: pointer jumping must still reach component 0 for every node
+    inside the log2(n)+2 round budget (no convergence raise)."""
+    from video_etl_spark.llm_ops.dedup import connected_components
+
+    n = 128
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, nodes).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_budget_exhaustion_raises(spark):
+    """max_iter too small for the graph must raise the loud convergence
+    error (never return wrong labels, never NameError)."""
+    import pytest
+
+    from video_etl_spark.llm_ops.dedup import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iter=1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iter=0)
