@@ -14,6 +14,12 @@ Seams under test:
 * `llm_ops/audio.py` `transcribe_segments(real_asr=True)` — plug a
   whisper-style transcriber into `get_asr()` (S15 lazy cache).
 
+The extras-ABSENT behavior (the seams raise NotImplementedError loudly)
+is covered by the DEFAULT suite — see
+`tests/test_llm_ops.py::test_multimodal_real_decode_raises` and the audio
+raise test there — so this file contains only tests that need the real
+libraries.
+
 Reference parity: the reference decodes H.264 with cv2
 (`workloads/covid/covid_measures.py:264-283`) and runs torch models
 (`workloads/covid/covid_workload.py:46-66`).
@@ -22,31 +28,6 @@ Reference parity: the reference decodes H.264 with cv2
 import pytest
 
 pytestmark = pytest.mark.extras
-
-
-def test_real_decode_seam_raises_without_codec(spark, sf_dir):
-    """In an extras-less env the seam must raise loudly, never fake."""
-    from video_etl_spark.llm_ops.multimodal import attach_fake_payload, extract_features
-    from video_etl_spark.session import load_table
-
-    frames = attach_fake_payload(load_table(spark, sf_dir, "documents").limit(4))
-    with pytest.raises(NotImplementedError, match="codec"):
-        extract_features(frames, real_decode=True)
-
-
-def test_real_asr_seam_raises_without_model(spark, sf_dir):
-    from video_etl_spark.llm_ops.audio import (
-        attach_fake_audio,
-        segment_audio,
-        transcribe_segments,
-    )
-    from video_etl_spark.session import load_table
-
-    segs = segment_audio(
-        attach_fake_audio(load_table(spark, sf_dir, "documents").limit(4))
-    )
-    with pytest.raises(NotImplementedError, match="speech model"):
-        transcribe_segments(segs, real_asr=True)
 
 
 def test_cv2_decode_plug_point(spark, sf_dir):

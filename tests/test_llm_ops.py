@@ -675,3 +675,23 @@ def test_connected_components_budget_exhaustion_raises(spark):
         connected_components(edges, nodes, max_iter=1)
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, nodes, max_iter=0)
+
+
+def test_connected_components_shuffled_ids_escape_hatch(spark):
+    """Arbitrary node-id placement (real doc_ids) can need ~diameter
+    rounds: a shuffled-id path must STILL converge when max_iter is
+    raised — the escape hatch the convergence error recommends."""
+    import random
+
+    from video_etl_spark.llm_ops.dedup import connected_components
+
+    n = 32
+    ids = list(range(n))
+    random.Random(11).shuffle(ids)
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, nodes, max_iter=64).collect()}
+    assert got == {i: 0 for i in range(n)}

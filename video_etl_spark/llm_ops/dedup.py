@@ -204,13 +204,14 @@ def connected_components(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint()
 
-    # Round budget: pointer jumping converges in ~log2(component diameter)
-    # rounds; log2(n)+2 is the worst-case bound (path graph spanning every
-    # node).  The count() is one upfront job over the id column only.
-    import math
-
-    n_nodes = labels.count()
-    rounds = max(1, min(max_iter, int(math.log2(max(n_nodes, 2))) + 2))
+    # Round budget is max_iter alone: pointer jumping reaches log-round
+    # convergence only when small labels happen to sit "toward" each
+    # component's min — for ARBITRARY node-id placement (real doc_ids) a
+    # path can need ~diameter rounds, so a log2(n)-derived cap would
+    # spuriously raise AND neuter the documented max_iter escape hatch.
+    # The cheap per-round probe below exits early in the common
+    # tiny-diameter dedup case.
+    rounds = max(1, max_iter)
 
     converged = False
     for _ in range(rounds):
@@ -259,8 +260,8 @@ def connected_components(
         # returned components are WRONG (some nodes haven't reached their
         # component's min id) — that must never be silent.
         raise RuntimeError(
-            f"connected_components did not converge in {rounds} rounds "
-            f"(n_nodes={n_nodes}); with pointer jumping the round count is "
-            "~log2(component diameter) — raise max_iter"
+            f"connected_components did not converge in {rounds} rounds; "
+            "label propagation needs up to ~component-diameter rounds when "
+            "node ids are adversarially placed — raise max_iter"
         )
     return labels.select("node", F.col("label").alias("component"))

@@ -84,9 +84,11 @@ def lsh_topk(
     from video_etl_spark.session import ensure_executor_package
 
     ensure_executor_package(corpus.sparkSession)
-    # limit(max+1) bounds the count job itself; one cheap action up front
-    # beats an executor OOM mid-join.
-    if queries.limit(max_queries + 1).count() > max_queries:
+    # limit(max+1) bounds the count job itself, and projecting the id
+    # column first lets the scan prune the vectors — the guard job reads
+    # ids, never embeddings.  One cheap action up front beats an executor
+    # OOM mid-join.
+    if queries.select(id_col).limit(max_queries + 1).count() > max_queries:
         raise ValueError(
             f"lsh_topk query set exceeds max_queries={max_queries}; "
             "batch the queries (or raise max_queries deliberately) — the "

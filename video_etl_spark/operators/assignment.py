@@ -20,8 +20,8 @@ import numpy as np
 INF = float("inf")
 
 
-def hungarian(cost: list[list[float]]) -> list[tuple[int, int]]:
-    """Min-cost assignment on an n×m cost matrix.
+def hungarian(cost) -> list[tuple[int, int]]:
+    """Min-cost assignment on an n×m cost matrix (nested lists or ndarray).
 
     Returns [(row, col)] pairs covering min(n, m) rows/cols, sorted by row.
 

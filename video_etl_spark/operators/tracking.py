@@ -120,7 +120,7 @@ def _associate(
     if association == "hungarian":
         from video_etl_spark.operators.assignment import hungarian
 
-        for ti, di in hungarian((-iou).tolist()):
+        for ti, di in hungarian(-iou):
             if iou[ti, di] >= iou_threshold:
                 matches.append((ti, di))
     else:

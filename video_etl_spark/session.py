@@ -102,6 +102,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # The no-tz timestamp[us] read is only value-exact (and DuckDB-parity)
+    # under a UTC session tz; externally built sessions (the driver's) may
+    # carry the host tz, so pin it at runtime like the parquet confs above.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         from pyspark.sql import functions as F

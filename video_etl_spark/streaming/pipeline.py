@@ -39,9 +39,14 @@ from video_etl_spark.session import table_path
 def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     """Return (schema, ts_is_nanos_long) matching the on-disk events file."""
     import pyarrow.parquet as pq
+    import pyarrow.types as pat
 
     arrow_ts = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
-    ts_is_nanos = str(arrow_ts) in ("int64", "timestamp[ns]")
+    # int64 and ANY nanosecond timestamp (tz-aware or not) arrive as LONG
+    # under nanosAsLong; exact string matching would miss timestamp[ns, tz=...]
+    ts_is_nanos = str(arrow_ts) == "int64" or (
+        pat.is_timestamp(arrow_ts) and arrow_ts.unit == "ns"
+    )
     ts_field = T.LongType() if ts_is_nanos else T.TimestampType()
     schema = T.StructType(
         [
@@ -69,6 +74,7 @@ def events_stream(
     `maxFilesPerTrigger`)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema, ts_is_nanos = _events_raw_schema(sf_dir)
     raw = (
         spark.readStream.schema(schema)
