@@ -202,6 +202,106 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# U21⊕ — INCREMENTAL batch dedup: match a NEW crawl batch against the
+# EXISTING corpus via the band index — the upsert shape a production
+# training-data pipeline runs per crawl (dedup new docs against history
+# without re-pairing history against itself).  Batch split is deterministic
+# (doc_id % 10 = 0 plays the new batch).  Scale posture: the history side
+# is only ever touched through the band equi-join (shuffle on band key);
+# at 100 TB the banded history lives as a bucketed table and each
+# incremental batch joins against it without rescanning or re-signing the
+# corpus — NO old×old pair is ever generated (the asymmetric join is the
+# point; compare minhash_band_pairs, which pairs the whole corpus).
+@query(
+    "incremental_band_dedup",
+    oracle=_duck_minhash_cte()
+    + """
+    , banded AS (
+      SELECT doc_id,
+             CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS band0,
+             CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band1
+      FROM sig),
+    hits AS (
+      SELECT n.doc_id AS new_doc, o.doc_id AS old_doc
+      FROM banded n JOIN banded o
+        ON n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0 AND n.band0 = o.band0
+      UNION
+      SELECT n.doc_id AS new_doc, o.doc_id AS old_doc
+      FROM banded n JOIN banded o
+        ON n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0 AND n.band1 = o.band1)
+    SELECT new_doc, min(old_doc) AS dup_of, count(*) AS n_candidates
+    FROM hits GROUP BY new_doc
+    """,
+)
+def incremental_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _spark_shingles(docs).select("doc_id", *_spark_minhash_cols())
+    banded = sig.select(
+        "doc_id",
+        F.concat_ws("_", F.col("mh0").cast("string"), F.col("mh1").cast("string")).alias("band0"),
+        F.concat_ws("_", F.col("mh2").cast("string"), F.col("mh3").cast("string")).alias("band1"),
+    ).persist()
+    new = banded.filter(F.col("doc_id") % 10 == 0)
+    old = banded.filter(F.col("doc_id") % 10 != 0)
+    hits = None
+    for band in ("band0", "band1"):
+        n = new.select(F.col("doc_id").alias("new_doc"), F.col(band).alias("b"))
+        o = old.select(F.col("doc_id").alias("old_doc"), F.col(band).alias("b"))
+        p = n.join(o, "b").select("new_doc", "old_doc")
+        hits = p if hits is None else hits.unionByName(p)
+    return (
+        hits.distinct()
+        .groupBy("new_doc")
+        .agg(
+            F.min("old_doc").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# U23⊕ — benchmark DECONTAMINATION: flag corpus documents sharing any
+# 3-gram shingle with a (small) benchmark/eval set — the n-gram-overlap
+# test-set-contamination check every LLM training pipeline runs before
+# training.  Deterministic benchmark split: doc_id % 97 = 0 plays the eval
+# set.  Scale posture: the benchmark shingle set is tiny and DISTINCT-ed,
+# so Catalyst broadcasts it against the exploded corpus shingles — the
+# 100 TB corpus is touched once, streamed through a broadcast hash join
+# with the shingle extraction fused into the same stage (no shuffle of
+# corpus shingles, no pairwise doc join).
+@query(
+    "benchmark_decontamination",
+    oracle=_duck_minhash_cte().split(", sig AS")[0]
+    + """
+    , bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS s
+      FROM sh WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, count(*) AS n_overlapping_shingles
+    FROM corpus c JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs).select("doc_id", "shingles")
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlapping_shingles"))
+    )
+
+
+# --------------------------------------------------------------------------
 # U21 — n-gram (token-set) Jaccard near-dup scoring, bounded by co-partition
 # on `source`.  Pure relational formulation: explode distinct tokens,
 # equi-join on token, count intersections.
