@@ -697,3 +697,125 @@ def error_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_burst") >= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# A11⊕ — exact percentile surface (round 5).  Spark `percentile` and DuckDB
+# `quantile_cont` share the same definition (sorted order statistics +
+# linear interpolation), so the cross-engine parity is exact up to float
+# ulp; round(.., 4) absorbs that, same convention as the attention
+# queries.  Scale: one partial/final agg shuffle on event_type — exact
+# percentiles sort within each group's state; at 100 TB swap
+# `percentile_approx` (t-digest sketch, mergeable, bounded memory) into
+# the same plan shape.
+@query(
+    "value_percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95D)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99D)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5⊕ — numeric histogram binning (round 5): fixed-width buckets over the
+# value domain per event type.  The bucket index is plain floor arithmetic
+# (identical expression both engines — this DuckDB build has no
+# width_bucket): bin = least(floor(value / 25), 15), 16 buckets over
+# [0, 400).  Pure partial/final hash agg, fully code-generated; the
+# natural per-metric distribution dashboard query.
+@query(
+    "value_histogram_bins",
+    oracle="""
+    SELECT event_type,
+           CAST(least(floor(value / 25.0), 15) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(value), 2) AS bin_min,
+           round(max(value), 2) AS bin_max
+    FROM events
+    GROUP BY event_type, bin
+    """,
+)
+def value_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.least(F.floor(F.col("value") / 25.0), F.lit(15))
+        .cast("long")
+        .alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("bin_min"),
+        F.round(F.max("value"), 2).alias("bin_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A11⊕ — distributed Pearson correlation with EXACT cross-engine parity
+# (round 5).  Naive corr() diverges between engines (float accumulation
+# order), so the five moment sums are accumulated as exact BIGINTs
+# (x = cents of value, y = whole seconds into the event's UTC day — both
+# integers) and the Pearson formula is evaluated ONCE in float from those
+# identical integers: both engines round identically, bit for bit.  Same
+# partial/final hash-agg shuffle as any sum; the pattern generalizes to
+# covariance / regression slopes at 100 TB (sketch-free, one pass).
+@query(
+    "value_time_correlation",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) AS sx,
+             sum(CAST(floor(epoch(ts) % 86400) AS BIGINT)) AS sy,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(floor(epoch(ts) % 86400) AS BIGINT)) AS sxy,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS sxx,
+             sum(CAST(floor(epoch(ts) % 86400) AS BIGINT)
+                 * CAST(floor(epoch(ts) % 86400) AS BIGINT)) AS syy
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS pearson_r
+    FROM m
+    """,
+)
+def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    y = F.floor(F.unix_micros("ts") / 1_000_000 % 86_400).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("pearson_r"),
+    )
