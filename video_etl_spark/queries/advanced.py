@@ -848,3 +848,130 @@ def transmot_stack_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("src_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# U10⊕ — PageRank over the TRADE-FLOW graph (round 5): a weighted digraph
+# derived from real table data (edge supp_nation → cust_nation weighted by
+# lineitem count, plus a weight-1 self-loop per nation so no node
+# dangles), iterated a FIXED 5 rounds in EXACT integer arithmetic: ranks
+# live in 1e6 micro-units, each edge contributes
+# floor(rank_src * w / out_w) (per-term exact → order-independent sums),
+# damping is (flow * 85) div 100 + 150000.  Both engines execute the
+# identical integer program, so the oracle matches bit for bit — the same
+# parity discipline as the GCN stack (integer accumulation, no float
+# until never).  Scale shape per iteration: edges ⋈ ranks (shuffle on
+# src), groupBy(dst) — the standard distributed PageRank plan; the
+# 25-node rank table broadcasts, and at a 100 TB edge set AQE picks
+# SMJ/bucketed joins on the same program.
+_PR_SCALE = 1_000_000
+_PR_BASE = 150_000  # 0.15 * SCALE
+_PR_ITERS = 5
+
+
+def _pr_edges_sql() -> str:
+    return """
+    flows AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY s.s_nationkey, c.c_nationkey),
+    loops AS (
+      SELECT n_nationkey AS src, n_nationkey AS dst, 1 AS w FROM nation),
+    edges AS (
+      SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
+      FROM (SELECT * FROM flows UNION ALL SELECT * FROM loops)
+      GROUP BY src, dst),
+    outw AS (
+      SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+    nodes AS (
+      SELECT n_nationkey AS node FROM nation)"""
+
+
+def _pr_oracle_sql() -> str:
+    its = [
+        f"""
+    rank0 AS (
+      SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        its.append(f"""
+    contrib{k} AS (
+      SELECT e.dst, sum((r.rank * e.w) // t.ow) AS flow
+      FROM rank{k - 1} r
+      JOIN edges e ON e.src = r.node
+      JOIN outw t ON t.src = e.src
+      GROUP BY e.dst),
+    rank{k} AS (
+      SELECT n.node,
+             CAST({_PR_BASE} + (COALESCE(c.flow, 0) * 85) // 100 AS BIGINT)
+               AS rank
+      FROM nodes n LEFT JOIN contrib{k} c ON c.dst = n.node)""")
+    return (
+        "WITH " + _pr_edges_sql().lstrip() + "," + ",".join(its)
+        + f"""
+    SELECT node AS n_nationkey, rank AS pagerank_micros
+    FROM rank{_PR_ITERS}
+    """
+    )
+
+
+@query("pagerank_trade_flow", oracle=_pr_oracle_sql())
+def pagerank_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    flows = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    loops = nation.select(
+        F.col("n_nationkey").alias("src"),
+        F.col("n_nationkey").alias("dst"),
+        F.lit(1).alias("w"),
+    )
+    edges = (
+        flows.unionByName(loops)
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    edges_n = edges.join(outw, "src")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+
+    ranks = nodes.withColumn("rank", F.lit(_PR_SCALE).cast("long"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(edges_n, ranks["node"] == edges_n["src"])
+            .select(
+                "dst",
+                F.expr("(rank * w) div ow").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("flow"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(_PR_BASE)
+                + F.expr("(COALESCE(flow, 0) * 85) div 100")
+            ).cast("long").alias("rank"),
+        )
+    return ranks.select(
+        F.col("node").alias("n_nationkey"),
+        F.col("rank").alias("pagerank_micros"),
+    )
