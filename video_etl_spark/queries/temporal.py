@@ -819,3 +819,21 @@ def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# A11⊕ — t-digest approximate percentiles (round 5): the sketch that
+# replaces exact `percentile` at 100 TB (mergeable, bounded memory per
+# group).  Rows-only by design — Spark's t-digest and any other engine's
+# sketch differ by construction; the exact twin `value_percentiles_by_type`
+# is the oracle-verified baseline and pytest bounds the sketch's relative
+# error against it (same twin pattern as HLL `approx_count_distinct`).
+@query("value_percentiles_approx")
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.50, 10_000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10_000).alias("p95"),
+        F.percentile_approx("value", 0.99, 10_000).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

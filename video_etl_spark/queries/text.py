@@ -1212,3 +1212,44 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_toks").cast("long").alias("min_tokens"),
         F.max("n_toks").cast("long").alias("max_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# U21⊕ — deterministic fixed-k stratified sample (round 5): exactly k docs
+# per language, chosen by md5-hash order — the reproducible
+# reservoir-sample every training-data pipeline needs for balancing
+# strata (hash order IS the uniform random order, identical on every
+# engine and every rerun; contrast stratified_sample, which is
+# per-fraction Bernoulli).  Scale shape: one window per stratum
+# (row_number over hash) — partial top-k per partition then one shuffle
+# on lang; no collect, no RNG state.
+@query(
+    "stratified_topk_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_DUCK_HASH.format(expr="'smp|' || CAST(doc_id AS VARCHAR)")} AS hv
+      FROM documents)
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+      FROM h) t
+    WHERE rn <= 40
+    """,
+)
+def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        docs.select("doc_id", "lang", hv.alias("hv"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "lang", "rn")
+    )
