@@ -475,3 +475,33 @@ def test_headline_plan_golden(spark, sf_dir, name):
         assert "InPandas" not in plan, f"{name}: unexpected Python stage"
     for token in must_contain:
         assert token in plan, f"{name}: expected {token!r} in physical plan"
+
+
+@_pytest.mark.parametrize(
+    "name,expect",
+    [
+        ("incremental_band_dedup", []),
+        ("benchmark_decontamination", ["BroadcastHashJoin"]),
+        ("value_percentiles_by_type", ["HashAggregate"]),
+        ("value_histogram_bins", ["HashAggregate"]),
+        ("value_time_correlation", ["HashAggregate"]),
+        ("pagerank_trade_flow", []),
+        ("stratified_topk_sample", ["Window"]),
+        ("value_percentiles_approx", ["ObjectHashAggregate"]),
+    ],
+)
+def test_round5_query_plan_shapes(spark, sf_dir, name, expect):
+    """Round-5 additions: same physical-plan contract as the headline set —
+    no cartesian products, no row-at-a-time Python, plus per-query
+    strategy pins (broadcast for the decontamination dim side, hash agg
+    for the aggregate family, window top-k for the sampler)."""
+    from video_etl_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan, name
+    assert "InPandas" not in plan and "ArrowEvalPython" not in plan, name
+    for token in expect:
+        assert token in plan, (name, token)
