@@ -39,6 +39,10 @@ ROWS_ONLY_QUERIES = frozenset(
         "knn_pq",
         "lstm_user_states",
         "lflstm_fusion_users",
+        # t-digest sketch (round 5): engines' quantile sketches differ by
+        # construction; exact twin `value_percentiles_by_type` is the
+        # oracle baseline, pytest bounds the rank error.
+        "value_percentiles_approx",
     }
 )
 
