@@ -670,3 +670,68 @@ def test_streaming_pq_serving_matches_driver_reference(spark, sf_dir, tmp_path):
     for key in want:
         assert got[key][0] == want[key][0]
         assert abs(got[key][1] - want[key][1]) < 1e-9
+
+
+def test_streaming_sort_tracker_matches_batch(spark, tmp_path):
+    """W2 streaming twin: a frame sequence split across TWO micro-batches
+    (maxFilesPerTrigger=1, ordered replay) through the stateful streaming
+    tracker must equal the batch sort_tracker run over the whole sequence —
+    track ids, boxes, ages, hit counts, everything.  Proves the state-store
+    round-trip (serialize → restore → resume) is lossless for the
+    constant-velocity motion model."""
+    import json
+
+    from video_etl_spark.operators.tracking import sort_tracker
+    from video_etl_spark.streaming.stateful import streaming_sort_tracker
+
+    # two objects moving on crossing diagonals + one appearing mid-sequence
+    def box(cx, cy):
+        cx, cy = float(cx), float(cy)
+        return {"x0": cx, "y0": cy, "x1": cx + 10.0, "y1": cy + 8.0}
+
+    frames = []
+    for f in range(8):
+        frames.append({"stream": "cam0", "frame_no": f, **box(10 + 3 * f, 10 + 2 * f)})
+        frames.append({"stream": "cam0", "frame_no": f, **box(60 - 3 * f, 40 - 2 * f)})
+        if f >= 4:
+            frames.append({"stream": "cam0", "frame_no": f, **box(100, 5 + f)})
+        frames.append({"stream": "cam1", "frame_no": f, **box(5 + 4 * f, 80)})
+
+    schema = "stream string, frame_no long, x0 double, y0 double, x1 double, y1 double"
+    batch_df = spark.createDataFrame(
+        [(r["stream"], r["frame_no"], r["x0"], r["y0"], r["x1"], r["y1"]) for r in frames],
+        schema,
+    )
+    expected = sorted(
+        map(tuple, sort_tracker(batch_df, motion="velocity").collect())
+    )
+
+    d = tmp_path / "trk_in"
+    d.mkdir()
+    # ordered replay: file 0 = frames 0-3, file 1 = frames 4-7.  The file
+    # source replays in modification-time order, and same-millisecond
+    # writes tie — pin strictly increasing mtimes so batch 0 runs first.
+    import os
+
+    for i, lo, hi in ((0, 0, 4), (1, 4, 8)):
+        rows = [r for r in frames if lo <= r["frame_no"] < hi]
+        p = d / f"b{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        streaming_sort_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_trk")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "trk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from t_trk").collect()))
+    assert got == expected and got

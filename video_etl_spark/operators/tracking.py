@@ -18,7 +18,9 @@ Differences from the reference, by design:
 Scale posture: one shuffle on the stream key, then per-key work is linear in
 frames — the same layout a 1000-executor cluster wants (each stream's frames
 co-located, state never crosses executors).  The streaming twin of this
-operator is `applyInPandasWithState` keyed the same way.
+operator is `streaming.stateful.streaming_sort_tracker` — the same
+`track_frames` stepping under `applyInPandasWithState`, keyed the same way,
+micro-batch-split-equivalence-tested against this batch operator.
 """
 
 from __future__ import annotations
@@ -140,27 +142,24 @@ def _associate(
     return used_t, used_d, matches
 
 
-def track_group(
+def track_frames(
+    stream,
     pdf: pd.DataFrame,
+    tracks: list[_Track],
+    next_id: int,
     iou_threshold: float = 0.3,
     max_age: int = 3,
     motion: str = "kalman",
     association: str = "hungarian",
-) -> pd.DataFrame:
-    """Run the tracker over one stream's detections (frame-ordered).
+) -> tuple[list[tuple], list[_Track], int]:
+    """Step the tracker over frame-ordered detections FROM existing state.
 
-    Mirrors `sort.py:210-253`: predict all live tracks, associate by IoU
-    (threshold 0.3 like `sort.py:158`), spawn tracks for unmatched
-    detections, kill tracks after `max_age` misses.  `motion` picks the
-    Kalman filter (D14 parity) or a plain constant-velocity model;
-    `association` picks optimal Hungarian or greedy matching.
+    Returns (output rows, live tracks, next_id) so callers can resume:
+    ``track_group`` starts from empty state (batch), the streaming twin
+    restores/persists state per micro-batch
+    (streaming.stateful.streaming_sort_tracker).
     """
-    pdf = pdf.sort_values(["frame_no", "x0", "y0"])
-    stream = pdf["stream"].iloc[0] if len(pdf) else None
-    tracks: list[_Track] = []
-    next_id = 0
     out: list[tuple] = []
-
     for frame_no, frame in pdf.groupby("frame_no", sort=True):
         dets = [
             (r.x0, r.y0, r.x1, r.y1) for r in frame.itertuples(index=False)
@@ -203,20 +202,43 @@ def track_group(
                     )
                 )
 
-    return pd.DataFrame(
-        out,
-        columns=[
-            "stream",
-            "frame_no",
-            "track_id",
-            "x0",
-            "y0",
-            "x1",
-            "y1",
-            "age",
-            "hits",
-        ],
+    return out, tracks, next_id
+
+
+TRACK_COLUMNS = [
+    "stream",
+    "frame_no",
+    "track_id",
+    "x0",
+    "y0",
+    "x1",
+    "y1",
+    "age",
+    "hits",
+]
+
+
+def track_group(
+    pdf: pd.DataFrame,
+    iou_threshold: float = 0.3,
+    max_age: int = 3,
+    motion: str = "kalman",
+    association: str = "hungarian",
+) -> pd.DataFrame:
+    """Run the tracker over one stream's detections (frame-ordered).
+
+    Mirrors `sort.py:210-253`: predict all live tracks, associate by IoU
+    (threshold 0.3 like `sort.py:158`), spawn tracks for unmatched
+    detections, kill tracks after `max_age` misses.  `motion` picks the
+    Kalman filter (D14 parity) or a plain constant-velocity model;
+    `association` picks optimal Hungarian or greedy matching.
+    """
+    pdf = pdf.sort_values(["frame_no", "x0", "y0"])
+    stream = pdf["stream"].iloc[0] if len(pdf) else None
+    out, _tracks, _next_id = track_frames(
+        stream, pdf, [], 0, iou_threshold, max_age, motion, association
     )
+    return pd.DataFrame(out, columns=TRACK_COLUMNS)
 
 
 def sort_tracker(detections: DataFrame, **kw) -> DataFrame:

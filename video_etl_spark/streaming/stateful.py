@@ -98,3 +98,103 @@ def running_user_state(stream: DataFrame, timeout_ms: int | None = None) -> Data
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+# ---------------------------------------------------------------------------
+# W2/J2 streaming twin — the SORT tracker as a stateful stream: per-stream
+# track state (boxes, velocities, lifecycles, id counter) lives in the
+# state store, each micro-batch advances the SAME stepping function the
+# batch operator uses (operators.tracking.track_frames), so a frame
+# sequence split across any number of micro-batches yields exactly the
+# batch operator's output (equivalence-tested).  Motion is the
+# constant-velocity model — its state is 6 floats + 3 ints per track,
+# JSON-serialized into the state store (the Kalman filter's covariance
+# matrices stay a batch-side option).  Frames must arrive
+# non-decreasing per stream across batches (ordered replay), the same
+# contract as the reference's online loop.
+
+TRACKER_STATE_SCHEMA = "tracks_json string, next_id long"
+
+
+def _tracker_update_fn(iou_threshold: float, max_age: int, association: str):
+    import json
+
+    from video_etl_spark.operators.tracking import (
+        TRACK_COLUMNS,
+        _Track,
+        track_frames,
+    )
+
+    def update_tracks(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (stream,) = key
+        if state.exists:
+            tracks_json, next_id = state.get
+            tracks = []
+            for d in json.loads(tracks_json):
+                t = _Track(d["id"], tuple(d["box"]), "velocity")
+                t.vel = tuple(d["vel"])
+                t.age, t.hits, t.misses = d["age"], d["hits"], d["misses"]
+                tracks.append(t)
+        else:
+            tracks, next_id = [], 0
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["frame_no", "x0", "y0"])
+            out, tracks, next_id = track_frames(
+                stream, pdf, tracks, next_id,
+                iou_threshold, max_age, "velocity", association,
+            )
+            if out:
+                yield pd.DataFrame(out, columns=TRACK_COLUMNS)
+
+        state.update(
+            (
+                json.dumps(
+                    [
+                        {
+                            "id": t.track_id,
+                            "box": list(t.box),
+                            "vel": list(t.vel),
+                            "age": t.age,
+                            "hits": t.hits,
+                            "misses": t.misses,
+                        }
+                        for t in tracks
+                    ]
+                ),
+                next_id,
+            )
+        )
+
+    return update_tracks
+
+
+def streaming_sort_tracker(
+    detections: DataFrame,
+    iou_threshold: float = 0.3,
+    max_age: int = 3,
+    association: str = "hungarian",
+) -> DataFrame:
+    """Streaming SORT tracker: same shuffle key and stepping as the batch
+    `operators.tracking.sort_tracker`, state checkpointed per stream."""
+    from video_etl_spark.operators.tracking import TRACKS_SCHEMA
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(detections.sparkSession)
+    return (
+        detections.select("stream", "frame_no", "x0", "y0", "x1", "y1")
+        .groupBy("stream")
+        .applyInPandasWithState(
+            _tracker_update_fn(iou_threshold, max_age, association),
+            outputStructType=TRACKS_SCHEMA,
+            stateStructType=TRACKER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
