@@ -723,15 +723,26 @@ def test_streaming_sort_tracker_matches_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .json(str(d))
     )
-    q = (
-        streaming_sort_tracker(stream)
-        .writeStream.format("memory")
-        .queryName("t_trk")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "trk_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    # Force the state fn's per-key iterator to deliver MULTIPLE tiny Arrow
+    # chunks per micro-batch: the update fn must concatenate them before
+    # stepping (a frame straddling a chunk boundary stepped twice would
+    # diverge from batch).
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        q = (
+            streaming_sort_tracker(stream)
+            .writeStream.format("memory")
+            .queryName("t_trk")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "trk_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
     got = sorted(map(tuple, spark.sql("select * from t_trk").collect()))
     assert got == expected and got

@@ -233,7 +233,13 @@ def track_group(
     Kalman filter (D14 parity) or a plain constant-velocity model;
     `association` picks optimal Hungarian or greedy matching.
     """
-    pdf = pdf.sort_values(["frame_no", "x0", "y0"])
+    # Stable sort on the full box key: tied (frame_no, x0, y0) detections
+    # must order identically here and in the streaming twin (unstable
+    # quicksort over different array slices could flip tie order and
+    # diverge track-id assignment).
+    pdf = pdf.sort_values(
+        ["frame_no", "x0", "y0", "x1", "y1"], kind="mergesort"
+    )
     stream = pdf["stream"].iloc[0] if len(pdf) else None
     out, _tracks, _next_id = track_frames(
         stream, pdf, [], 0, iou_threshold, max_age, motion, association

@@ -124,13 +124,12 @@ def _spark_shingles(df: DataFrame) -> DataFrame:
     )
 
 
-def _duck_minhash_cte() -> str:
-    mh_exprs = ",\n             ".join(
-        "list_min([{h} FOR s IN shingles]) AS mh{j}".format(
-            h=_DUCK_HASH.format(expr=f"'{salt}' || s"), j=j
-        )
-        for j, salt in enumerate(MINHASH_SALTS)
-    )
+def _duck_shingle_cte() -> str:
+    """WITH toks/sh CTE prefix (3-word shingles per doc), no trailing comma.
+
+    Shared by the minhash signature CTE and the decontamination oracle —
+    compose, don't string-split.
+    """
     return f"""
     WITH toks AS (
       SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
@@ -139,11 +138,51 @@ def _duck_minhash_cte() -> str:
              [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
               FOR i IN generate_series(1, len(toks) - 2)] AS shingles
       FROM toks WHERE len(toks) >= 3
-    ), sig AS (
+    )"""
+
+
+def _duck_minhash_cte() -> str:
+    mh_exprs = ",\n             ".join(
+        "list_min([{h} FOR s IN shingles]) AS mh{j}".format(
+            h=_DUCK_HASH.format(expr=f"'{salt}' || s"), j=j
+        )
+        for j, salt in enumerate(MINHASH_SALTS)
+    )
+    return (
+        _duck_shingle_cte()
+        + f""", sig AS (
       SELECT doc_id,
              {mh_exprs}
       FROM sh)
     """
+    )
+
+
+#: Banded projection over the `sig` CTE — the ONE definition of the band
+#: scheme on the oracle side (minhash_band_pairs, incremental_band_dedup,
+#: dedup_connected_clusters all compose it).
+_DUCK_BANDED_CTE = """
+    , banded AS (
+      SELECT doc_id,
+             CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS band0,
+             CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band1
+      FROM sig)"""
+
+
+def _banded_sigs(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_DUCK_BANDED_CTE``: (doc_id, band0, band1), persisted
+    because the signature computation (shingling + 4 md5 passes) feeds both
+    sides of every band self-join."""
+    sig = _spark_shingles(docs).select("doc_id", *_spark_minhash_cols())
+    return sig.select(
+        "doc_id",
+        F.concat_ws(
+            "_", F.col("mh0").cast("string"), F.col("mh1").cast("string")
+        ).alias("band0"),
+        F.concat_ws(
+            "_", F.col("mh2").cast("string"), F.col("mh3").cast("string")
+        ).alias("band1"),
+    ).persist()
 
 
 # --------------------------------------------------------------------------
@@ -163,12 +202,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minhash_band_pairs",
     oracle=_duck_minhash_cte()
+    + _DUCK_BANDED_CTE
     + """
-    , banded AS (
-      SELECT doc_id,
-             CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS band0,
-             CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band1
-      FROM sig)
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a JOIN banded b
       ON a.doc_id < b.doc_id AND (a.band0 = b.band0)
@@ -180,14 +215,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = _spark_shingles(docs).select("doc_id", *_spark_minhash_cols())
-    banded = sig.select(
-        "doc_id",
-        F.concat_ws("_", F.col("mh0").cast("string"), F.col("mh1").cast("string")).alias("band0"),
-        F.concat_ws("_", F.col("mh2").cast("string"), F.col("mh3").cast("string")).alias("band1"),
-    # the signature computation (shingling + 4 md5 passes) feeds both sides
-    # of both band self-joins; persist so it runs once, not 4x
-    ).persist()
+    banded = _banded_sigs(docs)
     pairs = None
     for band in ("band0", "band1"):
         a = banded.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("b"))
@@ -215,12 +243,8 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "incremental_band_dedup",
     oracle=_duck_minhash_cte()
-    + """
-    , banded AS (
-      SELECT doc_id,
-             CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS band0,
-             CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band1
-      FROM sig),
+    + _DUCK_BANDED_CTE
+    + """,
     hits AS (
       SELECT n.doc_id AS new_doc, o.doc_id AS old_doc
       FROM banded n JOIN banded o
@@ -235,12 +259,7 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def incremental_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = _spark_shingles(docs).select("doc_id", *_spark_minhash_cols())
-    banded = sig.select(
-        "doc_id",
-        F.concat_ws("_", F.col("mh0").cast("string"), F.col("mh1").cast("string")).alias("band0"),
-        F.concat_ws("_", F.col("mh2").cast("string"), F.col("mh3").cast("string")).alias("band1"),
-    ).persist()
+    banded = _banded_sigs(docs)
     new = banded.filter(F.col("doc_id") % 10 == 0)
     old = banded.filter(F.col("doc_id") % 10 != 0)
     hits = None
@@ -271,7 +290,7 @@ def incremental_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus shingles, no pairwise doc join).
 @query(
     "benchmark_decontamination",
-    oracle=_duck_minhash_cte().split(", sig AS")[0]
+    oracle=_duck_shingle_cte()
     + """
     , bench AS (
       SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
@@ -941,12 +960,8 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_connected_clusters",
     oracle=_duck_minhash_cte().replace("WITH toks", "WITH RECURSIVE toks")
-    + """
-    , banded AS (
-      SELECT doc_id,
-             CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS band0,
-             CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band1
-      FROM sig),
+    + _DUCK_BANDED_CTE
+    + """,
     edges AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band0 = b.band0

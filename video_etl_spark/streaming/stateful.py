@@ -109,9 +109,12 @@ def running_user_state(stream: DataFrame, timeout_ms: int | None = None) -> Data
 # batch operator's output (equivalence-tested).  Motion is the
 # constant-velocity model — its state is 6 floats + 3 ints per track,
 # JSON-serialized into the state store (the Kalman filter's covariance
-# matrices stay a batch-side option).  Frames must arrive
-# non-decreasing per stream across batches (ordered replay), the same
-# contract as the reference's online loop.
+# matrices stay a batch-side option).  Contract: frame_no must be
+# STRICTLY increasing per stream ACROSS micro-batches — each frame's
+# detections wholly contained in one micro-batch (a frame split across
+# two batches would be predicted/aged twice).  Within a micro-batch any
+# arrival order is fine (rows are re-sorted).  This is the ordered-replay
+# contract of the reference's online loop.
 
 TRACKER_STATE_SCHEMA = "tracks_json string, next_id long"
 
@@ -142,10 +145,16 @@ def _tracker_update_fn(iou_threshold: float, max_age: int, association: str):
         else:
             tracks, next_id = [], 0
 
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["frame_no", "x0", "y0"])
+        # Concatenate the WHOLE micro-batch before stepping: the iterator
+        # yields Arrow chunks (capped by arrow.maxRecordsPerBatch), and a
+        # frame whose rows straddle a chunk boundary — or chunks whose
+        # frame ranges interleave after the shuffle — would otherwise be
+        # predicted/aged twice and diverge from the batch operator.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["frame_no", "x0", "y0", "x1", "y1"], kind="mergesort"
+            )
             out, tracks, next_id = track_frames(
                 stream, pdf, tracks, next_id,
                 iou_threshold, max_age, "velocity", association,
