@@ -77,8 +77,8 @@ def _short_errors(
 
 # Queries whose old green CORRECTNESS rows went stale when the round-5
 # testdata refresh changed events.ts to TIMESTAMP_NTZ (VERDICT r4): force
-# them to the front of the rotation so the driver re-attests them against
-# the fixed loader.  Drop entries from this list once re-attested.
+# them to the front of the rotation until a round ≥ 5 artifact re-attests
+# them (self-retiring — no manual cleanup next round).
 _REATTEST_FIRST = (
     "asof_purchase_click",
     "sessionize_events",
@@ -86,6 +86,24 @@ _REATTEST_FIRST = (
     "trailing_hour_user_sum",
     "error_burst_users",
 )
+_REATTEST_SINCE_ROUND = 5
+
+
+def _attested_since(round_no: int) -> set[str]:
+    """Query names with a row in any CORRECTNESS_r{N}.json with N >= round_no."""
+    import re
+
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) < round_no:
+            continue
+        try:
+            with open(path) as fh:
+                seen.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -97,9 +115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records fresh rows each round, then already-green names in stable order.
     """
     seen = _already_attested()
+    reattest = set(_REATTEST_FIRST) - _attested_since(_REATTEST_SINCE_ROUND)
     ordered = sorted(
         registry.QUERIES.items(),
-        key=lambda kv: (kv[0] not in _REATTEST_FIRST, kv[0] in seen),
+        key=lambda kv: (kv[0] not in reattest, kv[0] in seen),
     )
     return {name: _short_errors(name, fn) for name, fn in ordered}
 
