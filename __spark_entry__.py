@@ -25,6 +25,33 @@ registry.load_all()
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
+def _scan_artifacts(min_round: int = 0, ok_only: bool = False) -> set[str]:
+    """Query names with a row in CORRECTNESS_r{N}.json for N >= min_round.
+
+    ``ok_only`` keeps only successful rows (err is null, or the rows-only
+    marker) — a recorded FAILURE must not count as attestation.
+    """
+    import re
+
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) < min_round:
+            continue
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if ok_only and not (
+                isinstance(row, dict) and row.get("err") in (None, "no_oracle")
+            ):
+                continue
+            seen.add(name)
+    return seen
+
+
 def _already_attested() -> set[str]:
     """Query names that already have a row in any past CORRECTNESS_r*.json.
 
@@ -33,14 +60,7 @@ def _already_attested() -> set[str]:
     never-attested queries first makes each round's artifact cover fresh
     ground until every query has a driver-recorded green row.
     """
-    seen: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as fh:
-                seen.update(json.load(fh).keys())
-        except (OSError, ValueError):
-            continue
-    return seen
+    return _scan_artifacts()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -89,23 +109,6 @@ _REATTEST_FIRST = (
 _REATTEST_SINCE_ROUND = 5
 
 
-def _attested_since(round_no: int) -> set[str]:
-    """Query names with a row in any CORRECTNESS_r{N}.json with N >= round_no."""
-    import re
-
-    seen: set[str] = set()
-    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m or int(m.group(1)) < round_no:
-            continue
-        try:
-            with open(path) as fh:
-                seen.update(json.load(fh).keys())
-        except (OSError, ValueError):
-            continue
-    return seen
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -115,7 +118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records fresh rows each round, then already-green names in stable order.
     """
     seen = _already_attested()
-    reattest = set(_REATTEST_FIRST) - _attested_since(_REATTEST_SINCE_ROUND)
+    # Retire only on a SUCCESSFUL round>=5 row — a recorded failure keeps
+    # the query at the front until it's green in an artifact.
+    reattest = set(_REATTEST_FIRST) - _scan_artifacts(
+        _REATTEST_SINCE_ROUND, ok_only=True
+    )
     ordered = sorted(
         registry.QUERIES.items(),
         key=lambda kv: (kv[0] not in reattest, kv[0] in seen),

@@ -172,7 +172,15 @@ _DUCK_BANDED_CTE = """
 def _banded_sigs(docs: DataFrame) -> DataFrame:
     """Spark twin of ``_DUCK_BANDED_CTE``: (doc_id, band0, band1), persisted
     because the signature computation (shingling + 4 md5 passes) feeds both
-    sides of every band self-join."""
+    sides of every band self-join.
+
+    The persist is deliberately left to Spark's LRU eviction rather than an
+    explicit unpersist: the blocks are (doc_id, two short strings) — tiny
+    relative to the corpus — and the query builder returns a LAZY plan, so
+    there is no post-action hook here to unpersist without re-running the
+    signatures.  Callers that sweep many queries in one session (driver
+    gate, bench) clear caches between queries.
+    """
     sig = _spark_shingles(docs).select("doc_id", *_spark_minhash_cols())
     return sig.select(
         "doc_id",
