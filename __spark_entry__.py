@@ -28,8 +28,9 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 def _scan_artifacts(min_round: int = 0, ok_only: bool = False) -> set[str]:
     """Query names with a row in CORRECTNESS_r{N}.json for N >= min_round.
 
-    ``ok_only`` keeps only successful rows (err is null, or the rows-only
-    marker) — a recorded FAILURE must not count as attestation.
+    ``ok_only`` keeps only successful rows — err must be null (or the
+    rows-only marker) AND no recorded comparison may be False: a row with
+    ``rows_match: false, err: null`` is a mismatch, not an attestation.
     """
     import re
 
@@ -44,10 +45,17 @@ def _scan_artifacts(min_round: int = 0, ok_only: bool = False) -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if ok_only and not (
-                isinstance(row, dict) and row.get("err") in (None, "no_oracle")
-            ):
-                continue
+            if ok_only:
+                if not (
+                    isinstance(row, dict)
+                    and row.get("err") in (None, "no_oracle")
+                ):
+                    continue
+                if any(
+                    row.get(k) is False
+                    for k in ("rows_match", "schema_match", "hash_match")
+                ):
+                    continue
             seen.add(name)
     return seen
 

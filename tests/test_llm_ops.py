@@ -722,3 +722,39 @@ def test_approx_percentiles_bounded_error(spark, sf_dir):
         for p, a in grades.items():
             rank = sum(1 for v in vs if v <= a) / n
             assert abs(rank - p) <= 0.02 + 1.0 / n, (et, p, a, rank)
+
+
+def test_pagerank_deep_iterations_bounded_plan_and_equal_values(spark):
+    """U10⊕ at realistic depth: 20 rounds with checkpoint_every=6 must (a)
+    keep the logical plan bounded — iteration 20 (2 past the ckpt-18 cut)
+    has EXACTLY the plan height of iteration 8 (2 past ckpt-6), proving
+    lineage truncation works like the CC loop's — and (b) return the same
+    ranks as an uncheckpointed run, since localCheckpoint is a pure
+    materialization point."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.queries.advanced import pagerank_iterate
+
+    n = 10
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n, 2) for i in range(n)]
+        + [(i, (i + 3) % n, 1) for i in range(n)],
+        "src long, dst long, w long",
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    edges_n = edges.join(outw, "src").localCheckpoint()
+    nodes = spark.range(n).select(F.col("id").alias("node")).localCheckpoint()
+
+    def plan_lines(df):
+        return len(
+            df._jdf.queryExecution().analyzed().toString().splitlines()
+        )
+
+    r8 = pagerank_iterate(nodes, edges_n, 8, checkpoint_every=6)
+    r20 = pagerank_iterate(nodes, edges_n, 20, checkpoint_every=6)
+    assert plan_lines(r20) == plan_lines(r8)
+
+    plain = pagerank_iterate(nodes, edges_n, 20, checkpoint_every=10**9)
+    got = sorted(map(tuple, r20.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want and len(got) == n

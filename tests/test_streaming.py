@@ -746,3 +746,50 @@ def test_streaming_sort_tracker_matches_batch(spark, tmp_path):
         )
     got = sorted(map(tuple, spark.sql("select * from t_trk").collect()))
     assert got == expected and got
+
+
+def test_streaming_tracker_rejects_frame_replay(spark, tmp_path):
+    """The strictly-increasing frame_no contract is enforced, not just
+    documented (round-5 advice): a second micro-batch replaying an
+    already-processed frame must FAIL the query loudly — a silent re-step
+    would predict/age every track twice and diverge from batch."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from video_etl_spark.streaming.stateful import streaming_sort_tracker
+
+    rows = [
+        {"stream": "cam0", "frame_no": f, "x0": 10.0 + f, "y0": 10.0,
+         "x1": 20.0 + f, "y1": 18.0}
+        for f in range(4)
+    ]
+    schema = (
+        "stream string, frame_no long, x0 double, y0 double, "
+        "x1 double, y1 double"
+    )
+    d = tmp_path / "replay_in"
+    d.mkdir()
+    # file 0 = frames 0-3; file 1 REPLAYS frames 2-3 (violation)
+    for i, batch in ((0, rows), (1, rows[2:])):
+        p = d / f"b{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        streaming_sort_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_trk_replay")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "replay_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="contract violated"):
+        q.awaitTermination(120)

@@ -922,6 +922,47 @@ def _pr_oracle_sql() -> str:
     )
 
 
+def pagerank_iterate(
+    nodes: DataFrame,
+    edges_n: DataFrame,
+    iters: int = _PR_ITERS,
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Run ``iters`` exact-integer PageRank rounds over a prepared graph.
+
+    ``nodes`` has one ``node`` column; ``edges_n`` has ``src, dst, w, ow``
+    (edge weight + source out-weight).  Every ``checkpoint_every`` rounds
+    the rank frame is ``localCheckpoint``-ed so the plan tree stays O(k)
+    instead of O(iters) — the same iterative-join lineage truncation as
+    ``llm_ops.dedup.connected_components``; without it 20+ rounds explode
+    Catalyst optimization time exactly like the pre-fix CC loop.  The
+    default of 6 leaves the fixed 5-round oracle query's plan untouched.
+    """
+    ranks = nodes.withColumn("rank", F.lit(_PR_SCALE).cast("long"))
+    for i in range(iters):
+        contrib = (
+            ranks.join(edges_n, ranks["node"] == edges_n["src"])
+            .select(
+                "dst",
+                F.expr("(rank * w) div ow").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("flow"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(_PR_BASE)
+                + F.expr("(COALESCE(flow, 0) * 85) div 100")
+            ).cast("long").alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
 @query("pagerank_trade_flow", oracle=_pr_oracle_sql())
 def pagerank_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -955,27 +996,13 @@ def pagerank_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_n = edges.join(outw, "src")
     nodes = nation.select(F.col("n_nationkey").alias("node"))
 
-    ranks = nodes.withColumn("rank", F.lit(_PR_SCALE).cast("long"))
-    for _ in range(_PR_ITERS):
-        contrib = (
-            ranks.join(edges_n, ranks["node"] == edges_n["src"])
-            .select(
-                "dst",
-                F.expr("(rank * w) div ow").alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("flow"))
-        )
-        ranks = nodes.join(
-            contrib, nodes["node"] == contrib["dst"], "left"
-        ).select(
-            "node",
-            (
-                F.lit(_PR_BASE)
-                + F.expr("(COALESCE(flow, 0) * 85) div 100")
-            ).cast("long").alias("rank"),
-        )
-    return ranks.select(
+    ranks = pagerank_iterate(nodes, edges_n, _PR_ITERS)
+    # One node per nation (25 rows): materializing via localCheckpoint is
+    # ~free and lets us unpersist ``edges`` deterministically instead of
+    # leaning on LRU eviction across a long session (round-5 advice).
+    result = ranks.select(
         F.col("node").alias("n_nationkey"),
         F.col("rank").alias("pagerank_micros"),
-    )
+    ).localCheckpoint()
+    edges.unpersist()
+    return result

@@ -105,6 +105,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The no-tz timestamp[us] read is only value-exact (and DuckDB-parity)
     # under a UTC session tz; externally built sessions (the driver's) may
     # carry the host tz, so pin it at runtime like the parquet confs above.
+    # NOTE: this override is SESSION-WIDE and outlives this call — it
+    # changes timestamp parsing/rendering for every subsequent query on
+    # the session, not just this read.  Warn once when we actually change
+    # a non-UTC session so callers embedding load_table in a larger app
+    # aren't surprised.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev_tz not in (None, "UTC", "Etc/UTC", "GMT"):
+        import warnings
+
+        warnings.warn(
+            f"load_table: overriding spark.sql.session.timeZone "
+            f"{prev_tz!r} -> 'UTC' for oracle-parity timestamp reads; "
+            "the override persists for the whole session",
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":

@@ -114,9 +114,12 @@ def running_user_state(stream: DataFrame, timeout_ms: int | None = None) -> Data
 # detections wholly contained in one micro-batch (a frame split across
 # two batches would be predicted/aged twice).  Within a micro-batch any
 # arrival order is fine (rows are re-sorted).  This is the ordered-replay
-# contract of the reference's online loop.
+# contract of the reference's online loop.  The contract is ENFORCED, not
+# just documented: the last emitted frame_no lives in the state store and
+# a micro-batch containing frame_no <= last_frame raises — a silent
+# re-step would diverge from the batch operator without any signal.
 
-TRACKER_STATE_SCHEMA = "tracks_json string, next_id long"
+TRACKER_STATE_SCHEMA = "tracks_json string, next_id long, last_frame long"
 
 
 def _tracker_update_fn(iou_threshold: float, max_age: int, association: str):
@@ -135,7 +138,7 @@ def _tracker_update_fn(iou_threshold: float, max_age: int, association: str):
     ) -> Iterable[pd.DataFrame]:
         (stream,) = key
         if state.exists:
-            tracks_json, next_id = state.get
+            tracks_json, next_id, last_frame = state.get
             tracks = []
             for d in json.loads(tracks_json):
                 t = _Track(d["id"], tuple(d["box"]), "velocity")
@@ -143,7 +146,7 @@ def _tracker_update_fn(iou_threshold: float, max_age: int, association: str):
                 t.age, t.hits, t.misses = d["age"], d["hits"], d["misses"]
                 tracks.append(t)
         else:
-            tracks, next_id = [], 0
+            tracks, next_id, last_frame = [], 0, -1
 
         # Concatenate the WHOLE micro-batch before stepping: the iterator
         # yields Arrow chunks (capped by arrow.maxRecordsPerBatch), and a
@@ -155,6 +158,19 @@ def _tracker_update_fn(iou_threshold: float, max_age: int, association: str):
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 ["frame_no", "x0", "y0", "x1", "y1"], kind="mergesort"
             )
+            # Enforce the strictly-increasing contract: a replayed or
+            # split frame would be predicted/aged twice and silently
+            # diverge from the batch operator — fail the query instead.
+            batch_min = int(pdf["frame_no"].min())
+            if batch_min <= last_frame:
+                raise ValueError(
+                    f"streaming tracker contract violated for stream "
+                    f"{stream!r}: micro-batch contains frame_no "
+                    f"{batch_min} <= last processed frame {last_frame}; "
+                    "frame_no must be strictly increasing per stream "
+                    "across micro-batches"
+                )
+            last_frame = int(pdf["frame_no"].max())
             out, tracks, next_id = track_frames(
                 stream, pdf, tracks, next_id,
                 iou_threshold, max_age, "velocity", association,
@@ -178,6 +194,7 @@ def _tracker_update_fn(iou_threshold: float, max_age: int, association: str):
                     ]
                 ),
                 next_id,
+                last_frame,
             )
         )
 
