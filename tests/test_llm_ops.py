@@ -758,3 +758,73 @@ def test_pagerank_deep_iterations_bounded_plan_and_equal_values(spark):
     got = sorted(map(tuple, r20.collect()))
     want = sorted(map(tuple, plain.collect()))
     assert got == want and len(got) == n
+
+
+def test_incremental_dedup_no_history_pairs_and_detects_new_dups(spark):
+    """Parameterized incremental_dedup (round-5 verdict ask #1): (a) a new
+    doc duplicating history is flagged with dup_of = min matching history
+    id; (b) history docs that duplicate EACH OTHER produce no output — the
+    asymmetric join must never generate old×old pairs; (c) a distinct new
+    doc with no history collision is absent; (d) the band parameterization
+    actually varies the index (n_bands=1 on the same data still detects
+    the exact dup)."""
+    from video_etl_spark.llm_ops.dedup import incremental_dedup
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    fresh = (
+        "completely unrelated legal boilerplate about maritime insurance "
+        "claims procedure section seven"
+    )
+    history = spark.createDataFrame(
+        [
+            (100, dup),
+            (101, dup),          # history-internal duplicate pair
+            (102, dup),
+            (103, "some other archived document body with enough words"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, dup), (2, fresh)], "doc_id long, text string"
+    )
+
+    got = {
+        r["new_doc"]: (r["dup_of"], r["n_candidates"])
+        for r in incremental_dedup(new, history).collect()
+    }
+    # (a) exact duplicate flagged against ALL three matching history docs
+    assert got[1] == (100, 3)
+    # (b)+(c): only new ids ever appear, and the non-dup new doc is absent
+    assert set(got) == {1}
+
+    got1 = {
+        r["new_doc"]: r["dup_of"]
+        for r in incremental_dedup(
+            new, history, n_bands=1, rows_per_band=4
+        ).collect()
+    }
+    assert got1.get(1) == 100 and set(got1) <= {1, 2}
+
+
+def test_incremental_dedup_matches_hardcoded_query_shape(spark, sf_dir):
+    """The 2-band/2-row parameterization must reproduce the oracle-checked
+    incremental_band_dedup query (same salts, same band keys) — the query
+    is now a thin wrapper, so compare the library call against the
+    registered query end to end."""
+    from video_etl_spark.llm_ops.dedup import incremental_dedup
+    from video_etl_spark.queries.text import incremental_band_dedup
+    from video_etl_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    lib = incremental_dedup(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        n_bands=2,
+        rows_per_band=2,
+    )
+    qry = incremental_band_dedup(spark, sf_dir)
+    assert sorted(map(tuple, lib.collect())) == sorted(
+        map(tuple, qry.collect())
+    )

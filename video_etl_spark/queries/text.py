@@ -266,24 +266,15 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def incremental_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Thin oracle-checked wrapper over the parameterized library operator
+    # (llm_ops.dedup.incremental_dedup) — the deterministic doc_id % 10
+    # split stands in for a real crawl-batch boundary.
+    from video_etl_spark.llm_ops.dedup import incremental_dedup
+
     docs = load_table(spark, sf_dir, "documents")
-    banded = _banded_sigs(docs)
-    new = banded.filter(F.col("doc_id") % 10 == 0)
-    old = banded.filter(F.col("doc_id") % 10 != 0)
-    hits = None
-    for band in ("band0", "band1"):
-        n = new.select(F.col("doc_id").alias("new_doc"), F.col(band).alias("b"))
-        o = old.select(F.col("doc_id").alias("old_doc"), F.col(band).alias("b"))
-        p = n.join(o, "b").select("new_doc", "old_doc")
-        hits = p if hits is None else hits.unionByName(p)
-    return (
-        hits.distinct()
-        .groupBy("new_doc")
-        .agg(
-            F.min("old_doc").alias("dup_of"),
-            F.count(F.lit(1)).alias("n_candidates"),
-        )
-    )
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup(new, old, n_bands=2, rows_per_band=2)
 
 
 # --------------------------------------------------------------------------
