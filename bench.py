@@ -51,6 +51,14 @@ HEADLINE = [
     "dedup_connected_clusters",
     "trailing_hour_user_sum",
     "nation_market_share",
+    # round-6 additions: the round-5 operator surface + the Q12 shape,
+    # perf-tracked and plan-goldened like the rest.
+    "pagerank_trade_flow",
+    "incremental_band_dedup",
+    "benchmark_decontamination",
+    "value_percentiles_by_type",
+    "value_percentiles_approx",
+    "shipmode_priority_counts",
 ]
 
 

@@ -447,6 +447,15 @@ _HEADLINE_PLAN_EXPECTATIONS = {
     "dedup_connected_clusters": ([], False, True),
     "trailing_hour_user_sum": (["Window"], False, False),
     "nation_market_share": (["BroadcastHashJoin"], False, False),
+    # round-6 additions (moved from the round-5 parametrize list into the
+    # headline contract as bench.HEADLINE grew; pagerank's executed plan is
+    # the post-localCheckpoint scan, so only the negative probes apply)
+    "pagerank_trade_flow": ([], False, False),
+    "incremental_band_dedup": ([], False, False),
+    "benchmark_decontamination": (["BroadcastHashJoin"], False, False),
+    "value_percentiles_by_type": (["HashAggregate"], False, False),
+    "value_percentiles_approx": (["ObjectHashAggregate"], False, False),
+    "shipmode_priority_counts": (["HashAggregate", "PushedFilters"], False, False),
 }
 
 
@@ -480,14 +489,9 @@ def test_headline_plan_golden(spark, sf_dir, name):
 @_pytest.mark.parametrize(
     "name,expect",
     [
-        ("incremental_band_dedup", []),
-        ("benchmark_decontamination", ["BroadcastHashJoin"]),
-        ("value_percentiles_by_type", ["HashAggregate"]),
         ("value_histogram_bins", ["HashAggregate"]),
         ("value_time_correlation", ["HashAggregate"]),
-        ("pagerank_trade_flow", []),
         ("stratified_topk_sample", ["Window"]),
-        ("value_percentiles_approx", ["ObjectHashAggregate"]),
     ],
 )
 def test_round5_query_plan_shapes(spark, sf_dir, name, expect):

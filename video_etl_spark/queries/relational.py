@@ -1707,3 +1707,50 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (100.0 * (F.col("rev_c") - prev) / prev).cast("double")
         ).alias("mom_growth_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# J7/A11 — TPC-H Q12 shape (shipmode × order-priority conditional counts;
+# reference capability: the relational join+conditional-agg family): IN-list
+# scan filter + join-side date predicate + two CASE-sum counts per group.
+# The synthetic schema has no l_shipmode/l_commitdate/l_receiptdate, so
+# l_returnflag plays the shipmode IN-list and `l_shipdate > o_orderdate`
+# plays the commit-before-receipt lateness predicate — same plan shape:
+# pushed IN + range filters on the lineitem scan, one shuffle join on
+# orderkey, conditional aggregation with zero extra shuffles.
+@query(
+    "shipmode_priority_counts",
+    oracle="""
+    SELECT l.l_returnflag AS shipmode,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('R', 'A')
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_returnflag
+    """,
+)
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(F.col("l_returnflag").alias("shipmode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+              .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+              .alias("low_line_count"),
+        )
+    )
