@@ -793,3 +793,156 @@ def test_streaming_tracker_rejects_frame_replay(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="contract violated"):
         q.awaitTermination(120)
+
+
+def _dedup_docs_batches():
+    """3 crawl batches with known cross-batch near-dups: doc 3 ~ doc 1,
+    doc 5 ~ doc 4, doc 6 ~ docs 1 and 3; docs 2/4 are fresh on arrival."""
+    a = ("the quick brown fox jumps over the lazy dog while the sun "
+         "sets slowly behind the distant purple mountains tonight")
+    b = ("completely different legal boilerplate concerning maritime "
+         "insurance claims and arbitration procedure under section nine")
+    c = ("an entirely separate recipe describing how to braise short "
+         "ribs with red wine stock and winter root vegetables")
+    return [
+        [(1, a), (2, b)],
+        [(3, a), (4, c)],
+        [(5, c), (6, a)],
+    ]
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """⊕U21 streaming twin (round-5 verdict ask #6): a 3-micro-batch
+    streaming run through the foreachBatch band-join path must emit
+    byte-identical (new_doc, dup_of, n_candidates) rows to driver-side
+    incremental_dedup calls with accumulated history — proving the
+    parquet signature index round-trip (write → read → asymmetric join)
+    and the per-batch semantics match the batch library operator."""
+    import json
+    import os
+
+    from video_etl_spark.llm_ops.dedup import incremental_dedup
+    from video_etl_spark.streaming.dedup import streaming_incremental_dedup
+
+    batches = _dedup_docs_batches()
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        p = d / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"doc_id": did, "text": t}) for did, t in rows
+            )
+            + "\n"
+        )
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        streaming_incremental_dedup(
+            stream,
+            index_dir=str(tmp_path / "sig_index"),
+            dup_dir=str(tmp_path / "dups"),
+        )
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["batch_id"], r["new_doc"], r["dup_of"], r["n_candidates"])
+        for r in spark.read.parquet(str(tmp_path / "dups")).collect()
+    )
+
+    expected = []
+    seen: list[tuple[int, str]] = []
+    for i, rows in enumerate(batches):
+        if seen:
+            new_df = spark.createDataFrame(rows, "doc_id long, text string")
+            hist_df = spark.createDataFrame(seen, "doc_id long, text string")
+            for r in incremental_dedup(new_df, hist_df).collect():
+                expected.append(
+                    (i, r["new_doc"], r["dup_of"], r["n_candidates"])
+                )
+        seen.extend(rows)
+    assert got == sorted(expected) and got
+    # sanity on the known dup structure: 3←1, 5←4, 6←1 (earliest sighting)
+    flagged = {n: d for _, n, d, _ in got}
+    assert flagged[3] == 1 and flagged[5] == 4 and flagged[6] == 1
+    assert 2 not in flagged and 4 not in flagged
+
+
+def test_streaming_incremental_dedup_exact_watermark_layer(spark, tmp_path):
+    """Layer 1: an EXACT duplicate text arriving in a later micro-batch
+    within the watermark is suppressed by dropDuplicatesWithinWatermark —
+    it never reaches the band join (no flagged row) and never enters the
+    signature index."""
+    import json
+    import os
+
+    from video_etl_spark.streaming.dedup import streaming_incremental_dedup
+
+    a = ("the quick brown fox jumps over the lazy dog while the sun "
+         "sets slowly behind the distant purple mountains tonight")
+    b = ("completely different legal boilerplate concerning maritime "
+         "insurance claims and arbitration procedure under section nine")
+    batches = [
+        [(1, a, "2024-01-01 00:00:00"), (2, b, "2024-01-01 00:00:01")],
+        [(3, a, "2024-01-01 00:00:05")],  # exact dup of doc 1, in horizon
+    ]
+    d = tmp_path / "docs_wm_in"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        p = d / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps(
+                    {"doc_id": did, "text": t, "event_time": ts}
+                )
+                for did, t, ts in rows
+            )
+            + "\n"
+        )
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        streaming_incremental_dedup(
+            stream,
+            index_dir=str(tmp_path / "wm_sig_index"),
+            dup_dir=str(tmp_path / "wm_dups"),
+            exact_dedup_watermark="1 hour",
+        )
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+
+    indexed = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "wm_sig_index")).collect()
+    }
+    assert 3 not in indexed and {1, 2} <= indexed
+    # the dup sink only ever saw empty batches, so the dir exists but holds
+    # no files — read with an explicit schema (inference needs >=1 file)
+    dups = (
+        spark.read.schema(
+            "new_doc long, dup_of long, n_candidates long, batch_id int"
+        )
+        .parquet(str(tmp_path / "wm_dups"))
+        .collect()
+    )
+    assert not [r for r in dups if r["new_doc"] == 3]

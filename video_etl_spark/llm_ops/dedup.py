@@ -320,6 +320,39 @@ def minhash_band_signatures(
     return sig.select(id_col, *band_cols)
 
 
+def band_candidates(
+    new_sigs: DataFrame,
+    hist_sigs: DataFrame,
+    n_bands: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric band join over PRE-COMPUTED signatures.
+
+    (new_doc, dup_of, n_candidates) for every new doc sharing any band with
+    history.  Split out from :func:`incremental_dedup` so callers that keep
+    a persistent signature INDEX (the streaming path, a bucketed corpus
+    table at 100 TB) can join against it without re-signing the corpus.
+    """
+    hits = None
+    for b in range(n_bands):
+        n_side = new_sigs.select(
+            F.col(id_col).alias("new_doc"), F.col(f"band{b}").alias("b")
+        )
+        o_side = hist_sigs.select(
+            F.col(id_col).alias("old_doc"), F.col(f"band{b}").alias("b")
+        )
+        p = n_side.join(o_side, "b").select("new_doc", "old_doc")
+        hits = p if hits is None else hits.unionByName(p)
+    return (
+        hits.distinct()
+        .groupBy("new_doc")
+        .agg(
+            F.min("old_doc").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+    )
+
+
 def incremental_dedup(
     new: DataFrame,
     history: DataFrame,
@@ -349,21 +382,4 @@ def incremental_dedup(
     hist_b = minhash_band_signatures(
         history, n_bands, rows_per_band, id_col
     ).persist()
-    hits = None
-    for b in range(n_bands):
-        n_side = new_b.select(
-            F.col(id_col).alias("new_doc"), F.col(f"band{b}").alias("b")
-        )
-        o_side = hist_b.select(
-            F.col(id_col).alias("old_doc"), F.col(f"band{b}").alias("b")
-        )
-        p = n_side.join(o_side, "b").select("new_doc", "old_doc")
-        hits = p if hits is None else hits.unionByName(p)
-    return (
-        hits.distinct()
-        .groupBy("new_doc")
-        .agg(
-            F.min("old_doc").alias("dup_of"),
-            F.count(F.lit(1)).alias("n_candidates"),
-        )
-    )
+    return band_candidates(new_b, hist_b, n_bands, id_col)

@@ -1,0 +1,105 @@
+"""Streaming incremental dedup (SURVEY §2.8 ⊕ U21 — the LLM-pipeline
+crawl-upsert flagship in streaming form; round-5 verdict ask #6).
+
+A continuous crawl arrives as micro-batches of (doc_id, text).  Two dedup
+layers compose, mirroring what a production ingest pipeline runs:
+
+1. EXACT duplicates within the late-data horizon are suppressed stream-side
+   with ``withWatermark`` + ``dropDuplicatesWithinWatermark`` keyed on the
+   normalized text — engine-managed state, no Python.
+2. NEAR-duplicates against the ever-growing corpus are flagged in
+   ``foreachBatch`` by the same asymmetric band join as the batch operator
+   (``llm_ops.dedup``): each batch's MinHash band signatures are computed
+   ONCE, joined against a persistent parquet signature INDEX (the corpus
+   is never re-signed or re-scanned — at 100 TB the index is a bucketed
+   table keyed on band), then appended to that index so later batches
+   dedup against the earliest sighting.
+
+Batch granularity IS the dedup unit: a batch is matched against strictly
+earlier batches (plus its exact dups suppressed by layer 1), exactly like
+the daily-crawl ``incremental_dedup`` where intra-crawl near-dups are the
+within-crawl offline pass's job (``minhash_band_pairs``).  The equivalence
+test proves a k-micro-batch streaming run emits byte-identical candidates
+to k driver-side ``incremental_dedup`` calls with accumulated history.
+
+Restart safety: ``foreachBatch`` is at-least-once — a failed/retried batch
+re-runs the handler — so both sinks are partitioned by ``batch_id`` and
+written with DYNAMIC partition overwrite: a retry rewrites its own
+partition instead of appending duplicate rows, making the pipeline
+effectively exactly-once without a transactional table format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_incremental_dedup(
+    docs: DataFrame,
+    index_dir: str,
+    dup_dir: str,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+    exact_dedup_watermark: str | None = None,
+    time_col: str = "event_time",
+):
+    """Build the streaming dedup writer over a (doc_id, text, ...) stream.
+
+    Returns a ``DataStreamWriter`` — the caller sets checkpointLocation and
+    trigger and calls ``start()``.  Flagged near-dup candidates land in
+    ``dup_dir`` as (new_doc, dup_of, n_candidates, batch_id); every seen
+    doc's band signatures accumulate in ``index_dir``.
+
+    ``exact_dedup_watermark`` enables layer 1 (requires ``time_col`` on the
+    stream); leave None for replays without event time.
+
+    NOTE: a batch with no flagged candidates leaves ``dup_dir`` without
+    data files (the writer creates the directory eagerly) — consumers
+    should read it with an explicit schema, since parquet schema
+    inference requires at least one file.
+    """
+    from video_etl_spark.llm_ops.dedup import (
+        band_candidates,
+        minhash_band_signatures,
+    )
+
+    if exact_dedup_watermark is not None:
+        docs = docs.withWatermark(
+            time_col, exact_dedup_watermark
+        ).dropDuplicatesWithinWatermark(["text"])
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = minhash_band_signatures(
+            batch_df.select("doc_id", "text"), n_bands, rows_per_band
+        ).persist()
+        from pyspark.errors import AnalysisException
+
+        try:
+            # batch_id < current: a RETRIED batch must not match its own
+            # partially-written signatures from the failed attempt.
+            hist = spark.read.parquet(index_dir).where(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+        except AnalysisException:  # first batch: no index yet
+            hist = None
+        if hist is not None:
+            (
+                band_candidates(sigs, hist, n_bands)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(dup_dir)
+            )
+        (
+            sigs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+        sigs.unpersist()
+
+    return docs.writeStream.foreachBatch(handle)
