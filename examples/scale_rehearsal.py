@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Scale rehearsal (round-6): generate a seeded ~sf1 slice (10× the bench
+scale — 1M events, 50k documents) under /tmp, run the top-3 headline
+queries at sf0.1 and at the sf1 slice, and print the evidence PERF.md
+records: wall-time scaling ratio, per-round connected-components times
+(flat ⇒ lineage truncation holds), and driver RSS growth (flat ⇒ no
+driver-side accumulation).
+
+Data is generated HASH-DETERMINISTICALLY (pure column functions of the
+row id — no RNG state, reruns are bit-identical) with the same schema and
+distribution family as the driver's tables (TESTDATA.md): 30-word vocab
+salad documents with ~1 % exact dups, 30 days of events over 15 k users.
+Nothing is checked in; /tmp/spark_graft_sf1 is a throwaway.
+
+Usage:  python examples/scale_rehearsal.py [--skip-generate]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF1_DIR = "/tmp/spark_graft_sf1"
+SF01_DIR = "/root/testdata/sf0.1"
+N_DOCS = 50_000
+N_EVENTS = 1_000_000
+
+_VOCAB = (
+    "batch part spark line column order small sort fast value scan hash "
+    "slow group agg filter query big key window row table stream merge "
+    "data vector join plan node shuffle"
+).split()
+
+
+def generate(spark) -> None:
+    """Write documents.parquet + events.parquet at ~sf1 under SF1_DIR."""
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+
+    # ~1 % exact dups: doc_id % 100 == 7 reuses the text of doc_id - 7
+    base = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 == 7, F.col("id") - 7)
+        .otherwise(F.col("id"))
+        .alias("gen_id"),
+    )
+    n_words = F.pmod(F.xxhash64("gen_id", F.lit(0)), F.lit(81)) + F.lit(10)
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda j: F.element_at(
+                vocab,
+                F.pmod(F.xxhash64(F.col("gen_id"), j), F.lit(len(_VOCAB)))
+                .cast("int")
+                + F.lit(1),
+            ),
+        ),
+    )
+    docs = base.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("zh"), F.lit("de")),
+            F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(5)).cast("int") + F.lit(1),
+        ).alias("lang"),
+        F.concat(
+            F.lit("src"),
+            F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(20)).cast("string"),
+        ).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+
+    events = spark.range(N_EVENTS).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1_704_067_200_000_000)  # 2024-01-01 00:00:00 UTC
+            + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(30 * 86_400 * 1_000_000))
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(15_000)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("signup", "click", "error", "view", "purchase")]),
+            F.pmod(F.xxhash64("id", F.lit(5)), F.lit(5)).cast("int") + F.lit(1),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(6)), F.lit(100_000)) / 100.0).alias("value"),
+        F.concat(
+            F.lit('{"k": '),
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100)).cast("string"),
+            F.lit("}"),
+        ).alias("props"),
+    )
+    events.repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/events.parquet")
+
+
+def rss_mib() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def timed(fn, spark, sf_dir: str) -> tuple[float, int]:
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    n = fn(spark, sf_dir).count()
+    return time.perf_counter() - t0, n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-generate", action="store_true")
+    args = ap.parse_args()
+
+    from video_etl_spark.session import get_spark
+
+    spark = get_spark("scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not args.skip_generate:
+        t0 = time.perf_counter()
+        generate(spark)
+        print(f"generated {SF1_DIR} in {time.perf_counter() - t0:.1f}s")
+
+    from video_etl_spark.llm_ops.dedup import connected_components
+    from video_etl_spark.queries.temporal import sessionize_events
+    from video_etl_spark.queries.text import (
+        dedup_connected_clusters,
+        minhash_band_pairs,
+    )
+
+    for name, fn in (
+        ("minhash_band_pairs", minhash_band_pairs),
+        ("sessionize_events", sessionize_events),
+        ("dedup_connected_clusters", dedup_connected_clusters),
+    ):
+        timed(fn, spark, SF01_DIR)  # warm-up: JIT + codegen, not timed
+        s01, n01 = timed(fn, spark, SF01_DIR)
+        r0 = rss_mib()
+        s1, n1 = timed(fn, spark, SF1_DIR)
+        r1 = rss_mib()
+        print(
+            f"{name}: sf0.1 {s01:.2f}s ({n01} rows) | sf1 {s1:.2f}s "
+            f"({n1} rows) | ratio {s1 / s01:.1f}x | driver RSS "
+            f"{r0:.0f} -> {r1:.0f} MiB"
+        )
+
+    # per-round CC times at sf1: flat ⇒ localCheckpoint lineage truncation
+    # holds and no round pays for the rounds before it
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, SF1_DIR, "documents")
+    edges = minhash_band_pairs(spark, SF1_DIR)
+    rounds: list[tuple[int, float]] = []
+    spark.catalog.clearCache()
+    comp = connected_components(
+        edges,
+        docs.select("doc_id"),
+        on_round=lambda r, s: rounds.append((r, s)),
+    )
+    n_comp = comp.select("component").distinct().count()
+    print(f"cc at sf1: {n_comp} components; per-round seconds:")
+    for r, s in rounds:
+        print(f"  round {r}: {s:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

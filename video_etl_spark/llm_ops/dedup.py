@@ -187,12 +187,21 @@ def connected_components(
     dst: str = "doc_b",
     node_col: str = "doc_id",
     max_iter: int = 20,
+    on_round=None,
 ) -> DataFrame:
     """(node, component) for every node: component = min node id reachable.
 
     ``edges`` may be directed pairs (a < b); propagation treats them as
     undirected.  Nodes absent from edges stay singleton components.
+
+    ``on_round``, if given, is called after every round with
+    ``(round_index, seconds)`` — the per-round checkpoint is eager, so the
+    timing is real work, not lazy-plan assembly.  Used for scale
+    rehearsals (flat per-round times prove lineage truncation holds) and
+    long-job progress reporting.
     """
+    import time
+
     from pyspark.sql import functions as F
 
     bidir = edges.select(
@@ -215,6 +224,7 @@ def connected_components(
 
     converged = False
     for rnd in range(rounds):
+        round_t0 = time.perf_counter()
         neighbor_min = (
             bidir.join(labels, bidir["u"] == labels["node"])
             .groupBy("v")
@@ -247,6 +257,8 @@ def connected_components(
             .localCheckpoint()  # truncate lineage each round
         )
         labels = new_labels.select("node", "label")
+        if on_round is not None:
+            on_round(rnd, time.perf_counter() - round_t0)
         # Convergence probe on the ALREADY-materialized checkpoint: an
         # inline prev-vs-new diff + limit(1) scan — not the former
         # join + full-count job per round (round-3 ask #5).  Cost is a
