@@ -509,3 +509,22 @@ def test_round5_query_plan_shapes(spark, sf_dir, name, expect):
     assert "InPandas" not in plan and "ArrowEvalPython" not in plan, name
     for token in expect:
         assert token in plan, (name, token)
+
+
+def test_decontamination_filter_not_quadratic(spark, sf_dir):
+    """Regression pin for the InferFiltersFromGenerate trap: a bare
+    explode(shingles) lets Catalyst infer size(..)>0/isnotnull(..) on the
+    generator input and push the whole O(words²) shingle transform into a
+    per-row Filter (measured 7× slowdown at sf0.1).  The executed plan's
+    Filter nodes must not evaluate the shingle transform."""
+    import re
+
+    from video_etl_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["benchmark_decontamination"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Filter [^\n]*", plan):
+        assert "transform(sequence" not in m.group(0), (
+            "shingle transform inlined into a Filter:\n" + m.group(0)[:300]
+        )

@@ -304,9 +304,16 @@ def incremental_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _spark_shingles(docs).select("doc_id", "shingles")
+    # explode(array_distinct(..)) — array_distinct is a no-op before the
+    # DISTINCT, but a bare explode(attribute) makes Catalyst infer
+    # size(..)>0 / isnotnull(..) predicates on the generator input and
+    # push them through projection collapse, INLINING the whole O(words²)
+    # shingle transform into a Filter evaluated for every corpus row
+    # (measured 9 s vs 0.6 s at sf0.1).  A complex generator input blocks
+    # the inference; same defense as the corpus side below.
     bench = (
         sh.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("shingles").alias("s"))
+        .select(F.explode(F.array_distinct("shingles")).alias("s"))
         .distinct()
     )
     corpus = sh.filter(F.col("doc_id") % 97 != 0).select(
