@@ -828,3 +828,91 @@ def test_incremental_dedup_matches_hardcoded_query_shape(spark, sf_dir):
     assert sorted(map(tuple, lib.collect())) == sorted(
         map(tuple, qry.collect())
     )
+
+
+def test_incremental_simhash_dedup_asymmetric(spark):
+    """Hamming-space incremental dedup: an exact dup of a history doc is
+    flagged at distance 0 against the EARLIEST matching history id; a
+    fresh doc is absent; history-internal dups never produce output."""
+    from video_etl_spark.llm_ops.dedup import incremental_simhash_dedup
+
+    dup = ("the quick brown fox jumps over the lazy dog while rain "
+           "falls gently on the quiet grey city streets tonight")
+    fresh = ("unrelated quarterly financial disclosure covering revenue "
+             "segmentation amortization and deferred tax liabilities")
+    history = spark.createDataFrame(
+        [(200, dup), (201, dup), (202, "archive text about gardening "
+                                       "tips for winter vegetable beds")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, dup), (2, fresh)], "doc_id long, text string"
+    )
+    got = {
+        r["new_doc"]: (r["dup_of"], r["n_candidates"], r["min_hamming"])
+        for r in incremental_simhash_dedup(new, history).collect()
+    }
+    assert got[1] == (200, 2, 0)
+    assert set(got) == {1}
+
+
+def test_incremental_embedding_dedup_asymmetric(spark):
+    """Cosine incremental dedup via asymmetric LSH bucket join: a new
+    vector identical to a history vector is flagged with cos=1 against
+    the earliest matching id; an orthogonal vector is absent; only new
+    ids ever appear in the output."""
+    from video_etl_spark.llm_ops.dedup import incremental_embedding_dedup
+
+    dim = 8
+    e = [0.0] * dim
+    v_dup = [1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5, 0.25]
+    v_other = [-2.0, 1.0, 4.0, -0.5, 0.0, 1.0, -3.0, 2.0]
+    history = spark.createDataFrame(
+        [(300, v_dup), (301, v_dup), (302, v_other)],
+        "vec_id long, embedding array<double>",
+    )
+    # doubled vector: same direction as v_dup (cos = 1), different norm
+    new = spark.createDataFrame(
+        [(1, [2 * x for x in v_dup]), (2, [e[0]] + [5.0] + e[2:])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["new_id"]: (r["dup_of"], r["n_candidates"], round(r["max_cos"], 9))
+        for r in incremental_embedding_dedup(
+            new, history, threshold=0.99, dim=dim
+        ).collect()
+    }
+    assert got[1] == (300, 2, 1.0)
+    assert set(got) == {1}
+
+
+def test_incremental_embedding_dedup_no_false_positives(spark, sf_dir):
+    """LSH-bucketed incremental embedding dedup on the real embeddings
+    table: every flagged (new_id, dup_of) pair must truly reach the cosine
+    threshold (numpy recompute on the flagged pairs only — LSH may lose
+    recall, never precision, because the re-rank is exact), and only new
+    ids may appear."""
+    import numpy as np
+
+    from video_etl_spark.llm_ops.dedup import incremental_embedding_dedup
+    from video_etl_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    hist = emb.filter(F.col("vec_id") % 10 != 0)
+    flagged = incremental_embedding_dedup(
+        new, hist, threshold=0.25, dim=64
+    ).collect()
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    assert all(r["new_id"] % 10 == 0 for r in flagged)
+    for r in flagged:
+        a, b = vecs[r["new_id"]], vecs[r["dup_of"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.25 - 1e-9, (r, cos)
+        assert r["dup_of"] % 10 != 0

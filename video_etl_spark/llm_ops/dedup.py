@@ -395,3 +395,125 @@ def incremental_dedup(
         history, n_bands, rows_per_band, id_col
     ).persist()
     return band_candidates(new_b, hist_b, n_bands, id_col)
+
+
+def incremental_simhash_dedup(
+    new: DataFrame,
+    history: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash twin of :func:`incremental_dedup` — Hamming-space near-dups
+    of a NEW crawl batch against the corpus.
+
+    (new_doc, dup_of, n_candidates, min_hamming): for each new doc within
+    ``max_hamming`` bits of some history doc, the minimum matching history
+    id, how many history docs matched, and the closest distance.  Blocking
+    is the standard 4×16-bit chunk split (distance ≤ 3 ⇒ some chunk
+    agrees), joined ASYMMETRICALLY: history signatures are only touched
+    through the chunk equi-join, no history×history pair exists, and at
+    100 TB the history side is a persisted signature table (64-bit sig +
+    4 chunk keys per doc — not text) bucketed on chunk.
+    """
+    sig_new = simhash_signatures(new, text_col)
+    sig_hist = simhash_signatures(history, text_col)
+    pairs = None
+    for c in range(4):
+        a = sig_new.select(
+            F.col("doc_id").alias("new_doc"),
+            F.col("simhash").alias("sig_a"),
+            F.col(f"chunk{c}").alias("chunk"),
+        )
+        b = sig_hist.select(
+            F.col("doc_id").alias("old_doc"),
+            F.col("simhash").alias("sig_b"),
+            F.col(f"chunk{c}").alias("chunk"),
+        )
+        p = a.join(b, "chunk").select("new_doc", "old_doc", "sig_a", "sig_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", _hamming(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("new_doc")
+        .agg(
+            F.min("old_doc").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.min("hamming").cast("long").alias("min_hamming"),
+        )
+    )
+
+
+def incremental_embedding_dedup(
+    new: DataFrame,
+    history: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine twin of :func:`incremental_dedup` — semantic
+    near-dups of a NEW batch's vectors against the indexed corpus.
+
+    (new_id, dup_of, n_candidates, max_cos): for each new vector whose
+    cosine similarity with some history vector reaches ``threshold``, the
+    minimum matching history id, match count, and best similarity.
+    Candidate generation is the random-hyperplane LSH bucket join from
+    ``llm_ops.similarity`` (same deterministic planes), run ASYMMETRICALLY
+    new×history on (table, bucket) — ids only ride the candidate join;
+    vectors are joined back once per UNIQUE pair for the JVM-side cosine
+    (zip_with/aggregate, no Python in the re-rank).  No history×history
+    pair is ever generated; at 100 TB history buckets live as a bucketed
+    table and each batch joins without re-hashing the corpus.
+    """
+    from video_etl_spark.llm_ops.similarity import _bucket_udf, _planes
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(new.sparkSession)
+    bucketize = _bucket_udf(_planes(n_tables, n_planes, dim))
+
+    def with_buckets(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.posexplode(bucketize(F.col(vec_col))).alias("table_id", "bucket"),
+        )
+
+    pair_ids = (
+        with_buckets(new, "new_id")
+        .join(with_buckets(history, "old_id"), ["table_id", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    new_vecs = new.select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).cast("array<double>").alias("vec_a"),
+    )
+    old_vecs = history.select(
+        F.col(id_col).alias("old_id"),
+        F.col(vec_col).cast("array<double>").alias("vec_b"),
+    )
+    return (
+        pair_ids.join(new_vecs, "new_id")
+        .join(old_vecs, "old_id")
+        .withColumn(
+            "cos_sim",
+            dot / (norm(F.col("vec_a")) * norm(F.col("vec_b"))),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("new_id")
+        .agg(
+            F.min("old_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+    )

@@ -43,6 +43,11 @@ ROWS_ONLY_QUERIES = frozenset(
         # construction; exact twin `value_percentiles_by_type` is the
         # oracle baseline, pytest bounds the rank error.
         "value_percentiles_approx",
+        # incremental SimHash dedup (round 6): signature is the pandas-UDF
+        # md5 path (not SQL-expressible); the band-join twin
+        # `incremental_band_dedup` is the oracle-checked shape, pytest
+        # proves asymmetry + exact-dup detection differentially.
+        "incremental_simhash_dedup",
     }
 )
 
@@ -53,6 +58,22 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
+
+
+@query("incremental_simhash_dedup")
+def incremental_simhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-space incremental dedup: new crawl batch (doc_id % 10 = 0)
+    vs corpus via the asymmetric 16-bit-chunk equi-join (llm_ops.dedup.
+    incremental_simhash_dedup) — the SimHash member of the incremental
+    family (band / simhash / embedding)."""
+    from video_etl_spark.llm_ops.dedup import incremental_simhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_simhash_dedup(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        max_hamming=3,
+    )
 
 
 # S9/S10 — audio segmentation + fake-ASR transcription, fully

@@ -185,3 +185,56 @@ def vector_norms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("l2_norm"), "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# U21⊕/U22⊕ — INCREMENTAL embedding dedup, exact twin (round 6): a NEW
+# batch of vectors (vec_id % 10 = 0) matched against the indexed corpus by
+# cosine, blocked on `label` (the coarse-quantizer stand-in), ASYMMETRIC —
+# no history×history pair, mirroring incremental_band_dedup.  This exact
+# form is the oracle baseline; llm_ops.dedup.incremental_embedding_dedup
+# is the LSH-bucketed scale path with the same output contract
+# (differential-tested).  The 0.3 threshold fits the synthetic corpus's
+# near-orthogonal vectors (max same-label cosine ≈ 0.41).
+@query(
+    "incremental_embedding_dedup",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_DUCK_QUANT} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, q, CAST({_DUCK_SQ} AS DOUBLE) AS sq FROM q),
+    hits AS (
+      SELECT a.vec_id AS new_id, b.vec_id AS old_id,
+             CAST({_DUCK_DOT.replace('qa', 'a.q').replace('len(qa)', 'len(a.q)').replace('qb', 'b.q')} AS DOUBLE)
+               / (sqrt(a.sq) * sqrt(b.sq)) AS cos_sim
+      FROM n a JOIN n b
+        ON a.label = b.label AND a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0)
+    SELECT new_id, min(old_id) AS dup_of,
+           CAST(count(*) AS BIGINT) AS n_candidates, max(cos_sim) AS max_cos
+    FROM hits WHERE cos_sim >= 0.3 GROUP BY new_id
+    """,
+)
+def incremental_embedding_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "q", F.expr(_SPARK_QUANT)
+    ).withColumn("sq", F.expr(_SPARK_SQ).cast("double"))
+    new = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("new_id"), "label",
+        F.col("q").alias("qa"), F.col("sq").alias("sqa"),
+    )
+    old = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("old_id"), F.col("label").alias("label_b"),
+        F.col("q").alias("qb"), F.col("sq").alias("sqb"),
+    )
+    sim = F.expr(_SPARK_DOT).cast("double") / (F.sqrt("sqa") * F.sqrt("sqb"))
+    return (
+        new.join(old, F.col("label") == F.col("label_b"))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= 0.3)
+        .groupBy("new_id")
+        .agg(
+            F.min("old_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+    )
