@@ -528,3 +528,30 @@ def test_decontamination_filter_not_quadratic(spark, sf_dir):
         assert "transform(sequence" not in m.group(0), (
             "shingle transform inlined into a Filter:\n" + m.group(0)[:300]
         )
+
+
+@_pytest.mark.parametrize(
+    "name,expect",
+    [
+        # Arrow pandas UDFs are the sanctioned path for signature /
+        # bucketing compute here; row-at-a-time Python and cartesian
+        # products remain forbidden.
+        ("incremental_simhash_dedup", ["HashAggregate"]),
+        ("incremental_embedding_dedup", ["HashAggregate"]),
+    ],
+)
+def test_round6_incremental_plan_shapes(spark, sf_dir, name, expect):
+    """Round-6 incremental dedup family: no cartesians, no row-at-a-time
+    Python; candidate generation must be an equi-join (SortMergeJoin or
+    BroadcastHashJoin on chunk/bucket/label keys), never a nested-loop
+    over the corpus."""
+    from video_etl_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    for token in expect:
+        assert token in plan, (name, token)
