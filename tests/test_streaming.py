@@ -946,3 +946,43 @@ def test_streaming_incremental_dedup_exact_watermark_layer(spark, tmp_path):
         .collect()
     )
     assert not [r for r in dups if r["new_doc"] == 3]
+
+
+def test_streaming_dedup_handler_retry_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch handler (a
+    simulated retry) must leave the signature index and dup sink
+    byte-identical — the batch_id-partitioned dynamic overwrite rewrites
+    the batch's own partition instead of appending duplicates, and the
+    history read excludes the retried batch's partial partition."""
+    from video_etl_spark.streaming.dedup import make_batch_handler
+
+    a = ("the quick brown fox jumps over the lazy dog while the sun "
+         "sets slowly behind the distant purple mountains tonight")
+    b = ("completely different legal boilerplate concerning maritime "
+         "insurance claims and arbitration procedure under section nine")
+    handle = make_batch_handler(
+        index_dir=str(tmp_path / "r_idx"), dup_dir=str(tmp_path / "r_dups")
+    )
+    batch0 = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    batch1 = spark.createDataFrame([(3, a)], "doc_id long, text string")
+
+    handle(batch0, 0)
+    handle(batch1, 1)
+
+    def snapshot():
+        idx = sorted(
+            map(tuple, spark.read.parquet(str(tmp_path / "r_idx")).collect())
+        )
+        dups = sorted(
+            map(tuple, spark.read.parquet(str(tmp_path / "r_dups")).collect())
+        )
+        return idx, dups
+
+    first = snapshot()
+    handle(batch1, 1)  # retry of batch 1
+    assert snapshot() == first
+    idx, dups = first
+    assert {r[0] for r in idx} == {1, 2, 3}
+    assert [(r[0], r[1]) for r in dups] == [(3, 1)]

@@ -35,39 +35,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def streaming_incremental_dedup(
-    docs: DataFrame,
+def make_batch_handler(
     index_dir: str,
     dup_dir: str,
     n_bands: int = 2,
     rows_per_band: int = 2,
-    exact_dedup_watermark: str | None = None,
-    time_col: str = "event_time",
 ):
-    """Build the streaming dedup writer over a (doc_id, text, ...) stream.
-
-    Returns a ``DataStreamWriter`` — the caller sets checkpointLocation and
-    trigger and calls ``start()``.  Flagged near-dup candidates land in
-    ``dup_dir`` as (new_doc, dup_of, n_candidates, batch_id); every seen
-    doc's band signatures accumulate in ``index_dir``.
-
-    ``exact_dedup_watermark`` enables layer 1 (requires ``time_col`` on the
-    stream); leave None for replays without event time.
-
-    NOTE: a batch with no flagged candidates leaves ``dup_dir`` without
-    data files (the writer creates the directory eagerly) — consumers
-    should read it with an explicit schema, since parquet schema
-    inference requires at least one file.
-    """
+    """The per-micro-batch step of :func:`streaming_incremental_dedup`,
+    exposed for direct testing (retry idempotence) and for embedding in a
+    custom foreachBatch pipeline."""
     from video_etl_spark.llm_ops.dedup import (
         band_candidates,
         minhash_band_signatures,
     )
-
-    if exact_dedup_watermark is not None:
-        docs = docs.withWatermark(
-            time_col, exact_dedup_watermark
-        ).dropDuplicatesWithinWatermark(["text"])
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -102,4 +82,38 @@ def streaming_incremental_dedup(
         )
         sigs.unpersist()
 
-    return docs.writeStream.foreachBatch(handle)
+    return handle
+
+
+def streaming_incremental_dedup(
+    docs: DataFrame,
+    index_dir: str,
+    dup_dir: str,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+    exact_dedup_watermark: str | None = None,
+    time_col: str = "event_time",
+):
+    """Build the streaming dedup writer over a (doc_id, text, ...) stream.
+
+    Returns a ``DataStreamWriter`` — the caller sets checkpointLocation and
+    trigger and calls ``start()``.  Flagged near-dup candidates land in
+    ``dup_dir`` as (new_doc, dup_of, n_candidates, batch_id); every seen
+    doc's band signatures accumulate in ``index_dir``.
+
+    ``exact_dedup_watermark`` enables layer 1 (requires ``time_col`` on the
+    stream); leave None for replays without event time.
+
+    NOTE: a batch with no flagged candidates leaves ``dup_dir`` without
+    data files (the writer creates the directory eagerly) — consumers
+    should read it with an explicit schema, since parquet schema
+    inference requires at least one file.
+    """
+    if exact_dedup_watermark is not None:
+        docs = docs.withWatermark(
+            time_col, exact_dedup_watermark
+        ).dropDuplicatesWithinWatermark(["text"])
+
+    return docs.writeStream.foreachBatch(
+        make_batch_handler(index_dir, dup_dir, n_bands, rows_per_band)
+    )
