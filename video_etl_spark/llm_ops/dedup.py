@@ -188,6 +188,7 @@ def connected_components(
     node_col: str = "doc_id",
     max_iter: int = 20,
     on_round=None,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """(node, component) for every node: component = min node id reachable.
 
@@ -199,6 +200,15 @@ def connected_components(
     timing is real work, not lazy-plan assembly.  Used for scale
     rehearsals (flat per-round times prove lineage truncation holds) and
     long-job progress reporting.
+
+    ``edges_distinct``: promise that ``edges`` holds distinct canonical
+    (src < dst) pairs — then the mirrored union is dup-free by
+    construction and the edge-set dedup shuffle is skipped entirely.
+    Candidate generators that end in ``.distinct()`` (the band/chunk
+    joins) should pass True: at corpus scale that shuffle re-hashes the
+    whole edge set once for nothing.  Duplicate edges would not corrupt
+    results (min is idempotent) — only waste join work — so a wrong
+    promise degrades speed, not correctness.
     """
     import time
 
@@ -207,7 +217,9 @@ def connected_components(
     bidir = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    bidir = bidir.distinct().persist()
+    if not edges_distinct:
+        bidir = bidir.distinct()
+    bidir = bidir.persist()
 
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")

@@ -994,7 +994,9 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     edges = minhash_band_pairs(spark, sf_dir)
-    comp = connected_components(edges, docs.select("doc_id"))
+    # band pairs end in .distinct() with doc_a < doc_b — skip the
+    # redundant edge-set dedup shuffle inside CC (edges_distinct contract)
+    comp = connected_components(edges, docs.select("doc_id"), edges_distinct=True)
     return comp.select(
         F.col("node").alias("doc_id"),
         "component",
