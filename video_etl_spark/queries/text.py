@@ -174,6 +174,10 @@ def _banded_sigs(docs: DataFrame) -> DataFrame:
     because the signature computation (shingling + 4 md5 passes) feeds both
     sides of every band self-join.
 
+    Since round 6 this is the 2-band × 2-row instance of the parameterized
+    ``llm_ops.dedup.minhash_band_signatures`` (same salts, same '_'-joined
+    band keys — the oracle hash pins the equivalence).
+
     The persist is deliberately left to Spark's LRU eviction rather than an
     explicit unpersist: the blocks are (doc_id, two short strings) — tiny
     relative to the corpus — and the query builder returns a LAZY plan, so
@@ -181,16 +185,9 @@ def _banded_sigs(docs: DataFrame) -> DataFrame:
     signatures.  Callers that sweep many queries in one session (driver
     gate, bench) clear caches between queries.
     """
-    sig = _spark_shingles(docs).select("doc_id", *_spark_minhash_cols())
-    return sig.select(
-        "doc_id",
-        F.concat_ws(
-            "_", F.col("mh0").cast("string"), F.col("mh1").cast("string")
-        ).alias("band0"),
-        F.concat_ws(
-            "_", F.col("mh2").cast("string"), F.col("mh3").cast("string")
-        ).alias("band1"),
-    ).persist()
+    from video_etl_spark.llm_ops.dedup import minhash_band_signatures
+
+    return minhash_band_signatures(docs, n_bands=2, rows_per_band=2).persist()
 
 
 # --------------------------------------------------------------------------
