@@ -1273,3 +1273,63 @@ def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 40)
         .select("doc_id", "lang", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 6): per-source MIXTURE WEIGHTS — the data-
+# mixing step every LLM training run performs (compute each domain's token
+# share, derive the sampling weight that rebalances toward a target — here
+# the uniform mixture).  Exact integer arithmetic end to end: token counts
+# sum as BIGINT, shares/weights are ppm integer divisions, so both engines
+# agree bit for bit.  Plan: one groupBy(source) over the scan, the 1-row
+# corpus total folded back as a broadcast scalar — two shuffles total,
+# scan-bound at 100 TB.
+@query(
+    "source_mixture_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, len({_DUCK_TOKENS}) AS n_tok FROM documents),
+    s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+             count(*) AS n_sources
+      FROM s)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens * 1000000 // total AS BIGINT) AS token_share_ppm,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE CAST(total * 1000000 // (n_sources * n_tokens) AS BIGINT)
+           END AS uniform_weight_ppm
+    FROM s, tot
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.select(
+        "source", F.size(_tokens_col()).cast("long").alias("n_tok")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div total").cast("long")
+            .alias("token_share_ppm"),
+            F.when(F.col("n_tokens") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.expr("(total * 1000000) div (n_sources * n_tokens)")
+                .cast("long")
+            )
+            .alias("uniform_weight_ppm"),
+        )
+    )
