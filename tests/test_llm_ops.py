@@ -916,3 +916,61 @@ def test_incremental_embedding_dedup_no_false_positives(spark, sf_dir):
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos >= 0.25 - 1e-9, (r, cos)
         assert r["dup_of"] % 10 != 0
+
+
+def test_incremental_dedup_bucketed_index_no_index_shuffle(spark, sf_dir, tmp_path):
+    """The 100 TB index shape, plan-verified: with the corpus band index
+    persisted as a bucketed table on band_key, the incremental join must
+    read co-located index buckets — NO Exchange on the index side; only
+    the new batch shuffles.  Results must equal the plain
+    incremental_dedup on the same split.  Negative probe: the same index
+    as a plain (unbucketed) parquet table reintroduces the exchange."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.dedup import (
+        incremental_dedup,
+        incremental_dedup_against_index,
+        write_band_index,
+    )
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle join so exchange placement is observable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_band_index(
+            hist, "t_band_index", str(tmp_path / "band_idx"), n_buckets=8
+        )
+        out = incremental_dedup_against_index(
+            new, spark.table("t_band_index")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the join needs band_key clustering on both sides: the NEW side
+        # legitimately shuffles (1 exchange); the bucketed index side must
+        # reach the join with its bucket partitioning — exactly ONE
+        # band_key exchange in the whole plan.
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange hashpartitioning(band_key") == 1, plan
+
+        got = sorted(map(tuple, out.collect()))
+        want = sorted(map(tuple, incremental_dedup(new, hist).collect()))
+        assert got == want and got
+
+        # negative probe: unbucketed index -> exchange comes back
+        from video_etl_spark.llm_ops.dedup import band_index_rows
+
+        band_index_rows(hist).write.mode("overwrite").parquet(
+            str(tmp_path / "plain_idx")
+        )
+        plain = incremental_dedup_against_index(
+            new, spark.read.parquet(str(tmp_path / "plain_idx"))
+        )
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert plain_plan.count("Exchange hashpartitioning(band_key") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_band_index")

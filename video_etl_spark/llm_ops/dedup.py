@@ -529,3 +529,87 @@ def incremental_embedding_dedup(
             F.max("cos_sim").alias("max_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U21⊕ — the 100 TB shape of the incremental index, made concrete: the
+# corpus's band signatures persisted as a BUCKETED table keyed on the band,
+# so each crawl batch's candidate join reads co-located index buckets and
+# shuffles ONLY the (small) new batch — the index side never re-shuffles.
+# (The parquet-dir index in streaming/dedup.py is the simple form; this is
+# the form a long-lived corpus uses.)
+
+
+def band_index_rows(
+    docs: DataFrame,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Long-format band index rows: (id, band_key) — one row per doc per
+    band, band_key = "<band_idx>|<band_value>" so a single string column
+    is both the join key and the bucket key."""
+    sigs = minhash_band_signatures(docs, n_bands, rows_per_band, id_col)
+    parts = [
+        sigs.select(
+            F.col(id_col),
+            F.concat(F.lit(f"{b}|"), F.col(f"band{b}")).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def write_band_index(
+    docs: DataFrame,
+    table: str,
+    path: str,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the corpus band index as a bucketed external table on
+    ``band_key`` (see ``operators.io.write_bucketed``)."""
+    (
+        band_index_rows(docs, n_bands, rows_per_band, id_col)
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(table)
+    )
+
+
+def incremental_dedup_against_index(
+    new: DataFrame,
+    index: DataFrame,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`incremental_dedup` against a persisted band index
+    (``spark.table(...)`` written by :func:`write_band_index`).
+
+    Same output contract (new_doc, dup_of, n_candidates).  When ``index``
+    is the bucketed table, the join plan has NO exchange on the index
+    side — only the new batch shuffles (plan-asserted in tests) — which
+    is the property that keeps per-crawl cost independent of corpus size.
+    """
+    new_rows = band_index_rows(new, n_bands, rows_per_band, id_col).select(
+        F.col(id_col).alias("new_doc"), "band_key"
+    )
+    hist_rows = index.select(F.col(id_col).alias("old_doc"), "band_key")
+    return (
+        new_rows.join(hist_rows, "band_key")
+        .select("new_doc", "old_doc")
+        .distinct()
+        .groupBy("new_doc")
+        .agg(
+            F.min("old_doc").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+    )
