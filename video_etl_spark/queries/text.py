@@ -1333,3 +1333,86 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("uniform_weight_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 6): per-document LM familiarity — the
+# CCNet-style "score every document under a corpus language model" quality
+# filter, in exact arithmetic.  Each doc's bigram occurrences join the
+# corpus bigram table (the one bigram_lm_counts builds, same >= 5 pruning);
+# the score aggregates are exact BIGINTs (occurrence-weighted corpus
+# counts + OOV occurrences), with one final double division — a
+# deterministic stand-in for log-prob/perplexity, which is deliberately
+# avoided: ln() is not correctly-rounded-guaranteed across engines, so a
+# transcendental score would hash-flake (the repo's parity discipline:
+# integer sums, division last).  Low mean familiarity + high OOV rate =
+# the gibberish/boilerplate tail a perplexity filter would cut.
+# Plan shape: docs-side bigram explode (narrow, fused with the scan) ⋈
+# corpus bigram dim — a standard fact-dim equi-join AQE sizes; one
+# groupBy(doc_id) to finish.  At 100 TB the LM table is built once and
+# reused across curation runs.
+@query(
+    "doc_lm_familiarity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    occ AS (
+      SELECT doc_id,
+             string_split(u.bg, ' ')[1] AS w1,
+             string_split(u.bg, ' ')[2] AS w2
+      FROM (SELECT doc_id,
+                   [t[i] || ' ' || t[i + 1]
+                    FOR i IN generate_series(1, len(t) - 1)] AS bgs
+            FROM toks WHERE len(t) >= 2) d, unnest(bgs) AS u(bg)),
+    lm AS (
+      SELECT w1, w2, count(*) AS c_pair FROM occ GROUP BY w1, w2
+      HAVING count(*) >= 5)
+    SELECT o.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(COALESCE(l.c_pair, 0)) AS BIGINT) AS familiarity_mass,
+           CAST(sum(CASE WHEN l.c_pair IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(CAST(sum(COALESCE(l.c_pair, 0)) AS DOUBLE) / count(*)
+                AS DOUBLE) AS mean_familiarity
+    FROM occ o LEFT JOIN lm l ON l.w1 = o.w1 AND l.w2 = o.w2
+    GROUP BY o.doc_id
+    """,
+)
+def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select("doc_id", _tokens_col().alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) as w1, "
+                    "element_at(t, i + 1) as w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    lm = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= 5)
+    )
+    return (
+        occ.join(lm, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce("c_pair", F.lit(0))).alias("familiarity_mass"),
+            F.sum(
+                F.when(F.col("c_pair").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            (
+                F.sum(F.coalesce("c_pair", F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).cast("double").alias("mean_familiarity"),
+        )
+    )
