@@ -538,6 +538,8 @@ def test_decontamination_filter_not_quadratic(spark, sf_dir):
         # products remain forbidden.
         ("incremental_simhash_dedup", ["HashAggregate"]),
         ("incremental_embedding_dedup", ["HashAggregate"]),
+        ("source_mixture_weights", ["HashAggregate", "BroadcastNestedLoopJoin"]),
+        ("doc_lm_familiarity", ["HashAggregate"]),
     ],
 )
 def test_round6_incremental_plan_shapes(spark, sf_dir, name, expect):
@@ -552,6 +554,8 @@ def test_round6_incremental_plan_shapes(spark, sf_dir, name, expect):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, name
     assert "BatchEvalPython" not in plan, name
-    assert "BroadcastNestedLoopJoin" not in plan, name
+    if "BroadcastNestedLoopJoin" not in expect:
+        # the only sanctioned BNLJ is the broadcast 1-row scalar fold
+        assert "BroadcastNestedLoopJoin" not in plan, name
     for token in expect:
         assert token in plan, (name, token)
