@@ -59,6 +59,11 @@ HEADLINE = [
     "value_percentiles_by_type",
     "value_percentiles_approx",
     "shipmode_priority_counts",
+    # round-6 late additions: cross-document span dedup measure, per-source
+    # quality gating, and the domain-contamination matrix.
+    "repeated_span_fraction",
+    "quality_percentile_gate",
+    "cross_source_contamination",
 ]
 
 

@@ -456,6 +456,10 @@ _HEADLINE_PLAN_EXPECTATIONS = {
     "value_percentiles_by_type": (["HashAggregate"], False, False),
     "value_percentiles_approx": (["ObjectHashAggregate"], False, False),
     "shipmode_priority_counts": (["HashAggregate", "PushedFilters"], False, False),
+    # round-6 late additions
+    "repeated_span_fraction": (["HashAggregate"], False, False),
+    "quality_percentile_gate": (["Window"], False, False),
+    "cross_source_contamination": (["BroadcastHashJoin"], False, False),
 }
 
 

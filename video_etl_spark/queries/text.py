@@ -1416,3 +1416,206 @@ def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("mean_familiarity"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 6): per-document REPEATED-SPAN fraction —
+# the cross-document repeated-substring measure behind exact-substring
+# deduplication (Lee et al. 2022 "Deduplicating Training Data Makes
+# Language Models Better" deduplicates 50-token spans that appear in more
+# than one document; the 3-word shingle here is the same structure at test
+# scale).  A high shared_ppm marks boilerplate-heavy documents whose spans
+# the dedup pass would cut.  Exact arithmetic: span identity is the shared
+# 60-bit md5 hash, counts are BIGINTs, the fraction is a ppm integer
+# division.
+# Plan shape: shingle explode fused with the scan (narrow), distinct on
+# (doc_id, span-hash) — longs, not strings, cross the wire — one
+# groupBy(span) for document frequency, one hash-join back, one
+# groupBy(doc_id) to finish.  Every shuffle key is a 60-bit hash, so the
+# shape is scan + 3 well-distributed shuffles at any corpus size; this is
+# the identical skeleton a 50-token-span pass uses at 100 TB.
+@query(
+    "repeated_span_fraction",
+    oracle=_duck_shingle_cte()
+    + f""", spans AS (
+      SELECT DISTINCT doc_id,
+             {_DUCK_HASH.format(expr="s")} AS h
+      FROM sh, unnest(shingles) AS u(s)),
+    df AS (
+      SELECT h, count(*) AS n_docs_with FROM spans GROUP BY h)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN d.n_docs_with >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_spans,
+           CAST(sum(CASE WHEN d.n_docs_with >= 2 THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS shared_ppm
+    FROM spans s JOIN df d ON d.h = s.h
+    GROUP BY s.doc_id
+    """,
+)
+def repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_HASH.format(expr="s"))
+    spans = (
+        _spark_shingles(docs)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", h.alias("h"))
+        .distinct()
+    )
+    df_counts = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    shared = F.sum(
+        F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)
+    )
+    return (
+        spans.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            shared.alias("n_shared_spans"),
+            F.expr(
+                "cast(sum(case when n_docs_with >= 2 then 1 else 0 end) "
+                "* 1000000 div count(1) as bigint)"
+            ).alias("shared_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 6): per-source QUALITY PERCENTILE GATE —
+# the "keep the top quartile of each domain" selection step of a curation
+# pipeline (per-domain, not global, so a verbose domain cannot crowd out a
+# terse one).  The quality score is the type-token ratio in ppm — exact
+# integer arithmetic (distinct-token count vs token count), a standard
+# lexical-diversity proxy with none of the float-parity risk of entropy
+# scores.  Rank arithmetic is pure integers from row_number/count, so both
+# engines agree bit for bit, including ties (broken by doc_id).
+# Plan shape: one narrow projection computing the score from the scan (the
+# distinct-token count is an array expression, no shuffle), then a single
+# window shuffle on source.  At 100 TB: one shuffle partitioned by domain;
+# skewed mega-domains are exactly the AQE skew-split case the repo tests.
+@query(
+    "quality_percentile_gate",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct({_DUCK_TOKENS})) * 1000000
+                  // len({_DUCK_TOKENS}) AS BIGINT) AS ttr_ppm
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, source, ttr_ppm,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ttr_ppm DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM scored)
+    SELECT doc_id, source, ttr_ppm,
+           CAST(CASE WHEN n = 1 THEN 0
+                     ELSE (rn - 1) * 1000000 // (n - 1) END
+                AS BIGINT) AS rank_ppm
+    FROM ranked WHERE rn * 4 <= n
+    """,
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"cast(size(array_distinct({_SPARK_TOKENS})) * 1000000 "
+            f"div size({_SPARK_TOKENS}) as bigint)"
+        ).alias("ttr_ppm"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("ttr_ppm").desc(), F.col("doc_id")
+    )
+    wn = Window.partitionBy("source")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") * 4 <= F.col("n"))
+        .select(
+            "doc_id",
+            "source",
+            "ttr_ppm",
+            F.expr(
+                "cast(case when n = 1 then 0 "
+                "else (rn - 1) * 1000000 div (n - 1) end as bigint)"
+            ).alias("rank_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 6): CROSS-SOURCE CONTAMINATION matrix —
+# for every pair of domains, how many distinct 3-word spans they share.
+# This is the corpus-governance twin of benchmark_decontamination: instead
+# of bench-vs-corpus it measures domain-vs-domain content bleed (mirror
+# sites, syndicated text, scraped duplicates across crawls), which decides
+# whether two "sources" are really independent for mixture weighting.
+# Plan shape: distinct (source, span-hash) pairs — the corpus collapses to
+# one row per (domain, span) BEFORE any join — then a self-equi-join on the
+# span hash with source_a < source_b.  Per-span fan-out is bounded by the
+# number of domains (not corpus size), so the pair space is
+# O(spans × domains²) worst case with domains in the tens — never corpus².
+# The ppm denominator joins per-source distinct-span totals (broadcast-
+# sized: one row per domain).
+@query(
+    "cross_source_contamination",
+    oracle=_duck_shingle_cte()
+    + f""", spans AS (
+      SELECT DISTINCT d.source,
+             {_DUCK_HASH.format(expr="s")} AS h
+      FROM sh JOIN documents d ON d.doc_id = sh.doc_id,
+           unnest(sh.shingles) AS u(s)),
+    totals AS (
+      SELECT source, count(*) AS n_spans FROM spans GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_spans,
+           CAST(count(*) * 1000000
+                // least(ta.n_spans, tb.n_spans) AS BIGINT)
+             AS overlap_ppm
+    FROM spans a
+    JOIN spans b ON b.h = a.h AND a.source < b.source
+    JOIN totals ta ON ta.source = a.source
+    JOIN totals tb ON tb.source = b.source
+    GROUP BY a.source, b.source, ta.n_spans, tb.n_spans
+    """,
+)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_HASH.format(expr="s"))
+    spans = (
+        _spark_shingles(docs)
+        .select("source", F.explode("shingles").alias("s"))
+        .select("source", h.alias("h"))
+        .distinct()
+    )
+    totals = spans.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    ta = totals.alias("ta")
+    tb = totals.alias("tb")
+    return (
+        a.join(b, (F.col("b.h") == F.col("a.h"))
+               & (F.col("a.source") < F.col("b.source")))
+        .join(F.broadcast(ta), F.col("ta.source") == F.col("a.source"))
+        .join(F.broadcast(tb), F.col("tb.source") == F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("ta.n_spans").alias("na"),
+            F.col("tb.n_spans").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_spans",
+            F.expr(
+                "cast(n_shared_spans * 1000000 div least(na, nb) as bigint)"
+            ).alias("overlap_ppm"),
+        )
+    )
