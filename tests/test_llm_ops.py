@@ -974,3 +974,28 @@ def test_incremental_dedup_bucketed_index_no_index_shuffle(spark, sf_dir, tmp_pa
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_band_index")
+
+
+def test_keep_canonical_quality_ties_and_singletons(spark):
+    from video_etl_spark.llm_ops.dedup import keep_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7), (9, 5)],
+        "doc_id long, n_chars long",
+    )
+    # cluster {1,2,3} labeled 1; doc 4 labeled singleton by CC; doc 9
+    # absent from the labeling entirely (left-join fallback path).
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "node long, component long"
+    )
+    out = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in keep_canonical(docs, comp).collect()
+    }
+    # best quality wins; 2 vs 3 tie on n_chars=30 -> lower doc_id (2) kept
+    assert out[2] == (1, True)
+    assert out[1] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True)
+    # unlabeled doc becomes its own singleton cluster and is kept
+    assert out[9] == (9, True)
+    assert sum(1 for _, c in out.items() if c[1]) == 3

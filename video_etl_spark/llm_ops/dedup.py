@@ -613,3 +613,58 @@ def incremental_dedup_against_index(
             F.count(F.lit(1)).alias("n_candidates"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U21⊕ — quality-aware canonical selection: the step that turns a cluster
+# labeling (connected_components output) into the KEPT corpus.  Reference
+# keeps min-id per duplicate set (`knob_tuner.py:189-196` seen-set keeps the
+# first occurrence); real curation keeps the best-quality member instead so
+# a truncated mirror never shadows the full original.
+
+
+def keep_canonical(
+    docs: DataFrame,
+    components: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    component_col: str = "component",
+) -> DataFrame:
+    """Flag one canonical document per duplicate cluster.
+
+    ``components`` is ``connected_components`` output (``node``,
+    ``component``).  Returns ``docs``'s columns plus ``component`` and
+    ``is_canonical``: true for exactly the cluster member with the highest
+    ``quality_col`` (ties broken by lowest ``id_col`` — deterministic).
+    Docs absent from ``components`` are their own singleton cluster.
+    Filtering ``is_canonical`` yields the deduplicated corpus; the
+    complement is the drop list.
+
+    Plan shape: one equi-join on the id (broadcast when the labeling is
+    small, SMJ otherwise) and ONE window shuffle on ``component``.  A
+    window (not a max_by groupBy + join back) because the per-doc flag
+    needs every row anyway — one shuffle beats two.  Giant skewed
+    clusters serialize their own sort, but a cluster that large is
+    precisely the boilerplate blob the drop list exists for, and the sort
+    key is (quality, id) — two scalars, not text.
+    """
+    from pyspark.sql import Window
+
+    comp = components.select(
+        F.col(node_col).alias("__node"),
+        F.col(component_col).alias("__component"),
+    )
+    joined = (
+        docs.join(comp, docs[id_col] == comp["__node"], "left")
+        .withColumn(
+            "component", F.coalesce("__component", F.col(id_col))
+        )
+        .drop("__node", "__component")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return joined.withColumn(
+        "is_canonical", F.row_number().over(w) == F.lit(1)
+    )

@@ -1619,3 +1619,80 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 6): CANONICAL DOC PER DUPLICATE CLUSTER —
+# the step that turns the cluster labeling (dedup_connected_clusters) into
+# the kept corpus: per near-dup cluster, keep the highest-quality member
+# (longest text, ties to lowest doc_id) so a truncated mirror never
+# shadows the full original.  Composes the band-candidate → connected-
+# components pipeline with llm_ops.dedup.keep_canonical; the oracle
+# extends the same recursive-CTE reachability the CC oracle uses, so the
+# ENTIRE pipeline — shingles → minhash → bands → CC → quality pick — is
+# hash-pinned end to end.
+# Plan shape on top of CC: one join of labels back to (doc_id, n_chars)
+# and one window shuffle on component.  At 100 TB the labeling is ids
+# only; text never moves.
+@query(
+    "canonical_cluster_docs",
+    oracle=_duck_minhash_cte().replace("WITH toks", "WITH RECURSIVE toks")
+    + _DUCK_BANDED_CTE
+    + """,
+    edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band0 = b.band0
+      UNION
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band1 = b.band1),
+    bidir AS (
+      SELECT doc_a AS u, doc_b AS v FROM edges
+      UNION SELECT doc_b AS u, doc_a AS v FROM edges),
+    reach AS (
+      SELECT u, v FROM bidir
+      UNION
+      SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u),
+    comp AS (
+      SELECT d.doc_id, d.n_chars,
+             least(d.doc_id, coalesce(m.mv, d.doc_id)) AS component
+      FROM documents d
+      LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) m
+        ON m.u = d.doc_id),
+    ranked AS (
+      SELECT doc_id, n_chars, component,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component) AS n
+      FROM comp)
+    SELECT component,
+           doc_id AS canonical_doc_id,
+           CAST(n_chars AS BIGINT) AS canonical_chars,
+           CAST(n AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def canonical_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.dedup import (
+        connected_components,
+        keep_canonical,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_band_pairs(spark, sf_dir)
+    comp = connected_components(
+        edges, docs.select("doc_id"), edges_distinct=True
+    )
+    flagged = keep_canonical(docs.select("doc_id", "n_chars"), comp)
+    wn = Window.partitionBy("component")
+    return (
+        flagged.withColumn(
+            "n_members", F.count(F.lit(1)).over(wn).cast("long")
+        )
+        .filter("is_canonical")
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_chars").cast("long").alias("canonical_chars"),
+            "n_members",
+        )
+    )
