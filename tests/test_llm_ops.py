@@ -999,3 +999,84 @@ def test_keep_canonical_quality_ties_and_singletons(spark):
     # unlabeled doc becomes its own singleton cluster and is kept
     assert out[9] == (9, True)
     assert sum(1 for _, c in out.items() if c[1]) == 3
+
+
+# --- llm_ops.export: deterministic sharding + balanced shard sink ----------
+
+
+def test_shard_assignment_deterministic_and_complete(spark, sf_dir):
+    from video_etl_spark.llm_ops.export import shard_assignments
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = shard_assignments(docs, 8).select("doc_id", "shard")
+    b = shard_assignments(docs, 8).select("doc_id", "shard")
+    # identical across invocations (pure hash, no RNG) and total
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    got = a.agg({"shard": "min"}).collect()[0][0], a.agg({"shard": "max"}).collect()[0][0]
+    assert got[0] >= 0 and got[1] <= 7
+    assert a.count() == docs.count()
+
+
+def test_shard_sizes_concentrate_near_uniform(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.export import shard_assignments
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    sizes = (
+        shard_assignments(docs, 8)
+        .groupBy("shard")
+        .count()
+        .collect()
+    )
+    assert len(sizes) == 8
+    for row in sizes:
+        # md5-uniform: every shard within ±40% of n/8 even at sf0.001
+        assert abs(row["count"] - n / 8) < 0.4 * n / 8, dict(sizes=sizes)
+
+
+def test_write_training_shards_layout_and_roundtrip(spark, sf_dir, tmp_path):
+    import glob
+
+    from video_etl_spark.llm_ops.export import (
+        read_shard,
+        shard_manifest,
+        write_training_shards,
+    )
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    sharded = write_training_shards(docs, out, n_shards=4, files_per_shard=2)
+
+    # hive layout: shard=K dirs, exactly files_per_shard data files each
+    # (one file per shard=K/subfile=J directory)
+    for k in range(4):
+        files = glob.glob(f"{out}/shard={k}/subfile=*/*.parquet")
+        assert len(files) == 2, (k, files)
+
+    # loader-side read of one shard == that shard's assignment set
+    back = read_shard(spark, out, 2).select("doc_id")
+    expect = sharded.filter("shard = 2").select("doc_id")
+    assert back.exceptAll(expect).isEmpty() and expect.exceptAll(back).isEmpty()
+
+    # manifest counts reconcile with the corpus totals
+    m = shard_manifest(sharded).collect()
+    assert sum(r["n_docs"] for r in m) == docs.count()
+    assert all(r["n_tokens"] > 0 and r["n_chars"] > 0 for r in m)
+
+
+def test_read_shard_prunes_partitions(spark, sf_dir, tmp_path):
+    from video_etl_spark.llm_ops.export import read_shard, write_training_shards
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+    plan = read_shard(spark, out, 1)._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (pruned directory listing),
+    # not appear as a post-scan Filter over all shards
+    assert "PartitionFilters" in plan and "shard" in plan

@@ -1,0 +1,127 @@
+"""Training-data export: deterministic sharding + balanced shard sinks
+(SURVEY.md §2.13 — the last step of the LLM curation pipeline: after
+gates/dedup/split, write the corpus as N reproducible shards a trainer
+streams).
+
+The reference's terminal sinks are CSV appends (`simulate.py:23-41`); a
+training pipeline instead needs (a) a DETERMINISTIC assignment of every
+document to one of N shards — stable across reruns and engines, no RNG
+state — and (b) an output layout where each shard is a bounded set of
+parquet files a data-loader worker can own exclusively.
+
+Scale posture (100 TB):
+
+* Assignment is a pure column expression (md5-prefix hash mod N) — no
+  shuffle, no RNG, no driver state; it composes with any upstream plan.
+* The writer shuffles ONCE on (shard, subfile) so each output file is
+  produced by exactly one task: `files_per_shard` bounds per-file size
+  (100 TB / (N shards × F files) each), and hive-style `shard=` dirs give
+  the loader partition pruning for free.
+* The manifest is one groupBy(shard) — the same single-shuffle shape as
+  `source_mixture_weights` — and is what a training job reads to plan
+  worker↔shard ownership without listing files.
+
+Hash-order sharding IS uniform sampling (md5 is the uniform order), so
+shard sizes concentrate tightly around corpus/N — the property test
+asserts the balance bound instead of trusting it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HASH60 = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def _hash60(expr: str) -> F.Column:
+    """Deterministic nonnegative 60-bit hash (Spark == DuckDB bit-for-bit:
+    DuckDB twin is ('0x' || substr(md5(x),1,15))::BIGINT)."""
+    return F.expr(_HASH60.format(expr=expr))
+
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard|",
+) -> DataFrame:
+    """Add a deterministic `shard` column in [0, n_shards).
+
+    shard = hash60(salt || id) % n_shards — reproducible on any engine,
+    any partitioning, any rerun; independent of upstream row order.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    hv = _hash60(f"concat('{salt}', cast({id_col} as string))")
+    return df.withColumn("shard", (hv % F.lit(n_shards)).cast("long"))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard|",
+    files_per_shard: int = 1,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write `shard=K/subfile=J/` parquet dirs — exactly `files_per_shard`
+    data files under every shard — and return the sharded frame (for
+    manifest computation).
+
+    One shuffle total.  The exact-file-count guarantee comes from the
+    DIRECTORY layout, not the task layout: `partitionBy("shard","subfile")`
+    makes every (shard, subfile) combo its own hive dir, and the writer
+    splits a task's rows by directory — so even when the repartition hash
+    sends two combos to one task (inevitable: hash mod is not identity),
+    each combo still lands in its own single file.  At 100 TB set
+    files_per_shard so each file sits near the parquet sweet spot (~1 GB)
+    rather than one N-TB file per shard; `shard=` partition pruning serves
+    the loader regardless of the subfile nesting.
+    """
+    if files_per_shard <= 0:
+        raise ValueError(f"files_per_shard must be positive, got {files_per_shard}")
+    sharded = shard_assignments(df, n_shards, id_col=id_col, salt=salt)
+    sub = (
+        _hash60(f"concat('{salt}file|', cast({id_col} as string))")
+        % F.lit(files_per_shard)
+    ).cast("long")
+    (
+        sharded.withColumn("subfile", sub)
+        .repartition(n_shards * files_per_shard, "shard", "subfile")
+        .write.mode(mode)
+        .partitionBy("shard", "subfile")
+        .parquet(path)
+    )
+    return sharded
+
+
+def shard_manifest(sharded: DataFrame, token_col: F.Column | None = None) -> DataFrame:
+    """Per-shard manifest: doc/token/char counts + id range.
+
+    The id range lets an incremental pipeline verify shard membership
+    without re-hashing; counts drive loader-side batch planning.
+    """
+    n_tok = (
+        token_col
+        if token_col is not None
+        else F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok.cast("long")).alias("n_tokens"),
+            F.sum(F.length("text").cast("long")).alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
+    """Loader-side read of one shard; the `shard=` filter prunes to that
+    directory (partition pruning — no full-corpus listing or scan)."""
+    return spark.read.parquet(path).filter(F.col("shard") == shard)

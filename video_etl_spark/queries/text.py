@@ -1696,3 +1696,173 @@ def canonical_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 6): TRAINING SHARD MANIFEST — the terminal
+# export step: every document gets a deterministic shard in [0, N) via
+# md5-hash mod (llm_ops.export.shard_assignments — no RNG, stable across
+# engines and reruns), and the manifest a training job reads to plan
+# worker↔shard ownership is one groupBy(shard).  Hash-order sharding is
+# uniform sampling, so shard sizes concentrate around corpus/N — the
+# manifest is also the balance check.
+# Plan shape: assignment is a narrow column expression fused with the scan;
+# the manifest is a single well-distributed shuffle on an 8-value key (the
+# partial aggregation does almost all the work map-side).  The sibling
+# writer (export.write_training_shards) adds exactly one more shuffle on
+# (shard, subfile) to bound output file sizes at 100 TB.
+_N_SHARDS = 8
+
+
+@query(
+    "training_shard_manifest",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             {_DUCK_HASH.format(expr="'shard|' || CAST(doc_id AS VARCHAR)")}
+               % {_N_SHARDS} AS shard
+      FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM s GROUP BY shard
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.export import shard_assignments, shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = shard_assignments(docs, _N_SHARDS)
+    return shard_manifest(sharded)
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 6): N-GRAM NOVELTY BY SOURCE — how much
+# genuinely new text each domain contributes to the corpus.  Every distinct
+# 3-gram is attributed to its FIRST source (min source name — a
+# deterministic, engine-independent tiebreak standing in for crawl order);
+# a source's novelty is the ppm of its distinct grams that it introduced.
+# This is the marginal-value measure behind data-mixing decisions: a mirror
+# domain scores ~0 novelty even when huge, and pairs with
+# source_mixture_weights (share) and cross_source_contamination (overlap).
+# Plan shape: shingle explode fused with the scan, distinct on
+# (gram-hash, source) — longs cross the wire — one groupBy(gram) for the
+# first-source attribution, one hash-join back, one groupBy(source) to
+# finish.  Scan + 3 well-distributed shuffles on 60-bit keys at any corpus
+# size; no step is quadratic in sources or grams.
+@query(
+    "ngram_novelty_by_source",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, {_DUCK_TOKENS} AS toks FROM documents
+    ), sh AS (
+      SELECT source,
+             [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+              FOR i IN generate_series(1, len(toks) - 2)] AS shingles
+      FROM toks WHERE len(toks) >= 3
+    ), grams AS (
+      SELECT DISTINCT source, {_DUCK_HASH.format(expr="s")} AS g
+      FROM sh, unnest(shingles) AS u(s)),
+    first_seen AS (
+      SELECT g, min(source) AS first_source FROM grams GROUP BY g)
+    SELECT gr.source,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN gr.source = f.first_source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN gr.source = f.first_source THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+    FROM grams gr JOIN first_seen f ON f.g = gr.g
+    GROUP BY gr.source
+    """,
+)
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_HASH.format(expr="s"))
+    grams = (
+        _spark_shingles(docs.select("source", "text"))
+        .select("source", F.explode("shingles").alias("s"))
+        .select("source", h.alias("g"))
+        .distinct()
+    )
+    first_seen = grams.groupBy("g").agg(F.min("source").alias("first_source"))
+    novel = F.sum(
+        F.when(F.col("source") == F.col("first_source"), 1).otherwise(0)
+    )
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.expr(
+                "cast(sum(case when source = first_source then 1 else 0 end) "
+                "* 1000000 div count(1) as bigint)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# U21⊕ (round 6): DUPLICATE-CLUSTER SIZE HISTOGRAM — the corpus-health
+# readout of the dedup pipeline: how many clusters of each size exist and
+# how many documents they hold.  Size-1 rows are the unique docs; the tail
+# is the duplication inflation a dedup pass will reclaim (sum over sz>=2 of
+# (sz-1)*n_clusters docs).  Runs the SAME minhash→band→CC pipeline as
+# dedup_connected_clusters, so the recursive-CTE oracle pins the whole
+# chain end to end a second way (aggregate view vs row view).
+# Plan shape: CC output → groupBy(component) count → groupBy(size) count —
+# two tiny shuffles after the CC rounds; keys are longs.
+@query(
+    "dup_cluster_size_histogram",
+    oracle=_duck_minhash_cte().replace("WITH toks", "WITH RECURSIVE toks")
+    + _DUCK_BANDED_CTE
+    + """,
+    edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band0 = b.band0
+      UNION
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band1 = b.band1),
+    bidir AS (
+      SELECT doc_a AS u, doc_b AS v FROM edges
+      UNION SELECT doc_b AS u, doc_a AS v FROM edges),
+    reach AS (
+      SELECT u, v FROM bidir
+      UNION
+      SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u),
+    comp AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(m.mv, d.doc_id)) AS component
+      FROM documents d
+      LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) m
+        ON m.u = d.doc_id),
+    sizes AS (
+      SELECT component, count(*) AS sz FROM comp GROUP BY component)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_band_pairs(spark, sf_dir)
+    comp = connected_components(
+        edges, docs.select("doc_id"), edges_distinct=True
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    ).select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    )
