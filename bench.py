@@ -64,6 +64,11 @@ HEADLINE = [
     "repeated_span_fraction",
     "quality_percentile_gate",
     "cross_source_contamination",
+    # round-6 export/novelty additions: terminal shard export planning,
+    # marginal-novelty data mixing, and the dedup corpus-health readout.
+    "training_shard_manifest",
+    "ngram_novelty_by_source",
+    "dup_cluster_size_histogram",
 ]
 
 

@@ -460,6 +460,12 @@ _HEADLINE_PLAN_EXPECTATIONS = {
     "repeated_span_fraction": (["HashAggregate"], False, False),
     "quality_percentile_gate": (["Window"], False, False),
     "cross_source_contamination": (["BroadcastHashJoin"], False, False),
+    # round-6 export/novelty additions (the cluster histogram's executed
+    # plan, like CC's, is the post-localCheckpoint scan → negative probes
+    # plus the final aggregation only)
+    "training_shard_manifest": (["HashAggregate"], False, False),
+    "ngram_novelty_by_source": (["HashAggregate"], False, False),
+    "dup_cluster_size_histogram": (["HashAggregate"], False, True),
 }
 
 
@@ -515,7 +521,18 @@ def test_round5_query_plan_shapes(spark, sf_dir, name, expect):
         assert token in plan, (name, token)
 
 
-def test_decontamination_filter_not_quadratic(spark, sf_dir):
+@_pytest.mark.parametrize(
+    "name",
+    [
+        "benchmark_decontamination",
+        # the other shingle-exploding queries hit the same trap (measured
+        # 5-9× at sf0.1 each) — all pinned
+        "repeated_span_fraction",
+        "cross_source_contamination",
+        "ngram_novelty_by_source",
+    ],
+)
+def test_shingle_explodes_filter_not_quadratic(spark, sf_dir, name):
     """Regression pin for the InferFiltersFromGenerate trap: a bare
     explode(shingles) lets Catalyst infer size(..)>0/isnotnull(..) on the
     generator input and push the whole O(words²) shingle transform into a
@@ -526,7 +543,7 @@ def test_decontamination_filter_not_quadratic(spark, sf_dir):
     from video_etl_spark import registry
 
     registry.load_all()
-    df = registry.QUERIES["benchmark_decontamination"](spark, sf_dir)
+    df = registry.QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     for m in re.finditer(r"Filter [^\n]*", plan):
         assert "transform(sequence" not in m.group(0), (

@@ -986,3 +986,182 @@ def test_streaming_dedup_handler_retry_idempotent(spark, tmp_path):
     idx, dups = first
     assert {r[0] for r in idx} == {1, 2, 3}
     assert [(r[0], r[1]) for r in dups] == [(3, 1)]
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """⊕U23 streaming twin: a 3-micro-batch run through the foreachBatch
+    decontamination path must split documents into clean/flagged exactly
+    as the batch operator does (the benchmark side is static, so verdicts
+    are batch-boundary-independent)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.streaming.decontaminate import (
+        doc_shingles,
+        streaming_decontamination,
+    )
+
+    batches = _dedup_docs_batches()
+    all_rows = [r for b in batches for r in b]
+
+    # benchmark set: every shingle of doc 4's text (the braising recipe) —
+    # docs 4 and 5 must be flagged, everything else is clean.
+    bench_src = spark.createDataFrame(
+        [r for r in all_rows if r[0] == 4], "doc_id long, text string"
+    )
+    bench = doc_shingles(bench_src).select("s").distinct()
+    bench.write.parquet(str(tmp_path / "bench"))
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        p = d / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"doc_id": did, "text": t}) for did, t in rows
+            )
+            + "\n"
+        )
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        streaming_decontamination(
+            stream,
+            bench_dir=str(tmp_path / "bench"),
+            clean_dir=str(tmp_path / "clean"),
+            flagged_dir=str(tmp_path / "flagged"),
+        )
+        .option("checkpointLocation", str(tmp_path / "decon_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    flagged = spark.read.parquet(str(tmp_path / "flagged"))
+
+    # batch expectation over the SAME full corpus
+    docs_df = spark.createDataFrame(all_rows, "doc_id long, text string")
+    exp_hits = {
+        r["doc_id"]: r["n"]
+        for r in doc_shingles(docs_df)
+        .join(spark.read.parquet(str(tmp_path / "bench")), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_flagged = {
+        r["doc_id"]: r["n_overlapping_shingles"] for r in flagged.collect()
+    }
+    assert got_flagged == exp_hits
+    assert set(got_flagged) == {4, 5}
+    got_clean = {r["doc_id"] for r in clean.collect()}
+    assert got_clean == {r[0] for r in all_rows} - set(got_flagged)
+    # clean/flagged rows carry the batch they arrived in
+    assert {r["batch_id"] for r in flagged.collect()} == {1, 2}
+
+
+def test_stateless_contamination_hit_stream(spark, tmp_path):
+    """The no-state path: stream-static inner join at shingle grain in
+    append mode emits exactly the batch join's hit rows."""
+    import json
+
+    from video_etl_spark.streaming.decontaminate import (
+        contamination_hits_stream,
+        doc_shingles,
+    )
+
+    batches = _dedup_docs_batches()
+    all_rows = [r for b in batches for r in b]
+    bench_src = spark.createDataFrame(
+        [r for r in all_rows if r[0] == 1], "doc_id long, text string"
+    )
+    bench = doc_shingles(bench_src).select("s").distinct()
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        (d / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"doc_id": did, "text": t}) for did, t in rows
+            )
+            + "\n"
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        contamination_hits_stream(stream, bench)
+        .writeStream.format("memory")
+        .queryName("contam_hits")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hits_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["doc_id"], r["s"])
+        for r in spark.sql("select * from contam_hits").collect()
+    )
+    docs_df = spark.createDataFrame(all_rows, "doc_id long, text string")
+    expected = sorted(
+        (r["doc_id"], r["s"])
+        for r in doc_shingles(docs_df).join(bench, "s").collect()
+    )
+    assert got == expected
+    # docs 1, 3, 6 share doc 1's text; nothing else collides
+    assert {d for d, _ in got} == {1, 3, 6}
+
+
+def test_decontam_handler_retry_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch id must leave both
+    sinks byte-identical (dynamic partition overwrite)."""
+    from video_etl_spark.streaming.decontaminate import (
+        doc_shingles,
+        make_decontam_handler,
+    )
+
+    batches = _dedup_docs_batches()
+    all_rows = [r for b in batches for r in b]
+    bench_src = spark.createDataFrame(
+        [r for r in all_rows if r[0] == 4], "doc_id long, text string"
+    )
+    doc_shingles(bench_src).select("s").distinct().write.parquet(
+        str(tmp_path / "bench")
+    )
+    handle = make_decontam_handler(
+        str(tmp_path / "bench"),
+        str(tmp_path / "clean"),
+        str(tmp_path / "flagged"),
+    )
+    b0 = spark.createDataFrame(batches[0], "doc_id long, text string")
+    b1 = spark.createDataFrame(batches[1], "doc_id long, text string")
+    handle(b0, 0)
+    handle(b1, 1)
+
+    def snapshot():
+        return tuple(
+            sorted(
+                map(tuple, spark.read.parquet(str(tmp_path / s)).collect())
+            )
+            for s in ("clean", "flagged")
+        )
+
+    first = snapshot()
+    handle(b1, 1)  # retry
+    assert snapshot() == first
+    clean, flagged = first
+    assert {r[0] for r in flagged} == {4}
+    assert {r[0] for r in clean} == {1, 2, 3}

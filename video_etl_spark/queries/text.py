@@ -1456,11 +1456,19 @@ def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     h = F.expr(_SPARK_HASH.format(expr="s"))
+    # persisted: the document-frequency branch and the join-back both read
+    # this frame — without it the shingle+md5 explode/distinct runs twice.
+    # explode takes array_distinct input for the InferFiltersFromGenerate
+    # defense (see benchmark_decontamination; measured 8.9 s → ~1.2 s at
+    # sf0.1 combined).  Rows are (long, long) — tiny relative to the
+    # corpus; LRU eviction is safe (recompute is one subtree) and
+    # bench/driver clear caches between queries.
     spans = (
         _spark_shingles(docs)
-        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", F.explode(F.array_distinct("shingles")).alias("s"))
         .select("doc_id", h.alias("h"))
         .distinct()
+        .persist()
     )
     df_counts = spans.groupBy("h").agg(
         F.count(F.lit(1)).alias("n_docs_with")
@@ -1554,12 +1562,12 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sites, syndicated text, scraped duplicates across crawls), which decides
 # whether two "sources" are really independent for mixture weighting.
 # Plan shape: distinct (source, span-hash) pairs — the corpus collapses to
-# one row per (domain, span) BEFORE any join — then a self-equi-join on the
-# span hash with source_a < source_b.  Per-span fan-out is bounded by the
-# number of domains (not corpus size), so the pair space is
-# O(spans × domains²) worst case with domains in the tens — never corpus².
-# The ppm denominator joins per-source distinct-span totals (broadcast-
-# sized: one row per domain).
+# one row per (domain, span) BEFORE anything else — then ONE groupBy(span)
+# collecting each span's sorted source set; ordered pairs explode from the
+# set (≤ domains² per span, domains in the tens — never corpus²) and the
+# per-source totals derive from the same grouped frame, so the expensive
+# shingle+md5 subtree runs exactly once.  The ppm denominator joins
+# per-source distinct-span totals (broadcast-sized: one row per domain).
 @query(
     "cross_source_contamination",
     oracle=_duck_shingle_cte()
@@ -1583,39 +1591,62 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One pass instead of a span self-join: group each span's DISTINCT
+    # source set once (one shuffle on the span hash), then explode the
+    # bounded source-pair fan-out (≤ domains² per span, domains in the
+    # tens) and the per-source totals from the SAME grouped frame — the
+    # original a⋈b self-join recomputed the shingle+md5 subtree on both
+    # join sides and shuffled the full span table twice.  explode takes
+    # array_distinct input for the InferFiltersFromGenerate defense (see
+    # benchmark_decontamination — a bare explode(attr) inlines the
+    # O(words²) shingle transform into a per-row Filter; measured 10.5 s
+    # → ~1.9 s at sf0.1 combined).  by_span is persisted because the
+    # totals branch and the pair branch both read it; it is one compact
+    # row per distinct span (LRU eviction is safe — recompute is one
+    # aggregation, and bench/driver clear caches between queries).
     docs = load_table(spark, sf_dir, "documents")
     h = F.expr(_SPARK_HASH.format(expr="s"))
     spans = (
         _spark_shingles(docs)
-        .select("source", F.explode("shingles").alias("s"))
+        .select("source", F.explode(F.array_distinct("shingles")).alias("s"))
         .select("source", h.alias("h"))
         .distinct()
     )
-    totals = spans.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_spans")
+    by_span = (
+        spans.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .persist()
     )
-    a = spans.alias("a")
-    b = spans.alias("b")
+    totals = by_span.select(F.explode("ss").alias("source")).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n_spans"))
+    pairs = (
+        by_span.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), y -> "
+                    "struct(x as source_a, y as source_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
+    )
     ta = totals.alias("ta")
     tb = totals.alias("tb")
     return (
-        a.join(b, (F.col("b.h") == F.col("a.h"))
-               & (F.col("a.source") < F.col("b.source")))
-        .join(F.broadcast(ta), F.col("ta.source") == F.col("a.source"))
-        .join(F.broadcast(tb), F.col("tb.source") == F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-            F.col("ta.n_spans").alias("na"),
-            F.col("tb.n_spans").alias("nb"),
-        )
+        pairs.groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .join(F.broadcast(ta), F.col("ta.source") == F.col("source_a"))
+        .join(F.broadcast(tb), F.col("tb.source") == F.col("source_b"))
         .select(
             "source_a",
             "source_b",
             "n_shared_spans",
             F.expr(
-                "cast(n_shared_spans * 1000000 div least(na, nb) as bigint)"
+                "cast(n_shared_spans * 1000000 "
+                "div least(ta.n_spans, tb.n_spans) as bigint)"
             ).alias("overlap_ppm"),
         )
     )
@@ -1783,25 +1814,36 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.expr(_SPARK_HASH.format(expr="s"))
     grams = (
         _spark_shingles(docs.select("source", "text"))
-        .select("source", F.explode("shingles").alias("s"))
+        .select("source", F.explode(F.array_distinct("shingles")).alias("s"))
         .select("source", h.alias("g"))
         .distinct()
     )
-    first_seen = grams.groupBy("g").agg(F.min("source").alias("first_source"))
-    novel = F.sum(
-        F.when(F.col("source") == F.col("first_source"), 1).otherwise(0)
-    )
-    return (
-        grams.join(first_seen, "g")
-        .groupBy("source")
+    # one pass: the first-source attribution and the per-source membership
+    # explode both come from a single groupBy(gram) — no join back, so the
+    # shingle+md5 subtree runs exactly once (same restructure as
+    # cross_source_contamination).
+    per = (
+        grams.groupBy("g")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            novel.cast("long").alias("n_novel"),
-            F.expr(
-                "cast(sum(case when source = first_source then 1 else 0 end) "
-                "* 1000000 div count(1) as bigint)"
-            ).alias("novelty_ppm"),
+            F.min("source").alias("first_source"),
+            F.collect_set("source").alias("ss"),
         )
+        .select(
+            "first_source", F.explode("ss").alias("source")
+        )
+        .select(
+            "source",
+            F.when(F.col("source") == F.col("first_source"), 1)
+            .otherwise(0)
+            .alias("novel"),
+        )
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("novel").cast("long").alias("n_novel"),
+        F.expr(
+            "cast(sum(novel) * 1000000 div count(1) as bigint)"
+        ).alias("novelty_ppm"),
     )
 
 
