@@ -418,6 +418,69 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# U23⊕ — BPE-ish token-count estimate: the subword-aware twin of
+# token_stats' whitespace counting (the pair the training-cost estimator
+# needs: whitespace tokens undercount what a BPE tokenizer will emit).
+# The estimator tokenizes like a byte-pair vocabulary behaves without
+# shipping one: letter runs split greedily into ≤4-char pieces (BPE merges
+# saturate around that length on web text), digits tokenize individually
+# (as in GPT-style vocabularies), punctuation runs one piece per char
+# class.  Leftmost-greedy regex matching is identical in Java (Spark) and
+# RE2 (DuckDB) for this alternation — no lookarounds — so counts agree
+# exactly; fertility (BPE pieces per whitespace token) is a ppm integer.
+# Plan: pure narrow projection over the scan — no shuffle at any scale.
+_BPE_RE = r"[a-z]{1,4}|[0-9]|[^a-z0-9\s]"
+
+
+@query(
+    "bpe_token_estimate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len({_DUCK_TOKENS}) AS n_ws,
+             len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+      FROM documents)
+    SELECT doc_id, source,
+           CAST(n_ws AS BIGINT) AS n_ws_tokens,
+           CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+           CAST(n_bpe * 1000000 // n_ws AS BIGINT) AS fertility_ppm,
+           CAST(n_nonspace * 1000000 // n_bpe AS BIGINT)
+             AS chars_per_token_ppm
+    FROM t
+    """,
+)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # regexes go through F.lit / column API only — a SQL-string literal
+    # would eat the lone backslash in \s
+    n_ws = F.size(_tokens_col()).cast("long")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), F.lit(0))
+    ).cast("long")
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("long")
+    base = docs.select(
+        "doc_id",
+        "source",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        n_nonspace.alias("n_nonspace"),
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.expr(
+            "cast(n_bpe_tokens * 1000000 div n_ws_tokens as bigint)"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "cast(n_nonspace * 1000000 div n_bpe_tokens as bigint)"
+        ).alias("chars_per_token_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
 # U23 — quality scoring: length band + stopword ratio + lexical diversity.
 @query(
     "text_quality_scores",
