@@ -1165,3 +1165,133 @@ def test_decontam_handler_retry_idempotent(spark, tmp_path):
     clean, flagged = first
     assert {r[0] for r in flagged} == {4}
     assert {r[0] for r in clean} == {1, 2, 3}
+
+
+def _curation_batches():
+    """3 ingest batches exercising every rejection path: doc 2 fails the
+    quality gate; docs 3/6 are near-dups of doc 1; doc 5 matches the
+    benchmark set (built from c's text)."""
+    a = ("the quick brown fox jumps over the lazy dog while the sun "
+         "sets slowly behind the distant purple mountains tonight")
+    b = ("completely different legal boilerplate concerning maritime "
+         "insurance claims and arbitration procedure under section nine")
+    c = ("an entirely separate recipe describing how to braise short "
+         "ribs with red wine stock and winter root vegetables")
+    rep = "spam " * 30
+    return a, b, c, [
+        [(1, a), (2, rep)],
+        [(3, a), (4, b)],
+        [(5, c), (6, a)],
+    ]
+
+
+def test_streaming_ingest_curation_end_to_end(spark, tmp_path):
+    """⊕ the streaming curation flagship: 3 micro-batches through
+    scrub → quality gate → decontamination → incremental dedup → shard
+    export; every rejection reason lands with its evidence and the clean
+    sink holds exactly the survivors with deterministic shards."""
+    import json
+    import os
+
+    from video_etl_spark.streaming.curation import streaming_ingest_curation
+    from video_etl_spark.streaming.decontaminate import doc_shingles
+
+    a, b, c, batches = _curation_batches()
+    bench_src = spark.createDataFrame([(99, c)], "doc_id long, text string")
+    doc_shingles(bench_src).select("s").distinct().write.parquet(
+        str(tmp_path / "bench")
+    )
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        p = d / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"doc_id": did, "text": t}) for did, t in rows
+            )
+            + "\n"
+        )
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        streaming_ingest_curation(
+            stream,
+            index_dir=str(tmp_path / "sig_index"),
+            bench_dir=str(tmp_path / "bench"),
+            clean_dir=str(tmp_path / "clean"),
+            rejected_dir=str(tmp_path / "rejected"),
+        )
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    clean = spark.read.parquet(str(tmp_path / "clean")).collect()
+    rejected = spark.read.parquet(str(tmp_path / "rejected")).collect()
+
+    got_clean = {r["doc_id"] for r in clean}
+    assert got_clean == {1, 4}
+    # survivors carry deterministic shard assignments in range
+    assert all(0 <= r["shard"] < 8 for r in clean)
+
+    reasons = {r["doc_id"]: (r["reason"], r["detail"]) for r in rejected}
+    assert reasons[2][0] == "quality" and reasons[2][1] < 200_000
+    assert reasons[5][0] == "contaminated" and reasons[5][1] > 0
+    # BOTH near-dups resolve to doc 1: doc 3's rejected signatures never
+    # entered the index, so doc 6 still matches the canonical survivor
+    assert reasons[3] == ("near_dup", 1)
+    assert reasons[6] == ("near_dup", 1)
+    assert set(reasons) == {2, 3, 5, 6}
+
+    # the signature index holds only survivors
+    idx = spark.read.parquet(str(tmp_path / "sig_index"))
+    assert {r["doc_id"] for r in idx.collect()} == {1, 4}
+
+
+def test_ingest_handler_retry_idempotent(spark, tmp_path):
+    """At-least-once foreachBatch: re-running a batch id leaves all three
+    sinks (clean, rejected, signature index) byte-identical."""
+    from video_etl_spark.streaming.curation import make_ingest_handler
+    from video_etl_spark.streaming.decontaminate import doc_shingles
+
+    a, b, c, batches = _curation_batches()
+    bench_src = spark.createDataFrame([(99, c)], "doc_id long, text string")
+    doc_shingles(bench_src).select("s").distinct().write.parquet(
+        str(tmp_path / "bench")
+    )
+    handle = make_ingest_handler(
+        str(tmp_path / "sig_index"),
+        str(tmp_path / "bench"),
+        str(tmp_path / "clean"),
+        str(tmp_path / "rejected"),
+    )
+    for i in range(2):
+        handle(
+            spark.createDataFrame(batches[i], "doc_id long, text string"), i
+        )
+
+    def snapshot():
+        return tuple(
+            tuple(
+                sorted(
+                    map(
+                        tuple,
+                        spark.read.parquet(str(tmp_path / s)).collect(),
+                    )
+                )
+            )
+            for s in ("clean", "rejected", "sig_index")
+        )
+
+    first = snapshot()
+    handle(
+        spark.createDataFrame(batches[1], "doc_id long, text string"), 1
+    )  # retry
+    assert snapshot() == first

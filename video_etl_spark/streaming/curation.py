@@ -1,0 +1,209 @@
+"""Streaming ingest curation: the end-to-end crawl→training-corpus path in
+one foreachBatch pipeline (SURVEY §2.8 ⊕ — the streaming twin of
+``pipelines/curation.py``).
+
+Every micro-batch of raw (doc_id, text, source) crawl documents flows
+through the same stages a production ingest runs, each already tested
+individually in this repo:
+
+1. PII scrub        — JVM regexp redaction (``pipelines.curation`` EMAIL/
+                      PHONE shapes); stateless projection.
+2. quality gate     — type-token-ratio floor (the integer lexical-
+                      diversity proxy from ``quality_percentile_gate``);
+                      stateless filter.  Rejected rows land in the
+                      rejected sink with a reason.
+3. decontamination  — benchmark-shingle broadcast join
+                      (``streaming.decontaminate``); contaminated rows are
+                      rejected, never trained on.
+4. near-dup dedup   — asymmetric MinHash band join against the persistent
+                      signature index (``streaming.dedup``): new docs that
+                      collide with ANY earlier batch are rejected; the
+                      survivors' signatures append to the index so later
+                      batches dedup against them.
+5. shard export     — survivors get the deterministic md5-mod shard
+                      assignment (``llm_ops.export``) and land
+                      batch_id-partitioned in the clean sink, ready for
+                      the training-shard writer.
+
+All sinks are ``batch_id``-partitioned and written with dynamic partition
+overwrite, so at-least-once foreachBatch retries rewrite their own
+partition — the same effectively-exactly-once discipline as
+``streaming/dedup.py`` (the index read filters ``batch_id < current`` so a
+retry never matches its own partial writes).
+
+Scale posture: stages 1-2 and 5 are narrow; stage 3 broadcasts the small
+static benchmark side; stage 4's join cost tracks the BATCH size and
+collision count, not the corpus (measured flat over a 9×-growing index in
+PERF.md).  Nothing in the loop grows with corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: minimum type-token-ratio (ppm) a document must clear — the default
+#: rejects degenerate repetition (a 30-token doc of one word has TTR
+#: 33 333 ppm) without touching ordinary prose (typically > 400 000).
+DEFAULT_MIN_TTR_PPM = 200_000
+
+
+def _scrubbed(batch_df: DataFrame) -> DataFrame:
+    from video_etl_spark.pipelines.curation import EMAIL_RE, PHONE_RE
+
+    return batch_df.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+    )
+
+
+def _with_ttr(batch_df: DataFrame) -> DataFrame:
+    toks = "split(trim(lower(text)), '\\\\s+')"
+    return batch_df.withColumn(
+        "ttr_ppm",
+        F.expr(
+            f"cast(size(array_distinct({toks})) * 1000000 "
+            f"div size({toks}) as bigint)"
+        ),
+    )
+
+
+def make_ingest_handler(
+    index_dir: str,
+    bench_dir: str,
+    clean_dir: str,
+    rejected_dir: str,
+    min_ttr_ppm: int = DEFAULT_MIN_TTR_PPM,
+    n_shards: int = 8,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+):
+    """The per-micro-batch curation step, exposed for direct testing and
+    for embedding in a custom foreachBatch pipeline.
+
+    Clean sink rows: (doc_id, text, ..., ttr_ppm, shard, batch_id).
+    Rejected sink rows: (doc_id, reason, detail, batch_id) where reason ∈
+    {'quality', 'contaminated', 'near_dup'} and detail carries the gate
+    score / overlap count / earliest duplicate id.
+    """
+    from pyspark.errors import AnalysisException
+
+    from video_etl_spark.llm_ops.dedup import (
+        band_candidates,
+        minhash_band_signatures,
+    )
+    from video_etl_spark.llm_ops.export import shard_assignments
+    from video_etl_spark.streaming.decontaminate import doc_shingles
+
+    cache: dict[str, DataFrame] = {}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if "bench" not in cache:
+            cache["bench"] = (
+                spark.read.parquet(bench_dir).select("s").distinct().persist()
+            )
+        bench = cache["bench"]
+
+        scored = _with_ttr(_scrubbed(batch_df)).persist()
+
+        rej_quality = scored.filter(F.col("ttr_ppm") < min_ttr_ppm).select(
+            "doc_id",
+            F.lit("quality").alias("reason"),
+            F.col("ttr_ppm").cast("long").alias("detail"),
+        )
+        gated = scored.filter(F.col("ttr_ppm") >= min_ttr_ppm)
+
+        hits = (
+            doc_shingles(gated.select("doc_id", "text"))
+            .join(F.broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        rej_contam = hits.select(
+            "doc_id",
+            F.lit("contaminated").alias("reason"),
+            F.col("n_overlap").cast("long").alias("detail"),
+        )
+        decontaminated = gated.join(hits, "doc_id", "left_anti")
+
+        sigs = minhash_band_signatures(
+            decontaminated.select("doc_id", "text"), n_bands, rows_per_band
+        ).persist()
+        try:
+            hist = spark.read.parquet(index_dir).where(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+        except AnalysisException:  # first batch: no index yet
+            hist = None
+        if hist is not None:
+            dups = band_candidates(sigs, hist, n_bands).persist()
+            rej_dup = dups.select(
+                F.col("new_doc").alias("doc_id"),
+                F.lit("near_dup").alias("reason"),
+                F.col("dup_of").cast("long").alias("detail"),
+            )
+            survivors = decontaminated.join(
+                dups.select(F.col("new_doc").alias("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+            surviving_sigs = sigs.join(
+                dups.select(F.col("new_doc").alias("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+        else:
+            rej_dup = None
+            survivors = decontaminated
+            surviving_sigs = sigs
+
+        rejected = rej_quality.unionByName(rej_contam)
+        if rej_dup is not None:
+            rejected = rejected.unionByName(rej_dup)
+
+        clean = shard_assignments(survivors, n_shards)
+
+        for df, out in ((clean, clean_dir), (rejected, rejected_dir)):
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out)
+            )
+        # only SURVIVORS' signatures join the index: a rejected near-dup
+        # must not shadow later copies of text it was itself rejected for
+        (
+            surviving_sigs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+        scored.unpersist()
+        sigs.unpersist()
+
+    return handle
+
+
+def streaming_ingest_curation(
+    docs: DataFrame,
+    index_dir: str,
+    bench_dir: str,
+    clean_dir: str,
+    rejected_dir: str,
+    **kwargs,
+):
+    """Build the streaming curation writer over a (doc_id, text, source,
+    ...) crawl stream.  Returns a ``DataStreamWriter`` — the caller sets
+    checkpointLocation and trigger and calls ``start()``."""
+    return docs.writeStream.foreachBatch(
+        make_ingest_handler(
+            index_dir, bench_dir, clean_dir, rejected_dir, **kwargs
+        )
+    )
