@@ -69,6 +69,10 @@ HEADLINE = [
     "training_shard_manifest",
     "ngram_novelty_by_source",
     "dup_cluster_size_histogram",
+    # round-6 corpus-rewrite additions: the exact substring-dedup
+    # transform and the Heaps-law vocabulary curve.
+    "remove_repeated_spans",
+    "vocab_growth_curve",
 ]
 
 

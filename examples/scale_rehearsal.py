@@ -103,10 +103,17 @@ def rss_mib() -> float:
 
 
 def timed(fn, spark, sf_dir: str) -> tuple[float, int]:
+    # count + an all-column hash reduce in ONE job: a bare count() lets
+    # Catalyst prune expensive output columns (e.g. the rewrite column of
+    # remove_repeated_spans), understating the real cost
     spark.catalog.clearCache()
     t0 = time.perf_counter()
-    n = fn(spark, sf_dir).count()
-    return time.perf_counter() - t0, n
+    df = fn(spark, sf_dir)
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+    ).collect()[0]
+    return time.perf_counter() - t0, row["n"]
 
 
 def main() -> None:
@@ -127,14 +134,23 @@ def main() -> None:
     from video_etl_spark.llm_ops.dedup import connected_components
     from video_etl_spark.queries.temporal import sessionize_events
     from video_etl_spark.queries.text import (
+        cross_source_contamination,
         dedup_connected_clusters,
         minhash_band_pairs,
+        ngram_novelty_by_source,
+        remove_repeated_spans,
+        training_shard_manifest,
     )
 
     for name, fn in (
         ("minhash_band_pairs", minhash_band_pairs),
         ("sessionize_events", sessionize_events),
         ("dedup_connected_clusters", dedup_connected_clusters),
+        # round-6 continuation: the corpus-analytics/rewrite/export ops
+        ("remove_repeated_spans", remove_repeated_spans),
+        ("cross_source_contamination", cross_source_contamination),
+        ("ngram_novelty_by_source", ngram_novelty_by_source),
+        ("training_shard_manifest", training_shard_manifest),
     ):
         timed(fn, spark, SF01_DIR)  # warm-up: JIT + codegen, not timed
         s01, n01 = timed(fn, spark, SF01_DIR)

@@ -466,6 +466,8 @@ _HEADLINE_PLAN_EXPECTATIONS = {
     "training_shard_manifest": (["HashAggregate"], False, False),
     "ngram_novelty_by_source": (["HashAggregate"], False, False),
     "dup_cluster_size_histogram": (["HashAggregate"], False, True),
+    "remove_repeated_spans": (["HashAggregate"], False, False),
+    "vocab_growth_curve": (["Window", "HashAggregate"], False, False),
 }
 
 
@@ -530,6 +532,9 @@ def test_round5_query_plan_shapes(spark, sf_dir, name, expect):
         "repeated_span_fraction",
         "cross_source_contamination",
         "ngram_novelty_by_source",
+        # posexplode variant (identity-transform guard — array_distinct
+        # would reorder positions)
+        "remove_repeated_spans",
     ],
 )
 def test_shingle_explodes_filter_not_quadratic(spark, sf_dir, name):

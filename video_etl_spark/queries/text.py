@@ -1911,6 +1911,171 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# U23⊕ (round 6): VOCABULARY GROWTH CURVE (Heaps' law) — how many NEW word
+# types each successive slice of the corpus contributes.  Every distinct
+# token is attributed to the first 500-doc bucket that contains it (min
+# doc_id, the same crawl-order proxy as ngram_novelty_by_source); the
+# cumulative sum is the empirical vocabulary-growth curve a tokenizer
+# budget is planned against (Heaps: V(n) ~ K·n^β — a corpus whose curve
+# flattens early is saturated; one still rising rewards more crawling).
+# Plan shape: explode distinct (token, doc) — one shuffle on token for the
+# min-bucket attribution, one tiny groupBy(bucket), one 70-row window for
+# the cumulative sum.  Scan + 2 bounded shuffles at any corpus size.
+_VOCAB_BUCKET_DOCS = 500
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKENS})) AS token
+      FROM documents),
+    first_seen AS (
+      SELECT token, min(doc_id) // {_VOCAB_BUCKET_DOCS} AS bucket
+      FROM tok GROUP BY token),
+    per_bucket AS (
+      SELECT bucket, count(*) AS n_new_types
+      FROM first_seen GROUP BY bucket)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_new_types AS BIGINT) AS n_new_types,
+           CAST(sum(n_new_types) OVER (ORDER BY bucket) AS BIGINT)
+             AS vocab_size
+    FROM per_bucket
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens_col())).alias("token")
+    )
+    first_seen = tok.groupBy("token").agg(
+        (F.min("doc_id") / F.lit(_VOCAB_BUCKET_DOCS))
+        .cast("long")
+        .alias("bucket")
+    )
+    per_bucket = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_new_types")
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket",
+        "n_new_types",
+        F.sum("n_new_types").over(w).cast("long").alias("vocab_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# U21⊕ (round 6): EXACT REPEATED-SPAN REMOVAL — the transform that REWRITES
+# the corpus, not just measures it (Lee et al. 2022's exact substring
+# deduplication at span grain): every token covered by a 3-word span that
+# occurs in ≥ _SPAN_DF_K distinct documents is dropped; the cleaned text
+# is what a dedup pass would actually train on.  Pairs with
+# repeated_span_fraction (the measure) the way canonical_cluster_docs
+# pairs with dedup_connected_clusters.
+# Cleaned text is rebuilt from the canonical token stream (lowercased,
+# whitespace-normalized) — the transform operates on the token sequence,
+# as the reference algorithm does on the token-id sequence.
+# Plan shape: positions explode narrowly off the scan; one groupBy(span)
+# for document frequency, one join of hot spans back to positions (hits
+# only), one collect_set per doc; the rewrite itself is a higher-order
+# filter — pure JVM expression, no Python.  Hot-span starts per doc are
+# bounded by doc length, so state never exceeds the document itself.
+_SPAN_DF_K = 3
+
+
+@query(
+    "remove_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    sp AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 2)) AS p,
+             unnest([{_DUCK_HASH.format(
+                 expr="toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]")}
+              FOR i IN generate_series(1, len(toks) - 2)]) AS h
+      FROM toks WHERE len(toks) >= 3),
+    hot AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+      WHERE nd >= {_SPAN_DF_K}),
+    starts AS (
+      SELECT sp.doc_id, list(DISTINCT sp.p) AS ps
+      FROM sp JOIN hot USING (h) GROUP BY sp.doc_id),
+    kept AS (
+      SELECT t.doc_id, t.toks,
+             [t.toks[i] FOR i IN generate_series(1, len(t.toks))
+              IF len(list_filter(coalesce(s.ps, CAST([] AS BIGINT[])),
+                                 p -> p <= i AND i <= p + 2)) = 0] AS keep
+      FROM toks t LEFT JOIN starts s ON s.doc_id = t.doc_id)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(keep) AS BIGINT) AS n_removed,
+           -- coalesce: DuckDB's array_to_string yields NULL for a fully
+           -- removed doc's empty list; Spark's concat_ws yields ''
+           coalesce(array_to_string(keep, ' '), '') AS cleaned_text
+    FROM kept
+    """,
+)
+def remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_HASH.format(expr="s"))
+    sh = _spark_shingles(docs)
+    # positions are 1-based to match the oracle's generate_series.  The
+    # identity transform around the generator input is the positional
+    # variant of the InferFiltersFromGenerate defense (array_distinct
+    # would reorder/drop positions): a bare posexplode(attr) inlines the
+    # O(words²) shingle transform into a per-row Filter — measured 9.7 s
+    # → 0.65 s at sf0.1 for this subtree.  Persisted: the hot-span
+    # aggregation and the starts join both read it.
+    sp = (
+        sh.select(
+            "doc_id",
+            F.posexplode(F.expr("transform(shingles, x -> x)")).alias(
+                "p0", "s"
+            ),
+        )
+        .select(
+            "doc_id", (F.col("p0") + 1).cast("long").alias("p"), h.alias("h")
+        )
+        .persist()
+    )
+    hot = (
+        sp.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= _SPAN_DF_K)
+        .select("h")
+    )
+    starts = (
+        sp.join(hot, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("ps"))
+    )
+    toks = docs.select("doc_id", _tokens_col().alias("toks"))
+    kept = (
+        toks.join(starts, "doc_id", "left")
+        .withColumn("ps", F.coalesce("ps", F.expr("cast(array() as array<bigint>)")))
+        .withColumn(
+            "keep",
+            F.expr(
+                "filter(toks, (t, i0) -> not exists(ps, "
+                "p -> p <= i0 + 1 and i0 + 1 <= p + 2))"
+            ),
+        )
+    )
+    return kept.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size("keep")).cast("long").alias("n_removed"),
+        F.concat_ws(" ", "keep").alias("cleaned_text"),
+    )
+
+
+# --------------------------------------------------------------------------
 # U21⊕ (round 6): DUPLICATE-CLUSTER SIZE HISTOGRAM — the corpus-health
 # readout of the dedup pipeline: how many clusters of each size exist and
 # how many documents they hold.  Size-1 rows are the unique docs; the tail

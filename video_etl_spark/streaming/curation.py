@@ -109,84 +109,94 @@ def make_ingest_handler(
             )
         bench = cache["bench"]
 
+        # persisted frames unpersist in the finally so a failed batch (the
+        # retry case) does not leak cached blocks across attempts
         scored = _with_ttr(_scrubbed(batch_df)).persist()
-
-        rej_quality = scored.filter(F.col("ttr_ppm") < min_ttr_ppm).select(
-            "doc_id",
-            F.lit("quality").alias("reason"),
-            F.col("ttr_ppm").cast("long").alias("detail"),
-        )
-        gated = scored.filter(F.col("ttr_ppm") >= min_ttr_ppm)
-
-        hits = (
-            doc_shingles(gated.select("doc_id", "text"))
-            .join(F.broadcast(bench), "s")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_overlap"))
-        )
-        rej_contam = hits.select(
-            "doc_id",
-            F.lit("contaminated").alias("reason"),
-            F.col("n_overlap").cast("long").alias("detail"),
-        )
-        decontaminated = gated.join(hits, "doc_id", "left_anti")
-
-        sigs = minhash_band_signatures(
-            decontaminated.select("doc_id", "text"), n_bands, rows_per_band
-        ).persist()
+        sigs = None
         try:
-            hist = spark.read.parquet(index_dir).where(
-                F.col("batch_id") < F.lit(batch_id)
-            )
-        except AnalysisException:  # first batch: no index yet
-            hist = None
-        if hist is not None:
-            dups = band_candidates(sigs, hist, n_bands).persist()
-            rej_dup = dups.select(
-                F.col("new_doc").alias("doc_id"),
-                F.lit("near_dup").alias("reason"),
-                F.col("dup_of").cast("long").alias("detail"),
-            )
-            survivors = decontaminated.join(
-                dups.select(F.col("new_doc").alias("doc_id")),
+            rej_quality = scored.filter(
+                F.col("ttr_ppm") < min_ttr_ppm
+            ).select(
                 "doc_id",
-                "left_anti",
+                F.lit("quality").alias("reason"),
+                F.col("ttr_ppm").cast("long").alias("detail"),
             )
-            surviving_sigs = sigs.join(
-                dups.select(F.col("new_doc").alias("doc_id")),
+            gated = scored.filter(F.col("ttr_ppm") >= min_ttr_ppm)
+
+            hits = (
+                doc_shingles(gated.select("doc_id", "text"))
+                .join(F.broadcast(bench), "s")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_overlap"))
+            )
+            rej_contam = hits.select(
                 "doc_id",
-                "left_anti",
+                F.lit("contaminated").alias("reason"),
+                F.col("n_overlap").cast("long").alias("detail"),
             )
-        else:
-            rej_dup = None
-            survivors = decontaminated
-            surviving_sigs = sigs
+            decontaminated = gated.join(hits, "doc_id", "left_anti")
 
-        rejected = rej_quality.unionByName(rej_contam)
-        if rej_dup is not None:
-            rejected = rejected.unionByName(rej_dup)
+            sigs = minhash_band_signatures(
+                decontaminated.select("doc_id", "text"),
+                n_bands,
+                rows_per_band,
+            ).persist()
+            try:
+                hist = spark.read.parquet(index_dir).where(
+                    F.col("batch_id") < F.lit(batch_id)
+                )
+            except AnalysisException:  # first batch: no index yet
+                hist = None
+            if hist is not None:
+                dups = band_candidates(sigs, hist, n_bands)
+                rej_dup = dups.select(
+                    F.col("new_doc").alias("doc_id"),
+                    F.lit("near_dup").alias("reason"),
+                    F.col("dup_of").cast("long").alias("detail"),
+                )
+                survivors = decontaminated.join(
+                    dups.select(F.col("new_doc").alias("doc_id")),
+                    "doc_id",
+                    "left_anti",
+                )
+                surviving_sigs = sigs.join(
+                    dups.select(F.col("new_doc").alias("doc_id")),
+                    "doc_id",
+                    "left_anti",
+                )
+            else:
+                rej_dup = None
+                survivors = decontaminated
+                surviving_sigs = sigs
 
-        clean = shard_assignments(survivors, n_shards)
+            rejected = rej_quality.unionByName(rej_contam)
+            if rej_dup is not None:
+                rejected = rejected.unionByName(rej_dup)
 
-        for df, out in ((clean, clean_dir), (rejected, rejected_dir)):
+            clean = shard_assignments(survivors, n_shards)
+
+            for df, out in ((clean, clean_dir), (rejected, rejected_dir)):
+                (
+                    df.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(out)
+                )
+            # only SURVIVORS' signatures join the index: a rejected
+            # near-dup must not shadow later copies of text it was itself
+            # rejected for
             (
-                df.withColumn("batch_id", F.lit(batch_id))
+                surviving_sigs.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
-                .parquet(out)
+                .parquet(index_dir)
             )
-        # only SURVIVORS' signatures join the index: a rejected near-dup
-        # must not shadow later copies of text it was itself rejected for
-        (
-            surviving_sigs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(index_dir)
-        )
-        scored.unpersist()
-        sigs.unpersist()
+        finally:
+            scored.unpersist()
+            if sigs is not None:
+                sigs.unpersist()
 
     return handle
 
