@@ -585,3 +585,33 @@ def test_round6_incremental_plan_shapes(spark, sf_dir, name, expect):
         assert "BroadcastNestedLoopJoin" not in plan, name
     for token in expect:
         assert token in plan, (name, token)
+
+
+def test_remove_repeated_spans_crafted(spark, tmp_path):
+    """Hand-built corpus pinning the span-removal semantics: the 3-gram
+    'a b c' occurs in 3 docs (== _SPAN_DF_K) so its token coverage is
+    removed wherever it appears; everything else survives."""
+    from video_etl_spark import registry
+
+    registry.load_all()
+    rows = [
+        (1, "a b c p q r", "en", "s0"),
+        (2, "u v a b c w", "en", "s0"),
+        (3, "a b c", "en", "s1"),
+        (4, "m n o q", "en", "s1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in registry.QUERIES["remove_repeated_spans"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[1] == (6, 3, "p q r")
+    assert out[2] == (6, 3, "u v w")
+    assert out[3] == (3, 3, "")          # fully removed
+    assert out[4] == (4, 0, "m n o q")   # untouched

@@ -1911,6 +1911,120 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# U21⊕ (round 6): PER-SOURCE DEDUP RATE — which domains are feeding the
+# corpus duplicates.  A document is FLAGGED when it is the later (higher
+# doc_id) member of any MinHash band candidate pair — the same
+# earliest-sighting-wins convention as incremental_dedup.  Per domain:
+# doc count, flagged count, flagged ppm.  This is the governance readout
+# that decides which crawl sources get down-weighted or dropped; pairs
+# with source_mixture_weights (share) and ngram_novelty_by_source
+# (novelty).
+# Plan shape: the band-pair join (never corpus²) → distinct flagged ids →
+# one broadcast-sized join back to (doc_id, source) → groupBy(source).
+@query(
+    "dedup_rate_by_source",
+    oracle=_duck_minhash_cte()
+    + _DUCK_BANDED_CTE
+    + """,
+    flagged AS (
+      SELECT DISTINCT b.doc_id
+      FROM banded a JOIN banded b
+        ON a.doc_id < b.doc_id
+       AND (a.band0 = b.band0 OR a.band1 = b.band1))
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS flagged_ppm
+    FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = (
+        minhash_band_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_flagged", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(flagged), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_flagged", F.lit(0)))
+            .cast("long")
+            .alias("n_flagged"),
+            F.expr(
+                "cast(sum(coalesce(is_flagged, 0)) * 1000000 "
+                "div count(1) as bigint)"
+            ).alias("flagged_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# U23⊕ (round 6): N-GRAM CONCENTRATION — what fraction of all span
+# occurrences the top-k most frequent 3-grams account for (the corpus-
+# level boilerplate/templating indicator: a high top-100 share means the
+# crawl is dominated by repeated structure and exact-substring dedup will
+# reclaim a lot).  Exact integer arithmetic: occurrence counts are
+# BIGINTs, the share is ppm; top-k ties broken by span hash so both
+# engines pick the same set.
+# Plan shape: span explode fused with the scan, one groupBy(span-hash),
+# top-k via one ORDER BY LIMIT on the grouped (already small) frame, and
+# the 1-row total folded back as a broadcast scalar.
+_CONC_TOP_K = 100
+
+
+@query(
+    "ngram_concentration_topk",
+    oracle=_duck_shingle_cte()
+    + f""", occ AS (
+      SELECT {_DUCK_HASH.format(expr="s")} AS h, count(*) AS n
+      FROM sh, unnest(shingles) AS u(s) GROUP BY h),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM occ),
+    topk AS (
+      SELECT h, n FROM occ ORDER BY n DESC, h LIMIT {_CONC_TOP_K})
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(topk.n) AS BIGINT) AS topk_occurrences,
+           CAST(max(tot.total) AS BIGINT) AS total_occurrences,
+           CAST(sum(topk.n) * 1000000 // max(tot.total) AS BIGINT)
+             AS concentration_ppm
+    FROM topk, tot
+    """,
+)
+def ngram_concentration_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_HASH.format(expr="s"))
+    # identity-transform guard (not array_distinct — raw occurrence
+    # counts, every span instance counts)
+    occ = (
+        _spark_shingles(docs)
+        .select(F.explode(F.expr("transform(shingles, x -> x)")).alias("s"))
+        .select(h.alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topk = occ.orderBy(F.col("n").desc(), "h").limit(_CONC_TOP_K)
+    tot = occ.agg(F.sum("n").alias("total"))
+    return (
+        topk.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("n").cast("long").alias("topk_occurrences"),
+            F.max("total").cast("long").alias("total_occurrences"),
+            F.expr(
+                "cast(sum(n) * 1000000 div max(total) as bigint)"
+            ).alias("concentration_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # U23⊕ (round 6): VOCABULARY GROWTH CURVE (Heaps' law) — how many NEW word
 # types each successive slice of the corpus contributes.  Every distinct
 # token is attributed to the first 500-doc bucket that contains it (min
