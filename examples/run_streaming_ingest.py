@@ -91,7 +91,12 @@ def main() -> None:
     q.awaitTermination(600)
 
     clean = spark.read.parquet(f"{work}/clean")
-    rejected = spark.read.parquet(f"{work}/rejected")
+    # explicit schema: a run where nothing is rejected leaves the sink
+    # without data files, and parquet schema inference would fail (see
+    # streaming/decontaminate.streaming_decontamination's docstring)
+    rejected = spark.read.schema(
+        "doc_id long, reason string, detail long, batch_id integer"
+    ).parquet(f"{work}/rejected")
 
     print(f"\ncorpus {corpus.count()} docs in {N_BATCHES} crawl batches")
     print("\nper-batch ledger:")

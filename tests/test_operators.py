@@ -535,6 +535,9 @@ def test_round5_query_plan_shapes(spark, sf_dir, name, expect):
         # posexplode variant (identity-transform guard — array_distinct
         # would reorder positions)
         "remove_repeated_spans",
+        # occurrence-count variant (identity-transform guard — counts,
+        # not distinct sets)
+        "ngram_concentration_topk",
     ],
 )
 def test_shingle_explodes_filter_not_quadratic(spark, sf_dir, name):

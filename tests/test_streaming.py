@@ -1169,8 +1169,9 @@ def test_decontam_handler_retry_idempotent(spark, tmp_path):
 
 def _curation_batches():
     """3 ingest batches exercising every rejection path: doc 2 fails the
-    quality gate; docs 3/6 are near-dups of doc 1; doc 5 matches the
-    benchmark set (built from c's text)."""
+    quality gate; docs 3/6 are cross-batch near-dups of doc 1; doc 7 is an
+    INTRA-batch near-dup of doc 4; doc 5 matches the benchmark set (built
+    from c's text)."""
     a = ("the quick brown fox jumps over the lazy dog while the sun "
          "sets slowly behind the distant purple mountains tonight")
     b = ("completely different legal boilerplate concerning maritime "
@@ -1180,7 +1181,7 @@ def _curation_batches():
     rep = "spam " * 30
     return a, b, c, [
         [(1, a), (2, rep)],
-        [(3, a), (4, b)],
+        [(3, a), (4, b), (7, b)],
         [(5, c), (6, a)],
     ]
 
@@ -1244,11 +1245,14 @@ def test_streaming_ingest_curation_end_to_end(spark, tmp_path):
     reasons = {r["doc_id"]: (r["reason"], r["detail"]) for r in rejected}
     assert reasons[2][0] == "quality" and reasons[2][1] < 200_000
     assert reasons[5][0] == "contaminated" and reasons[5][1] > 0
-    # BOTH near-dups resolve to doc 1: doc 3's rejected signatures never
-    # entered the index, so doc 6 still matches the canonical survivor
+    # BOTH cross-batch near-dups resolve to doc 1: doc 3's rejected
+    # signatures never entered the index, so doc 6 still matches the
+    # canonical survivor
     assert reasons[3] == ("near_dup", 1)
     assert reasons[6] == ("near_dup", 1)
-    assert set(reasons) == {2, 3, 5, 6}
+    # the INTRA-batch dup is caught in the same micro-batch it arrived in
+    assert reasons[7] == ("near_dup", 4)
+    assert set(reasons) == {2, 3, 5, 6, 7}
 
     # the signature index holds only survivors
     idx = spark.read.parquet(str(tmp_path / "sig_index"))

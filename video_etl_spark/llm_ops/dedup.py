@@ -394,6 +394,46 @@ def band_candidates(
     )
 
 
+def band_candidates_within(
+    sigs: DataFrame,
+    n_bands: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INTRA-batch band self-join over pre-computed signatures.
+
+    (new_doc, dup_of, n_candidates) where new_doc is the LATER member
+    (higher id) of any same-batch band collision — the earliest-sighting-
+    wins convention of :func:`band_candidates` applied within one crawl
+    batch.  The streaming curation pipeline composes this with the
+    history join so same-micro-batch duplicates cannot slip into the
+    clean sink or the signature index.  Same scale shape as every band
+    join here: shuffle on band key, pair space bounded by collisions,
+    never batch².
+    """
+    hits = None
+    for b in range(n_bands):
+        n_side = sigs.select(
+            F.col(id_col).alias("new_doc"), F.col(f"band{b}").alias("b")
+        )
+        o_side = sigs.select(
+            F.col(id_col).alias("old_doc"), F.col(f"band{b}").alias("b")
+        )
+        p = (
+            n_side.join(o_side, "b")
+            .where(F.col("old_doc") < F.col("new_doc"))
+            .select("new_doc", "old_doc")
+        )
+        hits = p if hits is None else hits.unionByName(p)
+    return (
+        hits.distinct()
+        .groupBy("new_doc")
+        .agg(
+            F.min("old_doc").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+    )
+
+
 def incremental_dedup(
     new: DataFrame,
     history: DataFrame,

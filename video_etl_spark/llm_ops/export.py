@@ -31,13 +31,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_HASH60 = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
-
 
 def _hash60(expr: str) -> F.Column:
     """Deterministic nonnegative 60-bit hash (Spark == DuckDB bit-for-bit:
-    DuckDB twin is ('0x' || substr(md5(x),1,15))::BIGINT)."""
-    return F.expr(_HASH60.format(expr=expr))
+    DuckDB twin is ('0x' || substr(md5(x),1,15))::BIGINT).  Single source
+    of truth is queries.text._SPARK_HASH — shard assignment MUST stay in
+    lockstep with every other md5-prefix hash in the repo or shard
+    reproducibility silently breaks."""
+    from video_etl_spark.queries.text import _SPARK_HASH
+
+    return F.expr(_SPARK_HASH.format(expr=expr))
 
 
 def shard_assignments(
@@ -79,6 +82,13 @@ def write_training_shards(
     files_per_shard so each file sits near the parquet sweet spot (~1 GB)
     rather than one N-TB file per shard; `shard=` partition pruning serves
     the loader regardless of the subfile nesting.
+
+    Caveat: a (shard, subfile) bucket that receives ZERO rows produces no
+    directory, so a tiny or pathologically skewed input can leave a shard
+    with fewer than files_per_shard files.  With md5-uniform assignment
+    this is vanishingly unlikely once |docs| ≫ n_shards × files_per_shard
+    (the intended regime); loaders should plan worker ownership from the
+    MANIFEST, not from file counts.
     """
     if files_per_shard <= 0:
         raise ValueError(f"files_per_shard must be positive, got {files_per_shard}")
@@ -103,11 +113,11 @@ def shard_manifest(sharded: DataFrame, token_col: F.Column | None = None) -> Dat
     The id range lets an incremental pipeline verify shard membership
     without re-hashing; counts drive loader-side batch planning.
     """
-    n_tok = (
-        token_col
-        if token_col is not None
-        else F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
-    )
+    if token_col is None:
+        from video_etl_spark.queries.text import _tokens_col
+
+        token_col = F.size(_tokens_col())
+    n_tok = token_col
     return (
         sharded.groupBy("shard")
         .agg(

@@ -1920,7 +1920,12 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with source_mixture_weights (share) and ngram_novelty_by_source
 # (novelty).
 # Plan shape: the band-pair join (never corpus²) → distinct flagged ids →
-# one broadcast-sized join back to (doc_id, source) → groupBy(source).
+# one hash join back to (doc_id, source) → groupBy(source).  The flagged
+# set scales with the number of DUPLICATES in the corpus, not with the
+# domain count, so it is deliberately NOT broadcast — at a duplicate-heavy
+# 100 TB crawl it can be hundreds of millions of ids; the shuffle join on
+# a long key is the safe form (AQE will still broadcast when it proves
+# the set small at runtime).
 @query(
     "dedup_rate_by_source",
     oracle=_duck_minhash_cte()
@@ -1951,7 +1956,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.select("doc_id", "source")
-        .join(F.broadcast(flagged), "doc_id", "left")
+        .join(flagged, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2001,13 +2006,16 @@ def ngram_concentration_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     h = F.expr(_SPARK_HASH.format(expr="s"))
     # identity-transform guard (not array_distinct — raw occurrence
-    # counts, every span instance counts)
+    # counts, every span instance counts).  Persisted: the top-k branch
+    # and the total branch both read it — without it the corpus-wide
+    # span explode + aggregation runs twice.
     occ = (
         _spark_shingles(docs)
         .select(F.explode(F.expr("transform(shingles, x -> x)")).alias("s"))
         .select(h.alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     topk = occ.orderBy(F.col("n").desc(), "h").limit(_CONC_TOP_K)
     tot = occ.agg(F.sum("n").alias("total"))
@@ -2063,9 +2071,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(_tokens_col())).alias("token")
     )
     first_seen = tok.groupBy("token").agg(
-        (F.min("doc_id") / F.lit(_VOCAB_BUCKET_DOCS))
-        .cast("long")
-        .alias("bucket")
+        F.expr(f"min(doc_id) div {_VOCAB_BUCKET_DOCS}").alias("bucket")
     )
     per_bucket = first_seen.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_new_types")

@@ -16,10 +16,12 @@ individually in this repo:
                       (``streaming.decontaminate``); contaminated rows are
                       rejected, never trained on.
 4. near-dup dedup   — asymmetric MinHash band join against the persistent
-                      signature index (``streaming.dedup``): new docs that
-                      collide with ANY earlier batch are rejected; the
-                      survivors' signatures append to the index so later
-                      batches dedup against them.
+                      signature index (``streaming.dedup``) UNION an
+                      intra-batch band self-join: a new doc colliding with
+                      any earlier batch OR with an earlier doc in its own
+                      micro-batch is rejected; only the survivors'
+                      signatures append to the index so later batches
+                      dedup against the canonical copies.
 5. shard export     — survivors get the deterministic md5-mod shard
                       assignment (``llm_ops.export``) and land
                       batch_id-partitioned in the clean sink, ready for
@@ -62,7 +64,8 @@ def _scrubbed(batch_df: DataFrame) -> DataFrame:
 
 
 def _with_ttr(batch_df: DataFrame) -> DataFrame:
-    toks = "split(trim(lower(text)), '\\\\s+')"
+    from video_etl_spark.queries.text import _SPARK_TOKENS as toks
+
     return batch_df.withColumn(
         "ttr_ppm",
         F.expr(
@@ -94,6 +97,7 @@ def make_ingest_handler(
 
     from video_etl_spark.llm_ops.dedup import (
         band_candidates,
+        band_candidates_within,
         minhash_band_signatures,
     )
     from video_etl_spark.llm_ops.export import shard_assignments
@@ -112,6 +116,7 @@ def make_ingest_handler(
         # persisted frames unpersist in the finally so a failed batch (the
         # retry case) does not leak cached blocks across attempts
         scored = _with_ttr(_scrubbed(batch_df)).persist()
+        decontaminated = None
         sigs = None
         try:
             rej_quality = scored.filter(
@@ -134,7 +139,10 @@ def make_ingest_handler(
                 F.lit("contaminated").alias("reason"),
                 F.col("n_overlap").cast("long").alias("detail"),
             )
-            decontaminated = gated.join(hits, "doc_id", "left_anti")
+            # persisted: feeds the signature build, the survivor anti-join,
+            # and the clean-sink write — without it the shingle subtree of
+            # the decontamination join recomputes per consumer
+            decontaminated = gated.join(hits, "doc_id", "left_anti").persist()
 
             sigs = minhash_band_signatures(
                 decontaminated.select("doc_id", "text"),
@@ -147,31 +155,29 @@ def make_ingest_handler(
                 )
             except AnalysisException:  # first batch: no index yet
                 hist = None
+            # near-dups against EARLIER batches ∪ near-dups WITHIN this
+            # batch (earliest id wins in both) — without the intra-batch
+            # leg, same-micro-batch copies would all pass and permanently
+            # pollute the signature index
+            dups = band_candidates_within(sigs, n_bands)
             if hist is not None:
-                dups = band_candidates(sigs, hist, n_bands)
-                rej_dup = dups.select(
-                    F.col("new_doc").alias("doc_id"),
-                    F.lit("near_dup").alias("reason"),
-                    F.col("dup_of").cast("long").alias("detail"),
-                )
-                survivors = decontaminated.join(
-                    dups.select(F.col("new_doc").alias("doc_id")),
-                    "doc_id",
-                    "left_anti",
-                )
-                surviving_sigs = sigs.join(
-                    dups.select(F.col("new_doc").alias("doc_id")),
-                    "doc_id",
-                    "left_anti",
-                )
-            else:
-                rej_dup = None
-                survivors = decontaminated
-                surviving_sigs = sigs
+                dups = dups.unionByName(band_candidates(sigs, hist, n_bands))
+            dups = dups.groupBy("new_doc").agg(
+                F.min("dup_of").alias("dup_of"),
+                F.sum("n_candidates").alias("n_candidates"),
+            )
+            rej_dup = dups.select(
+                F.col("new_doc").alias("doc_id"),
+                F.lit("near_dup").alias("reason"),
+                F.col("dup_of").cast("long").alias("detail"),
+            )
+            dup_ids = dups.select(F.col("new_doc").alias("doc_id"))
+            survivors = decontaminated.join(dup_ids, "doc_id", "left_anti")
+            surviving_sigs = sigs.join(dup_ids, "doc_id", "left_anti")
 
-            rejected = rej_quality.unionByName(rej_contam)
-            if rej_dup is not None:
-                rejected = rejected.unionByName(rej_dup)
+            rejected = rej_quality.unionByName(rej_contam).unionByName(
+                rej_dup
+            )
 
             clean = shard_assignments(survivors, n_shards)
 
@@ -195,6 +201,8 @@ def make_ingest_handler(
             )
         finally:
             scored.unpersist()
+            if decontaminated is not None:
+                decontaminated.unpersist()
             if sigs is not None:
                 sigs.unpersist()
 
