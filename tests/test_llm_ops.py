@@ -1080,3 +1080,38 @@ def test_read_shard_prunes_partitions(spark, sf_dir, tmp_path):
     # partition filter must reach the scan (pruned directory listing),
     # not appear as a post-scan Filter over all shards
     assert "PartitionFilters" in plan and "shard" in plan
+
+
+def test_simhash_relational_matches_arrow_and_scalar(spark, sf_dir):
+    """Three-way differential: the default relational simhash (JVM,
+    oracle-expressible) == the Arrow numpy batch path == the scalar
+    reference, on real corpus texts + crafted edge cases."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops import dedup as dd
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60).select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (100001, ""),
+            (100002, "   "),
+            (100003, "one"),
+            (100004, "Tab\tand  Spaces\nnewline"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+    rel = {
+        r["doc_id"]: (r["simhash"], r["chunk0"], r["chunk3"])
+        for r in dd.simhash_signatures(both).collect()
+    }
+    arrow = {
+        r["doc_id"]: (r["simhash"], r["chunk0"], r["chunk3"])
+        for r in dd.simhash_signatures_arrow(both).collect()
+    }
+    assert rel == arrow
+    for r in both.collect():
+        assert rel[r["doc_id"]][0] == dd._simhash64(r["text"] or ""), r

@@ -433,7 +433,8 @@ _HEADLINE_PLAN_EXPECTATIONS = {
     "range_join_clicks_before_purchase": ([], False, False),
     "minhash_band_pairs": ([], False, True),
     "jaccard_pair_stats": ([], False, True),
-    "simhash_near_dup_pairs": ([], False, True),
+    # fully relational since the round-6 continuation (no Arrow stage)
+    "simhash_near_dup_pairs": (["HashAggregate"], False, False),
     "knn_cosine_bruteforce": (["BroadcastNestedLoopJoin"], True, False),
     "multimodal_features": (["MapInPandas"], False, True),
     "token_stats": (["PushedFilters"], False, False),

@@ -100,7 +100,87 @@ def _simhash_series(texts: pd.Series) -> pd.Series:
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + 64-bit signature + its 4 × 16-bit chunk keys.
+    """doc_id + 64-bit signature + its 4 × 16-bit chunk keys — fully
+    JVM-side (round-6 continuation; formerly the Arrow pandas-UDF path,
+    kept as :func:`simhash_signatures_arrow`).
+
+    Pure relational formulation of SimHash, bit-identical to the scalar
+    reference ``_simhash64`` (differential-tested) and SQL-expressible on
+    DuckDB too, which is what lets the simhash queries carry real oracles:
+
+    * per-(doc, token) occurrence weights — one shuffle;
+    * the token's 64-bit md5 prefix assembled from two 32-bit conv()
+      halves (conv of 16 hex chars would overflow BIGINT);
+    * 64 weighted bit-balance sums in ONE aggregate — bit i of the
+      signature is sign(sum_i); arithmetic shiftright extracts bits of
+      the signed long correctly (two's-complement bit pattern);
+    * the signature is recomposed with the top bit folded in as
+      -2^63 so every term stays in BIGINT range (the scalar reference's
+      `sig - 2^63` unsigned→signed shift).
+
+    Docs with no tokens keep the empty signature -2^63 via the left join
+    (the Arrow path's behavior for empty strings).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                rf"filter(split(trim(lower({text_col})), '\\s+'), "
+                "x -> x != '')"
+            )
+        ).alias("tok"),
+    )
+    w = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("w"))
+    h = (
+        "shiftleft(cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint), 32)"
+        " | cast(conv(substr(md5(tok), 9, 8), 16, 10) as bigint)"
+    )
+    sums = (
+        w.withColumn("h", F.expr(h))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.expr(
+                    f"sum(w * (2 * (shiftright(h, {i}) & 1) - 1))"
+                ).alias(f"s{i}")
+                for i in range(64)
+            ]
+        )
+    )
+    sig_terms = " + ".join(
+        f"(case when s{i} > 0 then cast({1 << i} as bigint) "
+        "else cast(0 as bigint) end)"
+        for i in range(63)
+    )
+    sig = sums.select(
+        "doc_id",
+        F.expr(
+            f"{sig_terms} + (case when s63 > 0 then cast(0 as bigint) "
+            "else cast(-9223372036854775808 as bigint) end)"
+        ).alias("simhash"),
+    )
+    out = (
+        docs.select("doc_id")
+        .join(sig, "doc_id", "left")
+        .withColumn(
+            "simhash",
+            F.coalesce("simhash", F.lit(-(1 << 63)).cast("long")),
+        )
+    )
+    for c in range(4):
+        out = out.withColumn(
+            f"chunk{c}",
+            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return out.select("doc_id", "simhash", "chunk0", "chunk1", "chunk2", "chunk3")
+
+
+def simhash_signatures_arrow(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrow pandas-UDF twin of :func:`simhash_signatures` (the vectorized
+    numpy batch path) — kept as the documented Arrow-UDF pattern and as a
+    cross-implementation differential check; the relational form above is
+    the default because it stays in whole-stage codegen and is
+    oracle-expressible.
 
     The pandas UDF is constructed here (not at module import) with an
     explicit DataType: executors import this module when unpickling, and a

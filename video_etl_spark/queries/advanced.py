@@ -5,7 +5,9 @@ operator per the driver contract's escape hatch; their correctness is
 covered by pytest against oracle-verified baselines or golden semantics
 instead of DuckDB SQL:
 
-* simhash_near_dup_pairs — Arrow pandas-UDF signatures (U21);
+* simhash_near_dup_pairs / incremental_simhash_dedup — oracle-backed
+  since the round-6 continuation (the signature moved to a pure
+  relational formulation, see llm_ops.dedup.simhash_signatures); still
   tested against exact-dup ground truth in tests/test_llm_ops.py.
 * knn_lsh_bucketed — LSH ANN scale path (U22); tested for subset-
   consistency against the oracle-verified brute-force query.
@@ -30,7 +32,6 @@ from video_etl_spark.session import load_table
 
 ROWS_ONLY_QUERIES = frozenset(
     {
-        "simhash_near_dup_pairs",
         "knn_lsh_bucketed",
         "sort_tracker_synthetic",
         "switch_log_replay",
@@ -43,16 +44,85 @@ ROWS_ONLY_QUERIES = frozenset(
         # construction; exact twin `value_percentiles_by_type` is the
         # oracle baseline, pytest bounds the rank error.
         "value_percentiles_approx",
-        # incremental SimHash dedup (round 6): signature is the pandas-UDF
-        # md5 path (not SQL-expressible); the band-join twin
-        # `incremental_band_dedup` is the oracle-checked shape, pytest
-        # proves asymmetry + exact-dup detection differentially.
-        "incremental_simhash_dedup",
+        # simhash_near_dup_pairs / incremental_simhash_dedup left this set
+        # in the round-6 continuation: the signature moved to a pure
+        # relational formulation, so both now carry full DuckDB oracles.
     }
 )
 
 
-@query("simhash_near_dup_pairs")
+def _duck_simhash_sig_cte() -> str:
+    """DuckDB CTE ending in `chunks`(doc_id, simhash, chunk0..chunk3) —
+    the oracle twin of ``llm_ops.dedup.simhash_signatures`` (64-bit md5
+    SimHash, weighted by token occurrence, empty docs = -2^63).  All bit
+    extraction is unsigned HUGEINT div/mod arithmetic — no reliance on
+    either engine's signed-shift semantics."""
+    bits = ",\n             ".join(
+        f"sum(w * (2 * CAST((h_u // {1 << i}) % 2 AS BIGINT) - 1)) AS s{i}"
+        for i in range(64)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(63)
+    )
+    chunk_cols = ", ".join(
+        f"CAST((u // {1 << (16 * c)}) % 65536 AS BIGINT) AS chunk{c}"
+        for c in range(4)
+    )
+    return rf"""
+    WITH occ AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS tok
+      FROM documents),
+    w AS (SELECT doc_id, tok, count(*) AS w FROM occ GROUP BY doc_id, tok),
+    hh AS (
+      SELECT doc_id, w,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)::HUGEINT
+               * 4294967296
+               + CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h_u
+      FROM w),
+    sums AS (SELECT doc_id, {bits} FROM hh GROUP BY doc_id),
+    sig0 AS (
+      SELECT doc_id,
+             {sig_terms}
+               + (CASE WHEN s63 > 0 THEN 0
+                       ELSE CAST(-9223372036854775808 AS BIGINT) END)
+               AS simhash
+      FROM sums),
+    sig AS (
+      SELECT d.doc_id,
+             coalesce(s.simhash, CAST(-9223372036854775808 AS BIGINT))
+               AS simhash
+      FROM documents d LEFT JOIN sig0 s USING (doc_id)),
+    chunks AS (
+      SELECT doc_id, simhash, {chunk_cols}
+      FROM (SELECT doc_id, simhash,
+                   CASE WHEN simhash < 0
+                        THEN simhash::HUGEINT + 18446744073709551616
+                        ELSE simhash::HUGEINT END AS u
+            FROM sig))"""
+
+
+_DUCK_CHUNK_MATCH = (
+    "(a.chunk0 = b.chunk0 OR a.chunk1 = b.chunk1 "
+    "OR a.chunk2 = b.chunk2 OR a.chunk3 = b.chunk3)"
+)
+
+
+@query(
+    "simhash_near_dup_pairs",
+    oracle=_duck_simhash_sig_cte()
+    + f""",
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.doc_id < b.doc_id AND {_DUCK_CHUNK_MATCH})
+    SELECT DISTINCT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_etl_spark.llm_ops.dedup import simhash_pairs
 
@@ -60,7 +130,23 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3)
 
 
-@query("incremental_simhash_dedup")
+@query(
+    "incremental_simhash_dedup",
+    oracle=_duck_simhash_sig_cte()
+    + f""",
+    news AS (SELECT * FROM chunks WHERE doc_id % 10 = 0),
+    olds AS (SELECT * FROM chunks WHERE doc_id % 10 <> 0),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM news a JOIN olds b ON {_DUCK_CHUNK_MATCH})
+    SELECT new_doc,
+           min(old_doc) AS dup_of,
+           count(*) AS n_candidates,
+           CAST(min(hamming) AS BIGINT) AS min_hamming
+    FROM cand WHERE hamming <= 3 GROUP BY new_doc
+    """,
+)
 def incremental_simhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-space incremental dedup: new crawl batch (doc_id % 10 = 0)
     vs corpus via the asymmetric 16-bit-chunk equi-join (llm_ops.dedup.
