@@ -1115,3 +1115,69 @@ def test_simhash_relational_matches_arrow_and_scalar(spark, sf_dir):
     assert rel == arrow
     for r in both.collect():
         assert rel[r["doc_id"]][0] == dd._simhash64(r["text"] or ""), r
+
+
+def test_cluster_aware_split_never_straddles_clusters(spark, sf_dir):
+    """The leakage-free-split invariant, checked at the doc grain (the
+    registered query only exposes the per-split aggregate): every CC
+    component maps to exactly one split, and at least one multi-doc
+    cluster exists so the check is non-vacuous.  Also pins WHY the op
+    exists: under the doc-grain dataset_split hash, some near-dup cluster
+    WOULD straddle train/valid/test on this corpus."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.dedup import connected_components
+    from video_etl_spark.queries.text import minhash_band_pairs
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_band_pairs(spark, sf_dir)
+    comp = connected_components(
+        edges, docs.select("doc_id"), edges_distinct=True
+    )
+
+    def split_col(expr):
+        h = F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long") % 10
+        return F.when(h < 1, "test").when(h < 2, "valid").otherwise("train")
+
+    by_cluster = comp.select(
+        "node",
+        "component",
+        split_col(
+            F.concat(F.lit("csplit|"), F.col("component").cast("string"))
+        ).alias("cluster_split"),
+        split_col(
+            F.concat(F.lit("split|"), F.col("node").cast("string"))
+        ).alias("doc_split"),
+    )
+    per_comp = by_cluster.groupBy("component").agg(
+        F.countDistinct("cluster_split").alias("n_cluster_splits"),
+        F.countDistinct("doc_split").alias("n_doc_splits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert per_comp.filter("n_cluster_splits > 1").count() == 0
+    multi = per_comp.filter("n > 1")
+    assert multi.count() > 0, "no multi-doc cluster — vacuous corpus"
+    # the doc-grain hash split leaks at least one cluster across sides
+    assert multi.filter("n_doc_splits > 1").count() > 0
+
+
+def test_mixture_resample_rebalances_toward_uniform(spark, sf_dir):
+    """Kept token mass per source must (a) never exceed the source's own
+    mass, (b) respect keep_ppm = floor(min_tokens*1e6/n_tokens) exactly,
+    and (c) land every source within a sampling-noise band of the smallest
+    source's budget — the rebalancing property that makes the op the APPLY
+    half of source_mixture_weights."""
+    from video_etl_spark.queries.text import mixture_resample
+
+    rows = {r["source"]: r for r in mixture_resample(spark, sf_dir).collect()}
+    floor_tokens = min(r["n_tokens"] for r in rows.values())
+    for r in rows.values():
+        assert r["n_tokens_kept"] <= r["n_tokens"]
+        assert r["keep_ppm"] == floor_tokens * 1_000_000 // r["n_tokens"]
+        # binomial noise at these doc counts stays well inside ±40 %
+        assert 0.6 * floor_tokens <= r["n_tokens_kept"] <= 1.4 * floor_tokens
+    # the smallest source is kept whole
+    smallest = min(rows.values(), key=lambda r: r["n_tokens"])
+    assert smallest["keep_ppm"] == 1_000_000
+    assert smallest["n_tokens_kept"] == smallest["n_tokens"]

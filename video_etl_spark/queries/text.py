@@ -168,6 +168,25 @@ _DUCK_BANDED_CTE = """
              CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band1
       FROM sig)"""
 
+#: Recursive reachability over the band-candidate graph — the ONE oracle
+#: definition of connected components (dedup_connected_clusters,
+#: canonical_cluster_docs, dup_cluster_size_histogram, cluster_aware_split
+#: all compose it; requires the WITH to be RECURSIVE).
+_DUCK_REACH_CTE = """,
+    edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band0 = b.band0
+      UNION
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band1 = b.band1),
+    bidir AS (
+      SELECT doc_a AS u, doc_b AS v FROM edges
+      UNION SELECT doc_b AS u, doc_a AS v FROM edges),
+    reach AS (
+      SELECT u, v FROM bidir
+      UNION
+      SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u)"""
+
 
 def _banded_sigs(docs: DataFrame) -> DataFrame:
     """Spark twin of ``_DUCK_BANDED_CTE``: (doc_id, band0, band1), persisted
@@ -1027,20 +1046,8 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_connected_clusters",
     oracle=_duck_minhash_cte().replace("WITH toks", "WITH RECURSIVE toks")
     + _DUCK_BANDED_CTE
-    + """,
-    edges AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band0 = b.band0
-      UNION
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band1 = b.band1),
-    bidir AS (
-      SELECT doc_a AS u, doc_b AS v FROM edges
-      UNION SELECT doc_b AS u, doc_a AS v FROM edges),
-    reach AS (
-      SELECT u, v FROM bidir
-      UNION
-      SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u)
+    + _DUCK_REACH_CTE
+    + """
     SELECT d.doc_id,
            least(d.doc_id, coalesce(m.mv, d.doc_id)) AS component,
            least(d.doc_id, coalesce(m.mv, d.doc_id)) = d.doc_id AS is_canonical
@@ -1732,20 +1739,8 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "canonical_cluster_docs",
     oracle=_duck_minhash_cte().replace("WITH toks", "WITH RECURSIVE toks")
     + _DUCK_BANDED_CTE
+    + _DUCK_REACH_CTE
     + """,
-    edges AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band0 = b.band0
-      UNION
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band1 = b.band1),
-    bidir AS (
-      SELECT doc_a AS u, doc_b AS v FROM edges
-      UNION SELECT doc_b AS u, doc_a AS v FROM edges),
-    reach AS (
-      SELECT u, v FROM bidir
-      UNION
-      SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u),
     comp AS (
       SELECT d.doc_id, d.n_chars,
              least(d.doc_id, coalesce(m.mv, d.doc_id)) AS component
@@ -2209,20 +2204,8 @@ def remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dup_cluster_size_histogram",
     oracle=_duck_minhash_cte().replace("WITH toks", "WITH RECURSIVE toks")
     + _DUCK_BANDED_CTE
+    + _DUCK_REACH_CTE
     + """,
-    edges AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band0 = b.band0
-      UNION
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND a.band1 = b.band1),
-    bidir AS (
-      SELECT doc_a AS u, doc_b AS v FROM edges
-      UNION SELECT doc_b AS u, doc_a AS v FROM edges),
-    reach AS (
-      SELECT u, v FROM bidir
-      UNION
-      SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u),
     comp AS (
       SELECT d.doc_id,
              least(d.doc_id, coalesce(m.mv, d.doc_id)) AS component
@@ -2255,4 +2238,166 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sz").cast("long").alias("cluster_size"),
         "n_clusters",
         "n_docs",
+    )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 6): MIXTURE RESAMPLE — the APPLY half of
+# source_mixture_weights: deterministically downsample every domain to the
+# smallest domain's token budget so the surviving corpus is (approximately)
+# the uniform mixture.  keep_ppm = floor(min_tokens * 1e6 / source_tokens);
+# a document survives iff its salted md5 hash mod 1e6 falls below its
+# domain's keep rate — no RNG state, any engine/worker/rerun selects the
+# same documents (the reproducibility property hash-based dataset_split
+# establishes, applied to mixture rebalancing).
+# Plan shape: one groupBy(source) pass builds the (tiny) rate table, the
+# 1-row floor folds in as a broadcast scalar, and the selection pass is a
+# broadcast dim join + scan-fused filter — two scans total, each
+# partition-parallel; nothing driver-side.  At 100 TB the rate table is
+# computed once per mixture revision and reused across runs.
+@query(
+    "mixture_resample",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_DUCK_TOKENS}) AS n_tok FROM documents),
+    s AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source),
+    f AS (SELECT min(n_tokens) AS floor_tokens FROM s),
+    r AS (
+      SELECT source, n_tokens,
+             CAST(floor_tokens * 1000000 // n_tokens AS BIGINT) AS keep_ppm
+      FROM s, f),
+    kept AS (
+      SELECT t.source,
+             count(*) AS n_docs_kept,
+             CAST(sum(t.n_tok) AS BIGINT) AS n_tokens_kept
+      FROM t JOIN r ON t.source = r.source
+      WHERE {_DUCK_HASH.format(expr="'resample|' || CAST(t.doc_id AS VARCHAR)")}
+              % 1000000 < r.keep_ppm
+      GROUP BY t.source)
+    SELECT r.source, r.n_tokens, r.keep_ppm,
+           CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+    FROM r LEFT JOIN kept k ON r.source = k.source
+    """,
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(_tokens_col()).cast("long").alias("n_tok")
+    )
+    per_source = t.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    floor_tokens = per_source.agg(F.min("n_tokens").alias("floor_tokens"))
+    rates = (
+        per_source.crossJoin(F.broadcast(floor_tokens))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("(floor_tokens * 1000000) div n_tokens")
+            .cast("long")
+            .alias("keep_ppm"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("resample|"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = (
+        t.join(F.broadcast(rates.select("source", "keep_ppm")), "source")
+        .filter((h % 1_000_000) < F.col("keep_ppm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").alias("n_tokens_kept"),
+        )
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_tokens",
+        "keep_ppm",
+        F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 6): CLUSTER-AWARE SPLIT — the leakage-free
+# train/valid/test partitioning: near-duplicate documents must land on the
+# SAME side of the split, or validation loss is measured on training data's
+# mirrors.  dataset_split hashes the doc id; this hashes the near-dup
+# CLUSTER id (the CC component from the minhash band graph), so every
+# member of a duplicate cluster shares one assignment by construction.
+# The oracle extends the recursive-CTE reachability pin, so the whole
+# shingle → minhash → band → CC → hash-split chain is verified end to end.
+# Plan shape on top of CC: one column expression + one groupBy(split) —
+# the labeling is ids only; text never moves.  At 100 TB this replaces
+# dataset_split in the curation pipeline at the cost CC already paid.
+@query(
+    "cluster_aware_split",
+    oracle=_duck_minhash_cte().replace("WITH toks", "WITH RECURSIVE toks")
+    + _DUCK_BANDED_CTE
+    + _DUCK_REACH_CTE
+    + """,
+    comp AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(m.mv, d.doc_id)) AS component
+      FROM documents d
+      LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) m
+        ON m.u = d.doc_id),
+    assigned AS (
+      SELECT doc_id, component,
+             {bucket} % 10 AS bucket
+      FROM comp)
+    SELECT CASE WHEN bucket < 1 THEN 'test'
+                WHEN bucket < 2 THEN 'valid'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+           min(doc_id) AS min_doc_id
+    FROM assigned GROUP BY 1
+    """.format(
+        bucket=_DUCK_HASH.format(
+            expr="'csplit|' || CAST(component AS VARCHAR)"
+        )
+    ),
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_band_pairs(spark, sf_dir)
+    comp = connected_components(
+        edges, docs.select("doc_id"), edges_distinct=True
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("csplit|"), F.col("component").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = h % 10
+    split = (
+        F.when(bucket < 1, "test").when(bucket < 2, "valid").otherwise("train")
+    )
+    return (
+        comp.select(
+            split.alias("split"), F.col("node").alias("doc_id"), "component"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").cast("long").alias("n_clusters"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
     )
