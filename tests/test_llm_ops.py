@@ -1181,3 +1181,63 @@ def test_mixture_resample_rebalances_toward_uniform(spark, sf_dir):
     smallest = min(rows.values(), key=lambda r: r["n_tokens"])
     assert smallest["keep_ppm"] == 1_000_000
     assert smallest["n_tokens_kept"] == smallest["n_tokens"]
+
+
+def test_kmeans_lloyd_matches_numpy_reference(spark, sf_dir):
+    """The relational Lloyd plan must agree bit-for-bit with a straight
+    numpy implementation of the same quantized-integer recipe (seed
+    centers = first 8 vectors, argmin with (dist, center) tiebreak,
+    truncating-integer centroid means), and the within-cluster objective
+    must not increase between the two iterations (the Lloyd invariant)."""
+    import numpy as np
+
+    from video_etl_spark.queries.vectors import (
+        _KM_K,
+        _KM_OFF,
+        kmeans_lloyd_embeddings,
+    )
+    from video_etl_spark.session import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.argsort(ids)
+    q = (
+        np.round(
+            np.array([r["embedding"] for r in rows], dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        + _KM_OFF
+    )[order]
+    ids = ids[order]
+    centers = q[ids < _KM_K]
+    center_ids = ids[ids < _KM_K]
+
+    objectives = []
+    for _ in range(2):
+        d = ((q[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = center_ids[np.argmin(d, axis=1)]  # ids sorted -> min tiebreak
+        objectives.append(int(d.min(axis=1).sum()))
+        new_centers, new_ids, counts = [], [], []
+        for cid in sorted(set(assign.tolist())):
+            members = q[assign == cid]
+            new_centers.append(members.sum(axis=0) // len(members))
+            new_ids.append(cid)
+            counts.append(len(members))
+        centers = np.array(new_centers)
+        center_ids = np.array(new_ids)
+
+    assert objectives[1] <= objectives[0]
+
+    got = {
+        (r["center_id"], r["dim"]): (r["centroid_q"], r["n_members"])
+        for r in kmeans_lloyd_embeddings(spark, sf_dir).collect()
+    }
+    want = {
+        (int(cid), d + 1): (int(centers[j, d]) - _KM_OFF, counts[j])
+        for j, cid in enumerate(center_ids)
+        for d in range(centers.shape[1])
+    }
+    assert got == want

@@ -238,3 +238,137 @@ def incremental_embedding_dedup_exact(spark: SparkSession, sf_dir: str) -> DataF
             F.max("cos_sim").alias("max_cos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# U14⊕/U22⊕ — KMEANS LLOYD ITERATIONS AS A RELATIONAL PLAN (round 6): the
+# embedding-clustering step of a curation pipeline (topic bucketing,
+# SemDeDup-style cluster-then-dedup, IVF coarse quantizer training —
+# llm_ops.similarity.ivf_topk consumes exactly such centroids) run as two
+# exact Lloyd iterations: assign to nearest of K=8 seed centers (the first
+# 8 vectors — deterministic farthest-thing from RNG), recompute integer
+# centroids, repeat, emit per-(center, dim) centroid + member count.
+#
+# Exactness across engines: embeddings quantize to 1e6-unit BIGINTs with a
+# +4e6 OFFSET so every value is positive — integer floor division then
+# agrees between Spark's `div` (truncate toward zero) and DuckDB's `//`
+# (floor), which differ on negatives.  Distances are offset-invariant;
+# the offset is subtracted back in the output.  Empty clusters drop out
+# (inner-join semantics; standard Lloyd behavior without reseeding).
+#
+# Plan shape (per iteration): assignment = broadcast-K nested-loop fan-out
+# (centers are ALWAYS tiny) + one groupBy(vec_id) min-struct argmin;
+# update = posexplode to (center, dim) grain + one groupBy — partial
+# aggregation collapses each map partition to ≤ K×dims rows before the
+# shuffle, so shuffle volume is partitions × 512 rows regardless of corpus
+# size.  At 100 TB: identical plan, K rows broadcast, centroids reduce
+# tree-style; driver never sees per-vector data.
+_KM_K = 8
+_KM_OFF = 4_000_000
+
+_DUCK_QOFF = (
+    f"[CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + {_KM_OFF} "
+    "FOR x IN embedding]"
+)
+
+
+def _duck_lloyd_round(qcte: str, centers: str, out: str) -> str:
+    """One DuckDB Lloyd iteration: distances → argmin → integer centroids."""
+    return f"""
+    d{out} AS (
+      SELECT a.vec_id, c.center_id,
+             list_sum([(a.q[i] - c.c[i]) * (a.q[i] - c.c[i])
+                       FOR i IN generate_series(1, len(a.q))]) AS dist
+      FROM {qcte} a CROSS JOIN {centers} c),
+    a{out} AS (
+      SELECT vec_id, center_id FROM (
+        SELECT vec_id, center_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, center_id) AS rn
+        FROM d{out}) WHERE rn = 1),
+    m{out} AS (
+      SELECT a.center_id, g.i AS dim,
+             CAST(sum(q.q[g.i]) // count(*) AS BIGINT) AS c,
+             count(*) AS n_members
+      FROM a{out} a JOIN q ON a.vec_id = q.vec_id,
+           generate_series(1, 64) AS g(i)
+      GROUP BY a.center_id, g.i)"""
+
+
+@query(
+    "kmeans_lloyd_embeddings",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QOFF} AS q FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS center_id, q AS c FROM q WHERE vec_id < {_KM_K}),
+    {_duck_lloyd_round('q', 'c0', '1')},
+    c1 AS (
+      SELECT center_id, list(c ORDER BY dim) AS c FROM m1 GROUP BY center_id),
+    {_duck_lloyd_round('q', 'c1', '2')}
+    SELECT CAST(center_id AS BIGINT) AS center_id,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(c - {_KM_OFF} AS BIGINT) AS centroid_q,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM m2
+    """,
+)
+def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            f"cast(round(cast(x as double) * 1000000) as bigint) + {_KM_OFF})"
+        ).alias("q"),
+    )
+    centers = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("center_id"), F.col("q").alias("c")
+    )
+
+    dist = F.expr(
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+
+    def assign(centers_df: DataFrame) -> DataFrame:
+        return (
+            q.crossJoin(F.broadcast(centers_df))
+            .select("vec_id", "center_id", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "center_id")).alias("m"))
+            .select("vec_id", F.col("m.center_id").alias("center_id"))
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.join(q, "vec_id")
+            .select("center_id", F.posexplode("q").alias("dim0", "val"))
+            .groupBy("center_id", "dim0")
+            .agg(
+                F.sum("val").alias("s"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+            .select(
+                "center_id",
+                (F.col("dim0") + 1).cast("long").alias("dim"),
+                F.expr("s div n_members").cast("long").alias("c"),
+                F.col("n_members").cast("long"),
+            )
+        )
+
+    m1 = update(assign(centers))
+    c1 = (
+        m1.groupBy("center_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc")
+        )
+        .select("center_id", F.expr("transform(sc, x -> x.c)").alias("c"))
+    )
+    m2 = update(assign(c1))
+    return m2.select(
+        F.col("center_id").cast("long").alias("center_id"),
+        "dim",
+        (F.col("c") - _KM_OFF).cast("long").alias("centroid_q"),
+        "n_members",
+    )
