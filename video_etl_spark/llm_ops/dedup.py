@@ -204,27 +204,38 @@ def _hamming(col_a, col_b):
     return F.bit_count(col_a.bitwiseXOR(col_b))
 
 
+def _chunk_stacked(sig: DataFrame, id_out: str, sig_out: str) -> DataFrame:
+    """(id, sig, c, chunk) long form of a signature frame — 4 rows per doc,
+    one per 16-bit chunk, so all 4 blocking joins collapse into ONE
+    equi-join on the composite (c, chunk) key (same shuffle volume as the
+    4 separate chunk joins, a quarter of the shuffle stages, and the
+    signature subplan is evaluated once per side instead of four times)."""
+    return sig.select(
+        F.col("doc_id").alias(id_out),
+        F.col("simhash").alias(sig_out),
+        F.posexplode(
+            F.array("chunk0", "chunk1", "chunk2", "chunk3")
+        ).alias("c", "chunk"),
+    )
+
+
 def simhash_pairs(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs within `max_hamming` bits, via chunk-join blocking."""
-    sig = simhash_signatures(docs, text_col)
-    pairs = None
-    for c in range(4):
-        a = sig.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("simhash").alias("sig_a"),
-            F.col(f"chunk{c}").alias("chunk"),
-        )
-        b = sig.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("simhash").alias("sig_b"),
-            F.col(f"chunk{c}").alias("chunk"),
-        )
-        p = a.join(b, "chunk").filter(F.col("doc_a") < F.col("doc_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
+    """Near-dup pairs within `max_hamming` bits, via chunk-join blocking.
+
+    The signature frame feeds both sides of the self-join, so it is
+    persisted (doc_id + 5 longs — tiny next to the corpus); like
+    ``queries.text._banded_sigs`` the blocks are deliberately left to
+    Spark's LRU eviction because the query builder returns a lazy plan.
+    """
+    sig = simhash_signatures(docs, text_col).persist()
+    a = _chunk_stacked(sig, "doc_a", "sig_a")
+    b = _chunk_stacked(sig, "doc_b", "sig_b")
     return (
-        pairs.select(
+        a.join(b, ["c", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
             "doc_a",
             "doc_b",
             _hamming(F.col("sig_a"), F.col("sig_b")).cast("long").alias("hamming"),
@@ -564,24 +575,14 @@ def incremental_simhash_dedup(
     100 TB the history side is a persisted signature table (64-bit sig +
     4 chunk keys per doc — not text) bucketed on chunk.
     """
-    sig_new = simhash_signatures(new, text_col)
-    sig_hist = simhash_signatures(history, text_col)
-    pairs = None
-    for c in range(4):
-        a = sig_new.select(
-            F.col("doc_id").alias("new_doc"),
-            F.col("simhash").alias("sig_a"),
-            F.col(f"chunk{c}").alias("chunk"),
-        )
-        b = sig_hist.select(
-            F.col("doc_id").alias("old_doc"),
-            F.col("simhash").alias("sig_b"),
-            F.col(f"chunk{c}").alias("chunk"),
-        )
-        p = a.join(b, "chunk").select("new_doc", "old_doc", "sig_a", "sig_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    a = _chunk_stacked(simhash_signatures(new, text_col), "new_doc", "sig_a")
+    b = _chunk_stacked(
+        simhash_signatures(history, text_col), "old_doc", "sig_b"
+    )
     return (
-        pairs.distinct()
+        a.join(b, ["c", "chunk"])
+        .select("new_doc", "old_doc", "sig_a", "sig_b")
+        .distinct()
         .withColumn("hamming", _hamming(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("new_doc")
