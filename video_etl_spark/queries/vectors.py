@@ -372,3 +372,101 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c") - _KM_OFF).cast("long").alias("centroid_q"),
         "n_members",
     )
+
+
+# --------------------------------------------------------------------------
+# U21⊕/U22⊕ — SEMANTIC DEDUP PAIRS (round 6): the SemDeDup-shaped scale
+# path for embedding near-dup mining — block candidate pairs by LEARNED
+# cluster (one KMeans assignment against the same K=8 seed centers
+# kmeans_lloyd_embeddings trains) instead of by label
+# (embedding_near_dup_pairs) or LSH bucket (llm_ops.similarity).  Within a
+# cluster, exact quantized cosine ≥ 0.4 decides the pair.  Assignment is
+# MULTI-PROBE (each vector joins its top-2 nearest centers): single-probe
+# recall on this corpus is 0.29 (boundary pairs split across clusters);
+# two probes lift it to ~0.8 at 2× fan-out — the measured-recall test pins
+# this, and the pair DISTINCT removes both-probes-shared duplicates.
+# Plan shape: broadcast-K assignment fan-out (never corpus²), then a
+# self-equi-join on center_id — pair work is Σ n_c², bounded by keeping
+# per-cluster occupancy fixed as K grows with the corpus (the SemDeDup
+# recipe: K ∝ N keeps n_c constant, so the join stays linear-ish at
+# 100 TB while vectors shuffle once on a well-spread key).
+@query(
+    "semantic_dedup_pairs",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings),
+    n AS (
+      SELECT vec_id, q, CAST({_DUCK_SQ.replace('q', 'q')} AS DOUBLE) AS sq
+      FROM q),
+    c0 AS (SELECT vec_id AS center_id, q AS c FROM q WHERE vec_id < 8),
+    d AS (
+      SELECT a.vec_id, c.center_id,
+             list_sum([(a.q[i] - c.c[i]) * (a.q[i] - c.c[i])
+                       FOR i IN generate_series(1, len(a.q))]) AS dist
+      FROM q a CROSS JOIN c0 c),
+    asg AS (
+      SELECT vec_id, center_id FROM (
+        SELECT vec_id, center_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, center_id) AS rn
+        FROM d) WHERE rn <= 2)
+    SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           CAST(list_sum([x.q[i] * y.q[i]
+                          FOR i IN generate_series(1, len(x.q))]) AS DOUBLE)
+             / (sqrt(x.sq) * sqrt(y.sq)) AS cos_sim
+    FROM asg ax JOIN n x ON ax.vec_id = x.vec_id
+    JOIN asg ay ON ax.center_id = ay.center_id AND ax.vec_id < ay.vec_id
+    JOIN n y ON ay.vec_id = y.vec_id
+    WHERE CAST(list_sum([x.q[i] * y.q[i]
+                         FOR i IN generate_series(1, len(x.q))]) AS DOUBLE)
+            / (sqrt(x.sq) * sqrt(y.sq)) >= 0.4
+    """,
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.expr(_SPARK_QUANT).alias("q")
+    ).withColumn(
+        "sq",
+        F.expr(
+            "cast(aggregate(transform(q, x -> x * x), 0L, "
+            "(acc, v) -> acc + v) as double)"
+        ),
+    )
+    centers = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("center_id"), F.col("q").alias("c")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    wv = Window.partitionBy("vec_id").orderBy("dist", "center_id")
+    assigned = (
+        q.select("vec_id", "q").crossJoin(F.broadcast(centers))
+        .select("vec_id", "center_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= 2)
+        .select("vec_id", "center_id")
+    )
+    sides = assigned.join(q, "vec_id")
+    a = sides.select(
+        "center_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("sq").alias("sqa"),
+    )
+    b = sides.select(
+        "center_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("sq").alias("sqb"),
+    )
+    cos = F.expr(_SPARK_DOT).cast("double") / (F.sqrt("sqa") * F.sqrt("sqb"))
+    return (
+        a.join(b, "center_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("vec_a", "vec_b", "cos_sim")
+        .distinct()
+    )
