@@ -470,3 +470,94 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "cos_sim")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# U22⊕/U14⊕ — KNN LABEL CLASSIFICATION (round 6): the annotation/QA use of
+# similarity search — score a small eval set against the labeled corpus by
+# k=5 nearest-cosine majority vote (ties → larger vote count first, then
+# smaller label id) and report per-class accuracy.  This is the relational
+# form of "propagate labels to new data / audit embedding quality";
+# the curation use is scoring crawl batches against a labeled seed set.
+# Plan shape: the eval set (fixed 20 vectors — a BOUNDED query set, like
+# knn_cosine_bruteforce's) broadcasts against the corpus scan; vote
+# counting and the argmax are two narrow window passes over k×|eval| rows.
+# At 100 TB the corpus side still scans once and shuffles only (query,
+# neighbor) id pairs.
+@query(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_DUCK_QUANT} AS q FROM embeddings),
+    n AS (
+      SELECT vec_id, label, q, CAST({_DUCK_SQ} AS DOUBLE) AS sq FROM q),
+    pairs AS (
+      SELECT a.vec_id AS query_id, a.label AS true_label,
+             b.label AS neighbor_label,
+             CAST({_DUCK_DOT.replace('qa', 'a.q').replace('len(qa)', 'len(a.q)').replace('qb', 'b.q')} AS DOUBLE)
+               / (sqrt(a.sq) * sqrt(b.sq)) AS cos_sim,
+             b.vec_id AS neighbor_id
+      FROM n a JOIN n b ON a.vec_id < 20 AND b.vec_id >= 20),
+    topk AS (
+      SELECT query_id, true_label, neighbor_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM pairs) WHERE rn <= 5),
+    votes AS (
+      SELECT query_id, true_label, neighbor_label, count(*) AS votes
+      FROM topk GROUP BY query_id, true_label, neighbor_label),
+    pred AS (
+      SELECT query_id, true_label, neighbor_label AS predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, neighbor_label) AS rn
+        FROM votes) WHERE rn = 1)
+    SELECT true_label AS label,
+           count(*) AS n_eval,
+           CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred GROUP BY true_label
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "q", F.expr(_SPARK_QUANT)
+    ).withColumn("sq", F.expr(_SPARK_SQ).cast("double"))
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("q").alias("qa"),
+        F.col("sq").alias("sqa"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("q").alias("qb"),
+        F.col("sq").alias("sqb"),
+    )
+    cos = F.expr(_SPARK_DOT).cast("double") / (F.sqrt("sqa") * F.sqrt("sqb"))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id"
+    )
+    topk = (
+        corpus.join(F.broadcast(queries))
+        .withColumn("cos_sim", cos)
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "true_label", "neighbor_label")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), "neighbor_label"
+    )
+    pred = (
+        topk.groupBy("query_id", "true_label", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "true_label", F.col("neighbor_label").alias("predicted"))
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(
+            F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )
