@@ -73,6 +73,13 @@ HEADLINE = [
     # transform and the Heaps-law vocabulary curve.
     "remove_repeated_spans",
     "vocab_growth_curve",
+    # round-6 continuation: mixture application, leakage-free split, and
+    # the embedding clustering/classification family.
+    "mixture_resample",
+    "cluster_aware_split",
+    "kmeans_lloyd_embeddings",
+    "semantic_dedup_pairs",
+    "knn_label_accuracy",
 ]
 
 

@@ -469,6 +469,16 @@ _HEADLINE_PLAN_EXPECTATIONS = {
     "dup_cluster_size_histogram": (["HashAggregate"], False, True),
     "remove_repeated_spans": (["HashAggregate"], False, False),
     "vocab_growth_curve": (["Window", "HashAggregate"], False, False),
+    # round-6 continuation: the BNLJ allowances are the sanctioned
+    # broadcast-tiny-side fan-outs (1-row scalar fold for the resample
+    # floor; the always-small center/query sets for the embedding family)
+    "mixture_resample": (["BroadcastHashJoin", "HashAggregate"], True, False),
+    # executed plan is the post-localCheckpoint scan of the CC labeling,
+    # like dedup_connected_clusters
+    "cluster_aware_split": (["HashAggregate"], False, False),
+    "kmeans_lloyd_embeddings": (["HashAggregate"], True, False),
+    "semantic_dedup_pairs": (["Window", "HashAggregate"], True, False),
+    "knn_label_accuracy": (["Window", "HashAggregate"], True, False),
 }
 
 

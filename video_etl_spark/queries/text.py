@@ -2317,7 +2317,7 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens_kept"),
         )
     )
-    return rates.join(kept, "source", "left").select(
+    return rates.join(F.broadcast(kept), "source", "left").select(
         "source",
         "n_tokens",
         "keep_ppm",
