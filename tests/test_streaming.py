@@ -1299,3 +1299,104 @@ def test_ingest_handler_retry_idempotent(spark, tmp_path):
         spark.createDataFrame(batches[1], "doc_id long, text string"), 1
     )  # retry
     assert snapshot() == first
+
+
+def test_streaming_classify_matches_batch_argmin(spark, sf_dir, tmp_path):
+    """Stateless nearest-centroid serving: a 3-micro-batch embedding
+    stream classified against literal-folded centroids must equal the
+    batch groupBy-argmin (the kmeans query's assignment semantics,
+    including the (dist, center_id) tiebreak), and the streaming plan must
+    carry no aggregation/state (scan → project only)."""
+    import json
+
+    from video_etl_spark.session import load_table
+    from video_etl_spark.streaming.classify import (
+        classify_stream,
+        quantize_embedding,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = quantize_embedding(emb.filter(F.col("vec_id") < 8)).select(
+        F.col("vec_id").alias("center_id"), F.col("q").alias("c")
+    )
+
+    d = tmp_path / "emb_in"
+    d.mkdir()
+    rows = emb.select("vec_id", "embedding").collect()
+    for b in range(3):
+        chunk = [r for r in rows if r["vec_id"] % 3 == b]
+        (d / f"f{b}.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {"vec_id": int(r["vec_id"]),
+                     "embedding": [float(x) for x in r["embedding"]]}
+                )
+                for r in chunk
+            )
+            + "\n"
+        )
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).option("maxFilesPerTrigger", 1).json(str(d))
+    out = classify_stream(stream, centers)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_classify")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cls_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["vec_id"]: r["center_id"]
+        for r in spark.sql("select * from t_classify").collect()
+    }
+
+    # batch argmin over the same quantization (kmeans-query semantics)
+    qdf = quantize_embedding(emb).select("vec_id", "q")
+    dist = F.expr(
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    batch = {
+        r["vec_id"]: r["center_id"]
+        for r in qdf.crossJoin(F.broadcast(centers))
+        .select("vec_id", "center_id", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "center_id")).alias("m"))
+        .select("vec_id", F.col("m.center_id").alias("center_id"))
+        .collect()
+    }
+    assert streamed == batch and len(streamed) == len(rows)
+
+    # stateless: the streaming plan has no aggregate, no state store op
+    batch_twin = classify_stream(
+        emb.select("vec_id", "embedding"), centers
+    )
+    plan = batch_twin._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan and "Exchange" not in plan, plan
+
+
+def test_streaming_classify_refuses_unbounded_centroids(spark, sf_dir):
+    from video_etl_spark.session import load_table
+    from video_etl_spark.streaming import classify as cl
+    from video_etl_spark.streaming.classify import (
+        center_literals,
+        quantize_embedding,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = quantize_embedding(emb).select(
+        F.col("vec_id").alias("center_id"), F.col("q").alias("c")
+    )
+    old = cl.MAX_CENTERS
+    cl.MAX_CENTERS = 10
+    try:
+        import pytest as _p
+
+        with _p.raises(ValueError, match="MAX_CENTERS"):
+            center_literals(centers)
+    finally:
+        cl.MAX_CENTERS = old
