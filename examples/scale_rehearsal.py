@@ -31,6 +31,8 @@ SF1_DIR = "/tmp/spark_graft_sf1"
 SF01_DIR = "/root/testdata/sf0.1"
 N_DOCS = 50_000
 N_EVENTS = 1_000_000
+N_VECS = 20_000  # 10x the sf0.1 embeddings table
+_DIM = 64
 
 _VOCAB = (
     "batch part spark line column order small sort fast value scan hash "
@@ -76,6 +78,26 @@ def generate(spark) -> None:
         ).alias("source"),
     ).withColumn("n_chars", F.length("text").cast("long"))
     docs.repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+
+    # embeddings: 64 hash-deterministic floats in (-0.5, 0.5) + 10 labels
+    emb = spark.range(N_VECS).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_DIM)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id"), j), F.lit(1_000_001))
+                .cast("double")
+                / F.lit(1_000_000.0)
+                - F.lit(0.5)
+            ).cast("float"),
+        ).alias("embedding"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10))
+        .cast("int")
+        .alias("label"),
+    )
+    emb.repartition(32).write.mode("overwrite").parquet(
+        f"{SF1_DIR}/embeddings.parquet"
+    )
 
     events = spark.range(N_EVENTS).select(
         F.col("id").alias("event_id"),
@@ -142,6 +164,30 @@ def main() -> None:
         training_shard_manifest,
     )
 
+    from video_etl_spark.llm_ops.similarity import cluster_blocked_pairs
+    from video_etl_spark.queries.text import (
+        cluster_aware_split,
+        mixture_resample,
+    )
+    from video_etl_spark.queries.vectors import (
+        kmeans_lloyd_embeddings,
+        knn_label_accuracy,
+    )
+
+    def semantic_dedup_scaled(spark, sf_dir):
+        # the SemDeDup scale recipe: centers grow with the corpus so
+        # per-cluster occupancy (and pair work) stays fixed — 8 centers
+        # at sf0.1's 2k vectors, 64 at the 20k slice — with 2 Lloyd
+        # rebalance rounds (raw seed centers left Σ n_c² at 2.3× uniform
+        # on this slice: 90 s vs 22 s measured)
+        from video_etl_spark.session import load_table
+
+        n_centers = 64 if sf_dir == SF1_DIR else 8
+        emb = load_table(spark, sf_dir, "embeddings")
+        return cluster_blocked_pairs(
+            emb, n_centers=n_centers, n_lloyd_rounds=2
+        )
+
     for name, fn in (
         ("minhash_band_pairs", minhash_band_pairs),
         ("sessionize_events", sessionize_events),
@@ -151,6 +197,12 @@ def main() -> None:
         ("cross_source_contamination", cross_source_contamination),
         ("ngram_novelty_by_source", ngram_novelty_by_source),
         ("training_shard_manifest", training_shard_manifest),
+        # round-6 continuation: mixture/split/embedding family
+        ("mixture_resample", mixture_resample),
+        ("cluster_aware_split", cluster_aware_split),
+        ("kmeans_lloyd_embeddings", kmeans_lloyd_embeddings),
+        ("knn_label_accuracy", knn_label_accuracy),
+        ("semantic_dedup_scaled", semantic_dedup_scaled),
     ):
         timed(fn, spark, SF01_DIR)  # warm-up: JIT + codegen, not timed
         s01, n01 = timed(fn, spark, SF01_DIR)

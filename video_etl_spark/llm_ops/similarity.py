@@ -528,3 +528,112 @@ def pq_serve_stream(
             )
 
     return stream_queries.mapInPandas(run, schema)
+
+
+def cluster_blocked_pairs(
+    emb: DataFrame,
+    n_centers: int = 8,
+    n_probes: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lloyd_rounds: int = 0,
+) -> DataFrame:
+    """SemDeDup-shaped near-dup pair mining: block candidates by nearest
+    seed centers (multi-probe), decide by exact quantized cosine — the
+    parameterized library form of the oracle-checked
+    ``queries.vectors.semantic_dedup_pairs`` (its K=8/2-probe instance).
+
+    Seed centers are the first ``n_centers`` ids (deterministic); each
+    vector joins its ``n_probes`` nearest centers, pairs sharing any
+    probed center are scored, DISTINCT removes both-probes duplicates.
+
+    Scale recipe: keep per-cluster occupancy FIXED by growing
+    ``n_centers`` with the corpus (pair work is Σ n_c² per cluster) —
+    the scale rehearsal drives this at 10× corpus / 8× centers.  Raw seed
+    centers on concentrated high-dim data can leave occupancy badly
+    skewed (Σ n_c² 2.3× uniform measured at the 20k rehearsal slice), so
+    ``n_lloyd_rounds`` optionally rebalances them with exact Lloyd
+    updates first (the kmeans_lloyd_embeddings recipe, deterministic) —
+    the join key stays well-spread without changing the pair semantics.
+    All arithmetic is the 1e6-quantized BIGINT convention, fully
+    relational.
+    """
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            "cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("q"),
+    ).withColumn(
+        "sq",
+        F.expr(
+            "cast(aggregate(transform(q, x -> x * x), 0L, "
+            "(acc, v) -> acc + v) as double)"
+        ),
+    )
+    centers = q.filter(F.col("vec_id") < n_centers).select(
+        F.col("vec_id").alias("center_id"), F.col("q").alias("c")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    for _ in range(n_lloyd_rounds):
+        # one exact Lloyd update: single-probe argmin + truncating-integer
+        # centroid means (deterministic; empty clusters drop)
+        assigned1 = (
+            q.select("vec_id", "q").crossJoin(F.broadcast(centers))
+            .select("vec_id", "center_id", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "center_id")).alias("m"))
+            .select("vec_id", F.col("m.center_id").alias("center_id"))
+        )
+        centers = (
+            assigned1.join(q.select("vec_id", "q"), "vec_id")
+            .select("center_id", F.posexplode("q").alias("dim", "val"))
+            .groupBy("center_id", "dim")
+            .agg(F.expr("sum(val) div count(1)").alias("cv"))
+            .groupBy("center_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "cv"))
+                ).alias("sc")
+            )
+            .select(
+                "center_id", F.expr("transform(sc, x -> x.cv)").alias("c")
+            )
+        )
+    wv = Window.partitionBy("vec_id").orderBy("dist", "center_id")
+    assigned = (
+        q.select("vec_id", "q").crossJoin(F.broadcast(centers))
+        .select("vec_id", "center_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= n_probes)
+        .select("vec_id", "center_id")
+    )
+    sides = assigned.join(q, "vec_id")
+    a = sides.select(
+        "center_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("sq").alias("sqa"),
+    )
+    b = sides.select(
+        "center_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("sq").alias("sqb"),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
+        "(acc, v) -> acc + v)"
+    ).cast("double") / (F.sqrt("sqa") * F.sqrt("sqb"))
+    return (
+        a.join(b, "center_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+        .distinct()
+    )

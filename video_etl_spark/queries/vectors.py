@@ -423,53 +423,12 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # thin oracle-checked K=8 / 2-probe instance of the parameterized
+    # library op (the scale rehearsal drives n_centers=64 at ~sf1)
+    from video_etl_spark.llm_ops.similarity import cluster_blocked_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id", F.expr(_SPARK_QUANT).alias("q")
-    ).withColumn(
-        "sq",
-        F.expr(
-            "cast(aggregate(transform(q, x -> x * x), 0L, "
-            "(acc, v) -> acc + v) as double)"
-        ),
-    )
-    centers = q.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("center_id"), F.col("q").alias("c")
-    )
-    dist = F.expr(
-        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
-        "0L, (acc, v) -> acc + v)"
-    )
-    wv = Window.partitionBy("vec_id").orderBy("dist", "center_id")
-    assigned = (
-        q.select("vec_id", "q").crossJoin(F.broadcast(centers))
-        .select("vec_id", "center_id", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") <= 2)
-        .select("vec_id", "center_id")
-    )
-    sides = assigned.join(q, "vec_id")
-    a = sides.select(
-        "center_id",
-        F.col("vec_id").alias("vec_a"),
-        F.col("q").alias("qa"),
-        F.col("sq").alias("sqa"),
-    )
-    b = sides.select(
-        "center_id",
-        F.col("vec_id").alias("vec_b"),
-        F.col("q").alias("qb"),
-        F.col("sq").alias("sqb"),
-    )
-    cos = F.expr(_SPARK_DOT).cast("double") / (F.sqrt("sqa") * F.sqrt("sqb"))
-    return (
-        a.join(b, "center_id")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= 0.4)
-        .select("vec_a", "vec_b", "cos_sim")
-        .distinct()
-    )
+    return cluster_blocked_pairs(emb, n_centers=8, n_probes=2, threshold=0.4)
 
 
 # --------------------------------------------------------------------------
