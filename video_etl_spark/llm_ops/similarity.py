@@ -612,7 +612,11 @@ def cluster_blocked_pairs(
         .filter(F.col("rn") <= n_probes)
         .select("vec_id", "center_id")
     )
-    sides = assigned.join(q, "vec_id")
+    # the (center, vec, q, sq) frame feeds BOTH sides of the pair join;
+    # unpersisted, the whole assignment subplan (fan-out + window) runs
+    # twice (measured 5.8 s vs 2.2 s at sf0.1).  Blocks are ids + one
+    # vector per row — LRU eviction handles lifetime, as in _banded_sigs.
+    sides = assigned.join(q, "vec_id").persist()
     a = sides.select(
         "center_id",
         F.col("vec_id").alias("vec_a"),
