@@ -2401,3 +2401,88 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 6): QUALITY-WEIGHTED SAMPLE — soft data
+# selection: instead of a hard quality gate (quality_percentile_gate), keep
+# each document with probability equal to its type-token ratio, so
+# repetitive/boilerplate docs are down-weighted smoothly (the "sample
+# proportionally to quality score" recipe).  Deterministic: the keep
+# decision is salted-hash mod 1e6 < ttr_ppm — integer arithmetic, no RNG,
+# identical selection on any engine/worker/rerun.
+# Plan shape: TTR is a narrow per-row expression fused with the scan; the
+# readout is one groupBy(source).  At 100 TB this is a single scan-bound
+# pass, the cheapest possible corpus reweighting.
+@query(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len({_DUCK_TOKENS}) AS n_tok,
+             len(list_distinct({_DUCK_TOKENS})) AS n_types
+      FROM documents),
+    scored AS (
+      SELECT source, doc_id, n_tok,
+             CASE WHEN n_tok = 0 THEN 0
+                  ELSE CAST(n_types * 1000000 // n_tok AS BIGINT)
+             END AS ttr_ppm
+      FROM t),
+    kept AS (
+      SELECT *,
+             ({_DUCK_HASH.format(expr="'qsample|' || CAST(doc_id AS VARCHAR)")}
+               % 1000000 < ttr_ppm) AS keep
+      FROM scored)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           CAST(sum(ttr_ppm) // count(*) AS BIGINT) AS mean_ttr_ppm,
+           CAST(CASE WHEN sum(CASE WHEN keep THEN 1 ELSE 0 END) = 0 THEN 0
+                ELSE sum(CASE WHEN keep THEN ttr_ppm ELSE 0 END)
+                     // sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                END AS BIGINT) AS kept_mean_ttr_ppm
+    FROM kept GROUP BY source
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+    ).withColumn(
+        "ttr_ppm",
+        F.when(F.col("n_tok") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr("(n_types * 1000000) div n_tok").cast("long")
+        ),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("qsample|"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = scored.withColumn("keep", (h % 1_000_000) < F.col("ttr_ppm"))
+    n_kept = F.sum(F.when(F.col("keep"), 1).otherwise(0))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_kept.cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.expr("sum(ttr_ppm) div count(1)").cast("long").alias("mean_ttr_ppm"),
+        F.expr(
+            "case when sum(case when keep then 1 else 0 end) = 0 then 0 "
+            "else sum(case when keep then ttr_ppm else 0 end) "
+            "div sum(case when keep then 1 else 0 end) end"
+        )
+        .cast("long")
+        .alias("kept_mean_ttr_ppm"),
+    )

@@ -520,3 +520,63 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
         ).cast("long").alias("n_correct"),
     )
+
+
+# --------------------------------------------------------------------------
+# U22⊕ — HARD-NEGATIVE MINING (round 6): contrastive-training data prep —
+# for each eval vector, the top-3 most-similar corpus vectors with a
+# DIFFERENT label (the "looks alike, isn't" pairs a contrastive or
+# reranker training run needs).  Same bounded-broadcast shape as
+# knn_label_accuracy: eval side fixed and tiny, corpus side scans once,
+# one window pass ranks per query.
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_DUCK_QUANT} AS q FROM embeddings),
+    n AS (
+      SELECT vec_id, label, q, CAST({_DUCK_SQ} AS DOUBLE) AS sq FROM q),
+    pairs AS (
+      SELECT a.vec_id AS query_id, a.label AS query_label,
+             b.vec_id AS neighbor_id, b.label AS neighbor_label,
+             CAST({_DUCK_DOT.replace('qa', 'a.q').replace('len(qa)', 'len(a.q)').replace('qb', 'b.q')} AS DOUBLE)
+               / (sqrt(a.sq) * sqrt(b.sq)) AS cos_sim
+      FROM n a JOIN n b
+        ON a.vec_id < 20 AND b.vec_id >= 20 AND a.label <> b.label)
+    SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id)
+                    AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "q", F.expr(_SPARK_QUANT)
+    ).withColumn("sq", F.expr(_SPARK_SQ).cast("double"))
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("q").alias("qa"),
+        F.col("sq").alias("sqa"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("q").alias("qb"),
+        F.col("sq").alias("sqb"),
+    )
+    cos = F.expr(_SPARK_DOT).cast("double") / (F.sqrt("sqa") * F.sqrt("sqb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        corpus.join(
+            F.broadcast(queries),
+            F.col("query_label") != F.col("neighbor_label"),
+        )
+        .withColumn("cos_sim", cos)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rn")
+    )
