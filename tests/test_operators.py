@@ -515,6 +515,9 @@ def test_headline_plan_golden(spark, sf_dir, name):
         ("value_histogram_bins", ["HashAggregate"]),
         ("value_time_correlation", ["HashAggregate"]),
         ("stratified_topk_sample", ["Window"]),
+        ("hard_negative_mining", ["Window"]),
+        ("quality_weighted_sample", ["HashAggregate"]),
+        ("bpe_top_merges", ["Window", "HashAggregate"]),
     ],
 )
 def test_round5_query_plan_shapes(spark, sf_dir, name, expect):

@@ -2486,3 +2486,54 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_mean_ttr_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# U23⊕ — BPE TOP MERGES (round 6): the first real step of byte-pair-
+# encoding tokenizer TRAINING — count adjacent character pairs inside
+# words across the corpus and rank the merge candidates
+# (bpe_token_estimate is the inference-side estimate; this is the
+# training-side pair-statistics pass every BPE/WordPiece build starts
+# with, and at 100 TB it is THE expensive step — one explode + one
+# groupBy here, rerun per merge round on re-segmented text).
+# Top-20 pairs, ties broken lexicographically, exact integer counts.
+@query(
+    "bpe_top_merges",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents),
+    pairs AS (
+      SELECT unnest([substr(tok, i, 2)
+                     FOR i IN generate_series(1, len(tok) - 1)]) AS pair
+      FROM toks WHERE len(tok) >= 2),
+    counted AS (
+      SELECT pair, count(*) AS n_occurrences FROM pairs GROUP BY pair)
+    SELECT pair, n_occurrences, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, pair)
+                    AS rn
+          FROM counted)
+    WHERE rn <= 20
+    """,
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens_col()).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1), "
+                "i -> substr(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), "pair")
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("pair", "n_occurrences", "rn")
+    )
