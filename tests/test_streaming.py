@@ -1400,3 +1400,71 @@ def test_streaming_classify_refuses_unbounded_centroids(spark, sf_dir):
             center_literals(centers)
     finally:
         cl.MAX_CENTERS = old
+
+
+def test_streaming_source_stats_matches_batch_and_retry_safe(
+    spark, sf_dir, tmp_path
+):
+    """Partial-aggregate maintenance: a 3-micro-batch run's folded totals
+    must equal the one-shot batch aggregate exactly (BIGINT partials
+    compose associatively), and re-running a batch handler (at-least-once
+    retry) must not double-count."""
+    import json
+
+    from video_etl_spark.session import load_table
+    from video_etl_spark.streaming.stats import (
+        batch_partial,
+        current_totals,
+        make_stats_handler,
+        streaming_source_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    rows = docs.select("doc_id", "text", "source").collect()
+    for b in range(3):
+        chunk = [r for r in rows if r["doc_id"] % 3 == b]
+        (d / f"f{b}.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {"doc_id": int(r["doc_id"]), "text": r["text"],
+                     "source": r["source"]}
+                )
+                for r in chunk
+            )
+            + "\n"
+        )
+
+    stats_dir = str(tmp_path / "stats")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string"
+    ).option("maxFilesPerTrigger", 1).json(str(d))
+    q = (
+        streaming_source_stats(stream, stats_dir)
+        .option("checkpointLocation", str(tmp_path / "stats_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in current_totals(spark, stats_dir).collect()
+    }
+    want = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in batch_partial(docs).collect()
+    }
+    assert got == want and got
+
+    # retry idempotence: re-run batch 1's handler directly — totals
+    # unchanged because the partition is overwritten, not appended
+    handler = make_stats_handler(stats_dir)
+    batch1 = docs.filter(F.col("doc_id") % 3 == 1)
+    handler(batch1, 1)
+    again = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in current_totals(spark, stats_dir).collect()
+    }
+    assert again == want
