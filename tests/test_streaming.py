@@ -1468,3 +1468,79 @@ def test_streaming_source_stats_matches_batch_and_retry_safe(
         for r in current_totals(spark, stats_dir).collect()
     }
     assert again == want
+
+
+def test_streaming_curation_maintains_mixture_stats(spark, tmp_path):
+    """With stats_dir set, the curation handler also maintains the
+    incremental per-source stats table — folded totals must equal the
+    aggregate over the CLEAN sink (survivors only; rejected docs carry no
+    stats weight)."""
+    import json
+    import os
+
+    from video_etl_spark.streaming.curation import streaming_ingest_curation
+    from video_etl_spark.streaming.decontaminate import doc_shingles
+    from video_etl_spark.streaming.stats import current_totals
+
+    a, b, c, batches = _curation_batches()
+    bench_src = spark.createDataFrame([(99, c)], "doc_id long, text string")
+    doc_shingles(bench_src).select("s").distinct().write.parquet(
+        str(tmp_path / "bench")
+    )
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        p = d / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps(
+                    {"doc_id": did, "text": t,
+                     "source": f"src{did % 2}"}
+                )
+                for did, t in rows
+            )
+            + "\n"
+        )
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        streaming_ingest_curation(
+            stream,
+            index_dir=str(tmp_path / "sig_index"),
+            bench_dir=str(tmp_path / "bench"),
+            clean_dir=str(tmp_path / "clean"),
+            rejected_dir=str(tmp_path / "rejected"),
+            stats_dir=str(tmp_path / "stats"),
+        )
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in current_totals(spark, str(tmp_path / "stats")).collect()
+    }
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    want = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in clean.select(
+            "source",
+            F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("n_tokens")
+        )
+        .collect()
+    }
+    assert got == want and got

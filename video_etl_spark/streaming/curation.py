@@ -84,6 +84,7 @@ def make_ingest_handler(
     n_shards: int = 8,
     n_bands: int = 2,
     rows_per_band: int = 2,
+    stats_dir: str | None = None,
 ):
     """The per-micro-batch curation step, exposed for direct testing and
     for embedding in a custom foreachBatch pipeline.
@@ -92,6 +93,11 @@ def make_ingest_handler(
     Rejected sink rows: (doc_id, reason, detail, batch_id) where reason ∈
     {'quality', 'contaminated', 'near_dup'} and detail carries the gate
     score / overlap count / earliest duplicate id.
+
+    With ``stats_dir`` set, each batch also writes the SURVIVORS'
+    (source, n_docs, n_tokens) partial aggregate into the incremental
+    stats table (streaming/stats.py) — mixture weights over the curated
+    corpus then fold partials instead of rescanning the clean sink.
     """
     from pyspark.errors import AnalysisException
 
@@ -199,6 +205,17 @@ def make_ingest_handler(
                 .partitionBy("batch_id")
                 .parquet(index_dir)
             )
+            if stats_dir is not None:
+                from video_etl_spark.streaming.stats import batch_partial
+
+                (
+                    batch_partial(survivors)
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(stats_dir)
+                )
         finally:
             scored.unpersist()
             if decontaminated is not None:
