@@ -83,6 +83,7 @@ def main() -> None:
             bench_dir=f"{work}/bench",
             clean_dir=f"{work}/clean",
             rejected_dir=f"{work}/rejected",
+            stats_dir=f"{work}/stats",
         )
         .option("checkpointLocation", f"{work}/ckpt")
         .trigger(availableNow=True)
@@ -97,6 +98,13 @@ def main() -> None:
     rejected = spark.read.schema(
         "doc_id long, reason string, detail long, batch_id integer"
     ).parquet(f"{work}/rejected")
+
+    from video_etl_spark.streaming.stats import current_totals
+
+    stats = current_totals(spark, f"{work}/stats").orderBy("source").collect()
+    print("\nincremental mixture stats (survivors, folded from partials):")
+    for r in stats[:6]:
+        print(f"  {r['source']}: {r['n_docs']} docs, {r['n_tokens']} tokens")
 
     print(f"\ncorpus {corpus.count()} docs in {N_BATCHES} crawl batches")
     print("\nper-batch ledger:")

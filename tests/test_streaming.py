@@ -1544,3 +1544,41 @@ def test_streaming_curation_maintains_mixture_stats(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_stats_compaction_preserves_totals(spark, sf_dir, tmp_path):
+    from video_etl_spark.session import load_table
+    from video_etl_spark.streaming.stats import (
+        compact_stats,
+        current_totals,
+        make_stats_handler,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats_dir = str(tmp_path / "stats")
+    handler = make_stats_handler(stats_dir)
+    for b in range(3):
+        handler(docs.filter(F.col("doc_id") % 3 == b), b)
+    before = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in current_totals(spark, stats_dir).collect()
+    }
+    compact_stats(spark, stats_dir)
+    after = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in current_totals(spark, stats_dir).collect()
+    }
+    assert after == before and after
+    # one folded partition remains
+    import glob
+    import os
+
+    parts = glob.glob(os.path.join(stats_dir, "batch_id=*"))
+    assert [os.path.basename(p) for p in parts] == ["batch_id=-1"]
+    # ingest continues cleanly after compaction
+    handler(docs.filter(F.col("doc_id") % 3 == 0), 3)
+    grown = {
+        r["source"]: r["n_docs"]
+        for r in current_totals(spark, stats_dir).collect()
+    }
+    assert sum(grown.values()) > sum(v[0] for v in before.values())

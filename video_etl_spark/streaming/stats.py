@@ -71,6 +71,26 @@ def streaming_source_stats(docs: DataFrame, stats_dir: str):
     return docs.writeStream.foreachBatch(make_stats_handler(stats_dir))
 
 
+def compact_stats(spark: SparkSession, stats_dir: str) -> None:
+    """Fold all existing partials into a single batch_id=-1 partition and
+    drop the per-batch ones — the periodic maintenance job that keeps the
+    partials table O(sources) instead of O(batches × sources).  Totals
+    are unchanged (exact BIGINT sums); safe to interleave with ingest as
+    long as no batch reuses id -1 (foreachBatch ids are non-negative).
+    """
+    totals = current_totals(spark, stats_dir).withColumn(
+        "batch_id", F.lit(-1).cast("long")
+    )
+    # materialize BEFORE overwriting the directory being read
+    rows = totals.collect()
+    (
+        spark.createDataFrame(rows, schema=STATS_SCHEMA)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(stats_dir)
+    )
+
+
 def current_totals(spark: SparkSession, stats_dir: str) -> DataFrame:
     """Fold all partials into current (source, n_docs, n_tokens) totals —
     the frame ``mixture_resample``-style rate derivation consumes.
