@@ -580,3 +580,79 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# U21⊕/U22⊕ — SEMANTIC CANONICAL VECTORS (round 6): the composed
+# semantic-dedup PIPELINE as one oracle-pinned query — cluster-blocked
+# candidate pairs (semantic_dedup_pairs) → connected components → min-id
+# canonical per cluster.  The text side pins shingle→minhash→band→CC→pick
+# (canonical_cluster_docs); this pins the embedding side end to end:
+# quantize→assign→block→cosine→CC→pick.  The oracle reuses the pair CTEs
+# plus the recursive reachability pattern.
+# Plan shape: the pair generation is the semantic_dedup plan; CC rounds
+# shuffle ids only; the pick is one aggregate — vectors never move after
+# the pair join.
+@query(
+    "semantic_canonical_vecs",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings),
+    n AS (
+      SELECT vec_id, q, CAST({_DUCK_SQ} AS DOUBLE) AS sq FROM q),
+    c0 AS (SELECT vec_id AS center_id, q AS c FROM q WHERE vec_id < 8),
+    d AS (
+      SELECT a.vec_id, c.center_id,
+             list_sum([(a.q[i] - c.c[i]) * (a.q[i] - c.c[i])
+                       FOR i IN generate_series(1, len(a.q))]) AS dist
+      FROM q a CROSS JOIN c0 c),
+    asg AS (
+      SELECT vec_id, center_id FROM (
+        SELECT vec_id, center_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, center_id) AS rn
+        FROM d) WHERE rn <= 2),
+    prs AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM asg ax JOIN n x ON ax.vec_id = x.vec_id
+      JOIN asg ay ON ax.center_id = ay.center_id AND ax.vec_id < ay.vec_id
+      JOIN n y ON ay.vec_id = y.vec_id
+      WHERE CAST(list_sum([x.q[i] * y.q[i]
+                           FOR i IN generate_series(1, len(x.q))]) AS DOUBLE)
+              / (sqrt(x.sq) * sqrt(y.sq)) >= 0.4),
+    bidir AS (
+      SELECT vec_a AS u, vec_b AS v FROM prs
+      UNION SELECT vec_b AS u, vec_a AS v FROM prs),
+    reach AS (
+      SELECT u, v FROM bidir
+      UNION
+      SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u),
+    comp AS (
+      SELECT e.vec_id,
+             least(e.vec_id, coalesce(m.mv, e.vec_id)) AS component
+      FROM embeddings e
+      LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) m
+        ON m.u = e.vec_id)
+    SELECT component,
+           min(vec_id) AS canonical_vec_id,
+           count(*) AS n_members
+    FROM comp GROUP BY component
+    """,
+)
+def semantic_canonical_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.dedup import connected_components
+    from video_etl_spark.llm_ops.similarity import cluster_blocked_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = cluster_blocked_pairs(emb, n_centers=8, n_probes=2).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(
+        edges,
+        emb.select(F.col("vec_id").alias("doc_id")),
+        edges_distinct=True,
+    )
+    return comp.groupBy("component").agg(
+        F.min("node").alias("canonical_vec_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
