@@ -1582,3 +1582,113 @@ def test_stats_compaction_preserves_totals(spark, sf_dir, tmp_path):
         for r in current_totals(spark, stats_dir).collect()
     }
     assert sum(grown.values()) > sum(v[0] for v in before.values())
+
+
+def _vector_batches():
+    """2 ingest batches: batch1 has an exact cross-batch dup of id 1
+    (id 10), an intra-batch dup pair (11 < 12, id 12 must lose), and a
+    fresh vector (13)."""
+    import random
+
+    def vec(seed):
+        r = random.Random(seed)
+        return [r.uniform(-0.5, 0.5) for _ in range(64)]
+
+    v1, v2, v11 = vec(1), vec(2), vec(11)
+    return [
+        [(1, v1), (2, v2)],
+        [(10, v1), (11, v11), (12, v11), (13, vec(13))],
+    ]
+
+
+def test_streaming_vector_ingest_dedup_and_classify(spark, sf_dir, tmp_path):
+    """Vector-side ingest: cross-batch dups reject against the persistent
+    index, intra-batch dups keep only the lowest id, survivors land
+    classified, the index holds exactly the survivors, and a handler
+    retry is idempotent."""
+    import json
+
+    from video_etl_spark.session import load_table
+    from video_etl_spark.streaming.classify import quantize_embedding
+    from video_etl_spark.streaming.vector_ingest import (
+        make_vector_ingest_handler,
+        streaming_vector_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = quantize_embedding(emb.filter(F.col("vec_id") < 8)).select(
+        F.col("vec_id").alias("center_id"), F.col("q").alias("c")
+    )
+
+    batches = _vector_batches()
+    d = tmp_path / "vec_in"
+    d.mkdir()
+    import os
+
+    for i, rows in enumerate(batches):
+        p = d / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"vec_id": vid, "embedding": v})
+                for vid, v in rows
+            )
+            + "\n"
+        )
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+
+    dirs = {
+        k: str(tmp_path / k) for k in ("index", "clean", "rejected")
+    }
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        streaming_vector_ingest(
+            stream,
+            index_dir=dirs["index"],
+            clean_dir=dirs["clean"],
+            rejected_dir=dirs["rejected"],
+            centers=centers,
+        )
+        .option("checkpointLocation", str(tmp_path / "vec_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    clean = spark.read.parquet(dirs["clean"]).collect()
+    rejected = spark.read.schema(
+        "vec_id long, reason string, dup_of long, max_cos double, "
+        "batch_id long"
+    ).parquet(dirs["rejected"]).collect()
+
+    got_clean = {r["vec_id"] for r in clean}
+    got_rej = {r["vec_id"]: r["dup_of"] for r in rejected}
+    assert got_clean == {1, 2, 11, 13}
+    assert got_rej == {10: 1, 12: 11}
+    for r in rejected:
+        assert r["max_cos"] >= 0.9
+    # survivors are classified against real centroids
+    assert all(0 <= r["center_id"] < 8 for r in clean)
+    # index holds exactly the survivors
+    idx = spark.read.parquet(dirs["index"]).collect()
+    assert {r["vec_id"] for r in idx} == got_clean
+
+    # retry idempotence: re-run batch 1's handler directly
+    handler = make_vector_ingest_handler(
+        dirs["index"], dirs["clean"], dirs["rejected"], centers
+    )
+    b1 = spark.createDataFrame(
+        [(vid, v) for vid, v in batches[1]],
+        "vec_id long, embedding array<double>",
+    )
+    handler(b1, 1)
+    again_clean = {
+        r["vec_id"] for r in spark.read.parquet(dirs["clean"]).collect()
+    }
+    again_idx = {
+        r["vec_id"] for r in spark.read.parquet(dirs["index"]).collect()
+    }
+    assert again_clean == got_clean and again_idx == got_clean
