@@ -2537,3 +2537,116 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("pair", "n_occurrences", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# U23⊕/A11⊕ — COUNT-MIN SKETCH heavy-hitter estimates (round 6): the
+# mergeable-sketch pattern for token frequencies — a depth-4 × width-1024
+# counter matrix built with one groupBy per hash row, then point estimates
+# as the min over rows of the hashed-bucket counters.  Deterministic md5
+# hashing makes the whole sketch — collisions included — bit-identical in
+# both engines, so unlike most sketch twins this one carries a FULL
+# oracle (the t-digest/HLL twins are rows-only; CMS is exactly
+# reproducible).  Output: the top-20 exact tokens with exact count, CMS
+# estimate, and the overestimate (always ≥ 0 — CMS never undercounts).
+# At 100 TB: counter matrices are tiny (k×w longs), merge by cell-wise
+# addition across partitions/days (the partial agg IS the merge), and the
+# estimate pass touches only candidates — the standard streaming
+# heavy-hitter recipe.
+_CMS_W = 1024
+_CMS_SALTS = ("c0|", "c1|", "c2|", "c3|")
+
+
+@query(
+    "token_count_cms_estimates",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
+    exact AS (
+      SELECT token, count(*) AS exact_count FROM toks GROUP BY token),
+    top AS (
+      SELECT token, exact_count FROM (
+        SELECT *, row_number() OVER (ORDER BY exact_count DESC, token)
+                  AS rn
+        FROM exact) WHERE rn <= 20),
+    counters AS (
+      {" UNION ALL ".join(
+        f'''SELECT {i} AS row_id,
+             {_DUCK_HASH.format(expr=f"'{salt}' || token")} % {_CMS_W}
+               AS bucket,
+             count(*) AS cnt
+      FROM toks GROUP BY 2'''
+        for i, salt in enumerate(_CMS_SALTS)
+      )}),
+    est AS (
+      SELECT t.token, t.exact_count, min(c.cnt) AS cms_estimate
+      FROM top t
+      JOIN counters c
+        ON ((c.row_id = 0 AND c.bucket =
+             {_DUCK_HASH.format(expr="'c0|' || t.token")} % {_CMS_W})
+         OR (c.row_id = 1 AND c.bucket =
+             {_DUCK_HASH.format(expr="'c1|' || t.token")} % {_CMS_W})
+         OR (c.row_id = 2 AND c.bucket =
+             {_DUCK_HASH.format(expr="'c2|' || t.token")} % {_CMS_W})
+         OR (c.row_id = 3 AND c.bucket =
+             {_DUCK_HASH.format(expr="'c3|' || t.token")} % {_CMS_W}))
+      GROUP BY t.token, t.exact_count)
+    SELECT token, exact_count,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def token_count_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens_col()).alias("token")).persist()
+
+    def bucket(salt: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("token"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    counters = None
+    for i, salt in enumerate(_CMS_SALTS):
+        c = (
+            toks.select(bucket(salt).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(i).alias("row_id"), "bucket", "cnt")
+        )
+        counters = c if counters is None else counters.unionByName(c)
+
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    w = Window.orderBy(F.desc("exact_count"), "token")
+    top = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    probes = None
+    for i, salt in enumerate(_CMS_SALTS):
+        p = top.select(
+            "token",
+            "exact_count",
+            F.lit(i).alias("row_id"),
+            bucket(salt).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.join(F.broadcast(counters), ["row_id", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )
