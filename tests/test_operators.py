@@ -632,3 +632,42 @@ def test_remove_repeated_spans_crafted(spark, tmp_path):
     assert out[2] == (6, 3, "u v w")
     assert out[3] == (3, 3, "")          # fully removed
     assert out[4] == (4, 0, "m n o q")   # untouched
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """ORC source/sink parity with the parquet path: values round-trip
+    exactly, predicate pushdown reaches the ORC scan (PushedFilters), and
+    hive partition pruning keeps non-matching day directories out of the
+    executed plan."""
+    from video_etl_spark.operators.io import (
+        read_orc,
+        with_day_partition,
+        write_orc_partitioned,
+    )
+    from video_etl_spark.session import load_table
+
+    events = with_day_partition(
+        load_table(spark, sf_dir, "events").limit(2000)
+    )
+    out = str(tmp_path / "events_orc")
+    write_orc_partitioned(events, out, ["day"])
+
+    back = read_orc(spark, out)
+    want = events.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("s")
+    ).collect()[0]
+    got = back.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("s")
+    ).collect()[0]
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+    one_day = back.filter(
+        (F.col("day") == F.lit(events.select(F.min("day")).collect()[0][0]))
+        & (F.col("user_id") > 10)
+    )
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "user_id" in plan
+    # partition pruning: the day predicate becomes a PartitionFilter
+    assert "PartitionFilters: [isnotnull(day" in plan
+    scanned = one_day.count()
+    assert 0 < scanned < got["n"]

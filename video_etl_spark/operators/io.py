@@ -94,3 +94,26 @@ def write_bucketed(
         .sortBy(*bucket_cols)
         .saveAsTable(table)
     )
+
+
+def write_orc_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """ORC twin of :func:`write_partitioned` — the second columnar sink
+    format (some lakes standardize on ORC; Spark's native reader gives it
+    the same predicate pushdown and partition pruning as parquet, which
+    the round-trip test asserts via PushedFilters on the ORC scan)."""
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .orc(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC sink back; filters push down to the ORC scan."""
+    return spark.read.orc(path)
