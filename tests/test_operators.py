@@ -671,3 +671,34 @@ def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(day" in plan
     scanned = one_day.count()
     assert 0 < scanned < got["n"]
+
+
+def test_text_corpus_scan_content_addressed(spark, tmp_path):
+    """Raw .txt ingestion: content-addressed ids are stable across reads,
+    duplicate lines collapse with multiplicity, blank lines drop, and
+    source carries the originating file."""
+    from video_etl_spark.operators.io import read_text_corpus
+
+    (tmp_path / "a.txt").write_text("alpha doc one\nshared line\n\n")
+    (tmp_path / "b.txt").write_text("shared line\nshared line\nbeta doc\n")
+    df = read_text_corpus(spark, str(tmp_path))
+    rows = {(r["text"], r["source"]): r for r in df.collect()}
+    assert set(rows) == {
+        ("alpha doc one", "a.txt"),
+        ("shared line", "a.txt"),
+        ("shared line", "b.txt"),
+        ("beta doc", "b.txt"),
+    }
+    assert rows[("shared line", "b.txt")]["n_copies"] == 2
+    # same text => same doc_id regardless of file; different text differs
+    assert (
+        rows[("shared line", "a.txt")]["doc_id"]
+        == rows[("shared line", "b.txt")]["doc_id"]
+    )
+    assert rows[("alpha doc one", "a.txt")]["doc_id"] != rows[("beta doc", "b.txt")]["doc_id"]
+    # deterministic across reads
+    again = {
+        (r["text"], r["source"]): r["doc_id"]
+        for r in read_text_corpus(spark, str(tmp_path)).collect()
+    }
+    assert again == {k: v["doc_id"] for k, v in rows.items()}

@@ -117,3 +117,37 @@ def write_orc_partitioned(
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """Read an ORC sink back; filters push down to the ORC scan."""
     return spark.read.orc(path)
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text-corpus scan: one document per line across a directory of
+    .txt files — the rawest ingestion format a crawl pipeline sees.
+
+    Documents get CONTENT-ADDRESSED ids (md5-prefix of the text), not
+    positional ones: positional ids (monotonically_increasing_id,
+    zipWithIndex) differ across partitioning/reruns, while content hashes
+    are deterministic on any cluster — and identical lines collapsing to
+    one id is exact dedup semantics for free (n_copies tracks the
+    multiplicity).  `source` is the originating file name, feeding the
+    per-source mixture/quality ops directly.
+    """
+    lines = spark.read.text(path).select(
+        F.col("value").alias("text"),
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("source"),
+    )
+    return (
+        lines.filter(F.length(F.trim("text")) > 0)
+        .groupBy("text", "source")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("doc_id"),
+            "text",
+            "source",
+            "n_copies",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
