@@ -46,7 +46,11 @@ def curate_documents(
     """Returns the curated corpus: (doc_id, source, split, quality, text).
 
     Only cluster-canonical, gate-passing documents survive; text is
-    PII-scrubbed; the split is a pure hash of doc_id.
+    PII-scrubbed; the split hashes the near-dup CLUSTER id (component),
+    not the doc id — the leakage-free convention of the
+    ``cluster_aware_split`` query: the assignment is invariant to WHICH
+    cluster member wins the canonical pick, so a quality-tiebreak change
+    can never silently move a document across train/valid/test.
     """
     from video_etl_spark.queries.text import (
         dedup_connected_clusters,
@@ -77,7 +81,7 @@ def curate_documents(
 
     clusters = dedup_connected_clusters(spark, sf_dir).filter(
         F.col("is_canonical")
-    ).select("doc_id")
+    ).select("doc_id", "component")
 
     scrubbed = docs.select(
         "doc_id",
@@ -88,7 +92,7 @@ def curate_documents(
     )
 
     bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(F.concat(F.lit("csplit|"), F.col("component").cast("string"))), 1, 15), 16, 10).cast("long"),
         F.lit(10),
     )
     split = (
@@ -99,7 +103,7 @@ def curate_documents(
 
     return (
         scrubbed.join(gates, "doc_id")
-        .join(clusters, "doc_id", "left_semi")
+        .join(clusters, "doc_id")
         .select("doc_id", "source", split.alias("split"), "quality", "text")
     )
 
