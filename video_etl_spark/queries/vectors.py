@@ -656,3 +656,95 @@ def semantic_canonical_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("canonical_vec_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+# --------------------------------------------------------------------------
+# U22⊕/U23⊕ — CLUSTER QUALITY PROFILE (round 6): the cross-MODAL audit —
+# join the embedding-space clustering (documents' semantic neighborhoods)
+# against the text-side quality signal (type-token ratio) at doc_id ==
+# vec_id grain and ask whether clusters are quality-homogeneous.  A
+# cluster whose members' TTR collapses is a boilerplate/spam neighborhood
+# a semantic curation pass should down-weight wholesale — per-cluster
+# pruning decisions need exactly this readout.
+# Plan shape: the assignment fan-out (broadcast-K) ⋈ a scan-fused TTR
+# projection on doc_id — one equi-join, one groupBy(center); exact ppm
+# integers end to end.
+@query(
+    "cluster_quality_profile",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings),
+    c0 AS (SELECT vec_id AS center_id, q AS c FROM q WHERE vec_id < 8),
+    d AS (
+      SELECT a.vec_id, c.center_id,
+             list_sum([(a.q[i] - c.c[i]) * (a.q[i] - c.c[i])
+                       FOR i IN generate_series(1, len(a.q))]) AS dist
+      FROM q a CROSS JOIN c0 c),
+    asg AS (
+      SELECT vec_id, center_id FROM (
+        SELECT vec_id, center_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, center_id) AS rn
+        FROM d) WHERE rn = 1),
+    ttr AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) = 0
+                  THEN 0
+                  ELSE CAST(len(list_distinct(
+                         string_split_regex(trim(lower(text)), '\\s+')))
+                       * 1000000
+                       // len(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS BIGINT)
+             END AS ttr_ppm
+      FROM documents)
+    SELECT a.center_id,
+           count(*) AS n_docs,
+           CAST(sum(t.ttr_ppm) // count(*) AS BIGINT) AS mean_ttr_ppm,
+           CAST(min(t.ttr_ppm) AS BIGINT) AS min_ttr_ppm,
+           CAST(max(t.ttr_ppm) AS BIGINT) AS max_ttr_ppm
+    FROM asg a JOIN ttr t ON a.vec_id = t.doc_id
+    GROUP BY a.center_id
+    """,
+)
+def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", F.expr(_SPARK_QUANT).alias("q"))
+    centers = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("center_id"), F.col("q").alias("c")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(centers))
+        .select("vec_id", "center_id", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "center_id")).alias("m"))
+        .select("vec_id", F.col("m.center_id").alias("center_id"))
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    ttr = docs.select(
+        "doc_id",
+        F.when(F.size(toks) == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "(size(array_distinct(split(trim(lower(text)), '\\\\s+'))) "
+                "* 1000000) div size(split(trim(lower(text)), '\\\\s+'))"
+            ).cast("long")
+        )
+        .alias("ttr_ppm"),
+    )
+    return (
+        assigned.join(ttr, assigned["vec_id"] == ttr["doc_id"])
+        .groupBy("center_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(ttr_ppm) div count(1)")
+            .cast("long")
+            .alias("mean_ttr_ppm"),
+            F.min("ttr_ppm").cast("long").alias("min_ttr_ppm"),
+            F.max("ttr_ppm").cast("long").alias("max_ttr_ppm"),
+        )
+    )
