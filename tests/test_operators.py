@@ -518,6 +518,9 @@ def test_headline_plan_golden(spark, sf_dir, name):
         ("hard_negative_mining", ["Window"]),
         ("quality_weighted_sample", ["HashAggregate"]),
         ("bpe_top_merges", ["Window", "HashAggregate"]),
+        ("semantic_canonical_vecs", ["HashAggregate"]),
+        ("token_count_cms_estimates", ["HashAggregate", "BroadcastHashJoin"]),
+        ("cluster_quality_profile", ["HashAggregate", "PushedFilters"]),
     ],
 )
 def test_round5_query_plan_shapes(spark, sf_dir, name, expect):
