@@ -35,10 +35,7 @@ def main() -> None:
         kmeans_lloyd_embeddings,
         knn_label_accuracy,
     )
-    from video_etl_spark.streaming.classify import (
-        classify_stream,
-        quantize_embedding,
-    )
+    from video_etl_spark.streaming.classify import classify_stream
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_vecs = emb.count()

@@ -685,23 +685,16 @@ def test_text_corpus_scan_content_addressed(spark, tmp_path):
     (tmp_path / "a.txt").write_text("alpha doc one\nshared line\n\n")
     (tmp_path / "b.txt").write_text("shared line\nshared line\nbeta doc\n")
     df = read_text_corpus(spark, str(tmp_path))
-    rows = {(r["text"], r["source"]): r for r in df.collect()}
-    assert set(rows) == {
-        ("alpha doc one", "a.txt"),
-        ("shared line", "a.txt"),
-        ("shared line", "b.txt"),
-        ("beta doc", "b.txt"),
-    }
-    assert rows[("shared line", "b.txt")]["n_copies"] == 2
-    # same text => same doc_id regardless of file; different text differs
-    assert (
-        rows[("shared line", "a.txt")]["doc_id"]
-        == rows[("shared line", "b.txt")]["doc_id"]
-    )
-    assert rows[("alpha doc one", "a.txt")]["doc_id"] != rows[("beta doc", "b.txt")]["doc_id"]
+    rows = {r["text"]: r for r in df.collect()}
+    # identical lines collapse corpus-wide: doc_id is a true key
+    assert set(rows) == {"alpha doc one", "shared line", "beta doc"}
+    assert df.count() == df.select("doc_id").distinct().count()
+    assert rows["shared line"]["n_copies"] == 3
+    assert rows["shared line"]["source"] == "a.txt"  # first-seen (min)
+    assert rows["alpha doc one"]["doc_id"] != rows["beta doc"]["doc_id"]
     # deterministic across reads
     again = {
-        (r["text"], r["source"]): r["doc_id"]
+        r["text"]: r["doc_id"]
         for r in read_text_corpus(spark, str(tmp_path)).collect()
     }
     assert again == {k: v["doc_id"] for k, v in rows.items()}

@@ -1569,12 +1569,22 @@ def test_stats_compaction_preserves_totals(spark, sf_dir, tmp_path):
         for r in current_totals(spark, stats_dir).collect()
     }
     assert after == before and after
-    # one folded partition remains
+    # the folded partition plus ONLY the newest (replay-able) batch remain
     import glob
     import os
 
-    parts = glob.glob(os.path.join(stats_dir, "batch_id=*"))
-    assert [os.path.basename(p) for p in parts] == ["batch_id=-1"]
+    parts = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(stats_dir, "batch_id=*"))
+    )
+    assert parts == ["batch_id=-1", "batch_id=2"]
+    # a replay of the newest batch after compaction must NOT double-count
+    handler(docs.filter(F.col("doc_id") % 3 == 2), 2)
+    replayed = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in current_totals(spark, stats_dir).collect()
+    }
+    assert replayed == before
     # ingest continues cleanly after compaction
     handler(docs.filter(F.col("doc_id") % 3 == 0), 3)
     grown = {

@@ -603,6 +603,7 @@ def incremental_embedding_dedup(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_predicate: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine twin of :func:`incremental_dedup` — semantic
     near-dups of a NEW batch's vectors against the indexed corpus.
@@ -617,6 +618,12 @@ def incremental_embedding_dedup(
     (zip_with/aggregate, no Python in the re-rank).  No history×history
     pair is ever generated; at 100 TB history buckets live as a bucketed
     table and each batch joins without re-hashing the corpus.
+
+    ``pair_predicate`` filters candidate id pairs BEFORE aggregation —
+    the intra-batch call (``incremental_embedding_dedup(b, b,
+    pair_predicate="new_id > old_id")``) needs it to drop self-pairs
+    (cos(x,x)=1 would otherwise swamp the max_cos evidence) and enforce
+    lowest-id-wins in one place.
     """
     from video_etl_spark.llm_ops.similarity import _bucket_udf, _planes
     from video_etl_spark.session import ensure_executor_package
@@ -636,6 +643,11 @@ def incremental_embedding_dedup(
         .select("new_id", "old_id")
         .distinct()
     )
+    if pair_predicate is not None:
+        # applied BEFORE the per-new_id aggregation so excluded pairs
+        # (e.g. self-pairs in a batch-vs-itself call) cannot pollute
+        # dup_of / n_candidates / max_cos evidence
+        pair_ids = pair_ids.filter(pair_predicate)
     dot = F.aggregate(
         F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
         F.lit(0.0).cast("double"),

@@ -593,7 +593,15 @@ def cluster_blocked_pairs(
             assigned1.join(q.select("vec_id", "q"), "vec_id")
             .select("center_id", F.posexplode("q").alias("dim", "val"))
             .groupBy("center_id", "dim")
-            .agg(F.expr("sum(val) div count(1)").alias("cv"))
+            # FLOOR semantics on possibly-negative sums: Spark `div`
+            # truncates toward zero, so shift positive by 4e6/unit (the
+            # kmeans_lloyd_embeddings offset trick) before dividing —
+            # floor((sum + n*OFF)/n) - OFF == floor(sum/n) exactly
+            .agg(
+                F.expr(
+                    "(sum(val + 4000000) div count(1)) - 4000000"
+                ).alias("cv")
+            )
             .groupBy("center_id")
             .agg(
                 F.array_sort(

@@ -126,10 +126,12 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     Documents get CONTENT-ADDRESSED ids (md5-prefix of the text), not
     positional ones: positional ids (monotonically_increasing_id,
     zipWithIndex) differ across partitioning/reruns, while content hashes
-    are deterministic on any cluster — and identical lines collapsing to
-    one id is exact dedup semantics for free (n_copies tracks the
-    multiplicity).  `source` is the originating file name, feeding the
-    per-source mixture/quality ops directly.
+    are deterministic on any cluster — and identical lines collapse to
+    ONE row corpus-wide (exact dedup semantics built into the scan, so
+    doc_id is a true key; n_copies tracks the global multiplicity).
+    `source` is the first-seen originating file name (min — the same
+    deterministic attribution convention as ngram_novelty_by_source),
+    feeding the per-source mixture/quality ops directly.
     """
     lines = spark.read.text(path).select(
         F.col("value").alias("text"),
@@ -139,8 +141,11 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     )
     return (
         lines.filter(F.length(F.trim("text")) > 0)
-        .groupBy("text", "source")
-        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .groupBy("text")
+        .agg(
+            F.min("source").alias("source"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
         .select(
             F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
             .cast("long")

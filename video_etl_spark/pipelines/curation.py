@@ -91,8 +91,14 @@ def curate_documents(
         ).alias("text"),
     )
 
+    from video_etl_spark.queries.text import _SPARK_HASH
+
     bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.concat(F.lit("csplit|"), F.col("component").cast("string"))), 1, 15), 16, 10).cast("long"),
+        F.expr(
+            _SPARK_HASH.format(
+                expr="concat('csplit|', cast(component as string))"
+            )
+        ),
         F.lit(10),
     )
     split = (

@@ -2299,15 +2299,9 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep_ppm"),
         )
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("resample|"), F.col("doc_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = F.expr(
+        _SPARK_HASH.format(expr="concat('resample|', cast(doc_id as string))")
+    )
     kept = (
         t.join(F.broadcast(rates.select("source", "keep_ppm")), "source")
         .filter((h % 1_000_000) < F.col("keep_ppm"))
@@ -2375,17 +2369,9 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(
         edges, docs.select("doc_id"), edges_distinct=True
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(F.lit("csplit|"), F.col("component").cast("string"))
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = F.expr(
+        _SPARK_HASH.format(expr="concat('csplit|', cast(component as string))")
+    )
     bucket = h % 10
     split = (
         F.when(bucket < 1, "test").when(bucket < 2, "valid").otherwise("train")
@@ -2460,15 +2446,9 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_types * 1000000) div n_tok").cast("long")
         ),
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("qsample|"), F.col("doc_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = F.expr(
+        _SPARK_HASH.format(expr="concat('qsample|', cast(doc_id as string))")
+    )
     kept = scored.withColumn("keep", (h % 1_000_000) < F.col("ttr_ppm"))
     n_kept = F.sum(F.when(F.col("keep"), 1).otherwise(0))
     return kept.groupBy("source").agg(
@@ -2603,11 +2583,7 @@ def token_count_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def bucket(salt: str) -> F.Column:
         return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(salt), F.col("token"))), 1, 15),
-                16,
-                10,
-            ).cast("long")
+            F.expr(_SPARK_HASH.format(expr=f"concat('{salt}', token)"))
             % _CMS_W
         )
 

@@ -34,14 +34,16 @@ def center_literals(centers: DataFrame) -> list[tuple[int, list[int]]]:
     """Collect a (center_id, c: array<bigint>) frame into plan literals,
     ordered by center_id (the argmin tiebreak order).  Raises if the
     centroid set is too large to broadcast as literals."""
-    n = centers.count()
-    if n > MAX_CENTERS:
+    # limit+1 collect: ONE job both fetches the literals and proves the
+    # bound (a separate count() would re-run the centroid plan — for
+    # kmeans-derived centers that is the full training aggregation)
+    rows = centers.select("center_id", "c").limit(MAX_CENTERS + 1).collect()
+    if len(rows) > MAX_CENTERS:
         raise ValueError(
-            f"{n} centroids exceed MAX_CENTERS={MAX_CENTERS}; "
+            f">{MAX_CENTERS} centroids exceed MAX_CENTERS={MAX_CENTERS}; "
             "use the join-based batch assignment for centroid sets this "
             "large (they are no longer control-plane data)"
         )
-    rows = centers.select("center_id", "c").collect()
     return sorted((int(r["center_id"]), list(r["c"])) for r in rows)
 
 

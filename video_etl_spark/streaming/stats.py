@@ -72,20 +72,42 @@ def streaming_source_stats(docs: DataFrame, stats_dir: str):
 
 
 def compact_stats(spark: SparkSession, stats_dir: str) -> None:
-    """Fold all existing partials into a single batch_id=-1 partition and
-    drop the per-batch ones — the periodic maintenance job that keeps the
-    partials table O(sources) instead of O(batches × sources).  Totals
-    are unchanged (exact BIGINT sums); safe to interleave with ingest as
-    long as no batch reuses id -1 (foreachBatch ids are non-negative).
+    """Fold old partials into a single batch_id=-1 partition — the
+    periodic maintenance job that keeps the partials table O(sources)
+    instead of O(batches × sources).  Totals are unchanged (exact BIGINT
+    sums).
+
+    Replay safety: foreachBatch is at-least-once, and ONLY the newest
+    batch can replay after a restart (earlier ids are checkpoint-
+    committed), so the HIGHEST batch_id partition is deliberately left
+    unfolded — if that batch replays, its dynamic-overwrite rewrite still
+    targets its own partition, never the folded one.  NOT safe to run
+    concurrently with an actively writing stream (the fold is a read-
+    then-rewrite of the directory); run it between triggers or while the
+    stream is stopped.
     """
-    totals = current_totals(spark, stats_dir).withColumn(
-        "batch_id", F.lit(-1).cast("long")
+    df = spark.read.schema(STATS_SCHEMA).parquet(stats_dir)
+    newest = df.agg(F.max("batch_id")).collect()[0][0]
+    if newest is None:
+        return
+    folded = (
+        df.filter(F.col("batch_id") < newest)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .withColumn("batch_id", F.lit(-1).cast("long"))
     )
-    # materialize BEFORE overwriting the directory being read
-    rows = totals.collect()
+    keep = df.filter(F.col("batch_id") == newest)
+    # materialize BEFORE overwriting the directory being read; explicit
+    # STATIC overwrite so a session-level dynamic default cannot leave
+    # the already-folded per-batch partitions behind (double-counting)
+    rows = folded.unionByName(keep.select(*folded.columns)).collect()
     (
         spark.createDataFrame(rows, schema=STATS_SCHEMA)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("batch_id")
         .parquet(stats_dir)
     )

@@ -83,13 +83,16 @@ def make_vector_ingest_handler(
                 ).select("new_id", "dup_of", "max_cos")
             # intra-batch: earliest (lowest) id wins — asymmetric join of
             # the batch against itself restricted to new_id > old_id
-            intra = (
-                incremental_embedding_dedup(
-                    batch, batch, threshold=threshold, id_col="vec_id"
-                )
-                .filter(F.col("new_id") > F.col("dup_of"))
-                .select("new_id", "dup_of", "max_cos")
-            )
+            intra = incremental_embedding_dedup(
+                batch,
+                batch,
+                threshold=threshold,
+                id_col="vec_id",
+                # drop self-pairs and enforce lowest-id-wins BEFORE the
+                # aggregation, so max_cos is the real best duplicate
+                # similarity, not cos(x,x)=1
+                pair_predicate="new_id > old_id",
+            ).select("new_id", "dup_of", "max_cos")
             dups = intra if dups is None else dups.unionByName(intra)
             dups = dups.groupBy("new_id").agg(
                 F.min("dup_of").alias("dup_of"),
