@@ -142,10 +142,11 @@ def main() -> None:
             f"  shard {r['shard']}: {r['n_docs']:5d} docs "
             f"{r['n_chars']:9d} chars"
         )
-    total = clean.count() + rejected.count()
+    n_clean, n_rejected = clean.count(), rejected.count()
+    total = n_clean + n_rejected
     print(
-        f"\n{clean.count()} clean / {rejected.count()} rejected "
-        f"({total} total, {rejected.count() * 100.0 / total:.1f}% rejected)"
+        f"\n{n_clean} clean / {n_rejected} rejected "
+        f"({total} total, {n_rejected * 100.0 / total:.1f}% rejected)"
     )
 
 

@@ -1100,6 +1100,10 @@ def test_simhash_relational_matches_arrow_and_scalar(spark, sf_dir):
             (100002, "   "),
             (100003, "one"),
             (100004, "Tab\tand  Spaces\nnewline"),
+            # non-breaking space: Java/RE2 \s is ASCII-only, so this is
+            # ONE token on every path (the Python references use the
+            # explicit ASCII rule — a plain str.split() would disagree)
+            (100005, "non\u00a0breaking space text"),
         ],
         "doc_id long, text string",
     )

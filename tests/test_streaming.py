@@ -1702,3 +1702,89 @@ def test_streaming_vector_ingest_dedup_and_classify(spark, sf_dir, tmp_path):
         r["vec_id"] for r in spark.read.parquet(dirs["index"]).collect()
     }
     assert again_clean == got_clean and again_idx == got_clean
+
+
+def test_curation_null_and_empty_text_are_rejected_not_lost(spark, tmp_path):
+    """Ledger contract: every input doc lands in exactly one sink.  NULL
+    text must not vanish (NULL comparisons are false in both filter
+    branches) and empty text must not enter the clean corpus with a
+    fabricated perfect TTR."""
+    from video_etl_spark.streaming.curation import make_ingest_handler
+    from video_etl_spark.streaming.decontaminate import doc_shingles
+
+    bench_src = spark.createDataFrame(
+        [(99, "completely unrelated benchmark text nothing shares this")],
+        "doc_id long, text string",
+    )
+    doc_shingles(bench_src).select("s").distinct().write.parquet(
+        str(tmp_path / "bench")
+    )
+    handler = make_ingest_handler(
+        index_dir=str(tmp_path / "idx"),
+        bench_dir=str(tmp_path / "bench"),
+        clean_dir=str(tmp_path / "clean"),
+        rejected_dir=str(tmp_path / "rej"),
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, None, "s0"),
+            (2, "", "s0"),
+            (3, "   ", "s0"),
+            (4, "a genuinely fine document with plenty of distinct words "
+                "covering many different topics here", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    handler(batch, 0)
+    clean = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "clean")).collect()
+    }
+    rejected = {
+        r["doc_id"]: r["reason"]
+        for r in spark.read.schema(
+            "doc_id long, reason string, detail long, batch_id long"
+        ).parquet(str(tmp_path / "rej")).collect()
+    }
+    assert clean == {4}
+    assert set(rejected) == {1, 2, 3}
+    assert all(v == "quality" for v in rejected.values())
+
+
+def test_streaming_dedup_first_batch_creates_dup_sink(spark, tmp_path):
+    """A one-batch stream must still leave dup_dir readable (empty) — the
+    handler previously skipped the dup write entirely when no index
+    existed, and consumers following the module's own explicit-schema
+    advice hit PATH_NOT_FOUND."""
+    from video_etl_spark.streaming.dedup import make_batch_handler
+
+    handler = make_batch_handler(
+        str(tmp_path / "idx"), str(tmp_path / "dups")
+    )
+    batch = spark.createDataFrame(
+        [(1, "some perfectly ordinary first document text here")],
+        "doc_id long, text string",
+    )
+    handler(batch, 0)
+    # read with the documented explicit schema (an all-empty sink has no
+    # data files to infer from) — the point is the PATH exists
+    dups = spark.read.schema(
+        "new_doc long, dup_of long, n_candidates long, batch_id long"
+    ).parquet(str(tmp_path / "dups"))
+    assert dups.count() == 0
+
+
+def test_simhash_max_hamming_guard(spark, sf_dir):
+    import pytest as _p
+
+    from video_etl_spark.llm_ops.dedup import (
+        incremental_simhash_dedup,
+        simhash_pairs,
+    )
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    with _p.raises(ValueError, match="chunk blocking"):
+        simhash_pairs(docs, max_hamming=4)
+    with _p.raises(ValueError, match="chunk blocking"):
+        incremental_simhash_dedup(docs, docs, max_hamming=4)

@@ -17,6 +17,7 @@ sanctioned Python path).  Hashing is md5-based and deterministic.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -33,11 +34,23 @@ _BIT_IDX = np.arange(64, dtype=np.uint64)
 _DENSE_LIMIT = 1 << 22
 
 
+#: ASCII-whitespace tokenizer shared by all three SimHash paths.  Spark's
+#: Java regex \s and DuckDB's RE2 \s are ASCII-only, while Python's
+#: str.split() is Unicode-aware — a corpus with non-breaking spaces would
+#: tokenize differently per path and break the bit-identical contract, so
+#: the Python references split with the ASCII rule ((?a)\s+) explicitly.
+_WS_RE = re.compile(r"(?a)\s+")
+
+
+def _ascii_tokens(text: str) -> list[str]:
+    return [t for t in _WS_RE.split(text) if t]
+
+
 def _simhash64(text: str) -> int:
     """Scalar reference implementation (tests compare the vectorized batch
     path against this)."""
     counts = [0] * 64
-    for tok in text.lower().split():
+    for tok in _ascii_tokens(text.lower()):
         h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
         for i in range(64):
             counts[i] += 1 if (h >> i) & 1 else -1
@@ -56,7 +69,9 @@ def _simhash_series(texts: pd.Series) -> pd.Series:
     unique-token hashes -> (U, 64) ±1 matrix, gathered per occurrence and
     segment-summed per document with ``np.add.reduceat``.
     """
-    toks = texts.fillna("").str.lower().str.split()
+    toks = texts.fillna("").str.lower().map(
+        lambda t: _ascii_tokens(t)
+    )
     n_docs = len(toks)
     lengths = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n_docs)
     flat = [tok for lst in toks for tok in lst]
@@ -224,11 +239,21 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs within `max_hamming` bits, via chunk-join blocking.
 
+    The 4×16-bit chunk split only guarantees candidate recall for
+    distances ≤ 3 (pigeonhole: ≤ 3 flipped bits cannot touch all 4
+    chunks); a larger threshold would silently miss pairs, so it raises.
+
     The signature frame feeds both sides of the self-join, so it is
     persisted (doc_id + 5 longs — tiny next to the corpus); like
     ``queries.text._banded_sigs`` the blocks are deliberately left to
     Spark's LRU eviction because the query builder returns a lazy plan.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk blocking "
+            "guarantee (recall is only complete for distance <= 3); use "
+            "more/finer chunks for larger radii"
+        )
     sig = simhash_signatures(docs, text_col).persist()
     a = _chunk_stacked(sig, "doc_a", "sig_a")
     b = _chunk_stacked(sig, "doc_b", "sig_b")
@@ -575,6 +600,11 @@ def incremental_simhash_dedup(
     100 TB the history side is a persisted signature table (64-bit sig +
     4 chunk keys per doc — not text) bucketed on chunk.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk blocking "
+            "guarantee (recall is only complete for distance <= 3)"
+        )
     a = _chunk_stacked(simhash_signatures(new, text_col), "new_doc", "sig_a")
     b = _chunk_stacked(
         simhash_signatures(history, text_col), "old_doc", "sig_b"

@@ -56,7 +56,16 @@ def shard_assignments(
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    hv = _hash60(f"concat('{salt}', cast({id_col} as string))")
+    # column API, not SQL-string interpolation: a salt containing a quote
+    # (or an id column needing quoting) must not break parsing or change
+    # the hash input
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
     return df.withColumn("shard", (hv % F.lit(n_shards)).cast("long"))
 
 
@@ -107,11 +116,18 @@ def write_training_shards(
     return sharded
 
 
-def shard_manifest(sharded: DataFrame, token_col: F.Column | None = None) -> DataFrame:
+def shard_manifest(
+    sharded: DataFrame,
+    token_col: F.Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
     """Per-shard manifest: doc/token/char counts + id range.
 
     The id range lets an incremental pipeline verify shard membership
     without re-hashing; counts drive loader-side batch planning.
+    ``id_col``/``text_col`` mirror the writer's parameters so the
+    write-then-manifest flow works for non-default columns too.
     """
     if token_col is None:
         from video_etl_spark.queries.text import _tokens_col
@@ -123,9 +139,9 @@ def shard_manifest(sharded: DataFrame, token_col: F.Column | None = None) -> Dat
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(n_tok.cast("long")).alias("n_tokens"),
-            F.sum(F.length("text").cast("long")).alias("n_chars"),
-            F.min("doc_id").alias("min_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
+            F.sum(F.length(text_col).cast("long")).alias("n_chars"),
+            F.min(id_col).alias("min_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
         )
         .orderBy("shard")
     )

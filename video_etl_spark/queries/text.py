@@ -43,6 +43,20 @@ _STOPWORDS = "(the|a|of|and|is|to|in)"
 _NORM_RE = "[^a-z0-9 ]"
 
 
+#: overflow-safe ppm ratio: floor(a * 1e6 / b) computed as the exact
+#: multiply-first form while a * 1e6 fits in BIGINT, else the div-first
+#: form (±1 ppm, overflow-free to 9.2e18) — a 100 TB corpus is ~2e13
+#: tokens, past the naive multiply's 9.2e12 wrap point, and Spark would
+#: WRAP silently (non-ANSI) where DuckDB errors, so both correctness and
+#: engine parity need the guard.  Dialects differ only in the integer-div
+#: operator ("div" / "//"); both branches are positive-integer exact.
+def _safe_ppm(a: str, b: str, div: str) -> str:
+    return (
+        f"case when {a} < 9000000000000 then ({a} * 1000000) {div} {b} "
+        f"else {a} {div} greatest(1, {b} {div} 1000000) end"
+    )
+
+
 def _tokens_col() -> F.Column:
     return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
 
@@ -1368,9 +1382,11 @@ def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS n_sources
       FROM s)
     SELECT source, n_docs, n_tokens,
-           CAST(n_tokens * 1000000 // total AS BIGINT) AS token_share_ppm,
+           CAST({_safe_ppm("n_tokens", "total", "//")} AS BIGINT)
+             AS token_share_ppm,
            CASE WHEN n_tokens = 0 THEN NULL
-                ELSE CAST(total * 1000000 // (n_sources * n_tokens) AS BIGINT)
+                ELSE CAST({_safe_ppm("total", "(n_sources * n_tokens)", "//")}
+                     AS BIGINT)
            END AS uniform_weight_ppm
     FROM s, tot
     """,
@@ -1393,12 +1409,13 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.expr("(n_tokens * 1000000) div total").cast("long")
+            F.expr(_safe_ppm("n_tokens", "total", "div")).cast("long")
             .alias("token_share_ppm"),
             F.when(F.col("n_tokens") == 0, F.lit(None).cast("long"))
             .otherwise(
-                F.expr("(total * 1000000) div (n_sources * n_tokens)")
-                .cast("long")
+                F.expr(
+                    _safe_ppm("total", "(n_sources * n_tokens)", "div")
+                ).cast("long")
             )
             .alias("uniform_weight_ppm"),
         )
@@ -1465,6 +1482,11 @@ def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .select("doc_id", "bg.w1", "bg.w2")
+        # the bigram explode feeds BOTH the LM aggregation and the fact
+        # side of the join (different exchanges — ReuseExchange cannot
+        # dedupe them); persist so the scan+explode runs once, same as
+        # repeated_span_fraction's shared (doc, span) frame
+        .persist()
     )
     lm = (
         occ.groupBy("w1", "w2")
@@ -1992,7 +2014,7 @@ _CONC_TOP_K = 100
     SELECT CAST(count(*) AS BIGINT) AS k,
            CAST(sum(topk.n) AS BIGINT) AS topk_occurrences,
            CAST(max(tot.total) AS BIGINT) AS total_occurrences,
-           CAST(sum(topk.n) * 1000000 // max(tot.total) AS BIGINT)
+           CAST({_safe_ppm("sum(topk.n)", "max(tot.total)", "//")} AS BIGINT)
              AS concentration_ppm
     FROM topk, tot
     """,
@@ -2021,7 +2043,9 @@ def ngram_concentration_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("topk_occurrences"),
             F.max("total").cast("long").alias("total_occurrences"),
             F.expr(
-                "cast(sum(n) * 1000000 div max(total) as bigint)"
+                "cast("
+                + _safe_ppm("sum(n)", "max(total)", "div")
+                + " as bigint)"
             ).alias("concentration_ppm"),
         )
     )

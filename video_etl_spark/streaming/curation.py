@@ -53,10 +53,14 @@ DEFAULT_MIN_TTR_PPM = 200_000
 def _scrubbed(batch_df: DataFrame) -> DataFrame:
     from video_etl_spark.pipelines.curation import EMAIL_RE, PHONE_RE
 
+    # NULL text normalizes to '' so the doc flows through the TTR gate
+    # (and is rejected there with a 0 score) instead of vanishing from
+    # BOTH sinks — NULL comparisons are false in both filter branches,
+    # which silently broke the clean+rejected == input ledger contract.
     return batch_df.withColumn(
         "text",
         F.regexp_replace(
-            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"),
+            F.regexp_replace(F.coalesce("text", F.lit("")), EMAIL_RE, "<EMAIL>"),
             PHONE_RE,
             "<PHONE>",
         ),
@@ -64,13 +68,19 @@ def _scrubbed(batch_df: DataFrame) -> DataFrame:
 
 
 def _with_ttr(batch_df: DataFrame) -> DataFrame:
-    from video_etl_spark.queries.text import _SPARK_TOKENS as toks
-
+    # empty/whitespace-only text: split('') returns [''] (size 1), which
+    # fabricated a perfect TTR of 1e6 and let empty docs into the clean
+    # corpus — filter empty tokens so such docs score 0 and are rejected
+    # by the quality gate.
+    toks = (
+        "filter(split(trim(lower(text)), '\\s+'), x -> x != '')"
+    )
     return batch_df.withColumn(
         "ttr_ppm",
         F.expr(
-            f"cast(size(array_distinct({toks})) * 1000000 "
-            f"div size({toks}) as bigint)"
+            f"cast(case when size({toks}) = 0 then 0 "
+            f"else size(array_distinct({toks})) * 1000000 "
+            f"div size({toks}) end as bigint)"
         ),
     )
 

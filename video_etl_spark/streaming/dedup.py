@@ -64,15 +64,21 @@ def make_batch_handler(
             )
         except AnalysisException:  # first batch: no index yet
             hist = None
-        if hist is not None:
-            (
-                band_candidates(sigs, hist, n_bands)
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(dup_dir)
-            )
+        # first batch: an EMPTY dup frame still writes, so dup_dir exists
+        # after any run (a one-batch stream previously left it missing and
+        # consumers reading it with an explicit schema hit PATH_NOT_FOUND)
+        dups = (
+            band_candidates(sigs, hist, n_bands)
+            if hist is not None
+            else band_candidates(sigs, sigs.limit(0), n_bands)
+        )
+        (
+            dups.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(dup_dir)
+        )
         (
             sigs.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
