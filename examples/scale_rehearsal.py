@@ -166,8 +166,11 @@ def main() -> None:
 
     from video_etl_spark.llm_ops.similarity import cluster_blocked_pairs
     from video_etl_spark.queries.text import (
+        bpe_top_merges,
         cluster_aware_split,
         mixture_resample,
+        quality_weighted_sample,
+        token_count_cms_estimates,
     )
     from video_etl_spark.queries.vectors import (
         kmeans_lloyd_embeddings,
@@ -203,6 +206,9 @@ def main() -> None:
         ("kmeans_lloyd_embeddings", kmeans_lloyd_embeddings),
         ("knn_label_accuracy", knn_label_accuracy),
         ("semantic_dedup_scaled", semantic_dedup_scaled),
+        ("quality_weighted_sample", quality_weighted_sample),
+        ("bpe_top_merges", bpe_top_merges),
+        ("token_count_cms_estimates", token_count_cms_estimates),
     ):
         timed(fn, spark, SF01_DIR)  # warm-up: JIT + codegen, not timed
         s01, n01 = timed(fn, spark, SF01_DIR)
