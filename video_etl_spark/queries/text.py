@@ -2650,3 +2650,59 @@ def token_count_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# U23⊕ — LANGUAGE-ID CONFUSION MATRIX (round 6): the evaluation readout
+# for the lang-ID gate — predicted × labeled language counts plus recall
+# ppm per true class.  Every classifier in a curation stack (lang-ID,
+# quality, toxicity) needs exactly this audit before its threshold gates
+# real data; here it composes the existing heuristic against the labeled
+# lang column.  One groupBy over the scan-fused prediction expression.
+@query(
+    "lang_id_confusion",
+    oracle=(
+        "WITH s AS (SELECT doc_id, lang, "
+        + ", ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{pat}\\b')) AS n_{code}"
+            for code, pat in _LANG_MARKERS.items()
+        )
+        + """ FROM documents),
+    p AS (
+      SELECT lang AS lang_label,
+             CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0
+                    THEN 'und'
+                  WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es
+                    THEN 'en'
+                  WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                  WHEN n_fr >= n_es THEN 'fr'
+                  ELSE 'es' END AS lang_pred
+      FROM s),
+    cm AS (
+      SELECT lang_label, lang_pred, count(*) AS n_docs
+      FROM p GROUP BY lang_label, lang_pred),
+    tot AS (
+      SELECT lang_label, CAST(sum(n_docs) AS BIGINT) AS n_label
+      FROM cm GROUP BY lang_label)
+    SELECT cm.lang_label, cm.lang_pred, cm.n_docs, tot.n_label,
+           CAST(cm.n_docs * 1000000 // tot.n_label AS BIGINT) AS share_ppm
+    FROM cm JOIN tot ON cm.lang_label = tot.lang_label
+    """
+    ),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = lang_id_heuristic(spark, sf_dir).select("lang_label", "lang_pred")
+    cm = pred.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cm.groupBy("lang_label").agg(
+        F.sum("n_docs").cast("long").alias("n_label")
+    )
+    return cm.join(F.broadcast(tot), "lang_label").select(
+        "lang_label",
+        "lang_pred",
+        "n_docs",
+        "n_label",
+        F.expr("(n_docs * 1000000) div n_label").cast("long")
+        .alias("share_ppm"),
+    )
