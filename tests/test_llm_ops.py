@@ -1343,3 +1343,37 @@ def test_hash_sampling_invariant_to_partitioning(spark, sf_dir):
     # sample's mechanism by checking the hash gate needs no seed state
     again = kept(docs.orderBy(F.desc("doc_id")))
     assert again == base
+
+
+def test_ivf_partitioned_corpus_prunes_probed_cells(spark, sf_dir, tmp_path):
+    """The 100 TB IVF layout claim, measured: the corpus written
+    partitioned-by(assigned centroid) serves a probe of k cells with
+    PARTITION pruning — the executed plan reads only the probed
+    directories, no full-corpus scan."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.session import load_table
+    from video_etl_spark.streaming.classify import (
+        classify_stream,
+        quantize_embedding,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = quantize_embedding(emb.filter(F.col("vec_id") < 8)).select(
+        F.col("vec_id").alias("center_id"), F.col("q").alias("c")
+    )
+    assigned = classify_stream(emb.select("vec_id", "embedding"), centers)
+    corpus = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    out = str(tmp_path / "ivf_corpus")
+    corpus.repartition("center_id").write.partitionBy("center_id").parquet(out)
+
+    back = spark.read.parquet(out)
+    probed = back.filter(F.col("center_id").isin([1, 3, 5]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [center_id" in plan
+    n_probed = probed.count()
+    assert 0 < n_probed < back.count()
+    # probed rows match the assignment exactly (layout is lossless)
+    want = {r["vec_id"] for r in assigned.filter(
+        F.col("center_id").isin([1, 3, 5])).collect()}
+    assert {r["vec_id"] for r in probed.collect()} == want
