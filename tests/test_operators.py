@@ -690,7 +690,7 @@ def test_text_corpus_scan_content_addressed(spark, tmp_path):
     assert set(rows) == {"alpha doc one", "shared line", "beta doc"}
     assert df.count() == df.select("doc_id").distinct().count()
     assert rows["shared line"]["n_copies"] == 3
-    assert rows["shared line"]["source"] == "a.txt"  # first-seen (min)
+    assert rows["shared line"]["source"] == "a.txt"  # min() attribution
     assert rows["alpha doc one"]["doc_id"] != rows["beta doc"]["doc_id"]
     # deterministic across reads
     again = {

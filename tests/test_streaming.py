@@ -1788,3 +1788,22 @@ def test_simhash_max_hamming_guard(spark, sf_dir):
         simhash_pairs(docs, max_hamming=4)
     with _p.raises(ValueError, match="chunk blocking"):
         incremental_simhash_dedup(docs, docs, max_hamming=4)
+
+
+def test_curation_ttr_tokenizes_on_whitespace(spark):
+    """Pin the gate's TTR VALUES, not just accept/reject outcomes: an
+    under-escaped tokenizer regex (\\s+ collapsing to s+) once split on
+    runs of the letter 's' and every decision test still passed.  'spam '
+    x 30 has exactly 1 distinct / 30 tokens -> 33333 ppm."""
+    from video_etl_spark.streaming.curation import _with_ttr
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 30),
+            (2, "alpha " * 10),            # no letter 's' anywhere
+            (3, "one two three"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["ttr_ppm"] for r in _with_ttr(df).collect()}
+    assert got == {1: 33333, 2: 100000, 3: 1000000}

@@ -43,6 +43,17 @@ def _hash60(expr: str) -> F.Column:
     return F.expr(_SPARK_HASH.format(expr=expr))
 
 
+def _hash60_col(prefix: str, col: F.Column) -> F.Column:
+    """Column-API twin of :func:`_hash60` for caller-supplied string
+    prefixes: a salt containing a quote must not break SQL parsing or
+    silently change the hash input.  Construction is the SAME md5-prefix
+    chain as _SPARK_HASH (conv(substr(md5(x),1,15),16,10)) — the two MUST
+    stay in lockstep."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
 def shard_assignments(
     df: DataFrame,
     n_shards: int,
@@ -56,16 +67,7 @@ def shard_assignments(
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    # column API, not SQL-string interpolation: a salt containing a quote
-    # (or an id column needing quoting) must not break parsing or change
-    # the hash input
-    hv = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    hv = _hash60_col(salt, F.col(id_col).cast("string"))
     return df.withColumn("shard", (hv % F.lit(n_shards)).cast("long"))
 
 
@@ -103,7 +105,7 @@ def write_training_shards(
         raise ValueError(f"files_per_shard must be positive, got {files_per_shard}")
     sharded = shard_assignments(df, n_shards, id_col=id_col, salt=salt)
     sub = (
-        _hash60(f"concat('{salt}file|', cast({id_col} as string))")
+        _hash60_col(f"{salt}file|", F.col(id_col).cast("string"))
         % F.lit(files_per_shard)
     ).cast("long")
     (

@@ -129,9 +129,10 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     are deterministic on any cluster — and identical lines collapse to
     ONE row corpus-wide (exact dedup semantics built into the scan, so
     doc_id is a true key; n_copies tracks the global multiplicity).
-    `source` is the first-seen originating file name (min — the same
-    deterministic attribution convention as ngram_novelty_by_source),
-    feeding the per-source mixture/quality ops directly.
+    `source` is the lexicographically-smallest originating file name —
+    min() is a DETERMINISTIC stand-in for crawl-order attribution (the
+    same convention as ngram_novelty_by_source), not actual arrival
+    order, which a line-oriented batch scan cannot observe.
     """
     lines = spark.read.text(path).select(
         F.col("value").alias("text"),

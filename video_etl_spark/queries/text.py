@@ -43,17 +43,22 @@ _STOPWORDS = "(the|a|of|and|is|to|in)"
 _NORM_RE = "[^a-z0-9 ]"
 
 
-#: overflow-safe ppm ratio: floor(a * 1e6 / b) computed as the exact
-#: multiply-first form while a * 1e6 fits in BIGINT, else the div-first
-#: form (±1 ppm, overflow-free to 9.2e18) — a 100 TB corpus is ~2e13
-#: tokens, past the naive multiply's 9.2e12 wrap point, and Spark would
-#: WRAP silently (non-ANSI) where DuckDB errors, so both correctness and
-#: engine parity need the guard.  Dialects differ only in the integer-div
-#: operator ("div" / "//"); both branches are positive-integer exact.
+#: overflow-safe ppm ratio: floor(a * 1e6 / b) without BIGINT wrap — a
+#: 100 TB corpus is ~2e13 tokens, past the naive multiply's 9.2e12 wrap
+#: point, and Spark would WRAP silently (non-ANSI) where DuckDB errors,
+#: so both correctness and engine parity need the guard.  Three branches:
+#: multiply-first (EXACT) while a*1e6 fits; the two-term decomposition
+#: (a div b)*1e6 + ((a mod b)*1e6) div b (EXACT — the identity
+#: floor(a*1e6/b) = (a div b)*1e6 + floor((a mod b)*1e6/b); no wrap since
+#: a mod b < b < 1e9); div-first only when BOTH a ≥ 9e12 AND b ≥ 1e9,
+#: where its relative error is ≤ 1e6/b ≤ 0.1 %.  Dialects differ only in
+#: the integer-div operator ("div" / "//"); all arithmetic is positive.
 def _safe_ppm(a: str, b: str, div: str) -> str:
     return (
         f"case when {a} < 9000000000000 then ({a} * 1000000) {div} {b} "
-        f"else {a} {div} greatest(1, {b} {div} 1000000) end"
+        f"when {b} < 1000000000 then "
+        f"(({a} {div} {b}) * 1000000) + ((({a} % {b}) * 1000000) {div} {b}) "
+        f"else {a} {div} ({b} {div} 1000000) end"
     )
 
 

@@ -71,10 +71,12 @@ def _with_ttr(batch_df: DataFrame) -> DataFrame:
     # empty/whitespace-only text: split('') returns [''] (size 1), which
     # fabricated a perfect TTR of 1e6 and let empty docs into the clean
     # corpus — filter empty tokens so such docs score 0 and are rejected
-    # by the quality gate.
-    toks = (
-        "filter(split(trim(lower(text)), '\\s+'), x -> x != '')"
-    )
+    # by the quality gate.  Tokenization REUSES _SPARK_TOKENS: a re-typed
+    # regex here once under-escaped \\s+ to s+ and silently split on runs
+    # of the letter 's' (the ledger tests passed coincidentally).
+    from video_etl_spark.queries.text import _SPARK_TOKENS
+
+    toks = f"filter({_SPARK_TOKENS}, x -> x != '')"
     return batch_df.withColumn(
         "ttr_ppm",
         F.expr(
