@@ -2711,3 +2711,66 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_docs * 1000000) div n_label").cast("long")
         .alias("share_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 6): TEMPERATURE-SCALED MIXTURE WEIGHTS —
+# the standard multilingual/multi-domain sampling recipe (w_i ∝ p_i^(1/T),
+# here T=2 i.e. sqrt): low-resource domains are up-weighted relative to
+# their raw share without the uniform mixture's full flattening.  Closes
+# the mixture family: source_mixture_weights (uniform target),
+# mixture_resample (apply), this (temperature target).
+# Determinism across engines WITHOUT transcendental risk: sqrt is IEEE
+# correctly-rounded (unlike ln/exp, which the repo bans from oracles), so
+# t_i = floor(sqrt(share_ppm)) is bit-identical everywhere; the final
+# normalization is pure BIGINT (t_i * 1e6 div Σt — order-independent).
+@query(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, len({_DUCK_TOKENS}) AS n_tok FROM documents),
+    s AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
+    sh AS (
+      SELECT source, n_tokens,
+             CAST({_safe_ppm("n_tokens", "total", "//")} AS BIGINT)
+               AS share_ppm
+      FROM s, tot),
+    tw AS (
+      SELECT source, n_tokens, share_ppm,
+             CAST(floor(sqrt(CAST(share_ppm AS DOUBLE))) AS BIGINT) AS t_i
+      FROM sh),
+    norm AS (SELECT CAST(sum(t_i) AS BIGINT) AS t_sum FROM tw)
+    SELECT tw.source, tw.n_tokens, tw.share_ppm,
+           CAST(tw.t_i * 1000000 // norm.t_sum AS BIGINT) AS weight_ppm
+    FROM tw, norm
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(_tokens_col()).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("total"))
+    sh = per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        F.expr(_safe_ppm("n_tokens", "total", "div"))
+        .cast("long")
+        .alias("share_ppm"),
+    )
+    tw = sh.withColumn(
+        "t_i",
+        F.floor(F.sqrt(F.col("share_ppm").cast("double"))).cast("long"),
+    )
+    norm = tw.agg(F.sum("t_i").alias("t_sum"))
+    return tw.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_tokens",
+        "share_ppm",
+        F.expr("(t_i * 1000000) div t_sum").cast("long").alias("weight_ppm"),
+    )
