@@ -2744,7 +2744,8 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh),
     norm AS (SELECT CAST(sum(t_i) AS BIGINT) AS t_sum FROM tw)
     SELECT tw.source, tw.n_tokens, tw.share_ppm,
-           CAST(tw.t_i * 1000000 // norm.t_sum AS BIGINT) AS weight_ppm
+           CAST(tw.t_i * 1000000 // greatest(1, norm.t_sum) AS BIGINT)
+             AS weight_ppm
     FROM tw, norm
     """,
 )
@@ -2772,5 +2773,10 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tokens",
         "share_ppm",
-        F.expr("(t_i * 1000000) div t_sum").cast("long").alias("weight_ppm"),
+        # greatest(1, ·): a degenerate all-empty corpus gives t_sum = 0,
+        # where Spark div returns NULL but DuckDB // errors — weight 0 on
+        # both engines instead
+        F.expr("(t_i * 1000000) div greatest(1, t_sum)")
+        .cast("long")
+        .alias("weight_ppm"),
     )
