@@ -689,6 +689,14 @@ def test_text_corpus_scan_content_addressed(spark, tmp_path):
     # identical lines collapse corpus-wide: doc_id is a true key
     assert set(rows) == {"alpha doc one", "shared line", "beta doc"}
     assert df.count() == df.select("doc_id").distinct().count()
+    # content_key is the full 128-bit md5 hex — the true identity column
+    assert df.count() == df.select("content_key").distinct().count()
+    import hashlib
+
+    assert (
+        rows["shared line"]["content_key"]
+        == hashlib.md5(b"shared line").hexdigest()
+    )
     assert rows["shared line"]["n_copies"] == 3
     assert rows["shared line"]["source"] == "a.txt"  # min() attribution
     assert rows["alpha doc one"]["doc_id"] != rows["beta doc"]["doc_id"]

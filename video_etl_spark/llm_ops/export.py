@@ -132,9 +132,12 @@ def shard_manifest(
     write-then-manifest flow works for non-default columns too.
     """
     if token_col is None:
-        from video_etl_spark.queries.text import _tokens_col
-
-        token_col = F.size(_tokens_col())
+        # derive the default from text_col (NOT the hardcoded 'text'
+        # tokenizer) so shard_manifest(sharded, text_col="body") works on
+        # frames without a 'text' column, as the docstring promises.
+        token_col = F.size(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        )
     n_tok = token_col
     return (
         sharded.groupBy("shard")

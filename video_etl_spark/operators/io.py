@@ -123,12 +123,19 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Raw text-corpus scan: one document per line across a directory of
     .txt files — the rawest ingestion format a crawl pipeline sees.
 
-    Documents get CONTENT-ADDRESSED ids (md5-prefix of the text), not
-    positional ones: positional ids (monotonically_increasing_id,
-    zipWithIndex) differ across partitioning/reruns, while content hashes
-    are deterministic on any cluster — and identical lines collapse to
-    ONE row corpus-wide (exact dedup semantics built into the scan, so
-    doc_id is a true key; n_copies tracks the global multiplicity).
+    Documents get CONTENT-ADDRESSED ids, not positional ones: positional
+    ids (monotonically_increasing_id, zipWithIndex) differ across
+    partitioning/reruns, while content hashes are deterministic on any
+    cluster — and identical lines collapse to ONE row corpus-wide (exact
+    dedup semantics built into the scan; n_copies tracks the global
+    multiplicity).  TWO identity columns come out: `content_key`, the
+    full 128-bit md5 hex — the TRUE key (collision-free for any
+    realistic corpus) — and `doc_id`, its 60-bit BIGINT prefix for
+    schema compatibility with the `documents` table.  At ~1e10 documents
+    a 2^60 space expects a handful of doc_id birthday collisions, so
+    joins that must be exact at that scale should key on content_key;
+    distinct documents always remain distinct ROWS here regardless
+    (grouping is by text), only the convenience id can collide.
     `source` is the lexicographically-smallest originating file name —
     min() is a DETERMINISTIC stand-in for crawl-order attribution (the
     same convention as ngram_novelty_by_source), not actual arrival
@@ -151,6 +158,7 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
             F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
             .cast("long")
             .alias("doc_id"),
+            F.md5("text").alias("content_key"),
             "text",
             "source",
             "n_copies",

@@ -2295,7 +2295,8 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     f AS (SELECT min(n_tokens) AS floor_tokens FROM s),
     r AS (
       SELECT source, n_tokens,
-             CAST(floor_tokens * 1000000 // n_tokens AS BIGINT) AS keep_ppm
+             CAST({_safe_ppm("floor_tokens", "n_tokens", "//")} AS BIGINT)
+               AS keep_ppm
       FROM s, f),
     kept AS (
       SELECT t.source,
@@ -2323,7 +2324,7 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_tokens",
-            F.expr("(floor_tokens * 1000000) div n_tokens")
+            F.expr(_safe_ppm("floor_tokens", "n_tokens", "div"))
             .cast("long")
             .alias("keep_ppm"),
         )
@@ -2434,8 +2435,9 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
       SELECT source, doc_id,
-             len({_DUCK_TOKENS}) AS n_tok,
-             len(list_distinct({_DUCK_TOKENS})) AS n_types
+             len(list_filter({_DUCK_TOKENS}, x -> x != '')) AS n_tok,
+             len(list_distinct(list_filter({_DUCK_TOKENS}, x -> x != '')))
+               AS n_types
       FROM documents),
     scored AS (
       SELECT source, doc_id, n_tok,
@@ -2463,7 +2465,11 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens_col()
+    # empty/whitespace-only text: split('') yields [''] (size 1), which
+    # would fabricate a perfect TTR of 1e6 and always keep degenerate docs
+    # at max weight — filter empty tokens (mirrors streaming/curation.py
+    # _with_ttr) so such docs score 0 and are never sampled.
+    toks = F.filter(_tokens_col(), lambda x: x != "")
     scored = docs.select(
         "source",
         "doc_id",
