@@ -1377,3 +1377,93 @@ def test_ivf_partitioned_corpus_prunes_probed_cells(spark, sf_dir, tmp_path):
     want = {r["vec_id"] for r in assigned.filter(
         F.col("center_id").isin([1, 3, 5])).collect()}
     assert {r["vec_id"] for r in probed.collect()} == want
+
+
+def test_component_index_bucketed_no_index_shuffle(spark, sf_dir, tmp_path):
+    """round-7 ask #1: the CC labeling persisted ONCE per corpus revision
+    as a bucketed (doc_id, component, is_canonical) table.  The labeling
+    must equal the inline chain bit for bit; the doc-grain join back to
+    the corpus (canonical_cluster_docs) must read co-located index
+    buckets — no doc_id Exchange on the index side; and an unbucketed
+    copy of the same labeling must reintroduce that exchange."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.dedup import (
+        corpus_components,
+        write_component_index,
+    )
+    from video_etl_spark.queries.text import (
+        canonical_cluster_docs,
+        cluster_aware_split,
+        dedup_connected_clusters,
+        dup_cluster_size_histogram,
+    )
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_component_index(
+            docs, "t_comp_index", str(tmp_path / "comp_idx"), n_buckets=8
+        )
+        idx = spark.table("t_comp_index")
+
+        # labeling identical to the inline chain (and is_canonical is the
+        # min-id convention dedup_connected_clusters attests)
+        want = sorted(
+            map(tuple, dedup_connected_clusters(spark, sf_dir).collect())
+        )
+        got = sorted(
+            map(tuple, idx.select(
+                "doc_id", "component", "is_canonical"
+            ).collect())
+        )
+        assert got == want and got
+        assert sorted(
+            map(tuple, corpus_components(docs).collect())
+        ) == [t[:2] for t in want]
+
+        # every CC-chain query accepts the precomputed labeling and
+        # produces the same rows as its inline form
+        for q in (
+            dedup_connected_clusters,
+            dup_cluster_size_histogram,
+            cluster_aware_split,
+        ):
+            assert sorted(
+                map(tuple, q(spark, sf_dir, components=idx).collect())
+            ) == sorted(map(tuple, q(spark, sf_dir).collect())), q.__name__
+
+        pre = canonical_cluster_docs(spark, sf_dir, components=idx)
+        assert sorted(map(tuple, pre.collect())) == sorted(
+            map(tuple, canonical_cluster_docs(spark, sf_dir).collect())
+        )
+        # doc-grain join back to the corpus: the bucketed index side must
+        # arrive at the SortMergeJoin without its own doc_id exchange —
+        # only the docs side shuffles
+        # executed after collect → AQE prints Final + Initial copies;
+        # count exchanges in the FINAL section only
+        plan = (
+            pre._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan
+        # docs side shuffles on doc_id; the index side (projected as
+        # __node) must NOT — its bucket partitioning reaches the join
+        assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+        assert "Exchange hashpartitioning(__node" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+
+        # negative probe: same labeling as plain parquet -> exchange back
+        idx.write.mode("overwrite").parquet(str(tmp_path / "plain_comp"))
+        plain = canonical_cluster_docs(
+            spark, sf_dir,
+            components=spark.read.parquet(str(tmp_path / "plain_comp")),
+        )
+        plain_plan = (
+            plain._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+        assert "Exchange hashpartitioning(__node" in plain_plan, plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_comp_index")

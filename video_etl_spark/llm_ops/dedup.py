@@ -848,3 +848,103 @@ def keep_canonical(
     return joined.withColumn(
         "is_canonical", F.row_number().over(w) == F.lit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# U21⊕ — the COMPONENT index (round 7): materialize-once duplicate-cluster
+# labeling for a corpus revision.  `write_band_index` persists the
+# signature side of the dedup pipeline; this persists the CLUSTER side —
+# (doc_id, component, is_canonical) — so the minhash → band → CC chain
+# runs ONCE per corpus revision and every downstream consumer
+# (dedup decisions, cluster histograms, leakage-free splits, canonical
+# selection) reads the labeling instead of re-deriving it.  At 100 TB the
+# CC chain is hours of work; the labeling is three thin columns.
+
+
+def corpus_components(
+    docs: DataFrame,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) duplicate-cluster labeling for a whole corpus.
+
+    The full-corpus twin of :func:`incremental_dedup`'s asymmetric join:
+    band the MinHash signatures, self-join per band (id_a < id_b, shuffle
+    on band key — never corpus²), then min-label connected components.
+    With ``n_bands=2, rows_per_band=2`` this reproduces the
+    oracle-checked ``dedup_connected_clusters`` labeling bit for bit
+    (same salts, same band keys — the recursive-CTE oracle pins it).
+    Docs with no shingles (< 3 tokens) cannot collide and come out as
+    singleton components.
+    """
+    sigs = minhash_band_signatures(docs, n_bands, rows_per_band, id_col)
+    sigs = sigs.persist()  # both sides of every band self-join
+    pairs = None
+    for b in range(n_bands):
+        a = sigs.select(
+            F.col(id_col).alias("doc_a"), F.col(f"band{b}").alias("b")
+        )
+        o = sigs.select(
+            F.col(id_col).alias("doc_b"), F.col(f"band{b}").alias("b")
+        )
+        p = (
+            a.join(o, "b")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    edges = pairs.distinct()
+    comp = connected_components(
+        edges,
+        docs.select(id_col),
+        node_col=id_col,
+        max_iter=max_iter,
+        edges_distinct=True,
+    )
+    # connected_components checkpoints eagerly per round, so the returned
+    # labeling is already materialized — the signature cache is done.
+    sigs.unpersist()
+    return comp.select(F.col("node").alias(id_col), "component")
+
+
+def write_component_index(
+    docs: DataFrame,
+    table: str,
+    path: str,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> None:
+    """Persist the duplicate-cluster labeling as a BUCKETED external table
+    keyed on the doc id: (doc_id, component, is_canonical).
+
+    ``is_canonical`` follows the min-id convention (component == doc_id),
+    matching ``dedup_connected_clusters``; quality-aware selection layers
+    :func:`keep_canonical` over the same labeling when needed.
+
+    Bucketing on ``id_col`` means every doc-grain consumer — the
+    canonical join back to the corpus, per-doc drop lists, split
+    assignment — reads co-located index buckets with NO exchange on the
+    index side (plan-asserted in tests), exactly like
+    :func:`write_band_index` does for signatures.  Component-grain
+    aggregations still shuffle on ``component`` (three thin columns, not
+    the corpus).  Read it back with ``spark.table(table)`` and pass it as
+    the ``components=`` argument of the CC-chain queries.
+    """
+    comp = corpus_components(docs, n_bands, rows_per_band, id_col, max_iter)
+    flagged = comp.select(
+        id_col,
+        "component",
+        (F.col("component") == F.col(id_col)).alias("is_canonical"),
+    )
+    (
+        flagged.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, id_col)
+        .sortBy(id_col)
+        .saveAsTable(table)
+    )

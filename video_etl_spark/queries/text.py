@@ -1075,19 +1075,43 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON m.u = d.doc_id
     """,
 )
-def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_connected_clusters(
+    spark: SparkSession, sf_dir: str, components: DataFrame | None = None
+) -> DataFrame:
+    comp = _cc_components(spark, sf_dir, components)
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("component") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+def _cc_components(
+    spark: SparkSession, sf_dir: str, components: DataFrame | None
+) -> DataFrame:
+    """(doc_id, component) for the CC-chain query family.
+
+    ``components`` is an optional PRECOMPUTED labeling — typically
+    ``spark.table(...)`` over the bucketed index
+    ``llm_ops.dedup.write_component_index`` persists — so a corpus
+    revision pays the minhash → band → CC chain ONCE and every consumer
+    (cluster decisions, size histograms, leakage-free splits, canonical
+    selection) reads three thin columns instead of re-deriving the
+    labeling.  Without it, the chain runs inline (the oracle-pinned
+    2-band × 2-row instance).
+    """
+    if components is not None:
+        return components.select("doc_id", "component")
     from video_etl_spark.llm_ops.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
     edges = minhash_band_pairs(spark, sf_dir)
     # band pairs end in .distinct() with doc_a < doc_b — skip the
     # redundant edge-set dedup shuffle inside CC (edges_distinct contract)
-    comp = connected_components(edges, docs.select("doc_id"), edges_distinct=True)
-    return comp.select(
-        F.col("node").alias("doc_id"),
-        "component",
-        (F.col("component") == F.col("node")).alias("is_canonical"),
+    comp = connected_components(
+        edges, docs.select("doc_id"), edges_distinct=True
     )
+    return comp.select(F.col("node").alias("doc_id"), "component")
 
 
 # --------------------------------------------------------------------------
@@ -1787,18 +1811,16 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rn = 1
     """,
 )
-def canonical_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from video_etl_spark.llm_ops.dedup import (
-        connected_components,
-        keep_canonical,
-    )
+def canonical_cluster_docs(
+    spark: SparkSession, sf_dir: str, components: DataFrame | None = None
+) -> DataFrame:
+    from video_etl_spark.llm_ops.dedup import keep_canonical
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = minhash_band_pairs(spark, sf_dir)
-    comp = connected_components(
-        edges, docs.select("doc_id"), edges_distinct=True
+    comp = _cc_components(spark, sf_dir, components)
+    flagged = keep_canonical(
+        docs.select("doc_id", "n_chars"), comp, node_col="doc_id"
     )
-    flagged = keep_canonical(docs.select("doc_id", "n_chars"), comp)
     wn = Window.partitionBy("component")
     return (
         flagged.withColumn(
@@ -2249,14 +2271,10 @@ def remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sizes GROUP BY sz
     """,
 )
-def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from video_etl_spark.llm_ops.dedup import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    edges = minhash_band_pairs(spark, sf_dir)
-    comp = connected_components(
-        edges, docs.select("doc_id"), edges_distinct=True
-    )
+def dup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str, components: DataFrame | None = None
+) -> DataFrame:
+    comp = _cc_components(spark, sf_dir, components)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("sz")
     )
@@ -2391,14 +2409,10 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ),
 )
-def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from video_etl_spark.llm_ops.dedup import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    edges = minhash_band_pairs(spark, sf_dir)
-    comp = connected_components(
-        edges, docs.select("doc_id"), edges_distinct=True
-    )
+def cluster_aware_split(
+    spark: SparkSession, sf_dir: str, components: DataFrame | None = None
+) -> DataFrame:
+    comp = _cc_components(spark, sf_dir, components)
     h = F.expr(
         _SPARK_HASH.format(expr="concat('csplit|', cast(component as string))")
     )
@@ -2407,9 +2421,7 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 1, "test").when(bucket < 2, "valid").otherwise("train")
     )
     return (
-        comp.select(
-            split.alias("split"), F.col("node").alias("doc_id"), "component"
-        )
+        comp.select(split.alias("split"), "doc_id", "component")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
