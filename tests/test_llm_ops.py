@@ -1467,3 +1467,116 @@ def test_component_index_bucketed_no_index_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_comp_index")
+
+
+def _bpe_reference(word_counts: dict[str, int], k: int):
+    """Pure-Python Sennrich BPE: overlapping pair counts weighted by word
+    frequency; ties lexicographically smallest (left, right); greedy
+    left-to-right merge."""
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for rnd in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for w, n in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + n
+        if not counts:
+            break
+        (left, right), n_occ = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        merged = left + right
+        merges.append((rnd, left, right, merged, n_occ))
+        for w in syms:
+            out: list[str] = []
+            for s in syms[w]:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_train_round1_equals_top_merges(spark, sf_dir):
+    """round-7 ask #2: k=1 of the iterative trainer reproduces the
+    oracle-checked bpe_top_merges ranking exactly (concatenated pair,
+    count, rank)."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.bpe import pair_counts, word_frequency_table
+    from video_etl_spark.queries.text import bpe_top_merges
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = pair_counts(word_frequency_table(docs))
+    got = [
+        (r["left"] + r["right"], r["n_occurrences"])
+        for r in counted.orderBy(
+            F.desc("n_occurrences"), "left", "right"
+        ).limit(20).collect()
+    ]
+    want = [
+        (r["pair"], r["n_occurrences"])
+        for r in bpe_top_merges(spark, sf_dir).orderBy("rn").collect()
+    ]
+    assert got == want and len(want) == 20
+
+
+def test_bpe_train_differential_vs_python(spark):
+    """Multi-round trainer vs the scalar reference on a seeded corpus:
+    merge table AND final segmentation must agree, including the greedy
+    overlapping-merge case ('aaaa' family) and tie-breaks."""
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "widest wide wide wider",
+        "aaaa aaa aa lower newer",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    word_counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split():
+            word_counts[w] = word_counts.get(w, 0) + 1
+
+    from video_etl_spark.llm_ops.bpe import bpe_train
+
+    merges, words = bpe_train(docs, 8, checkpoint_every=3)
+    want_merges, want_syms = _bpe_reference(word_counts, 8)
+    assert [
+        (m["rnd"], m["left"], m["right"], m["merged"], m["n_occurrences"])
+        for m in merges
+    ] == want_merges
+    got_syms = {r["word"]: list(r["syms"]) for r in words.collect()}
+    assert got_syms == want_syms
+    # frequencies preserved through every round
+    got_n = {r["word"]: r["n"] for r in words.collect()}
+    assert got_n == word_counts
+
+
+def test_bpe_train_bounded_plan_and_early_stop(spark):
+    """Lineage truncation: the final words plan height after k=7 rounds
+    (1 past the ckpt-6 cut) equals k=3 (1 past ckpt-2) — plans do not
+    grow with round count.  Early stop: a corpus of single-char words has
+    no pairs, so bpe_train returns zero merges."""
+    docs = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)] * 3,
+        "text string",
+    )
+
+    from video_etl_spark.llm_ops.bpe import bpe_train
+
+    def plan_lines(df):
+        return len(
+            df._jdf.queryExecution().analyzed().toString().splitlines()
+        )
+
+    _, w3 = bpe_train(docs, 3, checkpoint_every=2)
+    _, w7 = bpe_train(docs, 7, checkpoint_every=2)
+    assert plan_lines(w7) == plan_lines(w3)
+
+    singles = spark.createDataFrame([("a b c d e",)], "text string")
+    merges, _ = bpe_train(singles, 5)
+    assert merges == []
