@@ -1580,3 +1580,84 @@ def test_bpe_train_bounded_plan_and_early_stop(spark):
     singles = spark.createDataFrame([("a b c d e",)], "text string")
     merges, _ = bpe_train(singles, 5)
     assert merges == []
+
+
+def test_phash_chunk_blocking_recall_and_bound(spark):
+    """round-7 ask #3: the 4×16-bit chunk blocking must find EVERY pair
+    within Hamming distance 3 — seeded random 64-bit signatures plus
+    crafted near-dups (1/2/3-bit flips, including flips spread across 3
+    different chunks) compared against brute-force all-pairs; and the
+    pigeonhole bound is enforced (max_hamming > 3 raises)."""
+    import itertools
+    import random
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.multimodal import phash_pairs
+
+    rng = random.Random(7)
+    sigs = {}
+    doc = 0
+    for _ in range(40):
+        base = rng.getrandbits(64)
+        sigs[doc] = base
+        doc += 1
+        if rng.random() < 0.5:
+            # near-dup twins at distance 1..3; spread flips across
+            # distinct chunks so single-chunk agreement is the ONLY
+            # blocking route for some pairs
+            n_flips = rng.randint(1, 3)
+            positions = rng.sample(
+                [16 * c + rng.randint(0, 15) for c in rng.sample(range(4), 3)],
+                n_flips,
+            )
+            flipped = base
+            for p in positions:
+                flipped ^= 1 << p
+            sigs[doc] = flipped
+            doc += 1
+
+    rows = [
+        (d, (s >> 0) & 0xFFFF, (s >> 16) & 0xFFFF,
+         (s >> 32) & 0xFFFF, (s >> 48) & 0xFFFF)
+        for d, s in sigs.items()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, chunk0 long, chunk1 long, chunk2 long, chunk3 long",
+    )
+    got = sorted(map(tuple, phash_pairs(df, max_hamming=3).collect()))
+    want = sorted(
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    )
+    assert got == want
+    assert any(h in (1, 2, 3) for _, _, h in want)  # crafted pairs present
+
+    with _pytest.raises(ValueError, match="4-chunk blocking"):
+        phash_pairs(df, max_hamming=4)
+
+
+def test_phash_signatures_deterministic_and_payload_grain(spark):
+    """Signatures are a pure function of the payload: identical payloads
+    → identical chunks; the fake-decode path is deterministic across
+    calls; chunks stay within 16 bits."""
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        phash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    sig = phash_signatures(attach_fake_payload(docs))
+    rows = {r["doc_id"]: (r["chunk0"], r["chunk1"], r["chunk2"], r["chunk3"])
+            for r in sig.collect()}
+    assert rows[1] == rows[2] != rows[3]
+    assert all(0 <= c <= 0xFFFF for cs in rows.values() for c in cs)
+    again = {r["doc_id"]: (r["chunk0"], r["chunk1"], r["chunk2"], r["chunk3"])
+             for r in phash_signatures(attach_fake_payload(docs)).collect()}
+    assert again == rows

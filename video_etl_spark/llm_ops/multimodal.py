@@ -248,3 +248,116 @@ def bilinear_resize(frame: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     bot = f[y1][:, x0] * (1 - wx[..., None]) + f[y1][:, x1] * wx[..., None]
     out = top * (1 - wy[..., None]) + bot * wy[..., None]
     return out[:, :, 0] if frame.ndim == 2 else out
+
+
+# ---------------------------------------------------------------------------
+# U21⊕ (round 7) — PERCEPTUAL-HASH IMAGE DEDUP: the multimodal member of
+# the dedup family (exact/minhash/simhash/embedding cover text and
+# vectors; frames were the gap).  Average-hash (aHash): decode to an 8×8
+# grayscale grid, threshold each pixel against the grid mean → 64 bits;
+# near-duplicate frames are signatures within a small Hamming distance.
+# Candidate generation blocks on 4 × 16-bit chunks exactly like
+# `dedup.simhash_pairs` (pigeonhole: ≤ 3 flipped bits cannot touch all 4
+# chunks), so the pair space is collision-bounded, never corpus².
+#
+# The decode step follows this module's sanctioned seam: real codecs are
+# env-blocked, so the "grid" is derived deterministically from the fake
+# payload bytes by salted md5 — pure integer arithmetic both engines can
+# replay, which is what lets `phash_near_dup_pairs` carry a full DuckDB
+# oracle.  With a real decoder, only `phash_signatures`'s pixel source
+# changes (grid bytes from the resized image instead of salted md5);
+# thresholding, chunking, and the blocked join are decoder-agnostic.
+
+PHASH_GRID = 64  # 8×8 grid → 64-bit hash
+_PHASH_SALTS = tuple(f"p{j}|" for j in range(4))  # 16 pixels per salt
+
+
+def phash_signatures(
+    frames: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk0..chunk3): 64-bit aHash as four 16-bit chunks.
+
+    Pixels: byte ``t`` of md5("p{j}|" + payload-as-ascii) is grid cell
+    16j+t (0..255).  Bit i = (pixel_i > grid mean), computed exactly as
+    ``64 * pixel_i > sum(pixels)`` — no floats.  Chunk c packs bits
+    16c..16c+15; keeping the signature AS chunks (not one signed long)
+    means every downstream xor/bit_count runs on small non-negative ints,
+    identical in Spark and DuckDB.  One narrow projection fused with the
+    scan — no shuffle, no Python.
+    """
+    payload_str = F.col(payload_col).cast("string")
+    hexes = frames.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(salt), payload_str)).alias(f"hx{j}")
+            for j, salt in enumerate(_PHASH_SALTS)
+        ],
+    )
+    px_exprs = []
+    for idx in range(PHASH_GRID):
+        j, t = divmod(idx, 16)
+        px_exprs.append(
+            f"cast(conv(substr(hx{j}, {2 * t + 1}, 2), 16, 10) as bigint)"
+            f" as px{idx}"
+        )
+    px = hexes.selectExpr(id_col, *px_exprs)
+    total = " + ".join(f"px{i}" for i in range(PHASH_GRID))
+    chunk_exprs = [
+        " + ".join(
+            f"(case when 64 * px{16 * c + t} > __tot then {1 << t} "
+            "else 0 end)"
+            for t in range(16)
+        )
+        for c in range(4)
+    ]
+    return px.withColumn("__tot", F.expr(total)).selectExpr(
+        id_col,
+        *[
+            f"cast({e} as bigint) as chunk{c}"
+            for c, e in enumerate(chunk_exprs)
+        ],
+    )
+
+
+def phash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup frame pairs from
+    :func:`phash_signatures` output, via the 16-bit chunk-blocked
+    self-join.
+
+    Recall is complete only for ``max_hamming`` ≤ 3 (4-chunk pigeonhole) —
+    larger radii raise rather than silently miss pairs, same contract as
+    ``dedup.simhash_pairs``.  The signature frame feeds both join sides,
+    so it is persisted (id + 4 small ints — tiny next to the corpus).
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk blocking "
+            "guarantee (recall is only complete for distance <= 3); use "
+            "more/finer chunks for larger radii"
+        )
+    sig = sigs.persist()
+    chunks = [f"chunk{c}" for c in range(4)]
+
+    def side(id_out: str, prefix: str) -> DataFrame:
+        return sig.select(
+            F.col("doc_id").alias(id_out),
+            *[F.col(c).alias(f"{prefix}{c}") for c in chunks],
+            F.posexplode(F.array(*chunks)).alias("c", "chunk"),
+        )
+
+    a = side("doc_a", "a_")
+    b = side("doc_b", "b_")
+    hamming = sum(
+        F.bit_count(F.col(f"a_chunk{c}").bitwiseXOR(F.col(f"b_chunk{c}")))
+        for c in range(4)
+    )
+    return (
+        a.join(b, ["c", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )

@@ -2798,3 +2798,68 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weight_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# U21⊕ (round 7): PERCEPTUAL-HASH IMAGE DEDUP — aHash over the frame
+# payloads: 8×8 pixel grid, each pixel thresholded against the grid mean
+# → 64-bit signature as 4 × 16-bit chunks; near-dup frames are pairs
+# within Hamming distance 3, blocked by shared chunks (pigeonhole — the
+# same candidate discipline as simhash_near_dup_pairs; never corpus²).
+# The "decode" is this repo's sanctioned codec seam: pixels derive from
+# salted md5 of the (deterministic fake) payload — pure integer
+# arithmetic both engines replay, so the query carries a FULL oracle.
+# The oracle is deliberately the ALL-PAIRS formulation: at gate scale it
+# also re-proves the pigeonhole recall claim (blocked join == exhaustive
+# join for distance ≤ 3), not just value parity.
+def _phash_oracle() -> str:
+    px_cols = []
+    for idx in range(64):
+        j, t = divmod(idx, 16)
+        px_cols.append(
+            f"CAST(('0x' || substr(hx{j}, {2 * t + 1}, 2)) AS BIGINT)"
+            f" AS px{idx}"
+        )
+    total = " + ".join(f"px{i}" for i in range(64))
+    chunk_cols = [
+        "("
+        + " + ".join(
+            f"(CASE WHEN 64 * px{16 * c + t} > tot THEN {1 << t} "
+            "ELSE 0 END)"
+            for t in range(16)
+        )
+        + f") AS chunk{c}"
+        for c in range(4)
+    ]
+    hamming = " + ".join(
+        f"bit_count(xor(a.chunk{c}, b.chunk{c}))" for c in range(4)
+    )
+    return f"""
+    WITH hx AS (
+      SELECT doc_id,
+             md5('p0|' || md5(text)) AS hx0,
+             md5('p1|' || md5(text)) AS hx1,
+             md5('p2|' || md5(text)) AS hx2,
+             md5('p3|' || md5(text)) AS hx3
+      FROM documents),
+    px AS (SELECT doc_id, {", ".join(px_cols)} FROM hx),
+    pxt AS (SELECT *, {total} AS tot FROM px),
+    sig AS (SELECT doc_id, {", ".join(chunk_cols)} FROM pxt)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({hamming} AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {hamming} <= 3
+    """
+
+
+@query("phash_near_dup_pairs", oracle=_phash_oracle())
+def phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        phash_pairs,
+        phash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = attach_fake_payload(docs)
+    return phash_pairs(phash_signatures(frames))
