@@ -7,8 +7,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query runs one warm-up pass (JIT, code cache, file listing — NOT
 counted) and then $SPARK_GRAFT_BENCH_REPS timed passes (default 3); the
 reported number is the per-query MEDIAN, which kills the ±40 % single-shot
-noise observed in rounds 2-3.  Timed passes collect the full result to the
-driver, so the number includes scan + shuffle + result materialization.
+noise observed in rounds 2-3.  Timed passes force count + an all-column
+xxhash reduce in ONE job (the scale_rehearsal harness's honest
+materialization): a bare count() lets Catalyst prune expensive output
+columns (it understated remove_repeated_spans 50× once), while collect()
+adds driver-transfer time for wide outputs that no production sink pays —
+the hash reduce computes every output column cluster-side and ships one
+row.
 """
 
 from __future__ import annotations
@@ -80,6 +85,8 @@ HEADLINE = [
     "kmeans_lloyd_embeddings",
     "semantic_dedup_pairs",
     "knn_label_accuracy",
+    # round-7 additions: the multimodal member of the dedup family.
+    "phash_near_dup_pairs",
 ]
 
 
@@ -92,16 +99,26 @@ def main() -> None:
     spark = get_spark("video-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark.sql import functions as F
+
+    def force(df) -> None:
+        # every output column feeds the hash, so nothing prunes; only one
+        # row crosses to the driver
+        df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        ).collect()
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        fn(spark, sf_dir).count()  # warm-up (not timed)
+        force(fn(spark, sf_dir))  # warm-up (not timed)
         spark.catalog.clearCache()  # persists inside queries start cold
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            force(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
         timings[name] = round(sorted(samples)[len(samples) // 2], 4)

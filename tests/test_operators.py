@@ -479,6 +479,9 @@ _HEADLINE_PLAN_EXPECTATIONS = {
     "kmeans_lloyd_embeddings": (["HashAggregate"], True, False),
     "semantic_dedup_pairs": (["Window", "HashAggregate"], True, False),
     "knn_label_accuracy": (["Window", "HashAggregate"], True, False),
+    # round-7 additions: chunk-blocked equi-join + distinct aggregate;
+    # signatures are a scan-fused projection (no Python, no BNLJ)
+    "phash_near_dup_pairs": (["HashAggregate"], False, False),
 }
 
 
