@@ -709,3 +709,50 @@ def test_text_corpus_scan_content_addressed(spark, tmp_path):
         for r in read_text_corpus(spark, str(tmp_path)).collect()
     }
     assert again == {k: v["doc_id"] for k, v in rows.items()}
+
+
+def test_span_family_parameterized(spark):
+    """round-7 ask #5: span length and DF threshold are parameters.  With
+    span_len=4/df_k=2 the shared 4-gram 'a b c d' is removed from both
+    carriers while the 3-gram-only overlap 'x y z' survives (a 3-word
+    pass WOULD cut it — the length parameter changes the decision); the
+    fraction measure counts spans at the requested length."""
+    from video_etl_spark.queries.text import (
+        remove_repeated_spans_frame,
+        repeated_span_fraction_frame,
+    )
+
+    rows = [
+        (1, "a b c d p q"),
+        (2, "r a b c d s"),
+        (3, "x y z k1 k2"),
+        (4, "k3 x y z k4"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_repeated_spans_frame(
+            docs, span_len=4, df_k=2
+        ).collect()
+    }
+    assert out[1] == (6, 4, "p q")
+    assert out[2] == (6, 4, "r s")
+    assert out[3] == (5, 0, "x y z k1 k2")
+    assert out[4] == (5, 0, "k3 x y z k4")
+
+    frac = {
+        r["doc_id"]: (r["n_spans"], r["n_shared_spans"])
+        for r in repeated_span_fraction_frame(
+            docs, span_len=4, min_df=2
+        ).collect()
+    }
+    # doc 1: 3 distinct 4-grams, only 'a b c d' shared; docs 3/4 share
+    # no 4-gram despite the 3-word overlap
+    assert frac[1] == (3, 1) and frac[2] == (3, 1)
+    assert frac[3] == (2, 0) and frac[4] == (2, 0)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="span_len"):
+        remove_repeated_spans_frame(docs, span_len=1)

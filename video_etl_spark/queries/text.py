@@ -1555,10 +1555,43 @@ def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # groupBy(doc_id) to finish.  Every shuffle key is a 60-bit hash, so the
 # shape is scan + 3 well-distributed shuffles at any corpus size; this is
 # the identical skeleton a 50-token-span pass uses at 100 TB.
-@query(
-    "repeated_span_fraction",
-    oracle=_duck_shingle_cte()
-    + f""", spans AS (
+def _spark_spans(df: DataFrame, span_len: int) -> DataFrame:
+    """Parameterized L-word span arrays per doc (the 3-word instance is
+    bit-identical to ``_spark_shingles``'s shingle column)."""
+    if span_len < 2:
+        raise ValueError(f"span_len must be >= 2, got {span_len}")
+    parts = ", ".join(f"element_at(toks, i + {k})" for k in range(span_len))
+    return (
+        df.withColumn("toks", _tokens_col())
+        .filter(F.size("toks") >= span_len)
+        .withColumn(
+            "spans",
+            F.expr(
+                f"transform(sequence(1, size(toks) - {span_len - 1}), "
+                f"i -> concat_ws(' ', {parts}))"
+            ),
+        )
+    )
+
+
+def _duck_span_cte(span_len: int) -> str:
+    concat = " || ' ' || ".join(f"toks[i + {k}]" for k in range(span_len))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             [{concat}
+              FOR i IN generate_series(1, len(toks) - {span_len - 1})]
+               AS shingles
+      FROM toks WHERE len(toks) >= {span_len}
+    )"""
+
+
+def _span_fraction_oracle(span_len: int, min_df: int) -> str:
+    return (
+        _duck_span_cte(span_len)
+        + f""", spans AS (
       SELECT DISTINCT doc_id,
              {_DUCK_HASH.format(expr="s")} AS h
       FROM sh, unnest(shingles) AS u(s)),
@@ -1566,16 +1599,25 @@ def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT h, count(*) AS n_docs_with FROM spans GROUP BY h)
     SELECT s.doc_id,
            CAST(count(*) AS BIGINT) AS n_spans,
-           CAST(sum(CASE WHEN d.n_docs_with >= 2 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN d.n_docs_with >= {min_df} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_shared_spans,
-           CAST(sum(CASE WHEN d.n_docs_with >= 2 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN d.n_docs_with >= {min_df} THEN 1 ELSE 0 END)
                 * 1000000 // count(*) AS BIGINT) AS shared_ppm
     FROM spans s JOIN df d ON d.h = s.h
     GROUP BY s.doc_id
-    """,
-)
-def repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    """
+    )
+
+
+def repeated_span_fraction_frame(
+    docs: DataFrame, span_len: int = 3, min_df: int = 2
+) -> DataFrame:
+    """Parameterized repeated-span measure (round-7 ask #5): span length
+    and the shared-document threshold are arguments — the Lee et al.
+    recipe runs ~50-token spans at production scale; the 3-word instance
+    stays the attested query.  Plan shape is span-length-independent:
+    scan-fused explode, distinct on (doc, hash), one groupBy(span), one
+    join back, one groupBy(doc)."""
     h = F.expr(_SPARK_HASH.format(expr="s"))
     # persisted: the document-frequency branch and the join-back both read
     # this frame — without it the shingle+md5 explode/distinct runs twice.
@@ -1585,8 +1627,8 @@ def repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus; LRU eviction is safe (recompute is one subtree) and
     # bench/driver clear caches between queries.
     spans = (
-        _spark_shingles(docs)
-        .select("doc_id", F.explode(F.array_distinct("shingles")).alias("s"))
+        _spark_spans(docs, span_len)
+        .select("doc_id", F.explode(F.array_distinct("spans")).alias("s"))
         .select("doc_id", h.alias("h"))
         .distinct()
         .persist()
@@ -1595,7 +1637,7 @@ def repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_with")
     )
     shared = F.sum(
-        F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)
+        F.when(F.col("n_docs_with") >= min_df, 1).otherwise(0)
     )
     return (
         spans.join(df_counts, "h")
@@ -1604,11 +1646,17 @@ def repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_spans"),
             shared.alias("n_shared_spans"),
             F.expr(
-                "cast(sum(case when n_docs_with >= 2 then 1 else 0 end) "
-                "* 1000000 div count(1) as bigint)"
+                f"cast(sum(case when n_docs_with >= {min_df} then 1 else 0 "
+                "end) * 1000000 div count(1) as bigint)"
             ).alias("shared_ppm"),
         )
     )
+
+
+@query("repeated_span_fraction", oracle=_span_fraction_oracle(3, 2))
+def repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_fraction_frame(docs, span_len=3, min_df=2)
 
 
 # --------------------------------------------------------------------------
@@ -2151,22 +2199,22 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_DF_K = 3
 
 
-@query(
-    "remove_repeated_spans",
-    oracle=f"""
+def _remove_spans_oracle(span_len: int, df_k: int) -> str:
+    concat = " || ' ' || ".join(f"toks[i + {k}]" for k in range(span_len))
+    end = span_len - 1
+    return f"""
     WITH toks AS (
       SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
     sp AS (
       SELECT doc_id,
-             unnest(generate_series(1, len(toks) - 2)) AS p,
-             unnest([{_DUCK_HASH.format(
-                 expr="toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]")}
-              FOR i IN generate_series(1, len(toks) - 2)]) AS h
-      FROM toks WHERE len(toks) >= 3),
+             unnest(generate_series(1, len(toks) - {end})) AS p,
+             unnest([{_DUCK_HASH.format(expr=concat)}
+              FOR i IN generate_series(1, len(toks) - {end})]) AS h
+      FROM toks WHERE len(toks) >= {span_len}),
     hot AS (
       SELECT h FROM (
         SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
-      WHERE nd >= {_SPAN_DF_K}),
+      WHERE nd >= {df_k}),
     starts AS (
       SELECT sp.doc_id, list(DISTINCT sp.p) AS ps
       FROM sp JOIN hot USING (h) GROUP BY sp.doc_id),
@@ -2174,7 +2222,8 @@ _SPAN_DF_K = 3
       SELECT t.doc_id, t.toks,
              [t.toks[i] FOR i IN generate_series(1, len(t.toks))
               IF len(list_filter(coalesce(s.ps, CAST([] AS BIGINT[])),
-                                 p -> p <= i AND i <= p + 2)) = 0] AS keep
+                                 p -> p <= i AND i <= p + {end})) = 0]
+               AS keep
       FROM toks t LEFT JOIN starts s ON s.doc_id = t.doc_id)
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -2183,12 +2232,20 @@ _SPAN_DF_K = 3
            -- removed doc's empty list; Spark's concat_ws yields ''
            coalesce(array_to_string(keep, ' '), '') AS cleaned_text
     FROM kept
-    """,
-)
-def remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    """
+
+
+def remove_repeated_spans_frame(
+    docs: DataFrame, span_len: int = 3, df_k: int = _SPAN_DF_K
+) -> DataFrame:
+    """Parameterized exact repeated-span REMOVAL (round-7 ask #5): every
+    token covered by an L-token span occurring in ≥ ``df_k`` distinct
+    documents is dropped.  The Lee et al. production recipe uses ~50-token
+    spans; the 3-word × DF≥3 instance stays the attested headline query.
+    Plan shape is span-length-independent (see the query docstring)."""
     h = F.expr(_SPARK_HASH.format(expr="s"))
-    sh = _spark_shingles(docs)
+    sh = _spark_spans(docs, span_len)
+    end = span_len - 1
     # positions are 1-based to match the oracle's generate_series.  The
     # identity transform around the generator input is the positional
     # variant of the InferFiltersFromGenerate defense (array_distinct
@@ -2199,7 +2256,7 @@ def remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = (
         sh.select(
             "doc_id",
-            F.posexplode(F.expr("transform(shingles, x -> x)")).alias(
+            F.posexplode(F.expr("transform(spans, x -> x)")).alias(
                 "p0", "s"
             ),
         )
@@ -2213,7 +2270,7 @@ def remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= _SPAN_DF_K)
+        .filter(F.col("nd") >= df_k)
         .select("h")
     )
     starts = (
@@ -2224,12 +2281,14 @@ def remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", _tokens_col().alias("toks"))
     kept = (
         toks.join(starts, "doc_id", "left")
-        .withColumn("ps", F.coalesce("ps", F.expr("cast(array() as array<bigint>)")))
+        .withColumn(
+            "ps", F.coalesce("ps", F.expr("cast(array() as array<bigint>)"))
+        )
         .withColumn(
             "keep",
             F.expr(
                 "filter(toks, (t, i0) -> not exists(ps, "
-                "p -> p <= i0 + 1 and i0 + 1 <= p + 2))"
+                f"p -> p <= i0 + 1 and i0 + 1 <= p + {end}))"
             ),
         )
     )
@@ -2239,6 +2298,24 @@ def remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("toks") - F.size("keep")).cast("long").alias("n_removed"),
         F.concat_ws(" ", "keep").alias("cleaned_text"),
     )
+
+
+@query("remove_repeated_spans", oracle=_remove_spans_oracle(3, _SPAN_DF_K))
+def remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_spans_frame(docs, span_len=3, df_k=_SPAN_DF_K)
+
+
+# --------------------------------------------------------------------------
+# U21⊕ (round 7): the LONGER-SPAN instance of the parameterized family —
+# 10-token spans shared by ≥ 2 documents, the shape of the Lee et al.
+# ~50-token production recipe at testdata document lengths (docs are
+# 10-90 words, so 50-token spans would barely exist at gate scale; 10
+# exercises the same multi-token overlap-window arithmetic).
+@query("remove_repeated_spans_10w", oracle=_remove_spans_oracle(10, 2))
+def remove_repeated_spans_10w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_spans_frame(docs, span_len=10, df_k=2)
 
 
 # --------------------------------------------------------------------------
