@@ -1807,3 +1807,57 @@ def test_curation_ttr_tokenizes_on_whitespace(spark):
     )
     got = {r["doc_id"]: r["ttr_ppm"] for r in _with_ttr(df).collect()}
     assert got == {1: 33333, 2: 100000, 3: 1000000}
+
+
+def test_streaming_mixture_weights_match_batch_queries(
+    spark, sf_dir, tmp_path
+):
+    """round-7 ask #6: mixing weights refreshed from the incremental
+    stats partials must equal the oracle-checked batch queries bit for
+    bit — after a 3-batch ingest, after a 4th batch arrives (weights
+    shift with the corpus), and after compaction (totals invariant)."""
+    from video_etl_spark.queries.text import (
+        mixture_temperature_weights,
+        source_mixture_weights,
+    )
+    from video_etl_spark.session import load_table
+    from video_etl_spark.streaming.stats import (
+        compact_stats,
+        current_mixture_weights,
+        current_temperature_weights,
+        make_stats_handler,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats_dir = str(tmp_path / "stats")
+    handler = make_stats_handler(stats_dir)
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    # partial corpus: first 3 of 4 hash-buckets ingested
+    for b in range(3):
+        handler(docs.filter(F.col("doc_id") % 4 == b), b)
+
+    part_dir = str(tmp_path / "docs_part")
+    docs.filter(F.col("doc_id") % 4 < 3).write.parquet(
+        part_dir + "/documents.parquet"
+    )
+    assert snap(current_mixture_weights(spark, stats_dir)) == snap(
+        source_mixture_weights(spark, part_dir)
+    )
+    assert snap(current_temperature_weights(spark, stats_dir)) == snap(
+        mixture_temperature_weights(spark, part_dir)
+    )
+
+    # the 4th batch lands: streaming weights track the full corpus
+    handler(docs.filter(F.col("doc_id") % 4 == 3), 3)
+    full_mix = snap(source_mixture_weights(spark, sf_dir))
+    full_temp = snap(mixture_temperature_weights(spark, sf_dir))
+    assert snap(current_mixture_weights(spark, stats_dir)) == full_mix
+    assert snap(current_temperature_weights(spark, stats_dir)) == full_temp
+
+    # compaction folds partials without changing any weight
+    compact_stats(spark, stats_dir)
+    assert snap(current_mixture_weights(spark, stats_dir)) == full_mix
+    assert snap(current_temperature_weights(spark, stats_dir)) == full_temp

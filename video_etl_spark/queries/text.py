@@ -1428,6 +1428,16 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
     )
+    return mixture_weights_from_totals(per_source)
+
+
+def mixture_weights_from_totals(per_source: DataFrame) -> DataFrame:
+    """Uniform-target mixture weights from a (source, n_docs, n_tokens)
+    totals frame (round-7 ask #6): the derivation half of
+    ``source_mixture_weights``, split out so the STREAMING stats
+    maintenance (``streaming.stats.current_totals`` — partial-aggregate
+    rows, never the corpus) can refresh mixing weights per batch with the
+    exact same ppm arithmetic the oracle pins."""
     totals = per_source.agg(
         F.sum("n_tokens").alias("total"),
         F.count(F.lit(1)).alias("n_sources"),
@@ -2851,6 +2861,15 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("n_tok").alias("n_tokens"))
     )
+    return temperature_weights_from_totals(per_source)
+
+
+def temperature_weights_from_totals(per_source: DataFrame) -> DataFrame:
+    """Temperature (T=2, sqrt) mixture weights from a (source, n_tokens)
+    totals frame — the derivation half of ``mixture_temperature_weights``,
+    reusable over the streaming partial-aggregate totals (round-7 ask #6).
+    """
+    per_source = per_source.select("source", "n_tokens")
     total = per_source.agg(F.sum("n_tokens").alias("total"))
     sh = per_source.crossJoin(F.broadcast(total)).select(
         "source",

@@ -126,3 +126,31 @@ def current_totals(spark: SparkSession, stats_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+def current_mixture_weights(spark: SparkSession, stats_dir: str) -> DataFrame:
+    """Uniform-target mixing weights refreshed from the PARTIALS table
+    (round-7 ask #6): folds ``current_totals`` through the exact same ppm
+    derivation the oracle-checked ``source_mixture_weights`` uses, so a
+    crawl pipeline re-steers its mixture per batch without ever rescanning
+    the corpus.  k-batch streaming output == the batch query bit for bit
+    (equivalence-tested)."""
+    from video_etl_spark.queries.text import mixture_weights_from_totals
+
+    totals = current_totals(spark, stats_dir).select(
+        "source", "n_docs", "n_tokens"
+    )
+    return mixture_weights_from_totals(totals)
+
+
+def current_temperature_weights(
+    spark: SparkSession, stats_dir: str
+) -> DataFrame:
+    """Temperature (sqrt) mixing weights from the partials table — the
+    streaming twin of ``mixture_temperature_weights``, same contract as
+    :func:`current_mixture_weights`."""
+    from video_etl_spark.queries.text import temperature_weights_from_totals
+
+    return temperature_weights_from_totals(
+        current_totals(spark, stats_dir)
+    )
