@@ -1661,3 +1661,62 @@ def test_phash_signatures_deterministic_and_payload_grain(spark):
     again = {r["doc_id"]: (r["chunk0"], r["chunk1"], r["chunk2"], r["chunk3"])
              for r in phash_signatures(attach_fake_payload(docs)).collect()}
     assert again == rows
+
+
+def test_pack_sequences_crafted_offsets_and_straddles(spark):
+    """Concat-then-chunk semantics pinned by hand: with one shard and
+    seq_len=8, docs of 5/6/3/2 tokens occupy offsets [0,5), [5,11),
+    [11,14), [14,16) — doc 2 straddles the 8-boundary, doc 3 straddles
+    none, the stream is exactly 2 sequences with 0 tail padding; dropping
+    the last doc leaves 2 sequences with 2 padding tokens."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.export import (
+        pack_sequences,
+        packing_manifest,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "f g h i j k"),
+        (3, "l m n"),
+        (4, "o p"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(docs, seq_len=8, n_shards=1)
+    got = {
+        r["doc_id"]: (
+            r["cum_before"], r["start_seq"], r["end_seq"], r["straddles"]
+        )
+        for r in packed.collect()
+    }
+    assert got[1] == (0, 0, 0, False)
+    assert got[2] == (5, 0, 1, True)   # crosses the 8-token boundary
+    assert got[3] == (11, 1, 1, False)
+    assert got[4] == (14, 1, 1, False)
+
+    m = packing_manifest(packed, seq_len=8).collect()[0]
+    assert (m["n_docs"], m["n_tokens"], m["n_seqs"],
+            m["n_straddle_docs"], m["tail_padding"]) == (4, 16, 2, 1, 0)
+
+    m2 = packing_manifest(
+        pack_sequences(docs.filter("doc_id < 4"), seq_len=8, n_shards=1),
+        seq_len=8,
+    ).collect()[0]
+    assert (m2["n_seqs"], m2["tail_padding"]) == (2, 2)
+
+    # determinism: shard assignment and offsets survive a repartition
+    again = {
+        r["doc_id"]: (
+            r["cum_before"], r["start_seq"], r["end_seq"], r["straddles"]
+        )
+        for r in pack_sequences(
+            docs.repartition(7), seq_len=8, n_shards=1
+        ).collect()
+    }
+    assert again == got
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="seq_len"):
+        pack_sequences(docs, seq_len=0)

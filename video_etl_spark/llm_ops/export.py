@@ -156,3 +156,86 @@ def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
     """Loader-side read of one shard; the `shard=` filter prunes to that
     directory (partition pruning — no full-corpus listing or scan)."""
     return spark.read.parquet(path).filter(F.col("shard") == shard)
+
+
+# ---------------------------------------------------------------------------
+# ⊕ round 7 — SEQUENCE PACKING: the export step between curation and the
+# trainer.  Documents are concatenated in a deterministic order and cut
+# into fixed-length training sequences ("concat-then-chunk" packing — the
+# standard GPT-style pretraining layout); the manifest reports how many
+# sequences each shard yields, how many documents straddle a sequence
+# boundary (the attention-masking cases), and the tail padding waste.
+#
+# Scale posture: packing is embarrassingly parallel ACROSS shards — the
+# only ordered scan is the per-shard window (one shuffle on the shard
+# key), never a global sort; each shard's token stream is independent, so
+# 100 TB packs as N independent token streams, one per loader worker.
+# Determinism: shard is the md5 mod-N assignment, in-shard order is
+# doc_id — identical packing on any engine, partitioning, or rerun.
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 256,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc-grain packing assignment: (id, shard, n_tok, cum_before,
+    start_seq, end_seq, straddles).
+
+    A document occupies token offsets [cum_before, cum_before + n_tok)
+    of its shard's concatenated stream; it lands in sequence
+    ``start_seq`` and, when ``straddles``, spills into ``end_seq``.
+    Offsets are exact BIGINTs, so both engines agree bit for bit.
+    """
+    from pyspark.sql import Window
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    t = docs.select(
+        F.col(id_col),
+        F.size(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).cast("long").alias("n_tok"),
+    ).withColumn(
+        "shard",
+        (_hash60_col("pack|", F.col(id_col).cast("string")) % n_shards),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    return (
+        t.withColumn("cum_after", F.sum("n_tok").over(w))
+        .withColumn("cum_before", F.col("cum_after") - F.col("n_tok"))
+        .withColumn(
+            "start_seq", F.expr(f"cum_before div {seq_len}").cast("long")
+        )
+        .withColumn(
+            "end_seq", F.expr(f"(cum_after - 1) div {seq_len}").cast("long")
+        )
+        .withColumn("straddles", F.col("start_seq") != F.col("end_seq"))
+        .select(
+            id_col, "shard", "n_tok", "cum_before",
+            "start_seq", "end_seq", "straddles",
+        )
+    )
+
+
+def packing_manifest(packed: DataFrame, seq_len: int = 256) -> DataFrame:
+    """Per-shard packing manifest over :func:`pack_sequences` output:
+    (shard, n_docs, n_tokens, n_seqs, n_straddle_docs, tail_padding)."""
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.expr(f"(max(cum_before + n_tok) + {seq_len - 1}) "
+                   f"div {seq_len}").cast("long").alias("n_seqs"),
+            F.sum(F.when(F.col("straddles"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_straddle_docs"),
+            F.expr(
+                f"((max(cum_before + n_tok) + {seq_len - 1}) "
+                f"div {seq_len}) * {seq_len} - max(cum_before + n_tok)"
+            ).cast("long").alias("tail_padding"),
+        )
+    )

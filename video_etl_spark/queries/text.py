@@ -2959,3 +2959,69 @@ def phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     frames = attach_fake_payload(docs)
     return phash_pairs(phash_signatures(frames))
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 7): SEQUENCE-PACKING MANIFEST — the
+# export step between curation and the trainer: documents concatenate in
+# a deterministic per-shard order and cut into fixed-length training
+# sequences (concat-then-chunk, the standard pretraining layout).  The
+# manifest a loader plans from: sequences per shard, boundary-straddling
+# documents (the attention-masking cases), tail padding waste.
+# Plan shape: ONE shuffle on the shard key for the per-shard ordered
+# window (never a global sort — shards are independent token streams,
+# embarrassingly parallel at 100 TB), then one groupBy(shard).
+_PACK_SEQ_LEN = 256
+_PACK_SHARDS = 4
+
+
+@query(
+    "sequence_packing_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+             {_DUCK_HASH.format(expr="'pack|' || CAST(doc_id AS VARCHAR)")}
+               % {_PACK_SHARDS} AS shard
+      FROM documents),
+    c AS (
+      SELECT shard, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+               AS cum_after
+      FROM t),
+    e AS (
+      SELECT shard, n_tok, cum_after,
+             (cum_after - n_tok) // {_PACK_SEQ_LEN} AS start_seq,
+             (cum_after - 1) // {_PACK_SEQ_LEN} AS end_seq
+      FROM c)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST((max(cum_after) + {_PACK_SEQ_LEN - 1}) // {_PACK_SEQ_LEN}
+                AS BIGINT) AS n_seqs,
+           CAST(sum(CASE WHEN start_seq <> end_seq THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_straddle_docs,
+           CAST(((max(cum_after) + {_PACK_SEQ_LEN - 1})
+                 // {_PACK_SEQ_LEN}) * {_PACK_SEQ_LEN} - max(cum_after)
+                AS BIGINT) AS tail_padding
+    FROM e GROUP BY shard
+    """,
+)
+def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.export import (
+        pack_sequences,
+        packing_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS
+    )
+    return packing_manifest(packed, seq_len=_PACK_SEQ_LEN).select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "n_tokens",
+        "n_seqs",
+        "n_straddle_docs",
+        "tail_padding",
+    )
