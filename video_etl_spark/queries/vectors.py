@@ -748,3 +748,75 @@ def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ttr_ppm").cast("long").alias("max_ttr_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ governance readout (round 7): EMBEDDING-DISTRIBUTION DRIFT — compare
+# per-dimension embedding means between two corpus revisions (here the
+# deterministic vec_id-parity split stands in for rev N vs rev N+1, the
+# same convention incremental_band_dedup uses for new-vs-history).  A
+# training pipeline watches this to catch encoder or corpus shifts before
+# they poison ANN indexes / semantic dedup thresholds.
+# Exact arithmetic at ANY corpus size: per-dim quantized sums are BIGINT;
+# the per-rev mean is a POSITIVE-OFFSET floor division ((s + OFF·n) div n
+# − OFF, identical in Spark's truncating div and DuckDB's floor // since
+# the offset numerator is always positive), so drift_ppm is a bounded
+# integer (≤ 2·OFF) no matter how many vectors a revision holds — no
+# overflow path, unlike a cross-multiplied exact-rational compare.
+_DRIFT_OFF = 10_000_000  # > any |quantized element| (|x| < 10.0)
+
+
+@query(
+    "embedding_drift_by_dim",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id % 2 AS rev,
+             unnest({_DUCK_QUANT}) AS qv,
+             unnest(generate_series(1, len(embedding))) AS dim
+      FROM embeddings),
+    agg AS (
+      SELECT rev, dim, CAST(sum(qv) AS BIGINT) AS s, count(*) AS n
+      FROM q GROUP BY rev, dim),
+    m AS (
+      SELECT rev, dim, n,
+             ((s + {_DRIFT_OFF} * n) // n) - {_DRIFT_OFF} AS mean_ppm
+      FROM agg)
+    SELECT CAST(a.dim AS BIGINT) AS dim,
+           a.n AS n_rev_a, b.n AS n_rev_b,
+           CAST(a.mean_ppm AS BIGINT) AS mean_a_ppm,
+           CAST(b.mean_ppm AS BIGINT) AS mean_b_ppm,
+           CAST(abs(a.mean_ppm - b.mean_ppm) AS BIGINT) AS drift_ppm
+    FROM m a JOIN m b ON a.dim = b.dim AND a.rev = 0 AND b.rev = 1
+    """,
+)
+def embedding_drift_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        (F.col("vec_id") % 2).alias("rev"),
+        F.posexplode(F.expr(_SPARK_QUANT)).alias("dim0", "qv"),
+    ).withColumn("dim", (F.col("dim0") + 1).cast("long"))
+    agg = q.groupBy("rev", "dim").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    m = agg.select(
+        "rev",
+        "dim",
+        "n",
+        F.expr(
+            f"((s + {_DRIFT_OFF}L * n) div n) - {_DRIFT_OFF}"
+        ).alias("mean_ppm"),
+    )
+    a = m.filter(F.col("rev") == 0).select(
+        "dim", F.col("n").alias("n_rev_a"), F.col("mean_ppm").alias("ma")
+    )
+    b = m.filter(F.col("rev") == 1).select(
+        "dim", F.col("n").alias("n_rev_b"), F.col("mean_ppm").alias("mb")
+    )
+    return a.join(b, "dim").select(
+        "dim",
+        "n_rev_a",
+        "n_rev_b",
+        F.col("ma").cast("long").alias("mean_a_ppm"),
+        F.col("mb").cast("long").alias("mean_b_ppm"),
+        F.abs(F.col("ma") - F.col("mb")).cast("long").alias("drift_ppm"),
+    )
