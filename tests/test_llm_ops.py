@@ -1720,3 +1720,35 @@ def test_pack_sequences_crafted_offsets_and_straddles(spark):
 
     with _pt.raises(ValueError, match="seq_len"):
         pack_sequences(docs, seq_len=0)
+
+
+def test_incremental_phash_no_history_pairs_and_finds_dups(spark):
+    """Asymmetry contract of the multimodal incremental dedup: history
+    frames duplicating EACH OTHER produce no output; a new frame
+    duplicating history is flagged with the min matching id and
+    min_hamming 0; a distinct new frame stays silent."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        incremental_phash_dedup,
+        phash_signatures,
+    )
+
+    rows = [
+        (10, "duplicated frame text"),     # new, dups history 3 and 7
+        (20, "unique new frame"),          # new, distinct
+        (3, "duplicated frame text"),      # history
+        (7, "duplicated frame text"),      # history (dups 3 — must NOT pair)
+        (9, "other history frame"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = phash_signatures(attach_fake_payload(docs))
+    new = sigs.filter(F.col("doc_id") >= 10)
+    hist = sigs.filter(F.col("doc_id") < 10)
+    got = {
+        r["new_doc"]: (r["dup_of"], r["n_candidates"], r["min_hamming"])
+        for r in incremental_phash_dedup(new, hist).collect()
+    }
+    assert got[10] == (3, 2, 0)
+    assert 20 not in got or got[20][2] > 0  # identical-payload match only

@@ -361,3 +361,54 @@ def phash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+def incremental_phash_dedup(
+    new_sigs: DataFrame, hist_sigs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """ASYMMETRIC perceptual-hash dedup: match a new frame batch against
+    the existing corpus index — (new_doc, dup_of, n_candidates,
+    min_hamming) — without ever generating a history×history pair
+    (the multimodal twin of ``dedup.incremental_dedup`` /
+    ``incremental_simhash_dedup``).
+
+    Both inputs are :func:`phash_signatures` frames; at 100 TB the
+    history side lives as a persisted signature table (chunk-bucketed,
+    like ``write_band_index``) and each crawl batch joins against it
+    without re-hashing the corpus.  Same pigeonhole recall bound as
+    :func:`phash_pairs`.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk blocking "
+            "guarantee (recall is only complete for distance <= 3); use "
+            "more/finer chunks for larger radii"
+        )
+    chunks = [f"chunk{c}" for c in range(4)]
+
+    def side(sigs: DataFrame, id_out: str, prefix: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(id_out),
+            *[F.col(c).alias(f"{prefix}{c}") for c in chunks],
+            F.posexplode(F.array(*chunks)).alias("c", "chunk"),
+        )
+
+    n = side(new_sigs, "new_doc", "a_")
+    o = side(hist_sigs, "old_doc", "b_")
+    hamming = sum(
+        F.bit_count(F.col(f"a_chunk{c}").bitwiseXOR(F.col(f"b_chunk{c}")))
+        for c in range(4)
+    )
+    return (
+        n.join(o, ["c", "chunk"])
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_doc", "old_doc", "hamming")
+        .distinct()
+        .groupBy("new_doc")
+        .agg(
+            F.min("old_doc").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )

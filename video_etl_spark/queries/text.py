@@ -3025,3 +3025,49 @@ def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_straddle_docs",
         "tail_padding",
     )
+
+
+# --------------------------------------------------------------------------
+# U21⊕ (round 7 cont.): INCREMENTAL perceptual-hash dedup — the new-batch
+# vs corpus form of phash_near_dup_pairs (asymmetric chunk join, no
+# old×old pair), completing the incremental dedup family across all
+# modalities: band (text), simhash (text), embedding (vectors), phash
+# (frames).  Same deterministic batch split as incremental_band_dedup
+# (doc_id % 10 = 0 plays the new crawl).  Oracle: all-pairs asymmetric
+# join — also re-proves blocked recall at gate scale.
+def _phash_incremental_oracle() -> str:
+    base = _phash_oracle()
+    # reuse the signature CTEs; replace the final all-pairs SELECT with
+    # the asymmetric aggregate
+    head = base[: base.index("SELECT a.doc_id")]
+    hamming = " + ".join(
+        f"bit_count(xor(a.chunk{c}, b.chunk{c}))" for c in range(4)
+    )
+    return (
+        head
+        + f"""
+    SELECT a.doc_id AS new_doc,
+           min(b.doc_id) AS dup_of,
+           count(*) AS n_candidates,
+           CAST(min({hamming}) AS BIGINT) AS min_hamming
+    FROM sig a JOIN sig b
+      ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    WHERE {hamming} <= 3
+    GROUP BY a.doc_id
+    """
+    )
+
+
+@query("incremental_phash_dedup", oracle=_phash_incremental_oracle())
+def incremental_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        incremental_phash_dedup as _inc,
+        phash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = phash_signatures(attach_fake_payload(docs)).persist()
+    new = sigs.filter(F.col("doc_id") % 10 == 0)
+    hist = sigs.filter(F.col("doc_id") % 10 != 0)
+    return _inc(new, hist)
