@@ -3071,3 +3071,106 @@ def incremental_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = sigs.filter(F.col("doc_id") % 10 == 0)
     hist = sigs.filter(F.col("doc_id") % 10 != 0)
     return _inc(new, hist)
+
+
+# --------------------------------------------------------------------------
+# U23⊕ (round 7 cont.): ITERATIVE BPE TRAINING, oracle-pinned — 3 merge
+# rounds of llm_ops.bpe.bpe_train verified against a DuckDB unrolled-CTE
+# twin.  The oracle's trick: after each merge, the merged symbol is
+# REPLACED BY A SINGLE RESERVED MARKER CHARACTER (chr(1)/chr(2)/chr(3)),
+# so every symbol stays one character and (a) adjacent-pair extraction
+# remains substr arithmetic, (b) the greedy left-to-right non-overlapping
+# merge is exactly SQL replace() — while tie-breaks and the output rows
+# rank/report the EXPANDED real strings, matching the Spark trainer's
+# (count DESC, left, right) ordering bit for bit.  Assumes the corpus
+# contains no chr(1)-chr(3) bytes (reserved alphabet; crawl scrubbing
+# drops control chars long before tokenizer training).
+_BPE_TRAIN_ROUNDS = 3
+
+
+def _bpe_expand(col: str, rnd: int) -> str:
+    """SQL expr expanding a single-char symbol of round ``rnd`` (1-based)
+    to its real string: markers chr(1..rnd-1) expand recursively."""
+    if rnd == 1:
+        return col
+    whens = "".join(
+        f"WHEN {col} = chr({i}) THEN {_bpe_merged_sql(i)} "
+        for i in range(1, rnd)
+    )
+    return f"(CASE {whens}ELSE {col} END)"
+
+
+def _bpe_merged_sql(rnd: int) -> str:
+    """Expanded merged string of round ``rnd`` as SQL over b{rnd}."""
+    return (
+        f"({_bpe_expand(f'b{rnd}.l', rnd)} || "
+        f"{_bpe_expand(f'b{rnd}.r', rnd)})"
+    )
+
+
+def _bpe_train_oracle(k: int) -> str:
+    ctes = [
+        f"""
+    WITH w0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest({_DUCK_TOKENS}) AS word FROM documents)
+      WHERE len(word) >= 1 GROUP BY word)"""
+    ]
+    for j in range(1, k + 1):
+        prev = f"w{j - 1}"
+        b_joins = ", ".join(f"b{i}" for i in range(1, j))
+        b_from = (", " + b_joins) if b_joins else ""
+        ctes.append(
+            f"""
+    p{j} AS (
+      SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+             CAST(sum(n) AS BIGINT) AS cnt
+      FROM {prev}, unnest(generate_series(1, len(word) - 1)) AS t(i)
+      WHERE len(word) >= 2
+      GROUP BY 1, 2),
+    b{j} AS (
+      SELECT p{j}.l AS l, p{j}.r AS r, p{j}.cnt AS cnt
+      FROM p{j}{b_from}
+      ORDER BY p{j}.cnt DESC, {_bpe_expand(f'p{j}.l', j)},
+               {_bpe_expand(f'p{j}.r', j)}
+      LIMIT 1),
+    w{j} AS (
+      SELECT replace({prev}.word, b{j}.l || b{j}.r, chr({j})) AS word,
+             {prev}.n
+      FROM {prev}, b{j})"""
+        )
+    selects = []
+    for j in range(1, k + 1):
+        b_all = ", ".join(f"b{i}" for i in range(1, j + 1))
+        selects.append(
+            f"""
+    SELECT CAST({j - 1} AS BIGINT) AS rnd,
+           {_bpe_expand(f'b{j}.l', j)} AS left_sym,
+           {_bpe_expand(f'b{j}.r', j)} AS right_sym,
+           {_bpe_merged_sql(j)} AS merged,
+           b{j}.cnt AS n_occurrences
+    FROM {b_all}"""
+        )
+    return ",".join(ctes) + " UNION ALL ".join(selects)
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle(_BPE_TRAIN_ROUNDS))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, _BPE_TRAIN_ROUNDS)
+    return spark.createDataFrame(
+        [
+            (
+                m["rnd"],
+                m["left"],
+                m["right"],
+                m["merged"],
+                m["n_occurrences"],
+            )
+            for m in merges
+        ],
+        "rnd long, left_sym string, right_sym string, merged string, "
+        "n_occurrences long",
+    )
