@@ -172,7 +172,14 @@ def main() -> None:
         quality_weighted_sample,
         token_count_cms_estimates,
     )
+    from video_etl_spark.queries.text import (
+        incremental_phash_dedup,
+        phash_near_dup_pairs,
+        remove_repeated_spans_10w,
+        sequence_packing_manifest,
+    )
     from video_etl_spark.queries.vectors import (
+        embedding_drift_by_dim,
         kmeans_lloyd_embeddings,
         knn_label_accuracy,
     )
@@ -209,6 +216,12 @@ def main() -> None:
         ("quality_weighted_sample", quality_weighted_sample),
         ("bpe_top_merges", bpe_top_merges),
         ("token_count_cms_estimates", token_count_cms_estimates),
+        # round-7: multimodal dedup, packing export, longer spans, drift
+        ("phash_near_dup_pairs", phash_near_dup_pairs),
+        ("incremental_phash_dedup", incremental_phash_dedup),
+        ("sequence_packing_manifest", sequence_packing_manifest),
+        ("remove_repeated_spans_10w", remove_repeated_spans_10w),
+        ("embedding_drift_by_dim", embedding_drift_by_dim),
     ):
         timed(fn, spark, SF01_DIR)  # warm-up: JIT + codegen, not timed
         s01, n01 = timed(fn, spark, SF01_DIR)
@@ -238,6 +251,62 @@ def main() -> None:
     print(f"cc at sf1: {n_comp} components; per-round seconds:")
     for r, s in rounds:
         print(f"  round {r}: {s:.2f}s")
+
+    # round-7: materialize-once component index — the CC chain is paid
+    # ONCE (write), then every consumer reads three thin columns; the
+    # evidence a corpus-revision pipeline wants is (write cost) vs
+    # (sum of consumer costs with and without the index)
+    from video_etl_spark.llm_ops.dedup import write_component_index
+    from video_etl_spark.queries.text import (
+        canonical_cluster_docs,
+        dup_cluster_size_histogram,
+    )
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    write_component_index(
+        docs, "t_sf1_comp_index", "/tmp/spark_graft_sf1_comp_idx"
+    )
+    t_write = time.perf_counter() - t0
+    idx = spark.table("t_sf1_comp_index")
+    consumers = (
+        ("dedup_connected_clusters", dedup_connected_clusters),
+        ("dup_cluster_size_histogram", dup_cluster_size_histogram),
+        ("cluster_aware_split", cluster_aware_split),
+        ("canonical_cluster_docs", canonical_cluster_docs),
+    )
+    inline_total = indexed_total = 0.0
+    for name, fn in consumers:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, SF1_DIR).count()
+        inline_total += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(spark, SF1_DIR, components=idx).count()
+        indexed_total += time.perf_counter() - t0
+    print(
+        f"component index at sf1: write {t_write:.1f}s; 4 consumers "
+        f"inline {inline_total:.1f}s vs indexed {indexed_total:.1f}s "
+        f"(chain paid once, {inline_total / max(indexed_total, 1e-9):.0f}x "
+        "consumer speedup)"
+    )
+    spark.sql("DROP TABLE IF EXISTS t_sf1_comp_index")
+
+    # round-7: BPE trainer round cost at sf1 — per-round cost must be
+    # flat-ish (vocab-table jobs), not growing with round count
+    from video_etl_spark.llm_ops.bpe import bpe_train
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    bpe_train(docs, 3)
+    t3 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    merges, _ = bpe_train(docs, 6)
+    t6 = time.perf_counter() - t0
+    print(
+        f"bpe_train at sf1: k=3 {t3:.1f}s, k=6 {t6:.1f}s "
+        f"(marginal round {max(t6 - t3, 0) / 3:.2f}s; {len(merges)} merges)"
+    )
 
 
 if __name__ == "__main__":
