@@ -3108,11 +3108,15 @@ def _bpe_merged_sql(rnd: int) -> str:
     )
 
 
-def _bpe_train_oracle(k: int) -> str:
+def _bpe_chain_ctes(k: int) -> str:
+    """The shared k-round marker-unroll CTE prefix: w0 (word-frequency
+    table, carrying the ORIGINAL word through every round) → p{j} (pair
+    counts) → b{j} (best pair, ranked on expanded strings) → w{j}
+    (greedy merge as replace-with-marker)."""
     ctes = [
         f"""
     WITH w0 AS (
-      SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT word AS orig, word, CAST(count(*) AS BIGINT) AS n FROM (
         SELECT unnest({_DUCK_TOKENS}) AS word FROM documents)
       WHERE len(word) >= 1 GROUP BY word)"""
     ]
@@ -3135,10 +3139,15 @@ def _bpe_train_oracle(k: int) -> str:
                {_bpe_expand(f'p{j}.r', j)}
       LIMIT 1),
     w{j} AS (
-      SELECT replace({prev}.word, b{j}.l || b{j}.r, chr({j})) AS word,
+      SELECT {prev}.orig,
+             replace({prev}.word, b{j}.l || b{j}.r, chr({j})) AS word,
              {prev}.n
       FROM {prev}, b{j})"""
         )
+    return ",".join(ctes)
+
+
+def _bpe_train_oracle(k: int) -> str:
     selects = []
     for j in range(1, k + 1):
         b_all = ", ".join(f"b{i}" for i in range(1, j + 1))
@@ -3151,7 +3160,7 @@ def _bpe_train_oracle(k: int) -> str:
            b{j}.cnt AS n_occurrences
     FROM {b_all}"""
         )
-    return ",".join(ctes) + " UNION ALL ".join(selects)
+    return _bpe_chain_ctes(k) + " UNION ALL ".join(selects)
 
 
 @query("bpe_train_merges", oracle=_bpe_train_oracle(_BPE_TRAIN_ROUNDS))
@@ -3173,4 +3182,70 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rnd long, left_sym string, right_sym string, merged string, "
         "n_occurrences long",
+    )
+
+
+# --------------------------------------------------------------------------
+# U23⊕ (round 7 cont.): BPE FERTILITY AFTER TRAINING — the APPLY side of
+# the trainer: segment every corpus token with the k trained merges and
+# report per-source compression (symbols-per-token fertility and chars
+# saved).  This is the readout that decides whether a tokenizer build is
+# good enough to ship — fertility directly multiplies training cost.
+# Plan shape: the segmentation lives on the VOCAB-grain word table
+# (bpe_train's output — at 100 TB it broadcasts); the corpus pass is one
+# explode + one hash join + one groupBy(source).  Oracle: the same
+# marker-unroll chain, final word strings' char counts ARE the symbol
+# counts (each symbol is one char by construction).
+@query(
+    "bpe_fertility_after_merges",
+    oracle=_bpe_chain_ctes(_BPE_TRAIN_ROUNDS)
+    + f""",
+    seg AS (
+      SELECT orig, CAST(len(word) AS BIGINT) AS n_syms,
+             CAST(len(orig) AS BIGINT) AS n_chars
+      FROM w{_BPE_TRAIN_ROUNDS}),
+    toks AS (
+      SELECT source, unnest({_DUCK_TOKENS}) AS word FROM documents)
+    SELECT t.source,
+           count(*) AS n_tokens,
+           CAST(sum(s.n_syms) AS BIGINT) AS n_symbols,
+           CAST(sum(s.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(s.n_syms) * 1000000 // count(*) AS BIGINT)
+             AS fertility_ppm,
+           CAST((sum(s.n_chars) - sum(s.n_syms)) * 1000000
+                // sum(s.n_chars) AS BIGINT) AS saved_ppm
+    FROM toks t JOIN seg s ON t.word = s.orig
+    GROUP BY t.source
+    """,
+)
+def bpe_fertility_after_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, words = bpe_train(docs, _BPE_TRAIN_ROUNDS)
+    seg = words.select(
+        F.col("word"),
+        F.size("syms").cast("long").alias("n_syms"),
+        F.length("word").cast("long").alias("n_chars_w"),
+    )
+    toks = docs.select(
+        "source", F.explode(_tokens_col()).alias("word")
+    ).filter(F.length("word") >= 1)
+    return (
+        toks.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_syms").alias("n_symbols"),
+            F.sum("n_chars_w").alias("n_chars"),
+            F.expr("sum(n_syms) * 1000000 div count(1)")
+            .cast("long")
+            .alias("fertility_ppm"),
+            F.expr(
+                "(sum(n_chars_w) - sum(n_syms)) * 1000000 "
+                "div sum(n_chars_w)"
+            )
+            .cast("long")
+            .alias("saved_ppm"),
+        )
     )
