@@ -1752,3 +1752,66 @@ def test_incremental_phash_no_history_pairs_and_finds_dups(spark):
     }
     assert got[10] == (3, 2, 0)
     assert 20 not in got or got[20][2] > 0  # identical-payload match only
+
+
+def test_phash_bucketed_index_no_index_shuffle(spark, sf_dir, tmp_path):
+    """The persistent frame-dedup index: bucketed chunk table joins with
+    NO exchange on the index side (only the new batch shuffles), results
+    equal the direct incremental form, and an unbucketed copy
+    reintroduces the exchange."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        incremental_phash_against_index,
+        incremental_phash_dedup,
+        phash_index_rows,
+        phash_signatures,
+        write_phash_index,
+    )
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # sf0.001's new-vs-history split has no cross-split dup by itself —
+    # graft crafted duplicates so the equality check is NON-vacuous
+    extra = spark.createDataFrame(
+        [(1_000_000, "crafted duplicate frame"),
+         (1_000_003, "crafted duplicate frame"),
+         (1_000_007, "crafted duplicate frame")],
+        "doc_id long, text string",
+    )
+    sigs = phash_signatures(
+        attach_fake_payload(docs.unionByName(extra))
+    ).persist()
+    new = sigs.filter(F.col("doc_id") % 10 == 0)
+    hist = sigs.filter(F.col("doc_id") % 10 != 0)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_phash_index(
+            hist, "t_phash_index", str(tmp_path / "ph_idx"), n_buckets=8
+        )
+        out = incremental_phash_against_index(
+            new, spark.table("t_phash_index")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange hashpartitioning(ckey") == 1, plan
+
+        got = sorted(map(tuple, out.collect()))
+        want = sorted(map(tuple, incremental_phash_dedup(new, hist).collect()))
+        assert got == want and got
+        assert (1_000_000, 1_000_003, 2, 0) in got
+
+        phash_index_rows(hist).write.mode("overwrite").parquet(
+            str(tmp_path / "ph_plain")
+        )
+        plain = incremental_phash_against_index(
+            new, spark.read.parquet(str(tmp_path / "ph_plain"))
+        )
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert plain_plan.count("Exchange hashpartitioning(ckey") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_phash_index")

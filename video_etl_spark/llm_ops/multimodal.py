@@ -412,3 +412,91 @@ def incremental_phash_dedup(
             F.min("hamming").alias("min_hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U21⊕ (round 7 cont.) — the persistent 100 TB form of the frame-dedup
+# index, mirroring dedup.write_band_index: chunk rows (doc, c, chunk, all
+# four chunks for the Hamming re-check) persisted as a bucketed table on
+# the composite chunk key, so each crawl batch's candidate join reads
+# co-located index buckets and shuffles ONLY the new batch.
+
+
+def phash_index_rows(sigs: DataFrame) -> DataFrame:
+    """Long-format index rows over :func:`phash_signatures` output:
+    (doc_id, chunk0..chunk3, ckey) — one row per doc per chunk,
+    ckey = "<c>|<chunk>" so a single string column is both the join key
+    and the bucket key (same convention as ``dedup.band_index_rows``)."""
+    chunks = [f"chunk{c}" for c in range(4)]
+    return sigs.select(
+        "doc_id",
+        *chunks,
+        F.posexplode(F.array(*chunks)).alias("c", "chunk"),
+    ).select(
+        "doc_id",
+        *chunks,
+        F.concat_ws("|", F.col("c"), F.col("chunk")).alias("ckey"),
+    )
+
+
+def write_phash_index(
+    sigs: DataFrame, table: str, path: str, n_buckets: int = 32
+) -> None:
+    """Persist the corpus frame-signature index as a bucketed external
+    table on ``ckey``."""
+    (
+        phash_index_rows(sigs)
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, "ckey")
+        .sortBy("ckey")
+        .saveAsTable(table)
+    )
+
+
+def incremental_phash_against_index(
+    new_sigs: DataFrame, index: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """:func:`incremental_phash_dedup` against a persisted chunk index
+    (``spark.table(...)`` written by :func:`write_phash_index`).
+
+    Same output contract (new_doc, dup_of, n_candidates, min_hamming).
+    With the bucketed table the join plan has NO exchange on the index
+    side — only the new batch shuffles (plan-asserted in tests) — the
+    property that keeps per-crawl frame dedup independent of corpus
+    size.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk blocking "
+            "guarantee (recall is only complete for distance <= 3); use "
+            "more/finer chunks for larger radii"
+        )
+    chunks = [f"chunk{c}" for c in range(4)]
+    new_rows = phash_index_rows(new_sigs).select(
+        F.col("doc_id").alias("new_doc"),
+        *[F.col(c).alias(f"a_{c}") for c in chunks],
+        "ckey",
+    )
+    hist_rows = index.select(
+        F.col("doc_id").alias("old_doc"),
+        *[F.col(c).alias(f"b_{c}") for c in chunks],
+        "ckey",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a_chunk{c}").bitwiseXOR(F.col(f"b_chunk{c}")))
+        for c in range(4)
+    )
+    return (
+        new_rows.join(hist_rows, "ckey")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_doc", "old_doc", "hamming")
+        .distinct()
+        .groupBy("new_doc")
+        .agg(
+            F.min("old_doc").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )
