@@ -1861,3 +1861,75 @@ def test_streaming_mixture_weights_match_batch_queries(
     compact_stats(spark, stats_dir)
     assert snap(current_mixture_weights(spark, stats_dir)) == full_mix
     assert snap(current_temperature_weights(spark, stats_dir)) == full_temp
+
+
+def test_streaming_frame_dedup_matches_batch_and_retry_safe(spark, tmp_path):
+    """Multimodal streaming dedup: a k-micro-batch run must flag exactly
+    the candidates k driver-side incremental_phash_dedup calls with
+    accumulated history flag (earliest sighting wins across batches, no
+    old x old pairs), and a retried batch must not double-flag."""
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        incremental_phash_dedup,
+        phash_signatures,
+    )
+    from video_etl_spark.streaming.frame_dedup import make_frame_batch_handler
+
+    rows = [
+        (1, "frame alpha"), (2, "frame beta"), (3, "frame gamma"),
+        (11, "frame alpha"),                       # batch 1 dups batch 0
+        (12, "frame delta"),
+        (21, "frame alpha"), (22, "frame delta"),  # batch 2 dups 0 and 1
+        (23, "frame epsilon"),
+    ]
+    batches = [
+        [r for r in rows if r[0] < 10],
+        [r for r in rows if 10 < r[0] < 20],
+        [r for r in rows if r[0] > 20],
+    ]
+    index_dir = str(tmp_path / "ph_index")
+    dup_dir = str(tmp_path / "ph_dups")
+    handler = make_frame_batch_handler(index_dir, dup_dir)
+    frames = {}
+    for b, chunk in enumerate(batches):
+        df = attach_fake_payload(
+            spark.createDataFrame(chunk, "doc_id long, text string")
+        )
+        frames[b] = df
+        handler(df, b)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(dup_dir)
+            .select("new_doc", "dup_of", "n_candidates", "min_hamming")
+            .collect(),
+        )
+    )
+    # driver-side reference: per batch vs accumulated earlier signatures
+    want = []
+    hist = None
+    for b in range(3):
+        sigs = phash_signatures(frames[b])
+        if hist is not None:
+            want += [
+                tuple(r)
+                for r in incremental_phash_dedup(sigs, hist).collect()
+            ]
+        hist = sigs if hist is None else hist.unionByName(sigs)
+    assert got == sorted(want) and got
+    assert (11, 1, 1, 0) in got       # batch-1 dup of batch 0
+    assert (21, 1, 2, 0) in got       # batch-2 dup of batches 0 AND 1
+    assert (22, 12, 1, 0) in got
+
+    # retry idempotence: re-running batch 1 rewrites its partitions
+    handler(frames[1], 1)
+    again = sorted(
+        map(
+            tuple,
+            spark.read.parquet(dup_dir)
+            .select("new_doc", "dup_of", "n_candidates", "min_hamming")
+            .collect(),
+        )
+    )
+    assert again == got
