@@ -275,15 +275,27 @@ def main() -> None:
         ("cluster_aware_split", cluster_aware_split),
         ("canonical_cluster_docs", canonical_cluster_docs),
     )
-    inline_total = indexed_total = 0.0
-    for name, fn in consumers:
+    # honest materialization (count + all-column xxhash — same forcing as
+    # bench.py/timed) and a cache clear before EVERY timed run, so the
+    # indexed pass cannot ride the inline pass's warm state
+    def force_cold(builder) -> float:
+        # the BUILDER runs inside the timer: the CC-chain queries do
+        # their eager connected-components work at plan-build time
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        fn(spark, SF1_DIR).count()
-        inline_total += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fn(spark, SF1_DIR, components=idx).count()
-        indexed_total += time.perf_counter() - t0
+        df = builder()
+        df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        ).collect()
+        return time.perf_counter() - t0
+
+    inline_total = indexed_total = 0.0
+    for name, fn in consumers:
+        inline_total += force_cold(lambda f=fn: f(spark, SF1_DIR))
+        indexed_total += force_cold(
+            lambda f=fn: f(spark, SF1_DIR, components=idx)
+        )
     print(
         f"component index at sf1: write {t_write:.1f}s; 4 consumers "
         f"inline {inline_total:.1f}s vs indexed {indexed_total:.1f}s "

@@ -1815,3 +1815,52 @@ def test_phash_bucketed_index_no_index_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_phash_index")
+
+
+def test_bpe_early_stop_oracle_parity_on_exhausted_corpus(spark, tmp_path):
+    """Review fix: when the corpus supports FEWER merges than
+    _BPE_TRAIN_ROUNDS, the oracle must not annihilate downstream state —
+    bsafe's sentinel fallback keeps w{k} alive, so both queries stay
+    hash-equal to DuckDB.  Corpus: only 'ab' is mergeable (1 merge, then
+    round-2/3 pairs exhaust: every word collapses to a single symbol)."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.oracle import check
+
+    import os
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["ab ab ab c d", "ab c c d d"]
+    # single-FILE parquet (like the driver's testdata layout — DuckDB's
+    # read_parquet expects a file, Spark's writer would make a directory)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": texts,
+                "lang": ["en", "en"],
+                "source": ["s0", "s0"],
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    # the oracle harness registers every table as a view — link the
+    # untouched ones from the smoke dir
+    for p in pathlib.Path("/root/testdata/sf0.001").iterdir():
+        if p.name != "documents.parquet":
+            os.symlink(p, tmp_path / p.name)
+    from video_etl_spark import registry
+
+    registry.load_all()
+    for name in ("bpe_train_merges", "bpe_fertility_after_merges"):
+        problems = check(spark, name, str(tmp_path))
+        assert not problems, f"{name}: " + "; ".join(problems)
+
+    merges = registry.QUERIES["bpe_train_merges"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(merges) == 1  # early stop after the single 'ab' merge

@@ -38,10 +38,10 @@ def word_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ASCII-whitespace split) so round-1 pair counts line up bit for bit
     with the oracle-checked ``bpe_top_merges``.
     """
+    from video_etl_spark.queries.text import _tokens_col
+
     toks = docs.select(
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("word")
+        F.explode(_tokens_col(text_col)).alias("word")
     ).filter(F.length("word") >= 1)
     return (
         toks.groupBy("word")

@@ -896,16 +896,20 @@ def corpus_components(
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     edges = pairs.distinct()
-    comp = connected_components(
-        edges,
-        docs.select(id_col),
-        node_col=id_col,
-        max_iter=max_iter,
-        edges_distinct=True,
-    )
-    # connected_components checkpoints eagerly per round, so the returned
-    # labeling is already materialized — the signature cache is done.
-    sigs.unpersist()
+    try:
+        comp = connected_components(
+            edges,
+            docs.select(id_col),
+            node_col=id_col,
+            max_iter=max_iter,
+            edges_distinct=True,
+        )
+    finally:
+        # connected_components checkpoints eagerly per round, so on
+        # success the labeling is already materialized; on its
+        # non-convergence raise the cache must not stay pinned either
+        # (callers retry with a higher max_iter).
+        sigs.unpersist()
     return comp.select(F.col("node").alias(id_col), "component")
 
 

@@ -132,12 +132,12 @@ def shard_manifest(
     write-then-manifest flow works for non-default columns too.
     """
     if token_col is None:
-        # derive the default from text_col (NOT the hardcoded 'text'
+        # derive the default from text_col (NOT a hardcoded 'text'
         # tokenizer) so shard_manifest(sharded, text_col="body") works on
         # frames without a 'text' column, as the docstring promises.
-        token_col = F.size(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        )
+        from video_etl_spark.queries.text import _tokens_col
+
+        token_col = F.size(_tokens_col(text_col))
     n_tok = token_col
     return (
         sharded.groupBy("shard")
@@ -193,14 +193,16 @@ def pack_sequences(
 
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
-    t = docs.select(
-        F.col(id_col),
-        F.size(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).cast("long").alias("n_tok"),
-    ).withColumn(
-        "shard",
-        (_hash60_col("pack|", F.col(id_col).cast("string")) % n_shards),
+    from video_etl_spark.queries.text import _tokens_col
+
+    t = shard_assignments(
+        docs.select(
+            F.col(id_col),
+            F.size(_tokens_col(text_col)).cast("long").alias("n_tok"),
+        ),
+        n_shards,
+        id_col=id_col,
+        salt="pack|",
     )
     w = Window.partitionBy("shard").orderBy(id_col)
     return (

@@ -273,11 +273,12 @@ _PHASH_SALTS = tuple(f"p{j}|" for j in range(4))  # 16 pixels per salt
 
 
 def phash_signatures(
-    frames: DataFrame,
-    payload_col: str = "payload",
-    id_col: str = "doc_id",
+    frames: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
-    """(id, chunk0..chunk3): 64-bit aHash as four 16-bit chunks.
+    """(doc_id, chunk0..chunk3): 64-bit aHash as four 16-bit chunks.
+    The whole family keys on ``doc_id`` (a configurable id column here
+    would be unusable — every downstream join hardcodes it; rename
+    upstream instead).
 
     Pixels: byte ``t`` of md5("p{j}|" + payload-as-ascii) is grid cell
     16j+t (0..255).  Bit i = (pixel_i > grid mean), computed exactly as
@@ -289,7 +290,7 @@ def phash_signatures(
     """
     payload_str = F.col(payload_col).cast("string")
     hexes = frames.select(
-        F.col(id_col),
+        F.col("doc_id"),
         *[
             F.md5(F.concat(F.lit(salt), payload_str)).alias(f"hx{j}")
             for j, salt in enumerate(_PHASH_SALTS)
@@ -302,7 +303,7 @@ def phash_signatures(
             f"cast(conv(substr(hx{j}, {2 * t + 1}, 2), 16, 10) as bigint)"
             f" as px{idx}"
         )
-    px = hexes.selectExpr(id_col, *px_exprs)
+    px = hexes.selectExpr("doc_id", *px_exprs)
     total = " + ".join(f"px{i}" for i in range(PHASH_GRID))
     chunk_exprs = [
         " + ".join(
@@ -313,11 +314,45 @@ def phash_signatures(
         for c in range(4)
     ]
     return px.withColumn("__tot", F.expr(total)).selectExpr(
-        id_col,
+        "doc_id",
         *[
             f"cast({e} as bigint) as chunk{c}"
             for c, e in enumerate(chunk_exprs)
         ],
+    )
+
+
+_PHASH_CHUNKS = tuple(f"chunk{c}" for c in range(4))
+
+
+def _require_chunk_recall(max_hamming: int) -> None:
+    """ONE definition of the pigeonhole bound for the whole family — the
+    direct, incremental, and index-backed paths must never diverge on the
+    radius guarantee."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk blocking "
+            "guarantee (recall is only complete for distance <= 3); use "
+            "more/finer chunks for larger radii"
+        )
+
+
+def _chunk_side(sigs: DataFrame, id_out: str, prefix: str) -> DataFrame:
+    """Stacked join side: (id, all 4 chunks for the Hamming re-check,
+    c, chunk) — one row per doc per chunk, so the 4 blocking joins
+    collapse into one equi-join on the composite (c, chunk) key."""
+    return sigs.select(
+        F.col("doc_id").alias(id_out),
+        *[F.col(c).alias(f"{prefix}{c}") for c in _PHASH_CHUNKS],
+        F.posexplode(F.array(*_PHASH_CHUNKS)).alias("c", "chunk"),
+    )
+
+
+def _hamming4() -> F.Column:
+    """Hamming distance between the a_/b_ chunk column sets."""
+    return sum(
+        F.bit_count(F.col(f"a_chunk{c}").bitwiseXOR(F.col(f"b_chunk{c}")))
+        for c in range(4)
     )
 
 
@@ -326,37 +361,24 @@ def phash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     :func:`phash_signatures` output, via the 16-bit chunk-blocked
     self-join.
 
-    Recall is complete only for ``max_hamming`` ≤ 3 (4-chunk pigeonhole) —
-    larger radii raise rather than silently miss pairs, same contract as
-    ``dedup.simhash_pairs``.  The signature frame feeds both join sides,
-    so it is persisted (id + 4 small ints — tiny next to the corpus).
+    Recall is complete only for ``max_hamming`` <= 3 (4-chunk pigeonhole)
+    — larger radii raise rather than silently miss pairs, same contract
+    as ``dedup.simhash_pairs``.  The signature frame feeds both join
+    sides, so it is persisted (id + 4 small ints — tiny next to the
+    corpus); like ``queries.text._banded_sigs`` the blocks are
+    deliberately left to Spark's LRU eviction because this builder
+    returns a LAZY plan (there is no post-action hook to unpersist
+    without re-running the signatures); sweeping callers (driver gate,
+    bench) clear caches between queries.
     """
-    if max_hamming > 3:
-        raise ValueError(
-            f"max_hamming={max_hamming} exceeds the 4-chunk blocking "
-            "guarantee (recall is only complete for distance <= 3); use "
-            "more/finer chunks for larger radii"
-        )
+    _require_chunk_recall(max_hamming)
     sig = sigs.persist()
-    chunks = [f"chunk{c}" for c in range(4)]
-
-    def side(id_out: str, prefix: str) -> DataFrame:
-        return sig.select(
-            F.col("doc_id").alias(id_out),
-            *[F.col(c).alias(f"{prefix}{c}") for c in chunks],
-            F.posexplode(F.array(*chunks)).alias("c", "chunk"),
-        )
-
-    a = side("doc_a", "a_")
-    b = side("doc_b", "b_")
-    hamming = sum(
-        F.bit_count(F.col(f"a_chunk{c}").bitwiseXOR(F.col(f"b_chunk{c}")))
-        for c in range(4)
-    )
+    a = _chunk_side(sig, "doc_a", "a_")
+    b = _chunk_side(sig, "doc_b", "b_")
     return (
         a.join(b, ["c", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming.cast("long"))
+        .withColumn("hamming", _hamming4().cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
         .distinct()
@@ -378,30 +400,12 @@ def incremental_phash_dedup(
     without re-hashing the corpus.  Same pigeonhole recall bound as
     :func:`phash_pairs`.
     """
-    if max_hamming > 3:
-        raise ValueError(
-            f"max_hamming={max_hamming} exceeds the 4-chunk blocking "
-            "guarantee (recall is only complete for distance <= 3); use "
-            "more/finer chunks for larger radii"
-        )
-    chunks = [f"chunk{c}" for c in range(4)]
-
-    def side(sigs: DataFrame, id_out: str, prefix: str) -> DataFrame:
-        return sigs.select(
-            F.col("doc_id").alias(id_out),
-            *[F.col(c).alias(f"{prefix}{c}") for c in chunks],
-            F.posexplode(F.array(*chunks)).alias("c", "chunk"),
-        )
-
-    n = side(new_sigs, "new_doc", "a_")
-    o = side(hist_sigs, "old_doc", "b_")
-    hamming = sum(
-        F.bit_count(F.col(f"a_chunk{c}").bitwiseXOR(F.col(f"b_chunk{c}")))
-        for c in range(4)
-    )
+    _require_chunk_recall(max_hamming)
+    n = _chunk_side(new_sigs, "new_doc", "a_")
+    o = _chunk_side(hist_sigs, "old_doc", "b_")
     return (
         n.join(o, ["c", "chunk"])
-        .withColumn("hamming", hamming.cast("long"))
+        .withColumn("hamming", _hamming4().cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("new_doc", "old_doc", "hamming")
         .distinct()
@@ -427,14 +431,13 @@ def phash_index_rows(sigs: DataFrame) -> DataFrame:
     (doc_id, chunk0..chunk3, ckey) — one row per doc per chunk,
     ckey = "<c>|<chunk>" so a single string column is both the join key
     and the bucket key (same convention as ``dedup.band_index_rows``)."""
-    chunks = [f"chunk{c}" for c in range(4)]
     return sigs.select(
         "doc_id",
-        *chunks,
-        F.posexplode(F.array(*chunks)).alias("c", "chunk"),
+        *_PHASH_CHUNKS,
+        F.posexplode(F.array(*_PHASH_CHUNKS)).alias("c", "chunk"),
     ).select(
         "doc_id",
-        *chunks,
+        *_PHASH_CHUNKS,
         F.concat_ws("|", F.col("c"), F.col("chunk")).alias("ckey"),
     )
 
@@ -466,30 +469,20 @@ def incremental_phash_against_index(
     property that keeps per-crawl frame dedup independent of corpus
     size.
     """
-    if max_hamming > 3:
-        raise ValueError(
-            f"max_hamming={max_hamming} exceeds the 4-chunk blocking "
-            "guarantee (recall is only complete for distance <= 3); use "
-            "more/finer chunks for larger radii"
-        )
-    chunks = [f"chunk{c}" for c in range(4)]
+    _require_chunk_recall(max_hamming)
     new_rows = phash_index_rows(new_sigs).select(
         F.col("doc_id").alias("new_doc"),
-        *[F.col(c).alias(f"a_{c}") for c in chunks],
+        *[F.col(c).alias(f"a_{c}") for c in _PHASH_CHUNKS],
         "ckey",
     )
     hist_rows = index.select(
         F.col("doc_id").alias("old_doc"),
-        *[F.col(c).alias(f"b_{c}") for c in chunks],
+        *[F.col(c).alias(f"b_{c}") for c in _PHASH_CHUNKS],
         "ckey",
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"a_chunk{c}").bitwiseXOR(F.col(f"b_chunk{c}")))
-        for c in range(4)
     )
     return (
         new_rows.join(hist_rows, "ckey")
-        .withColumn("hamming", hamming.cast("long"))
+        .withColumn("hamming", _hamming4().cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("new_doc", "old_doc", "hamming")
         .distinct()

@@ -62,8 +62,15 @@ def _safe_ppm(a: str, b: str, div: str) -> str:
     )
 
 
-def _tokens_col() -> F.Column:
-    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+def _tokens_col(col: str = "text") -> F.Column:
+    """THE whitespace tokenizer (lowercase, trim, ASCII \\s+ split) —
+    the single Spark-side source of truth matching ``_DUCK_TOKENS``.
+    Every operator that must agree with the oracles bit for bit
+    (export sharding/packing, BPE training, streaming curation) reuses
+    this instead of re-typing the expression: a re-typed ``\\s+`` once
+    under-escaped to ``s+`` and silently split on runs of the letter s.
+    """
+    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
 
 
 # --------------------------------------------------------------------------
@@ -3112,7 +3119,16 @@ def _bpe_chain_ctes(k: int) -> str:
     """The shared k-round marker-unroll CTE prefix: w0 (word-frequency
     table, carrying the ORIGINAL word through every round) → p{j} (pair
     counts) → b{j} (best pair, ranked on expanded strings) → w{j}
-    (greedy merge as replace-with-marker)."""
+    (greedy merge as replace-with-marker).
+
+    ``bsafe{j}`` guards EARLY STOP: when the corpus exhausts its pairs
+    before round j, ``b{j}`` is an empty LIMIT-1 CTE and a bare cross
+    join would annihilate ``w{j}`` and every downstream state — so the
+    merge step falls back to a sentinel pair (chr(30), chr(31)) whose
+    replace is a no-op, making w{j} == w{j-1}, exactly the Spark
+    trainer's early-stop semantics.  The TRAIN query's output rows still
+    read the real (possibly empty) b{j}, so exhausted rounds emit no
+    merge row on either side."""
     ctes = [
         f"""
     WITH w0 AS (
@@ -3138,11 +3154,17 @@ def _bpe_chain_ctes(k: int) -> str:
       ORDER BY p{j}.cnt DESC, {_bpe_expand(f'p{j}.l', j)},
                {_bpe_expand(f'p{j}.r', j)}
       LIMIT 1),
+    bsafe{j} AS (
+      SELECT l, r FROM b{j}
+      UNION ALL
+      SELECT chr(30), chr(31)
+      WHERE NOT EXISTS (SELECT 1 FROM b{j})),
     w{j} AS (
       SELECT {prev}.orig,
-             replace({prev}.word, b{j}.l || b{j}.r, chr({j})) AS word,
+             replace({prev}.word, bsafe{j}.l || bsafe{j}.r, chr({j}))
+               AS word,
              {prev}.n
-      FROM {prev}, b{j})"""
+      FROM {prev}, bsafe{j})"""
         )
     return ",".join(ctes)
 
@@ -3210,10 +3232,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_tokens,
            CAST(sum(s.n_syms) AS BIGINT) AS n_symbols,
            CAST(sum(s.n_chars) AS BIGINT) AS n_chars,
-           CAST(sum(s.n_syms) * 1000000 // count(*) AS BIGINT)
+           CAST({_safe_ppm("sum(s.n_syms)", "count(*)", "//")} AS BIGINT)
              AS fertility_ppm,
-           CAST((sum(s.n_chars) - sum(s.n_syms)) * 1000000
-                // sum(s.n_chars) AS BIGINT) AS saved_ppm
+           CAST({_safe_ppm("(sum(s.n_chars) - sum(s.n_syms))",
+                           "sum(s.n_chars)", "//")} AS BIGINT)
+             AS saved_ppm
     FROM toks t JOIN seg s ON t.word = s.orig
     GROUP BY t.source
     """,
@@ -3238,12 +3261,17 @@ def bpe_fertility_after_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("n_syms").alias("n_symbols"),
             F.sum("n_chars_w").alias("n_chars"),
-            F.expr("sum(n_syms) * 1000000 div count(1)")
+            # overflow-safe: per-source symbol/char sums pass the naive
+            # multiply's 9.2e12 wrap point at the 100 TB design scale
+            F.expr(_safe_ppm("sum(n_syms)", "count(1)", "div"))
             .cast("long")
             .alias("fertility_ppm"),
             F.expr(
-                "(sum(n_chars_w) - sum(n_syms)) * 1000000 "
-                "div sum(n_chars_w)"
+                _safe_ppm(
+                    "(sum(n_chars_w) - sum(n_syms))",
+                    "sum(n_chars_w)",
+                    "div",
+                )
             )
             .cast("long")
             .alias("saved_ppm"),
