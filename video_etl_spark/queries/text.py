@@ -3277,3 +3277,207 @@ def bpe_fertility_after_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("saved_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ governance readout (round 7 cont.): DOCUMENT-LENGTH PERCENTILES per
+# source — the length-distribution dashboard a curation pipeline watches
+# per domain (truncation budgets, the short-doc tail a length gate would
+# cut, the long-doc tail that dominates packing).  Percentiles run on
+# exact integer token counts, so Spark `percentile` == DuckDB
+# `quantile_cont` order statistics bit for bit (the
+# value_percentiles_by_type convention on BIGINTs — interpolation of
+# integers is exact in double).
+@query(
+    "doc_length_percentiles_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(min(n_tok) AS BIGINT) AS min_tok,
+           round(quantile_cont(n_tok, 0.50), 4) AS p50,
+           round(quantile_cont(n_tok, 0.90), 4) AS p90,
+           round(quantile_cont(n_tok, 0.99), 4) AS p99,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM t GROUP BY source
+    """,
+)
+def doc_length_percentiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.size(_tokens_col()).cast("long").alias("n_tok")
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tok").alias("min_tok"),
+        F.round(F.expr("percentile(n_tok, 0.50D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_tok, 0.90D)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_tok, 0.99D)"), 4).alias("p99"),
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ⊕ governance readout (round 7 cont.): CORPUS REVISION DIFF — what
+# changed between two corpus revisions (rev N vs N+1, stood in by the
+# deterministic doc_id-parity split): per source, documents only in A,
+# only in B, and — for the doc_ids present in both — whether the TEXT
+# changed (content_key inequality; the read_text_corpus identity
+# convention).  The change-data-capture readout every incremental
+# pipeline (dedup index maintenance, stats partials, shard refresh)
+# plans its work from.
+# Plan shape: one full-outer join on doc_id + one groupBy(source) —
+# id + 60-bit content hash cross the wire, never text.
+@query(
+    "corpus_revision_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id / 2 AS k, source,
+             {_DUCK_HASH.format(expr="text")} AS h
+      FROM documents WHERE doc_id % 2 = 0),
+    b AS (
+      SELECT (doc_id - 1) / 2 AS k, source,
+             {_DUCK_HASH.format(expr="text")} AS h
+      FROM documents WHERE doc_id % 2 = 1)
+    SELECT coalesce(a.source, b.source) AS source,
+           CAST(sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS only_in_a,
+           CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS only_in_b,
+           CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                         AND a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+             AS unchanged,
+           CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                         AND a.h <> b.h THEN 1 ELSE 0 END) AS BIGINT)
+             AS changed
+    FROM a FULL OUTER JOIN b ON a.k = b.k AND a.source = b.source
+    GROUP BY 1
+    """,
+)
+def corpus_revision_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_HASH.format(expr="text"))
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("k"),
+        F.col("source").alias("source_a"),
+        h.alias("ha"),
+    )
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(
+        ((F.col("doc_id") - 1) / 2).cast("long").alias("k"),
+        F.col("source").alias("source_b"),
+        h.alias("hb"),
+    )
+    j = a.join(
+        b,
+        (a["k"] == b["k"]) & (a["source_a"] == b["source_b"]),
+        "full_outer",
+    )
+    return j.groupBy(
+        F.coalesce("source_a", "source_b").alias("source")
+    ).agg(
+        F.sum(F.when(F.col("hb").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("only_in_a"),
+        F.sum(F.when(F.col("ha").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("only_in_b"),
+        F.sum(
+            F.when(
+                F.col("ha").isNotNull()
+                & F.col("hb").isNotNull()
+                & (F.col("ha") == F.col("hb")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("unchanged"),
+        F.sum(
+            F.when(
+                F.col("ha").isNotNull()
+                & F.col("hb").isNotNull()
+                & (F.col("ha") != F.col("hb")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("changed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# U23⊕ (round 7 cont.): BIGRAM LM TABLE — the trained artifact the
+# doc_lm_familiarity scorer consumes: for every left word seen ≥ 5
+# times, the top-3 continuations with exact conditional ppm
+# P(w2|w1) = count(w1,w2)/count(w1,·).  Integer arithmetic end to end
+# (counts are BIGINTs, the conditional is a ppm floor division), ties on
+# count break lexicographically — deterministic on any engine.
+# Plan shape: one explode fused with the scan, one groupBy(w1, w2), one
+# window over w1 (well-distributed: fan-out bounded by vocabulary) —
+# the same three-shuffle skeleton at any corpus size; at 100 TB the
+# output is a vocab²-bounded model table a serving join broadcasts.
+@query(
+    "bigram_lm_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2),
+    c AS (
+      SELECT w1, w2, count(*) AS c_pair FROM bg GROUP BY w1, w2),
+    l AS (
+      SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_left FROM c GROUP BY w1)
+    SELECT w1, w2, c_pair, c_left,
+           CAST(c_pair * 1000000 // c_left AS BIGINT) AS cond_ppm,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT c.w1, c.w2, c.c_pair, l.c_left,
+             row_number() OVER (PARTITION BY c.w1
+                                ORDER BY c.c_pair DESC, c.w2) AS rn
+      FROM c JOIN l ON c.w1 = l.w1
+      WHERE l.c_left >= 5)
+    WHERE rn <= 3
+    """,
+)
+def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(_tokens_col().alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "struct(element_at(t, i) as w1, "
+                    "element_at(t, i + 1) as w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    l = c.groupBy("w1").agg(F.sum("c_pair").alias("c_left"))
+    w = Window.partitionBy("w1").orderBy(F.desc("c_pair"), "w2")
+    return (
+        c.join(l, "w1")
+        .filter(F.col("c_left") >= 5)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            "c_left",
+            F.expr("(c_pair * 1000000) div c_left")
+            .cast("long")
+            .alias("cond_ppm"),
+            "rn",
+        )
+    )
