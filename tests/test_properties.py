@@ -141,3 +141,80 @@ def test_approx_percentile_within_bound(spark, sf_dir):
     n_below = li.filter(cents <= row["approx"]).count()
     rank_frac = n_below / row["n"]
     assert abs(rank_frac - 0.5) <= 1.0 / acc + 0.01, (rank_frac, row)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=24),
+        min_size=1,
+        max_size=12,
+    ),
+    seq_len=st.integers(min_value=1, max_value=16),
+)
+def test_pack_sequences_partitions_the_stream(spark, texts, seq_len):
+    """Packing invariants under random corpora: within every shard the
+    doc offsets are EXACTLY the prefix sums of token counts in doc_id
+    order (no gap, no overlap), straddle flags match the offset
+    arithmetic, and the manifest's sequence count covers the stream."""
+    from video_etl_spark.llm_ops.export import (
+        pack_sequences,
+        packing_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = pack_sequences(docs, seq_len=seq_len, n_shards=2).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in shard_rows:
+            assert r["cum_before"] == cum          # no gap, no overlap
+            assert r["n_tok"] >= 1                 # split('') yields ['']
+            assert r["start_seq"] == cum // seq_len
+            assert r["end_seq"] == (cum + r["n_tok"] - 1) // seq_len
+            assert r["straddles"] == (r["start_seq"] != r["end_seq"])
+            cum += r["n_tok"]
+    for m in packing_manifest(
+        pack_sequences(docs, seq_len=seq_len, n_shards=2), seq_len=seq_len
+    ).collect():
+        total = m["n_tokens"]
+        assert m["n_seqs"] == -(-total // seq_len)  # ceil
+        assert m["tail_padding"] == m["n_seqs"] * seq_len - total
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_bpe_train_matches_reference_on_random_corpora(spark, words, k):
+    """Randomized twin of the seeded BPE differential: merges AND final
+    segmentation must equal the pure-Python Sennrich reference for any
+    corpus over a tiny alphabet (maximal merge/tie/overlap density)."""
+    from video_etl_spark.llm_ops.bpe import bpe_train
+
+    from tests.test_llm_ops import _bpe_reference
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(text,)], "text string")
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    merges, out = bpe_train(docs, k, checkpoint_every=2)
+    want_merges, want_syms = _bpe_reference(counts, k)
+    assert [
+        (m["rnd"], m["left"], m["right"], m["merged"], m["n_occurrences"])
+        for m in merges
+    ] == want_merges
+    assert {
+        r["word"]: list(r["syms"]) for r in out.collect()
+    } == want_syms
