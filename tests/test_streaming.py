@@ -1933,3 +1933,57 @@ def test_streaming_frame_dedup_matches_batch_and_retry_safe(spark, tmp_path):
         )
     )
     assert again == got
+
+
+def test_streaming_packing_matches_batch_and_retry_safe(
+    spark, sf_dir, tmp_path
+):
+    """Streaming packing over doc_id-cursor batches must assign offsets
+    byte-identical to the batch pack_sequences on the full corpus (the
+    nondecreasing-id arrival case), and a retried batch must not shift
+    any offset."""
+    from video_etl_spark.llm_ops.export import pack_sequences
+    from video_etl_spark.session import load_table
+    from video_etl_spark.streaming.packing import make_packing_handler
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+
+    assign_dir = str(tmp_path / "assign")
+    totals_dir = str(tmp_path / "totals")
+    handler = make_packing_handler(
+        assign_dir, totals_dir, seq_len=64, n_shards=2
+    )
+    batches = [
+        docs.filter(F.col("doc_id") <= cut1),
+        docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)),
+        docs.filter(F.col("doc_id") > cut2),
+    ]
+    for b, df in enumerate(batches):
+        handler(df, b)
+
+    cols = [
+        "doc_id", "shard", "n_tok", "cum_before",
+        "start_seq", "end_seq", "straddles",
+    ]
+    got = sorted(
+        map(tuple, spark.read.parquet(assign_dir).select(*cols).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            pack_sequences(docs, seq_len=64, n_shards=2)
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert got == want and got
+
+    # retry: re-running batch 1 must reproduce identical assignments
+    # (prior totals exclude its own failed-attempt partial)
+    handler(batches[1], 1)
+    again = sorted(
+        map(tuple, spark.read.parquet(assign_dir).select(*cols).collect())
+    )
+    assert again == got
