@@ -1864,3 +1864,98 @@ def test_bpe_early_stop_oracle_parity_on_exhausted_corpus(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert len(merges) == 1  # early stop after the single 'ab' merge
+
+
+def test_winnowing_guarantee_detects_long_shared_runs(spark, tmp_path):
+    """Winnowing's hard bound: any shared token run of length
+    >= w + k - 1 (= 6 with w=4, k=3) MUST produce a shared fingerprint
+    (docs 1/2 share exactly 6 tokens -> pair detected with >= 1 shared
+    fingerprint, surfaced once the >= 3 threshold is relaxed); disjoint
+    docs share nothing.  Checked via the library pieces the query
+    composes, on a crafted corpus."""
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "shared run one two three four tail9 tailA tailB",   # doc 1
+        "headX headY shared run one two three four",         # doc 2
+        "totally different words without any common spans",  # doc 3
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 3,
+                "source": ["s0"] * 3,
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    import os
+
+    for p in pathlib.Path("/root/testdata/sf0.001").iterdir():
+        if p.name != "documents.parquet":
+            os.symlink(p, tmp_path / p.name)
+
+    from video_etl_spark import registry
+    from video_etl_spark.oracle import check
+
+    registry.load_all()
+    problems = check(spark, "winnowing_overlap_pairs", str(tmp_path))
+    assert not problems, "; ".join(problems)
+
+    # relax the >=3 threshold to see the raw guarantee: the 6-token run
+    # shared by docs 1 and 2 must yield at least one shared fingerprint
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.queries.text import (
+        _SPARK_HASH,
+        _WINNOW_W,
+        _spark_spans,
+    )
+    from pyspark.sql import Window
+
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, str(tmp_path), "documents")
+    h = F.expr(_SPARK_HASH.format(expr="s"))
+    pos = (
+        _spark_spans(docs, 3)
+        .select(
+            "doc_id",
+            F.size("spans").cast("long").alias("n_pos"),
+            F.posexplode(F.expr("transform(spans, x -> x)")).alias(
+                "p0", "s"
+            ),
+        )
+        .select(
+            "doc_id", "n_pos",
+            (F.col("p0") + 1).cast("long").alias("p"), h.alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    fp = (
+        pos.withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("p") <= F.col("n_pos") - (_WINNOW_W - 1))
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    sets = {
+        d: {r["wmin"] for r in rows}
+        for d, rows in (
+            (d, [r for r in fp.collect() if r["doc_id"] == d])
+            for d in (1, 2, 3)
+        )
+    }
+    assert sets[1] & sets[2], "6-token shared run must share a fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])

@@ -3481,3 +3481,160 @@ def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# U21⊕ (round 7 cont.): WINNOWING FINGERPRINTS — the MOSS local
+# fingerprinting algorithm (Schleimer et al. 2003), the dedup family's
+# guaranteed-detection member: hash every k-gram, slide a w-position
+# window, keep each window's MINIMUM hash — any match of length
+# ≥ w + k − 1 tokens between two documents is GUARANTEED to share a
+# fingerprint (minhash gives probabilistic recall; winnowing gives a
+# hard bound).  Pairs sharing ≥ 3 fingerprints are plagiarism/mirror
+# candidates.
+# Plan shape: position hashes off the scan, ONE bounded ROWS window per
+# doc (w consecutive positions — no unbounded frame), distinct, then the
+# standard inverted-index equi-join on the fingerprint hash (shuffle on
+# 60-bit keys, pair space bounded by shared fingerprints — never
+# corpus²).  Same skeleton at 100 TB.
+_WINNOW_W = 4   # window positions; guarantee threshold = w + k - 1 = 6
+_WINNOW_MIN_SHARED = 3
+
+
+@query(
+    "winnowing_overlap_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, i AS p,
+             {_DUCK_HASH.format(
+                 expr="t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]")} AS h,
+             len(t) - 2 AS n_pos
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 3),
+    fp AS (
+      SELECT DISTINCT doc_id, wmin AS fingerprint
+      FROM (
+        SELECT doc_id, p, n_pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WINNOW_W - 1} FOLLOWING) AS wmin
+        FROM pos)
+      WHERE p <= n_pos - {_WINNOW_W - 1})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_HASH.format(expr="s"))
+    sh = _spark_spans(docs, 3)
+    pos = (
+        sh.select(
+            "doc_id",
+            F.size("spans").cast("long").alias("n_pos"),
+            F.posexplode(F.expr("transform(spans, x -> x)")).alias(
+                "p0", "s"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_pos",
+            (F.col("p0") + 1).cast("long").alias("p"),
+            h.alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    fp = (
+        pos.withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("p") <= F.col("n_pos") - (_WINNOW_W - 1))
+        .select("doc_id", F.col("wmin").alias("fingerprint"))
+        .distinct()
+        .persist()  # both sides of the overlap self-join
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 7 cont.): DOCUMENT CHUNKING with overlap
+# — the RAG/embedding-prep transform: split every document into
+# fixed-size token windows with a stride (size 32, overlap 8 → stride
+# 24), each chunk content-addressed by the hash of its token slice.
+# Trailing partial chunks are kept (standard retrieval chunking).  The
+# chunk table is what an embedding job maps over and a retriever
+# indexes.
+# Plan shape: pure per-row generator fused with the scan (sequence +
+# explode + slice) — a narrow map at any corpus size, no shuffle at all.
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24  # size - overlap(8)
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    ch AS (
+      SELECT doc_id,
+             CAST(u.i AS BIGINT) AS start_tok,
+             ((u.i - 1) / {_CHUNK_STRIDE}) AS chunk_idx0,
+             least({_CHUNK_SIZE}, len(t) - u.i + 1) AS chunk_len,
+             array_to_string(t[u.i : u.i + least({_CHUNK_SIZE},
+                             len(t) - u.i + 1) - 1], ' ') AS chunk_text
+      FROM toks, unnest(generate_series(1, len(t), {_CHUNK_STRIDE}))
+        AS u(i))
+    SELECT doc_id,
+           CAST(chunk_idx0 AS BIGINT) AS chunk_idx,
+           start_tok,
+           CAST(chunk_len AS BIGINT) AS chunk_len,
+           {_DUCK_HASH.format(expr="chunk_text")} AS chunk_hash
+    FROM ch
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tokens_col().alias("t"))
+    ch = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, size(t), {_CHUNK_STRIDE})")
+        ).alias("start_tok"),
+        "t",
+    ).select(
+        "doc_id",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.expr(f"(start_tok - 1) div {_CHUNK_STRIDE}")
+        .cast("long")
+        .alias("chunk_idx"),
+        F.expr(f"least({_CHUNK_SIZE}, size(t) - start_tok + 1)")
+        .cast("long")
+        .alias("chunk_len"),
+        F.expr(
+            f"concat_ws(' ', slice(t, start_tok, "
+            f"least({_CHUNK_SIZE}, size(t) - start_tok + 1)))"
+        ).alias("chunk_text"),
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "chunk_len",
+        F.expr(_SPARK_HASH.format(expr="chunk_text")).alias("chunk_hash"),
+    )
