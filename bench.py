@@ -85,8 +85,16 @@ HEADLINE = [
     "kmeans_lloyd_embeddings",
     "semantic_dedup_pairs",
     "knn_label_accuracy",
-    # round-7 additions: the multimodal member of the dedup family.
+    # round-7 additions: the multimodal member of the dedup family,
+    # packing export, the LM/fingerprint/chunk text ops, and the
+    # revision-governance readouts.
     "phash_near_dup_pairs",
+    "sequence_packing_manifest",
+    "bigram_lm_topk",
+    "winnowing_overlap_pairs",
+    "chunk_documents",
+    "embedding_drift_by_dim",
+    "doc_length_percentiles_by_source",
 ]
 
 

@@ -482,6 +482,16 @@ _HEADLINE_PLAN_EXPECTATIONS = {
     # round-7 additions: chunk-blocked equi-join + distinct aggregate;
     # signatures are a scan-fused projection (no Python, no BNLJ)
     "phash_near_dup_pairs": (["HashAggregate"], False, False),
+    # round-7 continuation: per-shard ordered window + manifest agg;
+    # vocab window for the LM table; bounded ROWS window + inverted-index
+    # join for winnowing; chunking is a pure scan-fused generator;
+    # drift/percentiles are two-key aggregates
+    "sequence_packing_manifest": (["Window", "HashAggregate"], False, False),
+    "bigram_lm_topk": (["Window", "HashAggregate"], False, False),
+    "winnowing_overlap_pairs": (["Window", "HashAggregate"], False, False),
+    "chunk_documents": (["Generate"], False, False),
+    "embedding_drift_by_dim": (["HashAggregate"], False, False),
+    "doc_length_percentiles_by_source": (["HashAggregate"], False, False),
 }
 
 
