@@ -1959,3 +1959,34 @@ def test_winnowing_guarantee_detects_long_shared_runs(spark, tmp_path):
     }
     assert sets[1] & sets[2], "6-token shared run must share a fingerprint"
     assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+
+
+def test_sequence_fill_invariant_full_sequences(spark, sf_dir):
+    """Every packed sequence holds exactly seq_len tokens except each
+    shard's single tail sequence, and per-shard fill totals equal the
+    packing manifest's token totals."""
+    from video_etl_spark import registry
+
+    registry.load_all()
+    from video_etl_spark.queries.text import _PACK_SEQ_LEN
+
+    rows = registry.QUERIES["sequence_fill"](spark, sf_dir).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    manifest = {
+        m["shard"]: (m["n_tokens"], m["n_seqs"], m["tail_padding"])
+        for m in registry.QUERIES["sequence_packing_manifest"](
+            spark, sf_dir
+        ).collect()
+    }
+    for shard, srows in by_shard.items():
+        srows.sort(key=lambda r: r["seq_id"])
+        # contiguous sequence ids from 0
+        assert [r["seq_id"] for r in srows] == list(range(len(srows)))
+        for r in srows[:-1]:
+            assert r["n_tokens"] == _PACK_SEQ_LEN, r
+        total, n_seqs, pad = manifest[shard]
+        assert len(srows) == n_seqs
+        assert srows[-1]["n_tokens"] == _PACK_SEQ_LEN - pad
+        assert sum(r["n_tokens"] for r in srows) == total

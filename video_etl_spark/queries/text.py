@@ -3638,3 +3638,74 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_len",
         F.expr(_SPARK_HASH.format(expr="chunk_text")).alias("chunk_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 7 cont.): SEQUENCE FILL — the
+# sequence-grain view of packing: explode each document over the
+# sequences it touches (sequence(start_seq, end_seq) — a doc may span
+# many) with the EXACT token count it contributes to each, i.e. the
+# overlap of [cum_before, cum_after) with [s·L, (s+1)·L).  The
+# invariant a loader relies on falls out: every sequence holds exactly
+# L tokens except each shard's tail.  Also the attention-masking
+# manifest (docs-per-sequence = segment count per training row).
+# Plan shape: pack_sequences' per-shard window + one narrow explode +
+# one groupBy(shard, seq) — keys are (small int, long).
+@query(
+    "sequence_fill",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+             {_DUCK_HASH.format(expr="'pack|' || CAST(doc_id AS VARCHAR)")}
+               % {_PACK_SHARDS} AS shard
+      FROM documents),
+    c AS (
+      SELECT shard, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+               AS cum_after
+      FROM t),
+    d AS (
+      SELECT shard, n_tok, cum_after, cum_after - n_tok AS cum_before
+      FROM c),
+    x AS (
+      SELECT shard, u.s AS seq_id,
+             least(cum_after, (u.s + 1) * {_PACK_SEQ_LEN})
+               - greatest(cum_before, u.s * {_PACK_SEQ_LEN})
+               AS toks_here
+      FROM d, unnest(generate_series(
+               CAST(cum_before // {_PACK_SEQ_LEN} AS BIGINT),
+               CAST((cum_after - 1) // {_PACK_SEQ_LEN} AS BIGINT)))
+        AS u(s))
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(toks_here) AS BIGINT) AS n_tokens
+    FROM x GROUP BY shard, seq_id
+    """,
+)
+def sequence_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.export import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS
+    )
+    L = _PACK_SEQ_LEN
+    x = packed.select(
+        "shard",
+        F.explode(F.expr("sequence(start_seq, end_seq)")).alias("seq_id"),
+        "cum_before",
+        (F.col("cum_before") + F.col("n_tok")).alias("cum_after"),
+    ).select(
+        "shard",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (
+            F.least(F.col("cum_after"), (F.col("seq_id") + 1) * L)
+            - F.greatest(F.col("cum_before"), F.col("seq_id") * L)
+        ).alias("toks_here"),
+    )
+    return x.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks_here").cast("long").alias("n_tokens"),
+    )
