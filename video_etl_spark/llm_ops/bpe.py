@@ -151,3 +151,46 @@ def bpe_train(
         if (rnd + 1) % checkpoint_every == 0:
             words = words.localCheckpoint()
     return merges, words
+
+
+def symbol_vocabulary(words: DataFrame) -> DataFrame:
+    """(symbol, n_words, frequency): the vocabulary the final
+    segmentation implies — corpus frequency is occurrence-weighted by
+    word multiplicity.  One explode + one groupBy over the VOCAB-grain
+    word table (never the corpus)."""
+    return (
+        words.select("n", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n").alias("frequency"),
+        )
+    )
+
+
+def write_tokenizer(
+    merges: list[dict], words: DataFrame, path: str
+) -> None:
+    """Persist the trained tokenizer: ``merges.parquet`` (the ordered
+    merge table a tokenizer runtime replays) + ``vocab.parquet`` (the
+    symbol vocabulary with corpus frequencies).  Both are tiny
+    (vocab-grain) single artifacts a serving/tokenize job broadcasts.
+    """
+    spark = words.sparkSession
+    spark.createDataFrame(
+        [
+            (
+                m["rnd"],
+                m["left"],
+                m["right"],
+                m["merged"],
+                m["n_occurrences"],
+            )
+            for m in merges
+        ],
+        "rnd long, left string, right string, merged string, "
+        "n_occurrences long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges.parquet")
+    symbol_vocabulary(words).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/vocab.parquet"
+    )
