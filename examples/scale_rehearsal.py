@@ -173,10 +173,16 @@ def main() -> None:
         token_count_cms_estimates,
     )
     from video_etl_spark.queries.text import (
+        bigram_lm_topk,
+        chunk_documents,
+        corpus_revision_diff,
+        doc_length_percentiles_by_source,
         incremental_phash_dedup,
         phash_near_dup_pairs,
         remove_repeated_spans_10w,
+        sequence_fill,
         sequence_packing_manifest,
+        winnowing_overlap_pairs,
     )
     from video_etl_spark.queries.vectors import (
         embedding_drift_by_dim,
@@ -222,6 +228,14 @@ def main() -> None:
         ("sequence_packing_manifest", sequence_packing_manifest),
         ("remove_repeated_spans_10w", remove_repeated_spans_10w),
         ("embedding_drift_by_dim", embedding_drift_by_dim),
+        # round-7 continuation: LM table, fingerprints, chunking,
+        # sequence-grain packing, governance readouts
+        ("bigram_lm_topk", bigram_lm_topk),
+        ("winnowing_overlap_pairs", winnowing_overlap_pairs),
+        ("chunk_documents", chunk_documents),
+        ("sequence_fill", sequence_fill),
+        ("doc_length_percentiles_by_source", doc_length_percentiles_by_source),
+        ("corpus_revision_diff", corpus_revision_diff),
     ):
         timed(fn, spark, SF01_DIR)  # warm-up: JIT + codegen, not timed
         s01, n01 = timed(fn, spark, SF01_DIR)
