@@ -1990,3 +1990,26 @@ def test_sequence_fill_invariant_full_sequences(spark, sf_dir):
         assert len(srows) == n_seqs
         assert srows[-1]["n_tokens"] == _PACK_SEQ_LEN - pad
         assert sum(r["n_tokens"] for r in srows) == total
+
+
+def test_symbol_vocabulary_counts_distinct_words(spark):
+    """Review fix: n_words counts DISTINCT words containing the symbol,
+    not symbol occurrences ('banana' repeats 'a' three times but is one
+    word); frequency stays occurrence x multiplicity weighted."""
+    from video_etl_spark.llm_ops.bpe import (
+        symbol_vocabulary,
+        word_frequency_table,
+    )
+
+    docs = spark.createDataFrame(
+        [("banana bad banana",)], "text string"
+    )
+    vocab = {
+        r["symbol"]: (r["n_words"], r["frequency"])
+        for r in symbol_vocabulary(word_frequency_table(docs)).collect()
+    }
+    # 'a': in both words (banana x2 has 3 a's each, bad x1 has 1)
+    assert vocab["a"] == (2, 7)
+    assert vocab["b"] == (2, 3)
+    assert vocab["n"] == (1, 4)
+    assert vocab["d"] == (1, 1)

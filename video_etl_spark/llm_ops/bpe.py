@@ -155,14 +155,16 @@ def bpe_train(
 
 def symbol_vocabulary(words: DataFrame) -> DataFrame:
     """(symbol, n_words, frequency): the vocabulary the final
-    segmentation implies — corpus frequency is occurrence-weighted by
-    word multiplicity.  One explode + one groupBy over the VOCAB-grain
+    segmentation implies — ``n_words`` is the number of DISTINCT words
+    containing the symbol (a word's syms array repeats symbols, so a
+    bare count would overstate it), ``frequency`` is occurrence-weighted
+    by word multiplicity.  One explode + one groupBy over the VOCAB-grain
     word table (never the corpus)."""
     return (
-        words.select("n", F.explode("syms").alias("symbol"))
+        words.select("word", "n", F.explode("syms").alias("symbol"))
         .groupBy("symbol")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
+            F.countDistinct("word").alias("n_words"),
             F.sum("n").alias("frequency"),
         )
     )

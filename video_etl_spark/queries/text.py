@@ -3090,8 +3090,10 @@ def incremental_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merge is exactly SQL replace() — while tie-breaks and the output rows
 # rank/report the EXPANDED real strings, matching the Spark trainer's
 # (count DESC, left, right) ordering bit for bit.  Assumes the corpus
-# contains no chr(1)-chr(3) bytes (reserved alphabet; crawl scrubbing
-# drops control chars long before tokenizer training).
+# contains no chr(1)-chr(3) bytes, and no adjacent chr(30)chr(31) pair
+# (the early-stop sentinel in bsafe — see _bpe_chain_ctes): the whole
+# reserved alphabet is control chars that crawl scrubbing drops long
+# before tokenizer training.
 _BPE_TRAIN_ROUNDS = 3
 
 
@@ -3435,7 +3437,8 @@ def corpus_revision_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     l AS (
       SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_left FROM c GROUP BY w1)
     SELECT w1, w2, c_pair, c_left,
-           CAST(c_pair * 1000000 // c_left AS BIGINT) AS cond_ppm,
+           CAST({_safe_ppm("c_pair", "c_left", "//")} AS BIGINT)
+             AS cond_ppm,
            CAST(rn AS BIGINT) AS rn
     FROM (
       SELECT c.w1, c.w2, c.c_pair, l.c_left,
@@ -3475,7 +3478,9 @@ def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "c_pair",
             "c_left",
-            F.expr("(c_pair * 1000000) div c_left")
+            # overflow-safe: a boilerplate-heavy 100 TB corpus can push a
+            # single bigram count past the naive multiply's wrap point
+            F.expr(_safe_ppm("c_pair", "c_left", "div"))
             .cast("long")
             .alias("cond_ppm"),
             "rn",

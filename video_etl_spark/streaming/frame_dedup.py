@@ -22,6 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: explicit index schema: avoids per-batch footer inference over the
+#: growing index AND keeps the AnalysisException branch meaning exactly
+#: "path not found", not "schema inference failed on a file-less dir"
+INDEX_SCHEMA = (
+    "doc_id bigint, chunk0 bigint, chunk1 bigint, chunk2 bigint, "
+    "chunk3 bigint, batch_id bigint"
+)
+
 
 def make_frame_batch_handler(
     index_dir: str, dup_dir: str, max_hamming: int = 3
@@ -39,33 +47,41 @@ def make_frame_batch_handler(
         from pyspark.errors import AnalysisException
 
         try:
-            # batch_id < current: a RETRIED batch must not match its own
-            # partially-written signatures from the failed attempt
-            hist = spark.read.parquet(index_dir).where(
-                F.col("batch_id") < F.lit(batch_id)
+            try:
+                # batch_id < current: a RETRIED batch must not match its
+                # own partially-written signatures from the failed attempt
+                hist = (
+                    spark.read.schema(INDEX_SCHEMA)
+                    .parquet(index_dir)
+                    .where(F.col("batch_id") < F.lit(batch_id))
+                )
+            except AnalysisException:  # first batch: no index yet
+                hist = None
+            dups = (
+                incremental_phash_dedup(sigs, hist, max_hamming)
+                if hist is not None
+                else incremental_phash_dedup(
+                    sigs, sigs.limit(0), max_hamming
+                )
             )
-        except AnalysisException:  # first batch: no index yet
-            hist = None
-        dups = (
-            incremental_phash_dedup(sigs, hist, max_hamming)
-            if hist is not None
-            else incremental_phash_dedup(sigs, sigs.limit(0), max_hamming)
-        )
-        (
-            dups.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(dup_dir)
-        )
-        (
-            sigs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(index_dir)
-        )
-        sigs.unpersist()
+            (
+                dups.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(dup_dir)
+            )
+            (
+                sigs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(index_dir)
+            )
+        finally:
+            # a failed sink write must not leak the cached signatures
+            # across engine-driven retries of the batch
+            sigs.unpersist()
 
     return handle
 

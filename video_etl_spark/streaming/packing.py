@@ -99,23 +99,27 @@ def make_packing_handler(
             )
             .persist()  # feeds the assignment sink AND the totals write
         )
-        (
-            assigned.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(assign_dir)
-        )
-        (
-            assigned.groupBy("shard")
-            .agg(F.sum("n_tok").alias("n_tokens"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(totals_dir)
-        )
-        assigned.unpersist()
+        try:
+            (
+                assigned.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(assign_dir)
+            )
+            (
+                assigned.groupBy("shard")
+                .agg(F.sum("n_tok").alias("n_tokens"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(totals_dir)
+            )
+        finally:
+            # a failed sink write must not leak the cached assignments
+            # across engine-driven retries of the batch
+            assigned.unpersist()
 
     return handle
 
