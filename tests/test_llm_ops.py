@@ -2013,3 +2013,88 @@ def test_symbol_vocabulary_counts_distinct_words(spark):
     assert vocab["b"] == (2, 3)
     assert vocab["n"] == (1, 4)
     assert vocab["d"] == (1, 1)
+
+
+def test_incremental_components_matches_full_rebuild(spark, sf_dir):
+    """The index-lifecycle completion: k incremental batches against the
+    band+component indexes, with the merge LEDGER resolved by union-find,
+    must reproduce the full-corpus CC partition EXACTLY — including a
+    crafted bridge doc whose bands match two previously-distinct clusters
+    (the case an append-only index cannot relabel in place, hence the
+    ledger)."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.dedup import (
+        band_index_rows,
+        corpus_components,
+        incremental_components,
+    )
+    from video_etl_spark.session import load_table
+
+    # crafted bridge (precomputed: A/B share no band; C = A+' '+B band-
+    # matches BOTH) grafted onto the natural corpus
+    A = "gamma sigma beta upsilon nu omicron upsilon zeta"
+    B = "upsilon alpha rho gamma beta beta eta theta"
+    C = A + " " + B
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(10_000_000, A), (10_000_001, B), (10_000_202, C)],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(extra)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], 10_000_001  # A,B in history; C later
+    batches = [
+        docs.filter(F.col("doc_id") <= cut1),
+        docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)),
+        docs.filter(F.col("doc_id") > cut2),
+    ]
+
+    comp_rows = {
+        r["doc_id"]: r["component"]
+        for r in corpus_components(batches[0]).collect()
+    }
+    band_rows = band_index_rows(batches[0])
+    ledger: list[tuple[int, int]] = []
+    for batch in batches[1:]:
+        comp_index = spark.createDataFrame(
+            list(comp_rows.items()), "doc_id long, component long"
+        )
+        labels, merges = incremental_components(
+            batch, band_rows, comp_index
+        )
+        for r in labels.collect():
+            assert r["doc_id"] not in comp_rows
+            comp_rows[r["doc_id"]] = r["component"]
+        ledger += [
+            (r["component_a"], r["component_b"]) for r in merges.collect()
+        ]
+        band_rows = band_rows.unionByName(band_index_rows(batch))
+
+    # the crafted bridge must actually exercise the ledger
+    assert ledger
+
+    # resolve ledger with union-find, compare PARTITIONS to full rebuild
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in ledger:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    got: dict[int, set] = {}
+    for doc, comp in comp_rows.items():
+        got.setdefault(find(comp), set()).add(doc)
+    want: dict[int, set] = {}
+    for r in corpus_components(docs).collect():
+        want.setdefault(r["component"], set()).add(r["doc_id"])
+    assert {frozenset(v) for v in got.values()} == {
+        frozenset(v) for v in want.values()
+    }

@@ -952,3 +952,144 @@ def write_component_index(
         .sortBy(id_col)
         .saveAsTable(table)
     )
+
+
+# ---------------------------------------------------------------------------
+# U21⊕ (round 7 cont.) — INCREMENTAL component maintenance: the missing
+# third of the index lifecycle.  `write_band_index` persists signatures,
+# `write_component_index` persists the labeling; this updates the LABELING
+# per crawl batch without re-running corpus CC.  The hard case is a new
+# document BRIDGING two existing clusters: true CC would relabel one old
+# cluster wholesale, which an append-only index cannot do — so, like
+# production dedup services, the update emits a MERGE LEDGER
+# (component_a ≡ component_b) alongside the new rows; consumers resolve
+# labels through the ledger (tiny — one row per observed bridge) and the
+# next full rebuild folds it in.
+
+
+def incremental_components(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    component_index: DataFrame,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+    max_iter: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Label a new batch against the persisted indexes.
+
+    Returns ``(labels, merges)``: ``labels`` is (doc_id, component) for
+    every batch doc — the rows to append to the component index —
+    and ``merges`` is (component_a, component_b) pairs of EXISTING
+    components proven equivalent by this batch (component_a < b,
+    distinct).  A batch doc's component is the minimum id reachable
+    through intra-batch band collisions AND matched history components;
+    an unmatched, non-colliding doc becomes its own new component.
+
+    Plan shape: one band equi-join against the bucketed band index (no
+    exchange on the index side), one id join against the component
+    index, then CC over the BATCH-SIZED graph (batch docs + the matched
+    component ids as virtual nodes) — never corpus-sized work.  The
+    differential test proves k incremental batches + ledger resolution
+    reproduce the full-corpus ``corpus_components`` partition exactly.
+    """
+    sigs = minhash_band_signatures(
+        new_docs, n_bands, rows_per_band
+    ).persist()
+    try:
+        # intra-batch candidate edges (a < b)
+        intra = None
+        for b in range(n_bands):
+            a_side = sigs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col(f"band{b}").alias("b"),
+            )
+            b_side = sigs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col(f"band{b}").alias("b"),
+            )
+            p = (
+                a_side.join(b_side, "b")
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
+            )
+            intra = p if intra is None else intra.unionByName(p)
+        intra = intra.distinct()
+
+        # batch ↔ history hits through the band index, resolved to the
+        # matched doc's CURRENT component
+        new_rows = band_index_rows(
+            new_docs, n_bands, rows_per_band
+        ).select(F.col("doc_id").alias("new_doc"), "band_key")
+        hist_hits = (
+            new_rows.join(
+                band_index.select(
+                    F.col("doc_id").alias("old_doc"), "band_key"
+                ),
+                "band_key",
+            )
+            .select("new_doc", "old_doc")
+            .distinct()
+        )
+        comp_edges = (
+            hist_hits.join(
+                component_index.select(
+                    F.col("doc_id").alias("old_doc"),
+                    F.col("component").alias("old_comp"),
+                ),
+                "old_doc",
+            )
+            .select(
+                F.col("new_doc").alias("doc_a"),
+                F.col("old_comp").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+        # CC over the batch graph: batch docs + matched old components as
+        # virtual nodes.  min-label propagation resolves every batch doc
+        # to min(reachable batch ids ∪ reachable old component ids).
+        nodes = (
+            sigs.select("doc_id")
+            .unionByName(
+                comp_edges.select(F.col("doc_b").alias("doc_id"))
+            )
+            .distinct()
+        )
+        edges = intra.unionByName(
+            comp_edges.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+        ).distinct()
+        # no extra persist: connected_components returns a projection of
+        # its final localCheckpoint, already materialized — both outputs
+        # below are thin reuses of that checkpoint
+        labeled = connected_components(
+            edges, nodes, max_iter=max_iter, edges_distinct=True
+        )
+
+        old_comps = comp_edges.select(
+            F.col("doc_b").alias("node")
+        ).distinct()
+        labels = labeled.join(
+            old_comps, "node", "left_anti"
+        ).select(F.col("node").alias("doc_id"), "component")
+
+        # merge ledger: two old components sharing one batch-graph
+        # component are equivalent; canonical pair form (min first)
+        oc = labeled.join(old_comps, "node").select(
+            F.col("component").alias("g"), F.col("node").alias("oc")
+        )
+        merges = (
+            oc.alias("x")
+            .join(oc.alias("y"), "g")
+            .filter(F.col("x.oc") < F.col("y.oc"))
+            .select(
+                F.col("x.oc").alias("component_a"),
+                F.col("y.oc").alias("component_b"),
+            )
+            .distinct()
+        )
+        return labels, merges
+    finally:
+        sigs.unpersist()
