@@ -2098,3 +2098,34 @@ def test_incremental_components_matches_full_rebuild(spark, sf_dir):
     assert {frozenset(v) for v in got.values()} == {
         frozenset(v) for v in want.values()
     }
+
+
+def test_tokenize_corpus_roundtrip_and_fallback(spark):
+    """Applying the trained segmentation to the corpus: subword streams
+    concatenate back to the original token stream (lossless), counts
+    reconcile with the vocab-table segmentation, and unseen words fall
+    back to characters."""
+    from video_etl_spark.llm_ops.bpe import bpe_train, tokenize_corpus
+
+    train = spark.createDataFrame(
+        [("low lower lowest low low",)], "text string"
+    )
+    merges, words = bpe_train(train, 4)
+    assert merges
+    apply_docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "unseen low"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: list(r["subwords"])
+        for r in tokenize_corpus(apply_docs, words).collect()
+    }
+    # lossless: concatenation restores the token stream
+    assert "".join(out[1]) == "lowlower"
+    # trained words segment identically to the words table
+    seg = {r["word"]: list(r["syms"]) for r in words.collect()}
+    assert out[1] == seg["low"] + seg["lower"]
+    # unseen word falls back to character segmentation
+    assert out[2] == list("unseen") + seg["low"]
+    # empty text (split('') yields ['']) produces no subwords
+    assert 3 not in out or out[3] == []

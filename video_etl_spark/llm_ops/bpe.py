@@ -196,3 +196,45 @@ def write_tokenizer(
     symbol_vocabulary(words).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/vocab.parquet"
     )
+
+
+def tokenize_corpus(
+    docs: DataFrame,
+    words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained segmentation to the CORPUS: (id, subwords) where
+    ``subwords`` is the document's token stream re-segmented by the
+    trained merges, in order.
+
+    The segmentation lives on the vocab-grain ``words`` table
+    (:func:`bpe_train`'s output) — the corpus pass is one positional
+    explode + one hash join against it (broadcast at production scale:
+    the vocabulary is tiny next to the corpus) + one ordered re-assembly
+    per doc.  Words never seen at training time fall back to their
+    character segmentation (the standard unseen-word rule for a
+    character-alphabet BPE).
+    """
+    from video_etl_spark.queries.text import _tokens_col
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(_tokens_col(text_col), lambda x: x != "")
+        ).alias("pos", "word"),
+    )
+    seg = words.select("word", "syms")
+    joined = toks.join(seg, "word", "left").withColumn(
+        "syms", F.coalesce("syms", F.split("word", ""))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "syms"))
+                ).syms
+            ).alias("subwords")
+        )
+    )
