@@ -334,6 +334,46 @@ def main() -> None:
         f"(marginal round {max(t6 - t3, 0) / 3:.2f}s; {len(merges)} merges)"
     )
 
+    # round-7: incremental component maintenance — a 10% crawl batch
+    # labeled against the persisted indexes must cost ~batch work, far
+    # under the full-corpus CC rebuild it replaces
+    from video_etl_spark.llm_ops.dedup import (
+        band_index_rows,
+        corpus_components,
+        incremental_components,
+    )
+
+    # the claim to evidence is "incremental cost tracks the BATCH, not
+    # the corpus": label the SAME 10% batch against a 1/3 history and
+    # against the full history — times must stay flat while history
+    # grows 3×.  (At 50 k docs both incremental and full rebuild are
+    # CC-round-overhead-bound in absolute seconds; the flatness is the
+    # scale evidence, same methodology as the incremental-dedup row.)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    t_by_hist = {}
+    for frac, pred in (
+        ("1/3 history", (F.col("doc_id") % 10).isin(1, 2, 3)),
+        ("full history", F.col("doc_id") % 10 != 0),
+    ):
+        hist = docs.filter(pred)
+        spark.catalog.clearCache()
+        hist_comp = corpus_components(hist).persist()
+        hist_comp.count()
+        bands = band_index_rows(hist).persist()
+        bands.count()
+        t0 = time.perf_counter()
+        labels, merges_df = incremental_components(batch, bands, hist_comp)
+        n_new = labels.count()
+        n_merge = merges_df.count()
+        t_by_hist[frac] = (time.perf_counter() - t0, n_new, n_merge)
+        hist_comp.unpersist()
+        bands.unpersist()
+    for frac, (t, n_new, n_merge) in t_by_hist.items():
+        print(
+            f"incremental_components at sf1 vs {frac}: {t:.1f}s "
+            f"({n_new} labels, {n_merge} ledger merges)"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -1016,10 +1016,19 @@ def incremental_components(
         intra = intra.distinct()
 
         # batch ↔ history hits through the band index, resolved to the
-        # matched doc's CURRENT component
-        new_rows = band_index_rows(
-            new_docs, n_bands, rows_per_band
-        ).select(F.col("doc_id").alias("new_doc"), "band_key")
+        # matched doc's CURRENT component.  Band-key rows come from the
+        # ALREADY-persisted signatures (band_index_rows would re-sign the
+        # batch — the signature pass is the expensive part); the key
+        # format must stay in lockstep with band_index_rows.
+        new_rows = None
+        for b in range(n_bands):
+            r = sigs.select(
+                F.col("doc_id").alias("new_doc"),
+                F.concat(
+                    F.lit(f"{b}|"), F.col(f"band{b}")
+                ).alias("band_key"),
+            )
+            new_rows = r if new_rows is None else new_rows.unionByName(r)
         hist_hits = (
             new_rows.join(
                 band_index.select(
@@ -1068,9 +1077,16 @@ def incremental_components(
             edges, nodes, max_iter=max_iter, edges_distinct=True
         )
 
-        old_comps = comp_edges.select(
-            F.col("doc_b").alias("node")
-        ).distinct()
+        # eager: old_comps is tiny (distinct matched component ids) but
+        # its lineage contains the history-sized band join — without the
+        # checkpoint every downstream action on labels/merges would
+        # re-run that join, making "incremental" cost grow with corpus
+        # size (measured 6.4 s → 9.0 s for 3× history before this)
+        old_comps = (
+            comp_edges.select(F.col("doc_b").alias("node"))
+            .distinct()
+            .localCheckpoint()
+        )
         labels = labeled.join(
             old_comps, "node", "left_anti"
         ).select(F.col("node").alias("doc_id"), "component")
