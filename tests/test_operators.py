@@ -766,3 +766,66 @@ def test_span_family_parameterized(spark):
 
     with _pt.raises(ValueError, match="span_len"):
         remove_repeated_spans_frame(docs, span_len=1)
+
+
+@_pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_exact_documents",
+        "minhash_band_pairs",
+        "simhash_near_dup_pairs",
+        "dedup_connected_clusters",
+        "repeated_span_fraction",
+        "remove_repeated_spans",
+        "source_mixture_weights",
+        "mixture_resample",
+        "mixture_temperature_weights",
+        "quality_weighted_sample",
+        "bpe_top_merges",
+        "phash_near_dup_pairs",
+        "sequence_packing_manifest",
+        "sequence_fill",
+        "chunk_documents",
+        "winnowing_overlap_pairs",
+        "bigram_lm_topk",
+        "doc_length_percentiles_by_source",
+        "corpus_revision_diff",
+        "training_shard_manifest",
+    ],
+)
+def test_text_queries_survive_empty_corpus(spark, tmp_path_factory, name):
+    """Robustness sweep: an EMPTY documents table (day-one pipeline, a
+    filter that matched nothing) must yield a schema-stable empty result
+    from every major text/dedup/export query — not a crash inside a
+    window, an aggregate fold, or a driver-side control loop."""
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from video_etl_spark import registry
+
+    registry.load_all()
+    tmp_path = tmp_path_factory.mktemp("empty_corpus")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    import os
+
+    for p in pathlib.Path("/root/testdata/sf0.001").iterdir():
+        if p.name != "documents.parquet":
+            if not (tmp_path / p.name).exists():
+                os.symlink(p, tmp_path / p.name)
+
+    df = registry.QUERIES[name](spark, str(tmp_path))
+    assert df.count() == 0
+    assert len(df.columns) > 0
