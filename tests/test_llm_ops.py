@@ -2129,3 +2129,51 @@ def test_tokenize_corpus_roundtrip_and_fallback(spark):
     assert out[2] == list("unseen") + seg["low"]
     # empty text (split('') yields ['']) produces no subwords
     assert 3 not in out or out[3] == []
+
+
+def test_dup_graph_triangles_crafted(spark, tmp_path):
+    """Degree-oriented triangle counting pinned on a hand-built graph:
+    three exact copies form one triangle (3 nodes, 3 edges, 3 wedges,
+    transitivity 1e6); adding a pendant fourth node keeps exactly one
+    triangle while wedges grow."""
+    import os
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from video_etl_spark import registry
+    from video_etl_spark.oracle import check
+
+    texts = [
+        "triangle doc words shared by all three",
+        "triangle doc words shared by all three",
+        "triangle doc words shared by all three",
+        "totally different pendant document here now",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 4,
+                "source": ["s0"] * 4,
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    for p in pathlib.Path("/root/testdata/sf0.001").iterdir():
+        if p.name != "documents.parquet":
+            os.symlink(p, tmp_path / p.name)
+
+    registry.load_all()
+    problems = check(spark, "dup_graph_triangles", str(tmp_path))
+    assert not problems, "; ".join(problems)
+    row = registry.QUERIES["dup_graph_triangles"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (
+        row["n_nodes"], row["n_edges"], row["n_wedges"],
+        row["n_triangles"], row["transitivity_ppm"],
+    ) == (3, 3, 3, 1, 1_000_000)

@@ -3714,3 +3714,128 @@ def sequence_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks_here").cast("long").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ graph readout (round 7 cont.): DUP-GRAPH TRIANGLE CENSUS — how
+# transitive is the near-duplicate relation?  High transitivity (shared
+# neighbors are themselves neighbors) is what justifies collapsing band
+# candidates into CC clusters and picking one canonical per cluster; a
+# low-transitivity graph would mean band collisions chain UNRELATED
+# documents and cluster-grain dedup over-merges.  Exact integers:
+# triangle/wedge counts are BIGINTs, transitivity = 3T/wedges in ppm.
+# Spark side runs the DEGREE-ORIENTED algorithm (orient each edge toward
+# the higher-(degree, id) endpoint; every wedge is enumerated at its
+# lowest-degree apex, bounding per-node work by out-degree ~ O(√m) on
+# skewed graphs — the 100 TB-safe form); the oracle is the naive
+# a<b<c 3-way self-join, so the parity gate proves the oriented
+# algorithm counts exactly like the textbook definition.
+@query(
+    "dup_graph_triangles",
+    oracle=_duck_minhash_cte()
+    + _DUCK_BANDED_CTE
+    + f""",
+    e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+        AND (a.band0 = b.band0)
+      UNION
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+        AND (a.band1 = b.band1)),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node),
+    tri AS (
+      SELECT count(*) AS t
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    w AS (
+      SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges FROM deg)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           w.wedges AS n_wedges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN w.wedges = 0 THEN 0
+                ELSE {_safe_ppm("3 * tri.t", "w.wedges", "//")}
+                END AS BIGINT) AS transitivity_ppm
+    FROM tri, w
+    """,
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = minhash_band_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    # orient each edge toward the higher-(degree, id) endpoint
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            )
+            .alias("o")
+        )
+        .select("o.s", "o.t")
+        .persist()
+    )
+    # wedges at the apex s: pairs of out-neighbors; closing edge must be
+    # oriented low→high too, so join once on the oriented table
+    o1 = oriented.select(F.col("s"), F.col("t").alias("x"))
+    o2 = oriented.select(F.col("s"), F.col("t").alias("y"))
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    wedges_df = (
+        o1.join(o2, "s")
+        .join(dx, "x")
+        .join(dy, "y")
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select(F.col("x").alias("s"), F.col("y").alias("t"))
+    )
+    closing = oriented.select("s", "t")
+    n_tri = wedges_df.join(closing, ["s", "t"]).count()
+    n_edges = edges.count()
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    ).collect()[0]
+    n_wedges = int(stats["n_wedges"] or 0)
+    # Python ints are arbitrary precision, so the plain formula is exact
+    # at any scale; it equals the oracle's _safe_ppm on branches 1-2
+    # (both exact) and only diverges on the doubly-huge branch 3, which
+    # needs 9e12 TRIANGLES — beyond any gate or rehearsal scale.
+    trans = 0 if n_wedges == 0 else (3 * n_tri * 1_000_000) // n_wedges
+    edges.unpersist()
+    deg.unpersist()
+    oriented.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n_nodes"]),
+                int(n_edges),
+                n_wedges,
+                int(n_tri),
+                int(trans),
+            )
+        ],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
+        "transitivity_ppm long",
+    )
