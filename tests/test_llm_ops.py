@@ -2177,3 +2177,20 @@ def test_dup_graph_triangles_crafted(spark, tmp_path):
         row["n_nodes"], row["n_edges"], row["n_wedges"],
         row["n_triangles"], row["transitivity_ppm"],
     ) == (3, 3, 3, 1, 1_000_000)
+
+
+def test_epoch_sampling_plan_sums_exactly_to_budget(spark, sf_dir):
+    """The apportionment property proportional rounding lacks: per-source
+    epoch budgets sum to EXACTLY the epoch token budget, each within 1 of
+    its exact quota."""
+    from video_etl_spark import registry
+
+    registry.load_all()
+    from video_etl_spark.queries.text import _EPOCH_BUDGET
+
+    rows = registry.QUERIES["epoch_sampling_plan"](spark, sf_dir).collect()
+    assert sum(r["epoch_tokens"] for r in rows) == _EPOCH_BUDGET
+    bigw = sum(r["weight"] for r in rows)
+    for r in rows:
+        exact = _EPOCH_BUDGET * r["weight"] / bigw
+        assert abs(r["epoch_tokens"] - exact) < 1.0

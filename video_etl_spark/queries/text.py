@@ -3839,3 +3839,108 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
         "transitivity_ppm long",
     )
+
+
+# --------------------------------------------------------------------------
+# ⊕ training-pipeline op (round 7 cont.): EPOCH SAMPLING PLAN — turn the
+# temperature mixture weights into an exact per-source token budget for
+# one training epoch via LARGEST-REMAINDER (Hamilton) apportionment:
+# base_i = floor(B·w_i / W), the leftover (< n_sources by construction)
+# goes +1 each to the sources with the largest remainders (ties:
+# source asc).  Budgets sum to B EXACTLY — the property a data loader
+# needs and proportional-rounding does not give.  Overflow-safe at any
+# B: floor(B·w/W) = (B div W)·w + floor((B mod W)·w / W) keeps every
+# term under ~1e12 even for a 1e13-token epoch ((B mod W) < W ≤ ~1e6·n).
+_EPOCH_BUDGET = 1_000_000_000  # 1B tokens/epoch, the attested instance
+
+
+@query(
+    "epoch_sampling_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, len({_DUCK_TOKENS}) AS n_tok FROM documents),
+    s AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
+    sh AS (
+      SELECT source, n_tokens,
+             CAST({_safe_ppm("n_tokens", "total", "//")} AS BIGINT)
+               AS share_ppm
+      FROM s, tot),
+    tw AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(share_ppm AS DOUBLE))) AS BIGINT) AS w
+      FROM sh),
+    ww AS (SELECT CAST(sum(w) AS BIGINT) AS bigw FROM tw),
+    q AS (
+      SELECT source, n_tokens, w,
+             ({_EPOCH_BUDGET} // bigw) * w
+               + (({_EPOCH_BUDGET} % bigw) * w) // bigw AS base,
+             (({_EPOCH_BUDGET} % bigw) * w) % bigw AS rem
+      FROM tw, ww),
+    l AS (
+      SELECT CAST({_EPOCH_BUDGET} - sum(base) AS BIGINT) AS leftover
+      FROM q),
+    r AS (
+      SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q)
+    SELECT r.source, r.n_tokens,
+           CAST(r.w AS BIGINT) AS weight,
+           CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS epoch_tokens
+    FROM r, l
+    """,
+)
+def epoch_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source", F.size(_tokens_col()).cast("long").alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("total"))
+    tw = (
+        per_source.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr(_safe_ppm("n_tokens", "total", "div"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .withColumn(
+            "w",
+            F.floor(F.sqrt(F.col("share_ppm").cast("double"))).cast("long"),
+        )
+    )
+    ww = tw.agg(F.sum("w").alias("bigw"))
+    B = _EPOCH_BUDGET
+    q = tw.crossJoin(F.broadcast(ww)).select(
+        "source",
+        "n_tokens",
+        "w",
+        F.expr(
+            f"({B} div bigw) * w + (({B} % bigw) * w) div bigw"
+        ).alias("base"),
+        F.expr(f"(({B} % bigw) * w) % bigw").alias("rem"),
+    )
+    leftover = q.agg((F.lit(B) - F.sum("base")).alias("leftover"))
+    wdw = Window.orderBy(F.desc("rem"), "source")
+    return (
+        q.withColumn("rk", F.row_number().over(wdw))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "n_tokens",
+            F.col("w").cast("long").alias("weight"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("epoch_tokens"),
+        )
+    )
