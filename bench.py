@@ -95,6 +95,8 @@ HEADLINE = [
     "chunk_documents",
     "embedding_drift_by_dim",
     "doc_length_percentiles_by_source",
+    "dup_graph_triangles",
+    "epoch_sampling_plan",
 ]
 
 

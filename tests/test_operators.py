@@ -492,6 +492,10 @@ _HEADLINE_PLAN_EXPECTATIONS = {
     "chunk_documents": (["Generate"], False, False),
     "embedding_drift_by_dim": (["HashAggregate"], False, False),
     "doc_length_percentiles_by_source": (["HashAggregate"], False, False),
+    # triangle census computes eagerly (bounded 1-row collect pattern) —
+    # the returned plan is a local scan; the negative probes still apply
+    "dup_graph_triangles": ([], False, False),
+    "epoch_sampling_plan": (["Window"], False, False),
 }
 
 
