@@ -495,7 +495,9 @@ _HEADLINE_PLAN_EXPECTATIONS = {
     # triangle census computes eagerly (bounded 1-row collect pattern) —
     # the returned plan is a local scan; the negative probes still apply
     "dup_graph_triangles": ([], False, False),
-    "epoch_sampling_plan": (["Window"], False, False),
+    # BNLJ allowance: the sanctioned broadcast 1-row scalar folds
+    # (corpus total, weight sum, leftover), same as mixture_resample
+    "epoch_sampling_plan": (["Window"], True, False),
 }
 
 
