@@ -1987,3 +1987,47 @@ def test_streaming_packing_matches_batch_and_retry_safe(
         map(tuple, spark.read.parquet(assign_dir).select(*cols).collect())
     )
     assert again == got
+
+
+def test_streaming_tokenize_matches_batch_and_retry_safe(spark, tmp_path):
+    """Tokenizer serving: a k-micro-batch run against the static trained
+    segmentation must produce exactly the batch tokenize_corpus output on
+    the union of batches, and a retried batch must not duplicate rows."""
+    from video_etl_spark.llm_ops.bpe import bpe_train, tokenize_corpus
+    from video_etl_spark.streaming.tokenize import make_tokenize_handler
+
+    train = spark.createDataFrame(
+        [("low lower lowest newer new wide wider",)], "text string"
+    )
+    _, words = bpe_train(train, 6)
+
+    rows = [
+        (1, "low wider"), (2, "lower unseen"),
+        (11, "new low low"), (12, "widest"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out_dir = str(tmp_path / "tokens")
+    handler = make_tokenize_handler(words, out_dir)
+    handler(docs.filter(F.col("doc_id") < 10), 0)
+    handler(docs.filter(F.col("doc_id") >= 10), 1)
+
+    got = sorted(
+        (r["doc_id"], tuple(r["subwords"]))
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "subwords")
+        .collect()
+    )
+    want = sorted(
+        (r["doc_id"], tuple(r["subwords"]))
+        for r in tokenize_corpus(docs, words).collect()
+    )
+    assert got == want and got
+
+    handler(docs.filter(F.col("doc_id") >= 10), 1)  # retry
+    again = sorted(
+        (r["doc_id"], tuple(r["subwords"]))
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "subwords")
+        .collect()
+    )
+    assert again == got
