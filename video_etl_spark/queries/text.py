@@ -3872,7 +3872,11 @@ _EPOCH_BUDGET = 1_000_000_000  # 1B tokens/epoch, the attested instance
       SELECT source, n_tokens,
              CAST(floor(sqrt(CAST(share_ppm AS DOUBLE))) AS BIGINT) AS w
       FROM sh),
-    ww AS (SELECT CAST(sum(w) AS BIGINT) AS bigw FROM tw),
+    ww AS (
+      -- greatest(1, ·): an all-empty corpus gives W = 0, where Spark
+      -- div returns NULL but DuckDB // errors — weight-0 rows get base
+      -- 0 on both engines instead (same guard as the temperature query)
+      SELECT CAST(greatest(1, sum(w)) AS BIGINT) AS bigw FROM tw),
     q AS (
       SELECT source, n_tokens, w,
              ({_EPOCH_BUDGET} // bigw) * w
@@ -3916,7 +3920,7 @@ def epoch_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sqrt(F.col("share_ppm").cast("double"))).cast("long"),
         )
     )
-    ww = tw.agg(F.sum("w").alias("bigw"))
+    ww = tw.agg(F.expr("greatest(1L, sum(w))").alias("bigw"))
     B = _EPOCH_BUDGET
     q = tw.crossJoin(F.broadcast(ww)).select(
         "source",
