@@ -3948,3 +3948,144 @@ def epoch_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("epoch_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# U21⊕ (round 7 cont.): CHUNK-GRAIN EXACT DEDUP — dedup at the retrieval
+# unit: chunks (chunk_documents' windows) whose content hash repeats
+# across the corpus, with the doc span they came from.  A RAG index
+# stores each repeated chunk ONCE; this is the readout that sizes that
+# saving and flags the boilerplate chunks an embedding job should skip.
+# Composes the chunking generator with the exact-dedup groupBy — one
+# narrow generate + one hash aggregate.
+@query(
+    "chunk_dedup_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    ch AS (
+      SELECT doc_id,
+             {_DUCK_HASH.format(
+                 expr="array_to_string(t[u.i : u.i + least("
+                 + str(_CHUNK_SIZE) + ", len(t) - u.i + 1) - 1], ' ')"
+             )} AS chunk_hash
+      FROM toks, unnest(generate_series(1, len(t), {_CHUNK_STRIDE}))
+        AS u(i)),
+    g AS (
+      SELECT chunk_hash,
+             count(*) AS n_copies,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             min(doc_id) AS first_doc
+      FROM ch GROUP BY chunk_hash)
+    SELECT CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END)
+                AS BIGINT) AS n_redundant,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_doc_chunks
+    FROM g
+    """,
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_documents(spark, sf_dir)
+    g = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum("n_copies").cast("long").alias("n_chunks"),
+        F.sum(
+            F.when(F.col("n_copies") > 1, F.col("n_copies") - 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_redundant"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_doc_chunks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# U23⊕ (round 7 cont.): NORMALIZED DOMAIN OVERLAP — the Jaccard form of
+# cross_source_contamination: |shared distinct 3-grams| / |union| per
+# source pair, in exact ppm.  The symmetric, size-normalized number a
+# mixing decision actually compares (raw shared counts favor big
+# domains).  Same skeleton: distinct (gram, source) longs, pair join
+# bounded by shared grams, per-source distinct counts folded in.
+@query(
+    "source_pair_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, {_DUCK_TOKENS} AS toks FROM documents),
+    sh AS (
+      SELECT source,
+             [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+              FOR i IN generate_series(1, len(toks) - 2)] AS shingles
+      FROM toks WHERE len(toks) >= 3),
+    gs AS (
+      SELECT DISTINCT source, {_DUCK_HASH.format(expr="s")} AS h
+      FROM sh, unnest(shingles) AS u(s)),
+    per AS (
+      SELECT source, count(*) AS n_grams FROM gs GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM gs a JOIN gs b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT s.source_a, s.source_b, s.n_shared,
+           CAST(pa.n_grams AS BIGINT) AS n_grams_a,
+           CAST(pb.n_grams AS BIGINT) AS n_grams_b,
+           CAST({_safe_ppm(
+               "s.n_shared",
+               "(pa.n_grams + pb.n_grams - s.n_shared)",
+               "//",
+           )} AS BIGINT) AS jaccard_ppm
+    FROM shared s
+    JOIN per pa ON pa.source = s.source_a
+    JOIN per pb ON pb.source = s.source_b
+    """,
+)
+def source_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_HASH.format(expr="s"))
+    gs = (
+        _spark_spans(docs, 3)
+        .select("source", F.explode(F.array_distinct("spans")).alias("s"))
+        .select("source", h.alias("h"))
+        .distinct()
+        .persist()  # feeds the pair join (twice) and the per-source counts
+    )
+    per = gs.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = gs.select(F.col("source").alias("source_a"), "h")
+    b = gs.select(F.col("source").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pa = per.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    pb = per.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("n_grams_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("n_grams_a").cast("long").alias("n_grams_a"),
+            F.col("n_grams_b").cast("long").alias("n_grams_b"),
+            F.expr(
+                _safe_ppm(
+                    "n_shared", "(n_grams_a + n_grams_b - n_shared)", "div"
+                )
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
