@@ -2036,18 +2036,26 @@ def test_incremental_components_matches_full_rebuild(spark, sf_dir):
     A = "gamma sigma beta upsilon nu omicron upsilon zeta"
     B = "upsilon alpha rho gamma beta beta eta theta"
     C = A + " " + B
+    BF = "backfill target text words here today"
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     extra = spark.createDataFrame(
-        [(10_000_000, A), (10_000_001, B), (10_000_202, C)],
+        [(10_000_000, A), (10_000_001, B), (10_000_202, C),
+         # review cases: a backfill doc whose id undercuts its matched
+         # history component (forced into the LAST batch below), and a
+         # shingle-less 2-token doc that must still get a label
+         (10_000_100, BF), (-1, BF), (10_000_300, "two words")],
         "doc_id long, text string",
     )
     docs = base.unionByName(extra)
-    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
-    cut1, cut2 = ids[len(ids) // 3], 10_000_001  # A,B in history; C later
+    ids = sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+        if r["doc_id"] != -1
+    )
+    cut1, cut2 = ids[len(ids) // 3], 10_000_100  # A,B,BF in history
     batches = [
-        docs.filter(F.col("doc_id") <= cut1),
+        docs.filter((F.col("doc_id") <= cut1) & (F.col("doc_id") != -1)),
         docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)),
-        docs.filter(F.col("doc_id") > cut2),
+        docs.filter((F.col("doc_id") > cut2) | (F.col("doc_id") == -1)),
     ]
 
     comp_rows = {
@@ -2071,8 +2079,12 @@ def test_incremental_components_matches_full_rebuild(spark, sf_dir):
         ]
         band_rows = band_rows.unionByName(band_index_rows(batch))
 
-    # the crafted bridge must actually exercise the ledger
+    # the crafted bridge must actually exercise the ledger, and the
+    # backfill doc (-1 duplicating history comp 10_000_100) must emit a
+    # ledger entry rather than silently renaming the old component
     assert ledger
+    assert (-1, 10_000_100) in ledger
+    assert 10_000_300 in comp_rows  # short doc labeled, not dropped
 
     # resolve ledger with union-find, compare PARTITIONS to full rebuild
     parent: dict[int, int] = {}
@@ -2127,15 +2139,17 @@ def test_tokenize_corpus_roundtrip_and_fallback(spark):
     assert out[1] == seg["low"] + seg["lower"]
     # unseen word falls back to character segmentation
     assert out[2] == list("unseen") + seg["low"]
-    # empty text (split('') yields ['']) produces no subwords
-    assert 3 not in out or out[3] == []
+    # row-preserving: the empty doc keeps a row with an empty stream
+    assert out[3] == []
 
 
 def test_dup_graph_triangles_crafted(spark, tmp_path):
-    """Degree-oriented triangle counting pinned on a hand-built graph:
-    three exact copies form one triangle (3 nodes, 3 edges, 3 wedges,
-    transitivity 1e6); adding a pendant fourth node keeps exactly one
-    triangle while wedges grow."""
+    """Degree-oriented triangle counting pinned on a hand-built graph
+    with BOTH closed and open wedges: three exact copies form one
+    triangle (3 wedges, all closed), and the band-bridge trio (A/B
+    share no band, C = A+' '+B matches both) adds an OPEN wedge at C —
+    total 6 nodes, 5 edges, 4 wedges, 1 triangle, transitivity
+    3·1/4 = 750000 ppm."""
     import os
     import pathlib
 
@@ -2145,19 +2159,23 @@ def test_dup_graph_triangles_crafted(spark, tmp_path):
     from video_etl_spark import registry
     from video_etl_spark.oracle import check
 
+    A = "gamma sigma beta upsilon nu omicron upsilon zeta"
+    B = "upsilon alpha rho gamma beta beta eta theta"
     texts = [
         "triangle doc words shared by all three",
         "triangle doc words shared by all three",
         "triangle doc words shared by all three",
-        "totally different pendant document here now",
+        A,
+        B,
+        A + " " + B,
     ]
     pq.write_table(
         pa.table(
             {
-                "doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+                "doc_id": pa.array([1, 2, 3, 21, 22, 23], pa.int64()),
                 "text": texts,
-                "lang": ["en"] * 4,
-                "source": ["s0"] * 4,
+                "lang": ["en"] * 6,
+                "source": ["s0"] * 6,
                 "n_chars": pa.array([len(t) for t in texts], pa.int64()),
             }
         ),
@@ -2176,7 +2194,7 @@ def test_dup_graph_triangles_crafted(spark, tmp_path):
     assert (
         row["n_nodes"], row["n_edges"], row["n_wedges"],
         row["n_triangles"], row["transitivity_ppm"],
-    ) == (3, 3, 3, 1, 1_000_000)
+    ) == (6, 5, 4, 1, 750_000)
 
 
 def test_epoch_sampling_plan_sums_exactly_to_budget(spark, sf_dir):

@@ -174,11 +174,17 @@ def write_tokenizer(
     merges: list[dict], words: DataFrame, path: str
 ) -> None:
     """Persist the trained tokenizer: ``merges.parquet`` (the ordered
-    merge table a tokenizer runtime replays) + ``vocab.parquet`` (the
-    symbol vocabulary with corpus frequencies).  Both are tiny
-    (vocab-grain) single artifacts a serving/tokenize job broadcasts.
-    """
+    merge table a tokenizer runtime replays), ``vocab.parquet`` (the
+    symbol vocabulary with corpus frequencies) and ``words.parquet``
+    (the (word, n, syms) segmentation table — the frame
+    :func:`tokenize_corpus` joins against, so a serving job can
+    ``spark.read.parquet(f"{path}/words.parquet")`` instead of
+    replaying merges).  All three are vocab-grain broadcastable
+    artifacts."""
     spark = words.sparkSession
+    words.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/words.parquet"
+    )
     spark.createDataFrame(
         [
             (
@@ -228,13 +234,16 @@ def tokenize_corpus(
     joined = toks.join(seg, "word", "left").withColumn(
         "syms", F.coalesce("syms", F.split("word", ""))
     )
-    return (
-        joined.groupBy(id_col)
-        .agg(
-            F.flatten(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "syms"))
-                ).syms
-            ).alias("subwords")
-        )
+    grouped = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.array_sort(F.collect_list(F.struct("pos", "syms"))).syms
+        ).alias("subwords")
+    )
+    # row-preserving: empty/whitespace-only docs have no token rows and
+    # would vanish from the groupBy — a downstream join back to the
+    # corpus would silently lose them; left-join from docs restores them
+    # with an empty subword stream
+    return docs.select(id_col).join(grouped, id_col, "left").withColumn(
+        "subwords",
+        F.coalesce("subwords", F.expr("cast(array() as array<string>)")),
     )

@@ -720,16 +720,14 @@ def incremental_embedding_dedup(
 # the form a long-lived corpus uses.)
 
 
-def band_index_rows(
-    docs: DataFrame,
-    n_bands: int = 2,
-    rows_per_band: int = 2,
-    id_col: str = "doc_id",
+def band_index_rows_from_sigs(
+    sigs: DataFrame, n_bands: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Long-format band index rows: (id, band_key) — one row per doc per
-    band, band_key = "<band_idx>|<band_value>" so a single string column
-    is both the join key and the bucket key."""
-    sigs = minhash_band_signatures(docs, n_bands, rows_per_band, id_col)
+    """Long-format band rows over PRE-COMPUTED signatures: (id,
+    band_key), band_key = "<band_idx>|<band_value>" — THE one definition
+    of the index key format (band_index_rows, incremental_components
+    and the streaming paths all go through here, so the format cannot
+    drift between writer and prober)."""
     parts = [
         sigs.select(
             F.col(id_col),
@@ -741,6 +739,41 @@ def band_index_rows(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def band_pairs_from_sigs(
+    sigs: DataFrame, n_bands: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct canonical (doc_a < doc_b) intra-corpus candidate pairs
+    over pre-computed signatures — the one definition of the band
+    self-join (corpus_components and incremental_components share it)."""
+    pairs = None
+    for b in range(n_bands):
+        a = sigs.select(
+            F.col(id_col).alias("doc_a"), F.col(f"band{b}").alias("b")
+        )
+        o = sigs.select(
+            F.col(id_col).alias("doc_b"), F.col(f"band{b}").alias("b")
+        )
+        p = (
+            a.join(o, "b")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def band_index_rows(
+    docs: DataFrame,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Long-format band index rows from raw documents (signatures
+    computed here); see :func:`band_index_rows_from_sigs`."""
+    sigs = minhash_band_signatures(docs, n_bands, rows_per_band, id_col)
+    return band_index_rows_from_sigs(sigs, n_bands, id_col)
 
 
 def write_band_index(
@@ -881,21 +914,7 @@ def corpus_components(
     """
     sigs = minhash_band_signatures(docs, n_bands, rows_per_band, id_col)
     sigs = sigs.persist()  # both sides of every band self-join
-    pairs = None
-    for b in range(n_bands):
-        a = sigs.select(
-            F.col(id_col).alias("doc_a"), F.col(f"band{b}").alias("b")
-        )
-        o = sigs.select(
-            F.col(id_col).alias("doc_b"), F.col(f"band{b}").alias("b")
-        )
-        p = (
-            a.join(o, "b")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    edges = pairs.distinct()
+    edges = band_pairs_from_sigs(sigs, n_bands, id_col)
     try:
         comp = connected_components(
             edges,
@@ -978,57 +997,38 @@ def incremental_components(
     """Label a new batch against the persisted indexes.
 
     Returns ``(labels, merges)``: ``labels`` is (doc_id, component) for
-    every batch doc — the rows to append to the component index —
-    and ``merges`` is (component_a, component_b) pairs of EXISTING
-    components proven equivalent by this batch (component_a < b,
-    distinct).  A batch doc's component is the minimum id reachable
-    through intra-batch band collisions AND matched history components;
-    an unmatched, non-colliding doc becomes its own new component.
+    EVERY batch doc (shingle-less short docs come out as singleton
+    components, matching ``corpus_components``) — the rows to append to
+    the component index — and ``merges`` is (component_a, component_b)
+    pairs of component ids proven equivalent by this batch
+    (component_a < b, distinct).  A ledger entry can reference a NEW
+    component id: a backfill batch doc with an id LOWER than a matched
+    history component becomes the group's min label, and the old
+    component's equivalence to it is recorded rather than silently
+    renaming rows the append-only index already holds.
 
     Plan shape: one band equi-join against the bucketed band index (no
     exchange on the index side), one id join against the component
     index, then CC over the BATCH-SIZED graph (batch docs + the matched
     component ids as virtual nodes) — never corpus-sized work.  The
     differential test proves k incremental batches + ledger resolution
-    reproduce the full-corpus ``corpus_components`` partition exactly.
+    reproduce the full-corpus ``corpus_components`` partition exactly,
+    including backfill ids and short docs.
     """
     sigs = minhash_band_signatures(
         new_docs, n_bands, rows_per_band
     ).persist()
     try:
-        # intra-batch candidate edges (a < b)
-        intra = None
-        for b in range(n_bands):
-            a_side = sigs.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col(f"band{b}").alias("b"),
-            )
-            b_side = sigs.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col(f"band{b}").alias("b"),
-            )
-            p = (
-                a_side.join(b_side, "b")
-                .filter(F.col("doc_a") < F.col("doc_b"))
-                .select("doc_a", "doc_b")
-            )
-            intra = p if intra is None else intra.unionByName(p)
-        intra = intra.distinct()
+        # intra-batch candidate edges (a < b) — the shared definition
+        intra = band_pairs_from_sigs(sigs, n_bands)
 
         # batch ↔ history hits through the band index, resolved to the
         # matched doc's CURRENT component.  Band-key rows come from the
-        # ALREADY-persisted signatures (band_index_rows would re-sign the
-        # batch — the signature pass is the expensive part); the key
-        # format must stay in lockstep with band_index_rows.
-        new_rows = None
-        for b in range(n_bands):
-            r = sigs.select(
-                F.col("doc_id").alias("new_doc"),
-                F.concat(
-                    F.lit(f"{b}|"), F.col(f"band{b}")
-                ).alias("band_key"),
-            )
-            new_rows = r if new_rows is None else new_rows.unionByName(r)
+        # ALREADY-persisted signatures via the shared key builder
+        # (band_index_rows would re-sign the batch).
+        new_rows = band_index_rows_from_sigs(sigs, n_bands).select(
+            F.col("doc_id").alias("new_doc"), "band_key"
+        )
         hist_hits = (
             new_rows.join(
                 band_index.select(
@@ -1054,11 +1054,11 @@ def incremental_components(
             .distinct()
         )
 
-        # CC over the batch graph: batch docs + matched old components as
-        # virtual nodes.  min-label propagation resolves every batch doc
-        # to min(reachable batch ids ∪ reachable old component ids).
+        # CC over the batch graph: ALL batch docs (from new_docs, not
+        # sigs — shingle-less docs must still get singleton labels) +
+        # matched old components as virtual nodes.
         nodes = (
-            sigs.select("doc_id")
+            new_docs.select("doc_id")
             .unionByName(
                 comp_edges.select(F.col("doc_b").alias("doc_id"))
             )
@@ -1091,18 +1091,17 @@ def incremental_components(
             old_comps, "node", "left_anti"
         ).select(F.col("node").alias("doc_id"), "component")
 
-        # merge ledger: two old components sharing one batch-graph
-        # component are equivalent; canonical pair form (min first)
-        oc = labeled.join(old_comps, "node").select(
-            F.col("component").alias("g"), F.col("node").alias("oc")
-        )
+        # merge ledger: every matched old component is equivalent to its
+        # batch-graph group LABEL — which may be another old component
+        # (the classic bridge) or a lower batch doc id (backfill).
+        # Emitting (label, old_comp) pairs covers both; the former
+        # old-pair-only form missed the backfill rename entirely.
         merges = (
-            oc.alias("x")
-            .join(oc.alias("y"), "g")
-            .filter(F.col("x.oc") < F.col("y.oc"))
+            labeled.join(old_comps, "node")
+            .filter(F.col("component") != F.col("node"))
             .select(
-                F.col("x.oc").alias("component_a"),
-                F.col("y.oc").alias("component_b"),
+                F.least("component", "node").alias("component_a"),
+                F.greatest("component", "node").alias("component_b"),
             )
             .distinct()
         )

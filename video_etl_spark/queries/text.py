@@ -3767,65 +3767,76 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_band_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).persist()
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
-    )
-    # orient each edge toward the higher-(degree, id) endpoint
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
-            )
-            .otherwise(
-                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
-            )
-            .alias("o")
+    deg = oriented = None
+    try:
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionByName(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .persist()
         )
-        .select("o.s", "o.t")
-        .persist()
-    )
-    # wedges at the apex s: pairs of out-neighbors; closing edge must be
-    # oriented low→high too, so join once on the oriented table
-    o1 = oriented.select(F.col("s"), F.col("t").alias("x"))
-    o2 = oriented.select(F.col("s"), F.col("t").alias("y"))
-    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
-    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
-    wedges_df = (
-        o1.join(o2, "s")
-        .join(dx, "x")
-        .join(dy, "y")
-        .filter(
-            (F.col("dx") < F.col("dy"))
-            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        # orient each edge toward the higher-(degree, id) endpoint
+        du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+        dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+        oriented = (
+            edges.join(du, "u")
+            .join(dv, "v")
+            .select(
+                F.when(
+                    (F.col("du") < F.col("dv"))
+                    | (
+                        (F.col("du") == F.col("dv"))
+                        & (F.col("u") < F.col("v"))
+                    ),
+                    F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+                )
+                .otherwise(
+                    F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+                )
+                .alias("o")
+            )
+            .select("o.s", "o.t")
+            .persist()
         )
-        .select(F.col("x").alias("s"), F.col("y").alias("t"))
-    )
-    closing = oriented.select("s", "t")
-    n_tri = wedges_df.join(closing, ["s", "t"]).count()
-    n_edges = edges.count()
-    stats = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
-    ).collect()[0]
+        # wedges at the apex s: pairs of out-neighbors; closing edge must
+        # be oriented low→high too, so join once on the oriented table
+        o1 = oriented.select(F.col("s"), F.col("t").alias("x"))
+        o2 = oriented.select(F.col("s"), F.col("t").alias("y"))
+        dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+        dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+        wedges_df = (
+            o1.join(o2, "s")
+            .join(dx, "x")
+            .join(dy, "y")
+            .filter(
+                (F.col("dx") < F.col("dy"))
+                | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+            )
+            .select(F.col("x").alias("s"), F.col("y").alias("t"))
+        )
+        closing = oriented.select("s", "t")
+        n_tri = wedges_df.join(closing, ["s", "t"]).count()
+        n_edges = edges.count()
+        stats = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+        ).collect()[0]
+    finally:
+        # a failed count between persist and here must not leave
+        # corpus-scale caches pinned (same discipline as
+        # corpus_components)
+        edges.unpersist()
+        if deg is not None:
+            deg.unpersist()
+        if oriented is not None:
+            oriented.unpersist()
     n_wedges = int(stats["n_wedges"] or 0)
     # Python ints are arbitrary precision, so the plain formula is exact
     # at any scale; it equals the oracle's _safe_ppm on branches 1-2
     # (both exact) and only diverges on the doubly-huge branch 3, which
     # needs 9e12 TRIANGLES — beyond any gate or rehearsal scale.
     trans = 0 if n_wedges == 0 else (3 * n_tri * 1_000_000) // n_wedges
-    edges.unpersist()
-    deg.unpersist()
-    oriented.unpersist()
     return spark.createDataFrame(
         [
             (

@@ -9,10 +9,11 @@ per doc.  No state store, no watermark — every micro-batch is independent,
 so the streaming output equals the batch ``tokenize_corpus`` on the same
 rows (equivalence-tested).
 
-At 100 TB-scale serving the segmentation table is loaded once per trigger
-from the ``write_tokenizer`` artifact and broadcast; unseen words fall
-back to character segmentation inside the join's coalesce, exactly as in
-batch.
+At 100 TB-scale serving the segmentation table is
+``spark.read.parquet(f"{path}/words.parquet")`` — the (word, n, syms)
+frame ``write_tokenizer`` persists alongside merges/vocab — loaded once
+and broadcast; unseen words fall back to character segmentation inside
+the join's coalesce, exactly as in batch.
 """
 
 from __future__ import annotations
