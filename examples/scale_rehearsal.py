@@ -174,14 +174,18 @@ def main() -> None:
     )
     from video_etl_spark.queries.text import (
         bigram_lm_topk,
+        chunk_dedup_stats,
         chunk_documents,
         corpus_revision_diff,
         doc_length_percentiles_by_source,
+        dup_graph_triangles,
+        epoch_sampling_plan,
         incremental_phash_dedup,
         phash_near_dup_pairs,
         remove_repeated_spans_10w,
         sequence_fill,
         sequence_packing_manifest,
+        source_pair_jaccard,
         winnowing_overlap_pairs,
     )
     from video_etl_spark.queries.vectors import (
@@ -236,6 +240,10 @@ def main() -> None:
         ("sequence_fill", sequence_fill),
         ("doc_length_percentiles_by_source", doc_length_percentiles_by_source),
         ("corpus_revision_diff", corpus_revision_diff),
+        ("chunk_dedup_stats", chunk_dedup_stats),
+        ("source_pair_jaccard", source_pair_jaccard),
+        ("dup_graph_triangles", dup_graph_triangles),
+        ("epoch_sampling_plan", epoch_sampling_plan),
     ):
         timed(fn, spark, SF01_DIR)  # warm-up: JIT + codegen, not timed
         s01, n01 = timed(fn, spark, SF01_DIR)
@@ -361,6 +369,10 @@ def main() -> None:
         hist_comp.count()
         bands = band_index_rows(hist).persist()
         bands.count()
+        # warm-up pass (JIT/codegen for this path) — not timed, same
+        # discipline as the headline loop
+        l0, m0 = incremental_components(batch, bands, hist_comp)
+        l0.count(), m0.count()
         t0 = time.perf_counter()
         labels, merges_df = incremental_components(batch, bands, hist_comp)
         n_new = labels.count()
