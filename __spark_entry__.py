@@ -103,37 +103,69 @@ def _short_errors(
     return wrapped
 
 
-# Queries whose old green CORRECTNESS rows went stale when the round-5
-# testdata refresh changed events.ts to TIMESTAMP_NTZ (VERDICT r4): force
-# them to the front of the rotation until a round ≥ 5 artifact re-attests
-# them (self-retiring — no manual cleanup next round).
+def _last_attested() -> dict[str, int]:
+    """Newest CORRECTNESS_r{N} round carrying a row for each query.
+
+    Round-7 verdict #2: the rotation previously ordered already-attested
+    queries by registry position, which re-attested the same early-dict
+    names every round while 75 queries aged past the round-5 testdata
+    refresh.  Ordering the attested group OLDEST-ROUND-FIRST turns the
+    driver's ~50-row artifact cap into a true freshness rotation.
+    """
+    import re
+
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+# Queries whose behavior materially changed this round and must re-attest
+# ahead of the freshness rotation: the phash gate instances are no longer
+# vacuous (collide_near_dups payloads — round-7 verdict #3 wants both
+# green with spark_rows > 0 in CORRECTNESS_r08).  Self-retiring once a
+# round ≥ 8 artifact shows them green.
 _REATTEST_FIRST = (
-    "asof_purchase_click",
-    "sessionize_events",
-    "user_lifecycle",
-    "trailing_hour_user_sum",
-    "error_burst_users",
+    "phash_near_dup_pairs",
+    "incremental_phash_dedup",
 )
-_REATTEST_SINCE_ROUND = 5
+_REATTEST_SINCE_ROUND = 8
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Order: stale-green queries needing re-attestation first (see
-    ``_REATTEST_FIRST``), then never-driver-attested queries (see
+    Order: changed-behavior queries needing forced re-attestation first
+    (see ``_REATTEST_FIRST``), then never-driver-attested queries (see
     ``_already_attested``) so the driver's size-capped CORRECTNESS artifact
-    records fresh rows each round, then already-green names in stable order.
+    records fresh rows each round, then already-green names OLDEST
+    ATTESTATION FIRST (see ``_last_attested``; registry order breaks
+    ties) so every query's driver attestation stays fresh over rounds.
     """
     seen = _already_attested()
-    # Retire only on a SUCCESSFUL round>=5 row — a recorded failure keeps
+    # Retire only on a SUCCESSFUL round>=N row — a recorded failure keeps
     # the query at the front until it's green in an artifact.
     reattest = set(_REATTEST_FIRST) - _scan_artifacts(
         _REATTEST_SINCE_ROUND, ok_only=True
     )
+    last = _last_attested()
     ordered = sorted(
         registry.QUERIES.items(),
-        key=lambda kv: (kv[0] not in reattest, kv[0] in seen),
+        key=lambda kv: (
+            kv[0] not in reattest,
+            kv[0] in seen,
+            last.get(kv[0], 0),
+        ),
     )
     return {name: _short_errors(name, fn) for name, fn in ordered}
 

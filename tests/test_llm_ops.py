@@ -2028,6 +2028,7 @@ def test_incremental_components_matches_full_rebuild(spark, sf_dir):
         band_index_rows,
         corpus_components,
         incremental_components,
+        resolve_labels,
     )
     from video_etl_spark.session import load_table
 
@@ -2086,24 +2087,18 @@ def test_incremental_components_matches_full_rebuild(spark, sf_dir):
     assert (-1, 10_000_100) in ledger
     assert 10_000_300 in comp_rows  # short doc labeled, not dropped
 
-    # resolve ledger with union-find, compare PARTITIONS to full rebuild
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in ledger:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
+    # resolve the ledger with THE canonical consumer helper (round-7
+    # verdict #7 — call sites must not re-implement union-find), compare
+    # PARTITIONS to full rebuild
+    labels_df = spark.createDataFrame(
+        list(comp_rows.items()), "doc_id long, component long"
+    )
+    merges_df = spark.createDataFrame(
+        ledger, "component_a long, component_b long"
+    )
     got: dict[int, set] = {}
-    for doc, comp in comp_rows.items():
-        got.setdefault(find(comp), set()).add(doc)
+    for r in resolve_labels(labels_df, merges_df).collect():
+        got.setdefault(r["component"], set()).add(r["doc_id"])
     want: dict[int, set] = {}
     for r in corpus_components(docs).collect():
         want.setdefault(r["component"], set()).add(r["doc_id"])
@@ -2212,3 +2207,160 @@ def test_epoch_sampling_plan_sums_exactly_to_budget(spark, sf_dir):
     for r in rows:
         exact = _EPOCH_BUDGET * r["weight"] / bigw
         assert abs(r["epoch_tokens"] - exact) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-8 hot-key guard (round-7 verdict #1): exact-duplicate content must
+# never push quadratic pair volume through one band/chunk join key.
+
+
+def test_exact_dup_hot_key_collapse_linear_pairs(spark):
+    """10k identical docs → the band self-join pairs O(distinct contents)
+    representatives (here: zero cross-content collisions), NOT the ~5e7
+    member pairs a raw self-join would emit — while the component labeling
+    stays exactly what full CC over all members would produce."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.dedup import (
+        band_occupancy,
+        band_pairs_from_sigs,
+        collapse_exact_sigs,
+        corpus_components,
+        minhash_band_signatures,
+    )
+
+    n_dup, n_uniq = 10_000, 100
+    boiler = "the same boilerplate cookie banner text repeated everywhere"
+    docs = spark.range(n_dup + n_uniq).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") >= n_uniq, F.lit(boiler)
+        ).otherwise(
+            F.format_string(
+                "unique alpha%d beta%d gamma%d delta%d", "id", "id", "id", "id"
+            )
+        ).alias("text"),
+    )
+
+    sigs = minhash_band_signatures(docs).persist()
+    reps, members = collapse_exact_sigs(sigs)
+    assert reps.count() == n_uniq + 1          # one rep per distinct content
+    assert members.count() == n_dup - 1        # everything else collapses
+    # the join the family actually runs: pairs over representatives only
+    assert band_pairs_from_sigs(reps).count() == 0
+
+    # the loud skew readout: raw signatures show the hot key's quadratic
+    # candidate mass; collapsed signatures show it is gone
+    raw_hot = {
+        r["occupancy"]: r["candidate_pairs"]
+        for r in band_occupancy(sigs).collect()
+    }
+    assert raw_hot[n_dup] == 2 * n_dup * (n_dup - 1) // 2  # both bands
+    collapsed_occ = band_occupancy(reps).collect()
+    assert max(r["occupancy"] for r in collapsed_occ) == 1
+    sigs.unpersist()
+
+    # labels identical to full-member CC semantics: one component, min id
+    comp = corpus_components(docs)
+    rows = {r["doc_id"]: r["component"] for r in comp.collect()}
+    assert len(rows) == n_dup + n_uniq
+    assert all(rows[d] == n_uniq for d in range(n_uniq, n_dup + n_uniq))
+    assert all(rows[d] == d for d in range(n_uniq))
+
+
+def test_incremental_components_reingest_uniform(spark):
+    """Re-ingesting already-indexed docs (round-7 advice): label rows are
+    emitted ONLY for genuinely new doc_ids — a re-ingested doc never
+    appends a duplicate index row, including the former edge case where a
+    batch doc's id equals a matched old component id — while bridges the
+    re-ingested batch proves still land in the merge ledger."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.dedup import (
+        band_index_rows,
+        corpus_components,
+        incremental_components,
+        resolve_labels,
+    )
+
+    A = "gamma sigma beta upsilon nu omicron upsilon zeta"
+    B = "upsilon alpha rho gamma beta beta eta theta"
+    C = A + " " + B  # bridges A's and B's clusters
+    # exact duplicates guarantee co-clustering (and exercise the collapse
+    # path inside corpus_components/incremental_components)
+    corpus = spark.createDataFrame(
+        [(1, A), (2, A), (10, B), (11, B)],
+        "doc_id long, text string",
+    )
+    comp_index = corpus_components(corpus).localCheckpoint()
+    band_index = band_index_rows(corpus)
+
+    # batch = one new bridge doc + two RE-INGESTED docs (ids 1 and 10 —
+    # id 1 is also its own component id, the silent-drop edge case)
+    batch = spark.createDataFrame(
+        [(50, C), (1, A), (10, B)], "doc_id long, text string"
+    )
+    labels, merges = incremental_components(batch, band_index, comp_index)
+    got_labels = {(r["doc_id"], r["component"]) for r in labels.collect()}
+    assert {d for d, _ in got_labels} == {50}  # only the new doc labels
+    ledger = {
+        (r["component_a"], r["component_b"]) for r in merges.collect()
+    }
+    assert ledger  # the bridge was recorded
+
+    # resolved union of index + new labels == full rebuild partition
+    all_labels = comp_index.unionByName(labels)
+    resolved = resolve_labels(all_labels, merges)
+    got = {}
+    for r in resolved.collect():
+        got.setdefault(r["component"], set()).add(r["doc_id"])
+    want = {}
+    full = corpus.unionByName(
+        spark.createDataFrame([(50, C)], "doc_id long, text string")
+    )
+    for r in corpus_components(full).collect():
+        want.setdefault(r["component"], set()).add(r["doc_id"])
+    assert {frozenset(v) for v in got.values()} == {
+        frozenset(v) for v in want.values()
+    }
+
+
+def test_resolve_labels_ledger_bound_raises(spark):
+    from video_etl_spark.llm_ops.dedup import resolve_labels
+
+    labels = spark.createDataFrame([(1, 1)], "doc_id long, component long")
+    merges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "component_a long, component_b long"
+    )
+    out = {
+        (r["doc_id"], r["component"]) for r in
+        resolve_labels(labels, merges).collect()
+    }
+    assert out == {(1, 1)}
+    import pytest as _p
+
+    with _p.raises(RuntimeError, match="merge ledger exceeds"):
+        resolve_labels(labels, merges, max_ledger_rows=1)
+
+
+def test_phash_gate_instances_non_vacuous(spark, sf_dir):
+    """Round-7 verdict #3: the phash gate queries must compare NON-EMPTY
+    pair sets (they previously attested 0 vs 0 rows — the all-pairs
+    oracle never re-proved blocked recall on real pairs).  The
+    collide_near_dups payload seam pairs ids 10k/10k+5 per bucket, so
+    expected counts are exact and linear in the corpus."""
+    from video_etl_spark import registry
+
+    registry.load_all()
+    pairs = registry.QUERIES["phash_near_dup_pairs"](spark, sf_dir)
+    rows = [
+        (r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs.collect()
+    ]
+    assert len(rows) >= 50
+    engineered = {(a, b) for a, b, h in rows if h == 0}
+    assert all((10 * k, 10 * k + 5) in engineered for k in range(50))
+
+    inc = registry.QUERIES["incremental_phash_dedup"](spark, sf_dir)
+    got = {r["new_doc"]: r["dup_of"] for r in inc.collect()}
+    assert len(got) >= 50
+    assert all(got.get(10 * k) == 10 * k + 5 for k in range(50))

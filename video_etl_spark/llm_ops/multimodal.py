@@ -35,13 +35,40 @@ FEATURES_SCHEMA = (
 )
 
 
-def attach_fake_payload(docs: DataFrame, modality: str = "image") -> DataFrame:
+def attach_fake_payload(
+    docs: DataFrame, modality: str = "image", collide_near_dups: bool = False
+) -> DataFrame:
     """Give each document a deterministic binary payload + metadata columns
-    (the D2 frame-record shape: id, modality, payload, height/width)."""
+    (the D2 frame-record shape: id, modality, payload, height/width).
+
+    ``collide_near_dups=True`` keys the payload of every ``doc_id % 5 ==
+    0`` doc on its ``doc_id div 10`` bucket instead of its text, so the
+    bucket's two members (ids 10k and 10k+5) carry IDENTICAL payloads —
+    deterministic near-duplicate frames for the phash gate queries
+    (round-7 verdict #3: the all-distinct payload seam made their oracle
+    instances vacuous 0-row comparisons at gate scale).  Bucket size is
+    exactly 2 at every scale factor, so pair volume stays LINEAR in the
+    corpus; the split also crosses the ``doc_id % 10 == 0`` batch
+    boundary the incremental queries use, making both gates non-empty.
+    md5-derived pixels can only collide at Hamming 0 (distinct payloads
+    land ~32 bits apart), so positive distances 1–3 stay covered by the
+    crafted-signature unit tests.
+    """
+    payload_hex = F.md5(F.col("text"))
+    if collide_near_dups:
+        payload_hex = F.when(
+            F.col("doc_id") % 5 == 0,
+            F.md5(
+                F.concat(
+                    F.lit("ph|"),
+                    F.expr("doc_id div 10").cast("string"),
+                )
+            ),
+        ).otherwise(payload_hex)
     return docs.select(
         "doc_id",
         F.lit(modality).alias("modality"),
-        F.unbase64(F.base64(F.md5(F.col("text")).cast("binary"))).alias("payload"),
+        F.unbase64(F.base64(payload_hex.cast("binary"))).alias("payload"),
         F.lit(720).alias("h"),
         F.lit(1280).alias("w"),
     )
@@ -370,12 +397,27 @@ def phash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     returns a LAZY plan (there is no post-action hook to unpersist
     without re-running the signatures); sweeping callers (driver gate,
     bench) clear caches between queries.
+
+    Hot-key guard (round-7 verdict #1, the multimodal leg): the chunk
+    self-join runs over ONE representative per distinct 64-bit hash,
+    then expands to member pairs — cross-hash pairs via the membership
+    map, same-hash pairs directly at Hamming 0.  Identical to
+    ``dedup.simhash_pairs``'s guard; the output SET is unchanged (the
+    all-pairs oracle pins it), but n identical frames no longer push
+    n(n−1)/2 rows through one chunk key with 4× fan-out + a distinct
+    shuffle.
     """
     _require_chunk_recall(max_hamming)
     sig = sigs.persist()
-    a = _chunk_side(sig, "doc_a", "a_")
-    b = _chunk_side(sig, "doc_b", "b_")
-    return (
+    grp = sig.groupBy(*_PHASH_CHUNKS).agg(F.min("doc_id").alias("doc_id"))
+    reps = grp.select("doc_id", *_PHASH_CHUNKS).persist()
+    mem = sig.join(
+        grp.select(*_PHASH_CHUNKS, F.col("doc_id").alias("rep")),
+        list(_PHASH_CHUNKS),
+    ).select("rep", "doc_id")
+    a = _chunk_side(reps, "doc_a", "a_")
+    b = _chunk_side(reps, "doc_b", "b_")
+    rep_pairs = (
         a.join(b, ["c", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", _hamming4().cast("long"))
@@ -383,6 +425,28 @@ def phash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("xa")),
+            "doc_a",
+        )
+        .join(
+            mem.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("xb")),
+            "doc_b",
+        )
+        .select(
+            F.least("xa", "xb").alias("doc_a"),
+            F.greatest("xa", "xb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        mem.select("rep", F.col("doc_id").alias("doc_a"))
+        .join(mem.select("rep", F.col("doc_id").alias("doc_b")), "rep")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("long").alias("hamming"))
+    )
+    return cross.unionByName(intra)
 
 
 def incremental_phash_dedup(
@@ -399,22 +463,39 @@ def incremental_phash_dedup(
     like ``write_band_index``) and each crawl batch joins against it
     without re-hashing the corpus.  Same pigeonhole recall bound as
     :func:`phash_pairs`.
+
+    Hot-key guard: the NEW side probes by one representative per
+    distinct hash and members expand to the representative's result
+    (the quadratic new-dups × old-dups key blowup becomes
+    1 × old-dups); history stays raw — pre-collapsing it would cost a
+    corpus-wide aggregation per batch.  Output unchanged
+    (oracle-pinned).
     """
     _require_chunk_recall(max_hamming)
-    n = _chunk_side(new_sigs, "new_doc", "a_")
+    grp = new_sigs.groupBy(*_PHASH_CHUNKS).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    mem = new_sigs.join(
+        grp.select(*_PHASH_CHUNKS, F.col("doc_id").alias("new_rep")),
+        list(_PHASH_CHUNKS),
+    ).select("new_rep", F.col("doc_id").alias("new_doc"))
+    n = _chunk_side(grp.select("doc_id", *_PHASH_CHUNKS), "new_rep", "a_")
     o = _chunk_side(hist_sigs, "old_doc", "b_")
-    return (
+    per_rep = (
         n.join(o, ["c", "chunk"])
         .withColumn("hamming", _hamming4().cast("long"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("new_doc", "old_doc", "hamming")
+        .select("new_rep", "old_doc", "hamming")
         .distinct()
-        .groupBy("new_doc")
+        .groupBy("new_rep")
         .agg(
             F.min("old_doc").alias("dup_of"),
             F.count(F.lit(1)).alias("n_candidates"),
             F.min("hamming").alias("min_hamming"),
         )
+    )
+    return mem.join(per_rep, "new_rep").select(
+        "new_doc", "dup_of", "n_candidates", "min_hamming"
     )
 
 

@@ -280,6 +280,40 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# U21⊕ (round 8): BAND-OCCUPANCY HISTOGRAM — the loud skew readout for the
+# pair-generation family (round-7 verdict #1's companion guard): per band
+# key, how many signatures land on it, rolled up to (occupancy, n_keys,
+# candidate_pairs).  A boilerplate hot key shows up as one row whose
+# candidate_pairs dwarfs the rest LONG before any self-join runs; run it
+# on collapse_exact_sigs output to see the residual (post-collapse) skew.
+# Plan shape: one map-side-combined groupBy on the band key + one tiny
+# rollup — safe at any skew, output bounded by distinct occupancy levels.
+@query(
+    "band_occupancy_histogram",
+    oracle=_duck_minhash_cte()
+    + _DUCK_BANDED_CTE
+    + """,
+    keys AS (
+      SELECT '0|' || band0 AS band_key FROM banded
+      UNION ALL
+      SELECT '1|' || band1 AS band_key FROM banded),
+    occ AS (
+      SELECT band_key, count(*) AS occupancy FROM keys GROUP BY band_key)
+    SELECT occupancy,
+           count(*) AS n_keys,
+           CAST((occupancy * (occupancy - 1) // 2) * count(*) AS BIGINT)
+             AS candidate_pairs
+    FROM occ GROUP BY occupancy
+    """,
+)
+def band_occupancy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_etl_spark.llm_ops.dedup import band_occupancy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return band_occupancy(_banded_sigs(docs), n_bands=2)
+
+
+# --------------------------------------------------------------------------
 # U21⊕ — INCREMENTAL batch dedup: match a NEW crawl batch against the
 # EXISTING corpus via the band index — the upsert shape a production
 # training-data pipeline runs per crawl (dedup new docs against history
@@ -1104,21 +1138,18 @@ def _cc_components(
     revision pays the minhash → band → CC chain ONCE and every consumer
     (cluster decisions, size histograms, leakage-free splits, canonical
     selection) reads three thin columns instead of re-deriving the
-    labeling.  Without it, the chain runs inline (the oracle-pinned
-    2-band × 2-row instance).
+    labeling.  Without it, the chain runs inline through
+    ``llm_ops.dedup.corpus_components`` (the oracle-pinned 2-band ×
+    2-row instance) — since round 8 the ONE definition of the inline
+    chain, exact-dup pre-collapsed so a boilerplate hot key cannot blow
+    the band self-join up quadratically (round-7 verdict #1).
     """
     if components is not None:
         return components.select("doc_id", "component")
-    from video_etl_spark.llm_ops.dedup import connected_components
+    from video_etl_spark.llm_ops.dedup import corpus_components
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = minhash_band_pairs(spark, sf_dir)
-    # band pairs end in .distinct() with doc_a < doc_b — skip the
-    # redundant edge-set dedup shuffle inside CC (edges_distinct contract)
-    comp = connected_components(
-        edges, docs.select("doc_id"), edges_distinct=True
-    )
-    return comp.select(F.col("node").alias("doc_id"), "component")
+    return corpus_components(docs, n_bands=2, rows_per_band=2)
 
 
 # --------------------------------------------------------------------------
@@ -2914,7 +2945,19 @@ def temperature_weights_from_totals(per_source: DataFrame) -> DataFrame:
 # arithmetic both engines replay, so the query carries a FULL oracle.
 # The oracle is deliberately the ALL-PAIRS formulation: at gate scale it
 # also re-proves the pigeonhole recall claim (blocked join == exhaustive
-# join for distance ≤ 3), not just value parity.
+# join for distance ≤ 3), not just value parity.  Since round 8 the gate
+# instances run with collide_near_dups payloads (every doc_id % 5 == 0 doc
+# shares its doc_id div 10 bucket partner's payload — see
+# multimodal.attach_fake_payload), so both phash gates compare NON-EMPTY
+# pair sets (round-7 verdict #3: they previously attested 0 vs 0 rows)
+# while pair volume stays linear (bucket size is exactly 2 at any sf).
+_PHASH_PAYLOAD_SQL = (
+    "CASE WHEN doc_id % 5 = 0 "
+    "THEN md5('ph|' || CAST(doc_id // 10 AS VARCHAR)) "
+    "ELSE md5(text) END"
+)
+
+
 def _phash_oracle() -> str:
     px_cols = []
     for idx in range(64):
@@ -2938,13 +2981,15 @@ def _phash_oracle() -> str:
         f"bit_count(xor(a.chunk{c}, b.chunk{c}))" for c in range(4)
     )
     return f"""
-    WITH hx AS (
+    WITH pay AS (
+      SELECT doc_id, {_PHASH_PAYLOAD_SQL} AS payload FROM documents),
+    hx AS (
       SELECT doc_id,
-             md5('p0|' || md5(text)) AS hx0,
-             md5('p1|' || md5(text)) AS hx1,
-             md5('p2|' || md5(text)) AS hx2,
-             md5('p3|' || md5(text)) AS hx3
-      FROM documents),
+             md5('p0|' || payload) AS hx0,
+             md5('p1|' || payload) AS hx1,
+             md5('p2|' || payload) AS hx2,
+             md5('p3|' || payload) AS hx3
+      FROM pay),
     px AS (SELECT doc_id, {", ".join(px_cols)} FROM hx),
     pxt AS (SELECT *, {total} AS tot FROM px),
     sig AS (SELECT doc_id, {", ".join(chunk_cols)} FROM pxt)
@@ -2964,7 +3009,7 @@ def phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    frames = attach_fake_payload(docs)
+    frames = attach_fake_payload(docs, collide_near_dups=True)
     return phash_pairs(phash_signatures(frames))
 
 
@@ -3074,7 +3119,9 @@ def incremental_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = phash_signatures(attach_fake_payload(docs)).persist()
+    sigs = phash_signatures(
+        attach_fake_payload(docs, collide_near_dups=True)
+    ).persist()
     new = sigs.filter(F.col("doc_id") % 10 == 0)
     hist = sigs.filter(F.col("doc_id") % 10 != 0)
     return _inc(new, hist)
@@ -3505,10 +3552,10 @@ def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_W = 4   # window positions; guarantee threshold = w + k - 1 = 6
 _WINNOW_MIN_SHARED = 3
 
-
-@query(
-    "winnowing_overlap_pairs",
-    oracle=f"""
+#: Shared winnowing-fingerprint CTEs (toks → position hashes → window-min
+#: fingerprints) — ONE oracle definition for the pair- and count-grain
+#: queries.
+_WINNOW_FP_CTES = f"""
     WITH toks AS (
       SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
     pos AS (
@@ -3526,17 +3573,22 @@ _WINNOW_MIN_SHARED = 3
                             ROWS BETWEEN CURRENT ROW
                             AND {_WINNOW_W - 1} FOLLOWING) AS wmin
         FROM pos)
-      WHERE p <= n_pos - {_WINNOW_W - 1})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           count(*) AS n_shared
-    FROM fp a JOIN fp b
-      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    HAVING count(*) >= {_WINNOW_MIN_SHARED}
-    """,
-)
-def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+      WHERE p <= n_pos - {_WINNOW_W - 1})"""
+
+_WINNOW_PAIR_CTE = f""",
+    wpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared
+      FROM fp a JOIN fp b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {_WINNOW_MIN_SHARED})"""
+
+
+def _winnowing_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) winnowing fingerprints — the Spark twin of
+    ``_WINNOW_FP_CTES``, persisted because it feeds both sides of the
+    overlap self-join (LRU-evicted like every signature block here)."""
     h = F.expr(_SPARK_HASH.format(expr="s"))
     sh = _spark_spans(docs, 3)
     pos = (
@@ -3559,13 +3611,17 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p")
         .rowsBetween(Window.currentRow, _WINNOW_W - 1)
     )
-    fp = (
+    return (
         pos.withColumn("wmin", F.min("h").over(w))
         .filter(F.col("p") <= F.col("n_pos") - (_WINNOW_W - 1))
         .select("doc_id", F.col("wmin").alias("fingerprint"))
         .distinct()
-        .persist()  # both sides of the overlap self-join
+        .persist()
     )
+
+
+def _winnowing_pairs(docs: DataFrame) -> DataFrame:
+    fp = _winnowing_fps(docs)
     a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
     return (
@@ -3574,6 +3630,62 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+
+
+@query(
+    "winnowing_overlap_pairs",
+    oracle=_WINNOW_FP_CTES
+    + _WINNOW_PAIR_CTE
+    + """
+    SELECT doc_a, doc_b, n_shared FROM wpairs
+    """,
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIR-grain overlap evidence: (doc_a, doc_b, n_shared).
+
+    Output grows with overlap density (PERF.md measured 26× output at
+    10× data on a dup-heavy corpus), so at 100 TB this grain is for
+    BOUNDED investigations (one domain, one cluster, a sampled slice);
+    the corpus-wide default artifact is ``winnowing_overlap_stats``,
+    whose output is capped at one row per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _winnowing_pairs(docs)
+
+
+# --------------------------------------------------------------------------
+# U21⊕ (round 8): COUNT-GRAIN winnowing readout — the corpus-scale default
+# artifact for overlap monitoring (round-7 verdict #5: the pair-grain
+# output's growth is density-driven, so the governance readout must be the
+# per-doc aggregate).  Same fingerprint stage, same inverted-index join;
+# the pair rows collapse to (doc, partners/max/total) before leaving the
+# shuffle, so output is ≤ one row per document at any duplicate density.
+@query(
+    "winnowing_overlap_stats",
+    oracle=_WINNOW_FP_CTES
+    + _WINNOW_PAIR_CTE
+    + """,
+    bidir AS (
+      SELECT doc_a AS doc_id, n_shared FROM wpairs
+      UNION ALL
+      SELECT doc_b AS doc_id, n_shared FROM wpairs)
+    SELECT doc_id,
+           count(*) AS n_partners,
+           CAST(max(n_shared) AS BIGINT) AS max_shared,
+           CAST(sum(n_shared) AS BIGINT) AS total_shared
+    FROM bidir GROUP BY doc_id
+    """,
+)
+def winnowing_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _winnowing_pairs(docs)
+    bidir = pairs.select(
+        F.col("doc_a").alias("doc_id"), "n_shared"
+    ).unionByName(pairs.select(F.col("doc_b").alias("doc_id"), "n_shared"))
+    return bidir.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_partners"),
+        F.max("n_shared").cast("long").alias("max_shared"),
+        F.sum("n_shared").cast("long").alias("total_shared"),
     )
 
 
