@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""ONE composed corpus-revision build at ~sf1 (round-7 verdict #6): the
+full artifact lifecycle in a single measured run —
+
+  ingest -> band index -> component index -> CC-chain consumers reading
+  the index -> phash index + incremental frame probe -> curate (reusing
+  the component index) -> BPE train + tokenizer export -> tokenize ->
+  pack -> training shards -> manifests -> pruned shard read
+
+Every ``write_*`` artifact built by an earlier stage is CONSUMED by a
+later one (the component index feeds the CC-chain queries AND curation;
+the band index feeds the incremental probe; the tokenizer feeds
+tokenize_corpus; the shards feed the pruned loader read), and each
+stage's wall time prints separately so PERF.md can record where a
+corpus revision actually spends its time.
+
+Data is the scale_rehearsal generator's seeded ~sf1 slice (50k docs,
+deterministic, ~1 % exact dups) — nothing checked in, /tmp throwaway.
+
+Usage: python examples/run_corpus_build.py [--sf-dir DIR]
+       (default: generate /tmp/spark_graft_sf1 if absent)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=None)
+    args = ap.parse_args()
+
+    from examples.scale_rehearsal import SF1_DIR, generate
+    from video_etl_spark.session import get_spark, load_table
+
+    spark = get_spark("video-etl-spark-corpus-build")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_dir = args.sf_dir or SF1_DIR
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        print(f"generating seeded ~sf1 slice under {sf_dir} ...")
+        generate(spark)
+
+    work = tempfile.mkdtemp(prefix="corpus_build_")
+    timings: list[tuple[str, float]] = []
+
+    def stage(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *exc):
+                dt = time.perf_counter() - self.t0
+                timings.append((name, dt))
+                print(f"  [{name:<34}] {dt:6.1f}s")
+                return False
+
+        return _T()
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    print(f"corpus revision: {n_docs} documents at {sf_dir}\n")
+
+    # ---- signature + labeling artifacts (built once per revision) ----
+    from video_etl_spark.llm_ops.dedup import (
+        incremental_dedup_against_index,
+        write_band_index,
+        write_component_index,
+    )
+
+    with stage("write_band_index"):
+        write_band_index(
+            docs, "cb_band_index", os.path.join(work, "band_idx")
+        )
+    with stage("write_component_index"):
+        write_component_index(
+            docs, "cb_comp_index", os.path.join(work, "comp_idx")
+        )
+    comp_index = spark.table("cb_comp_index")
+
+    # ---- consumers READ the labeling instead of re-deriving it ----
+    from video_etl_spark.queries.text import (
+        cluster_aware_split,
+        dedup_connected_clusters,
+        dup_cluster_size_histogram,
+    )
+
+    with stage("cc consumers @ component index"):
+        n_canon = (
+            dedup_connected_clusters(spark, sf_dir, components=comp_index)
+            .filter("is_canonical").count()
+        )
+        hist = dup_cluster_size_histogram(
+            spark, sf_dir, components=comp_index
+        ).collect()
+        splits = {
+            r["split"]: r["n_docs"]
+            for r in cluster_aware_split(
+                spark, sf_dir, components=comp_index
+            ).collect()
+        }
+    print(f"      canonical docs: {n_canon}; cluster-size histogram "
+          f"{sorted((r['cluster_size'], r['n_clusters']) for r in hist)[:4]}...; "
+          f"split sizes {splits}")
+
+    # ---- incremental crawl batch probes the PERSISTED band index ----
+    with stage("incremental probe @ band index"):
+        batch = docs.filter(F.col("doc_id") % 97 == 3)
+        n_dup_hits = incremental_dedup_against_index(
+            batch, spark.table("cb_band_index")
+        ).count()
+    print(f"      batch docs with history candidates: {n_dup_hits}")
+
+    # ---- frame-side artifact: phash index + incremental probe ----
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        incremental_phash_against_index,
+        phash_signatures,
+        write_phash_index,
+    )
+
+    with stage("write_phash_index"):
+        sigs = phash_signatures(
+            attach_fake_payload(docs, collide_near_dups=True)
+        )
+        write_phash_index(
+            sigs.filter(F.col("doc_id") % 10 != 0),
+            "cb_phash_index",
+            os.path.join(work, "phash_idx"),
+        )
+    with stage("incremental phash probe"):
+        n_frame_dups = incremental_phash_against_index(
+            sigs.filter(F.col("doc_id") % 10 == 0),
+            spark.table("cb_phash_index"),
+        ).count()
+    print(f"      new frames matching indexed near-dups: {n_frame_dups}")
+
+    # ---- curation REUSES the component index ----
+    from video_etl_spark.pipelines.curation import (
+        curate_documents,
+        write_curated,
+    )
+
+    with stage("curate (components= index)"):
+        curated = curate_documents(
+            spark, sf_dir, components=comp_index
+        ).persist()
+        n_curated = curated.count()
+        write_curated(curated, os.path.join(work, "curated"))
+    print(f"      curated docs: {n_curated} "
+          f"({100.0 * n_curated / n_docs:.1f}% kept)")
+
+    # ---- tokenizer artifacts over the CURATED corpus ----
+    from video_etl_spark.llm_ops.bpe import (
+        bpe_train,
+        tokenize_corpus,
+        write_tokenizer,
+    )
+
+    curated_docs = spark.read.parquet(os.path.join(work, "curated"))
+    with stage("bpe_train (8 merges)"):
+        merges, words = bpe_train(curated_docs, 8)
+        write_tokenizer(merges, words, os.path.join(work, "tokenizer"))
+    print(f"      merges: {[m['merged'] for m in merges]}")
+
+    with stage("tokenize_corpus"):
+        toks = tokenize_corpus(curated_docs, words)
+        n_subwords = toks.select(
+            F.sum(F.size("subwords")).alias("n")
+        ).collect()[0]["n"]
+    print(f"      subword tokens: {n_subwords}")
+
+    # ---- packing + shard export + manifests ----
+    from video_etl_spark.llm_ops.export import (
+        pack_sequences,
+        packing_manifest,
+        read_shard,
+        shard_manifest,
+        write_training_shards,
+    )
+
+    with stage("pack_sequences + manifest"):
+        packed = pack_sequences(curated_docs, seq_len=256, n_shards=4)
+        pm = packing_manifest(packed, seq_len=256).collect()
+    print("      packing manifest (shard, n_seqs, tail_padding): "
+          f"{sorted((r['shard'], r['n_seqs'], r['tail_padding']) for r in pm)}")
+
+    with stage("write_training_shards + manifest"):
+        sharded = write_training_shards(
+            curated_docs, os.path.join(work, "shards"), n_shards=4
+        )
+        sm = shard_manifest(sharded).collect()
+    print("      shard manifest (shard, n_docs, n_tokens): "
+          f"{sorted((r['shard'], r['n_docs'], r['n_tokens']) for r in sm)}")
+
+    with stage("pruned read of shard 2"):
+        n_shard2 = read_shard(
+            spark, os.path.join(work, "shards"), 2
+        ).count()
+    print(f"      shard 2 docs: {n_shard2}")
+
+    total = sum(dt for _, dt in timings)
+    print(f"\nend-to-end corpus revision: {total:.1f}s over "
+          f"{len(timings)} stages at ~sf1 ({n_docs} docs)")
+    print("artifacts under", work)
+
+    for t in ("cb_band_index", "cb_comp_index", "cb_phash_index"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    if "--keep" not in sys.argv:
+        shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2364,3 +2364,23 @@ def test_phash_gate_instances_non_vacuous(spark, sf_dir):
     got = {r["new_doc"]: r["dup_of"] for r in inc.collect()}
     assert len(got) >= 50
     assert all(got.get(10 * k) == 10 * k + 5 for k in range(50))
+
+
+def test_token_count_family_ignores_phantom_empty_token(spark):
+    """Round-7 advice: empty/whitespace-only docs must count 0 tokens in
+    the token-COUNT family (packing offsets, manifests), matching the
+    quality_weighted_sample convention — a raw split would count 1."""
+    from video_etl_spark.llm_ops.export import (
+        pack_sequences,
+        packing_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "three words here"), (1, ""), (2, "   "), (3, "two words")],
+        "doc_id long, text string",
+    )
+    packed = {r["doc_id"]: r for r in pack_sequences(docs, 4, 1).collect()}
+    assert packed[1]["n_tok"] == 0 and packed[2]["n_tok"] == 0
+    assert packed[0]["n_tok"] == 3 and packed[3]["n_tok"] == 2
+    m = packing_manifest(pack_sequences(docs, 4, 1), 4).collect()[0]
+    assert m["n_tokens"] == 5  # phantom tokens would make this 7

@@ -498,6 +498,11 @@ _HEADLINE_PLAN_EXPECTATIONS = {
     # BNLJ allowance: the sanctioned broadcast 1-row scalar folds
     # (corpus total, weight sum, leftover), same as mixture_resample
     "epoch_sampling_plan": (["Window"], True, False),
+    # round-8 additions: count-grain winnowing readout (same window +
+    # inverted-index skeleton as the pair form) and the band-occupancy
+    # skew histogram (two map-side-combined aggregates)
+    "winnowing_overlap_stats": (["Window", "HashAggregate"], False, False),
+    "band_occupancy_histogram": (["HashAggregate"], False, False),
 }
 
 

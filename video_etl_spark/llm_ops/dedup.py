@@ -590,6 +590,14 @@ def band_candidates_within(
     clean sink or the signature index.  Same scale shape as every band
     join here: shuffle on band key, pair space bounded by collisions,
     never batch².
+
+    This WITHIN-batch form keeps per-member candidate counts (each
+    doc's n_candidates counts only LOWER-id matches, which depends on
+    id interleaving), so it does not exact-collapse like
+    :func:`band_candidates` — its quadratic exposure is bounded by the
+    micro-batch size by construction; a batch consisting mostly of one
+    repeated page should be pre-collapsed by the caller (the streaming
+    ingest path's content-addressed ids already do this).
     """
     hits = None
     for b in range(n_bands):
@@ -1287,12 +1295,20 @@ def incremental_components(
             )
             .distinct()
         )
-        edges = intra.unionByName(
-            comp_edges.select(
-                F.least("doc_a", "doc_b").alias("doc_a"),
-                F.greatest("doc_a", "doc_b").alias("doc_b"),
+        edges = (
+            intra.unionByName(
+                comp_edges.select(
+                    F.least("doc_a", "doc_b").alias("doc_a"),
+                    F.greatest("doc_a", "doc_b").alias("doc_b"),
+                )
             )
-        ).distinct()
+            # a re-ingested doc whose id equals its own component id
+            # produces an (x, x) comp_edge — drop it here so the
+            # edges_distinct promise to CC (mirror union is dup-free)
+            # holds; a self-loop adds no connectivity anyway
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+        )
         # no extra persist: connected_components returns a projection of
         # its final localCheckpoint, already materialized — both outputs
         # below are thin reuses of that checkpoint

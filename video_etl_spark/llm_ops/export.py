@@ -193,12 +193,15 @@ def pack_sequences(
 
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
-    from video_etl_spark.queries.text import _tokens_col
+    from video_etl_spark.queries.text import _nonempty_tokens_col
 
+    # token-COUNT semantics: empty/whitespace-only docs contribute 0
+    # tokens to the packed stream, not a phantom '' (round-7 advice —
+    # same convention as quality_weighted_sample)
     t = shard_assignments(
         docs.select(
             F.col(id_col),
-            F.size(_tokens_col(text_col)).cast("long").alias("n_tok"),
+            F.size(_nonempty_tokens_col(text_col)).cast("long").alias("n_tok"),
         ),
         n_shards,
         id_col=id_col,

@@ -42,6 +42,7 @@ def curate_documents(
     sf_dir: str,
     min_quality: float = 0.5,
     split_buckets: tuple[int, int] = (1, 2),  # <1 test, <2 valid, else train
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: (doc_id, source, split, quality, text).
 
@@ -79,9 +80,13 @@ def curate_documents(
         F.col("gopher_keep") & (F.col("quality") >= min_quality)
     )
 
-    clusters = dedup_connected_clusters(spark, sf_dir).filter(
-        F.col("is_canonical")
-    ).select("doc_id", "component")
+    # ``components``: optional persisted labeling (write_component_index)
+    # — the artifact-lifecycle default path: a corpus revision pays the
+    # minhash -> band -> CC chain once and curation reads the index
+    # instead of re-deriving it (round-7 verdict #6).
+    clusters = dedup_connected_clusters(
+        spark, sf_dir, components=components
+    ).filter(F.col("is_canonical")).select("doc_id", "component")
 
     scrubbed = docs.select(
         "doc_id",

@@ -69,8 +69,27 @@ def _tokens_col(col: str = "text") -> F.Column:
     (export sharding/packing, BPE training, streaming curation) reuses
     this instead of re-typing the expression: a re-typed ``\\s+`` once
     under-escaped to ``s+`` and silently split on runs of the letter s.
+
+    CONVENTION (round-7 advice): a raw split of empty/whitespace-only
+    text yields [''] — one phantom token.  Positional/shingle operators
+    keep the raw form (their ≥2/≥3-token guards drop such docs anyway);
+    operators whose OUTPUT is a token count (packing offsets, length
+    percentiles, epoch budgets, quality sampling) use
+    ``_nonempty_tokens_col`` / ``_DUCK_TOKENS_NE`` so an empty document
+    counts 0 tokens on both engines.
     """
     return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+
+
+#: Token-COUNT twin of ``_DUCK_TOKENS`` — empty strings filtered so
+#: empty/whitespace-only docs count 0 tokens (see ``_tokens_col``).
+_DUCK_TOKENS_NE = rf"list_filter({_DUCK_TOKENS}, x -> x != '')"
+
+
+def _nonempty_tokens_col(col: str = "text") -> F.Column:
+    """Token-COUNT twin of ``_tokens_col`` (phantom empty token filtered);
+    matches ``_DUCK_TOKENS_NE`` bit for bit."""
+    return F.filter(_tokens_col(col), lambda x: x != F.lit(""))
 
 
 # --------------------------------------------------------------------------
@@ -3032,7 +3051,7 @@ _PACK_SHARDS = 4
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+             CAST(len({_DUCK_TOKENS_NE}) AS BIGINT) AS n_tok,
              {_DUCK_HASH.format(expr="'pack|' || CAST(doc_id AS VARCHAR)")}
                % {_PACK_SHARDS} AS shard
       FROM documents),
@@ -3341,7 +3360,7 @@ def bpe_fertility_after_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_length_percentiles_by_source",
     oracle=f"""
     WITH t AS (
-      SELECT source, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok
+      SELECT source, CAST(len({_DUCK_TOKENS_NE}) AS BIGINT) AS n_tok
       FROM documents)
     SELECT source,
            count(*) AS n_docs,
@@ -3359,7 +3378,7 @@ def doc_length_percentiles_by_source(
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
-        "source", F.size(_tokens_col()).cast("long").alias("n_tok")
+        "source", F.size(_nonempty_tokens_col()).cast("long").alias("n_tok")
     )
     return t.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -3773,7 +3792,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+             CAST(len({_DUCK_TOKENS_NE}) AS BIGINT) AS n_tok,
              {_DUCK_HASH.format(expr="'pack|' || CAST(doc_id AS VARCHAR)")}
                % {_PACK_SHARDS} AS shard
       FROM documents),
@@ -3876,6 +3895,17 @@ def sequence_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the band-pair graph.
+
+    The EDGE SET here is the pair-grain graph by definition, so n exact
+    copies contribute an n-clique (C(n,2) edges, C(n,3) triangles) —
+    inherent to the metric, not a join defect.  On a corpus with heavy
+    exact duplication, run `band_occupancy_histogram` first; if it
+    shows a hot key, the component-grain readouts
+    (`dup_cluster_size_histogram` over the component index) are the
+    scale-safe health metric, and cliques' triangle mass is derivable
+    from cluster sizes in closed form.
+    """
     edges = minhash_band_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).persist()
@@ -3981,7 +4011,7 @@ _EPOCH_BUDGET = 1_000_000_000  # 1B tokens/epoch, the attested instance
     "epoch_sampling_plan",
     oracle=f"""
     WITH t AS (
-      SELECT source, len({_DUCK_TOKENS}) AS n_tok FROM documents),
+      SELECT source, len({_DUCK_TOKENS_NE}) AS n_tok FROM documents),
     s AS (
       SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       FROM t GROUP BY source),
@@ -4023,7 +4053,8 @@ def epoch_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     per_source = (
         docs.select(
-            "source", F.size(_tokens_col()).cast("long").alias("n_tok")
+            "source",
+            F.size(_nonempty_tokens_col()).cast("long").alias("n_tok"),
         )
         .groupBy("source")
         .agg(F.sum("n_tok").alias("n_tokens"))
