@@ -125,7 +125,21 @@ def _last_attested() -> dict[str, int]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        for name in rows:
+        for name, row in rows.items():
+            # only SUCCESSFUL rows count as freshness — a recorded
+            # failure must keep the query near the FRONT of the
+            # rotation (so it retries next round), not sink it behind
+            # every older-but-green name
+            if not (
+                isinstance(row, dict)
+                and row.get("err") in (None, "no_oracle")
+            ):
+                continue
+            if any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                continue
             last[name] = max(last.get(name, 0), rnd)
     return last
 

@@ -38,6 +38,10 @@ from pyspark.sql import functions as F
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=None)
+    ap.add_argument(
+        "--keep", action="store_true",
+        help="leave the artifact directory on disk after the run",
+    )
     args = ap.parse_args()
 
     from examples.scale_rehearsal import SF1_DIR, generate
@@ -53,6 +57,20 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="corpus_build_")
     timings: list[tuple[str, float]] = []
+    try:
+        _run(spark, sf_dir, work, timings)
+    finally:
+        # a failed stage must not leak the catalog tables or the
+        # multi-GB /tmp work dir
+        for t in ("cb_band_index", "cb_comp_index", "cb_phash_index"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+def _run(spark, sf_dir: str, work: str, timings) -> None:
+    from video_etl_spark.session import load_table
 
     def stage(name):
         class _T:
@@ -79,9 +97,14 @@ def main() -> None:
         write_component_index,
     )
 
+    # the incremental probe below replays doc_id % 97 == 3 as a "new
+    # crawl batch", so the persisted indexes cover the REST of the
+    # corpus — probing a batch against an index that already contains it
+    # would only find self-matches
+    history = docs.filter(F.col("doc_id") % 97 != 3)
     with stage("write_band_index"):
         write_band_index(
-            docs, "cb_band_index", os.path.join(work, "band_idx")
+            history, "cb_band_index", os.path.join(work, "band_idx")
         )
     with stage("write_component_index"):
         write_component_index(
@@ -214,12 +237,6 @@ def main() -> None:
     print(f"\nend-to-end corpus revision: {total:.1f}s over "
           f"{len(timings)} stages at ~sf1 ({n_docs} docs)")
     print("artifacts under", work)
-
-    for t in ("cb_band_index", "cb_comp_index", "cb_phash_index"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-    if "--keep" not in sys.argv:
-        shutil.rmtree(work, ignore_errors=True)
-    spark.stop()
 
 
 if __name__ == "__main__":

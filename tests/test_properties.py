@@ -174,9 +174,13 @@ def test_pack_sequences_partitions_the_stream(spark, texts, seq_len):
         cum = 0
         for r in shard_rows:
             assert r["cum_before"] == cum          # no gap, no overlap
-            assert r["n_tok"] >= 1                 # split('') yields ['']
+            # empty/whitespace-only docs count 0 tokens (round-8 token-
+            # COUNT convention) and sit at [start_seq, start_seq]
+            assert r["n_tok"] >= 0
             assert r["start_seq"] == cum // seq_len
-            assert r["end_seq"] == (cum + r["n_tok"] - 1) // seq_len
+            assert r["end_seq"] == max(
+                r["start_seq"], (cum + r["n_tok"] - 1) // seq_len
+            )
             assert r["straddles"] == (r["start_seq"] != r["end_seq"])
             cum += r["n_tok"]
     for m in packing_manifest(

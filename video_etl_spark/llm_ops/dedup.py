@@ -543,8 +543,13 @@ def band_candidates(
     Output is identical either way (oracle-pinned): collapsed members
     share every band with their representative.
     """
+    # NOT persisted here: the streaming paths call this once per
+    # micro-batch and could never release an internal persist (pinned
+    # blocks would accumulate across batches).  Callers persist
+    # ``new_sigs`` (incremental_dedup and both streaming handlers do),
+    # so each branch re-runs only a cheap map-side-combined groupBy
+    # over the cached signatures.
     new_reps, new_members = collapse_exact_sigs(new_sigs, n_bands, id_col)
-    new_reps = new_reps.persist()  # one branch per band
     hits = None
     for b in range(n_bands):
         n_side = new_reps.select(
@@ -684,7 +689,11 @@ def incremental_simhash_dedup(
             f"max_hamming={max_hamming} exceeds the 4-chunk blocking "
             "guarantee (recall is only complete for distance <= 3)"
         )
-    new_sig = simhash_signatures(new, text_col)
+    # persisted: the signature computation is the expensive stage and the
+    # collapse makes three consumers of it (grp twice via mem + chunk
+    # side); LRU-evicted like every signature block here (lazy builder —
+    # sweeping callers clear caches between queries)
+    new_sig = simhash_signatures(new, text_col).persist()
     sig_cols = ["simhash", "chunk0", "chunk1", "chunk2", "chunk3"]
     grp = new_sig.groupBy(*sig_cols).agg(F.min("doc_id").alias("doc_id"))
     mem = new_sig.select("doc_id", "simhash").join(
@@ -986,7 +995,9 @@ def incremental_dedup_against_index(
     share).  Output unchanged (oracle-pinned via incremental_band_dedup's
     equivalence tests).
     """
-    sigs = minhash_band_signatures(new, n_bands, rows_per_band, id_col)
+    # persisted: signatures feed the collapse (reps + members) and the
+    # band-key probe rows — LRU-evicted, same convention as simhash_pairs
+    sigs = minhash_band_signatures(new, n_bands, rows_per_band, id_col).persist()
     new_reps, new_members = collapse_exact_sigs(sigs, n_bands, id_col)
     new_rows = band_index_rows_from_sigs(new_reps, n_bands, id_col).select(
         F.col(id_col).alias("new_rep"), "band_key"
@@ -1107,13 +1118,15 @@ def corpus_components(
     label (min reachable id) is unchanged — which the recursive-CTE
     oracle re-proves every round.
     """
+    # LRU-persist convention (same as _banded_sigs / simhash_pairs): the
+    # RETURN value is now a lazy plan whose member re-attach join reads
+    # the signatures again, so an eager unpersist here would force the
+    # caller's first action to re-derive every signature.  The blocks
+    # are thin (id + n short strings); sweeping callers (driver gate,
+    # bench) clear caches between queries.
     sigs = minhash_band_signatures(docs, n_bands, rows_per_band, id_col)
     sigs = sigs.persist()
     rep_sigs, members = collapse_exact_sigs(sigs, n_bands, id_col)
-    # eager: thin (id, rep_id) rows.  Materializing the membership map
-    # here lets the signature caches release in ``finally`` without the
-    # post-CC re-attach join silently re-deriving every signature.
-    members = members.localCheckpoint()
     rep_sigs = rep_sigs.persist()  # both sides of every band self-join
     edges = band_pairs_from_sigs(rep_sigs, n_bands, id_col)
     # CC nodes: representatives + shingle-less docs (absent from sigs);
@@ -1121,21 +1134,13 @@ def corpus_components(
     nodes = docs.select(id_col).join(
         members.select(id_col), id_col, "left_anti"
     )
-    try:
-        comp = connected_components(
-            edges,
-            nodes,
-            node_col=id_col,
-            max_iter=max_iter,
-            edges_distinct=True,
-        )
-    finally:
-        # connected_components checkpoints eagerly per round, so on
-        # success the labeling is already materialized; on its
-        # non-convergence raise the caches must not stay pinned either
-        # (callers retry with a higher max_iter).
-        sigs.unpersist()
-        rep_sigs.unpersist()
+    comp = connected_components(
+        edges,
+        nodes,
+        node_col=id_col,
+        max_iter=max_iter,
+        edges_distinct=True,
+    )
     rep_comp = comp.select(F.col("node").alias(id_col), "component")
     member_comp = members.join(
         rep_comp.select(F.col(id_col).alias("rep_id"), "component"),

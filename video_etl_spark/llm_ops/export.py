@@ -135,9 +135,9 @@ def shard_manifest(
         # derive the default from text_col (NOT a hardcoded 'text'
         # tokenizer) so shard_manifest(sharded, text_col="body") works on
         # frames without a 'text' column, as the docstring promises.
-        from video_etl_spark.queries.text import _tokens_col
+        from video_etl_spark.queries.text import _nonempty_tokens_col
 
-        token_col = F.size(_tokens_col(text_col))
+        token_col = F.size(_nonempty_tokens_col(text_col))
     n_tok = token_col
     return (
         sharded.groupBy("shard")
@@ -215,7 +215,16 @@ def pack_sequences(
             "start_seq", F.expr(f"cum_before div {seq_len}").cast("long")
         )
         .withColumn(
-            "end_seq", F.expr(f"(cum_after - 1) div {seq_len}").cast("long")
+            # greatest(): a 0-token doc sits at [start_seq, start_seq]
+            # with straddles false — without the clamp, an empty doc at
+            # an exact sequence boundary gets end_seq < start_seq, and
+            # Spark's sequence(a, b) DESCENDS for b < a while DuckDB's
+            # generate_series is empty (cross-engine divergence)
+            "end_seq",
+            F.expr(
+                f"greatest(cum_before div {seq_len}, "
+                f"(cum_after - 1) div {seq_len})"
+            ).cast("long"),
         )
         .withColumn("straddles", F.col("start_seq") != F.col("end_seq"))
         .select(

@@ -549,10 +549,22 @@ def incremental_phash_against_index(
     side — only the new batch shuffles (plan-asserted in tests) — the
     property that keeps per-crawl frame dedup independent of corpus
     size.
+
+    Hot-key guard: the batch probes by one representative per distinct
+    hash and members expand to the representative's result (same as
+    :func:`incremental_phash_dedup`); the per-doc index stays raw — its
+    rows are the shared prober contract.
     """
     _require_chunk_recall(max_hamming)
-    new_rows = phash_index_rows(new_sigs).select(
-        F.col("doc_id").alias("new_doc"),
+    grp = new_sigs.groupBy(*_PHASH_CHUNKS).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    mem = new_sigs.join(
+        grp.select(*_PHASH_CHUNKS, F.col("doc_id").alias("new_rep")),
+        list(_PHASH_CHUNKS),
+    ).select("new_rep", F.col("doc_id").alias("new_doc"))
+    new_rows = phash_index_rows(grp.select("doc_id", *_PHASH_CHUNKS)).select(
+        F.col("doc_id").alias("new_rep"),
         *[F.col(c).alias(f"a_{c}") for c in _PHASH_CHUNKS],
         "ckey",
     )
@@ -561,16 +573,19 @@ def incremental_phash_against_index(
         *[F.col(c).alias(f"b_{c}") for c in _PHASH_CHUNKS],
         "ckey",
     )
-    return (
+    per_rep = (
         new_rows.join(hist_rows, "ckey")
         .withColumn("hamming", _hamming4().cast("long"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("new_doc", "old_doc", "hamming")
+        .select("new_rep", "old_doc", "hamming")
         .distinct()
-        .groupBy("new_doc")
+        .groupBy("new_rep")
         .agg(
             F.min("old_doc").alias("dup_of"),
             F.count(F.lit(1)).alias("n_candidates"),
             F.min("hamming").alias("min_hamming"),
         )
+    )
+    return mem.join(per_rep, "new_rep").select(
+        "new_doc", "dup_of", "n_candidates", "min_hamming"
     )

@@ -1977,7 +1977,7 @@ _N_SHARDS = 8
       FROM documents)
     SELECT CAST(shard AS BIGINT) AS shard,
            count(*) AS n_docs,
-           CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens,
+           CAST(sum(len({_DUCK_TOKENS_NE})) AS BIGINT) AS n_tokens,
            CAST(sum(length(text)) AS BIGINT) AS n_chars,
            min(doc_id) AS min_doc_id,
            max(doc_id) AS max_doc_id
@@ -3063,7 +3063,8 @@ _PACK_SHARDS = 4
     e AS (
       SELECT shard, n_tok, cum_after,
              (cum_after - n_tok) // {_PACK_SEQ_LEN} AS start_seq,
-             (cum_after - 1) // {_PACK_SEQ_LEN} AS end_seq
+             greatest((cum_after - n_tok) // {_PACK_SEQ_LEN},
+                      (cum_after - 1) // {_PACK_SEQ_LEN}) AS end_seq
       FROM c)
     SELECT CAST(shard AS BIGINT) AS shard,
            count(*) AS n_docs,
@@ -3828,7 +3829,9 @@ def sequence_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS
     )
     L = _PACK_SEQ_LEN
-    x = packed.select(
+    # 0-token docs occupy no sequence (DuckDB's generate_series over an
+    # empty token span emits nothing; mirror that exactly)
+    x = packed.filter(F.col("n_tok") > 0).select(
         "shard",
         F.explode(F.expr("sequence(start_seq, end_seq)")).alias("seq_id"),
         "cum_before",

@@ -86,8 +86,12 @@ def make_packing_handler(
                 F.expr(f"cum_before div {seq_len}").cast("long"),
             )
             .withColumn(
+                # same 0-token clamp as export.pack_sequences
                 "end_seq",
-                F.expr(f"(cum_before + n_tok - 1) div {seq_len}")
+                F.expr(
+                    f"greatest(cum_before div {seq_len}, "
+                    f"(cum_before + n_tok - 1) div {seq_len})"
+                )
                 .cast("long"),
             )
             .withColumn(
