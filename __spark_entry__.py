@@ -25,39 +25,50 @@ registry.load_all()
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-def _scan_artifacts(min_round: int = 0, ok_only: bool = False) -> set[str]:
-    """Query names with a row in CORRECTNESS_r{N}.json for N >= min_round.
-
-    ``ok_only`` keeps only successful rows — err must be null (or the
-    rows-only marker) AND no recorded comparison may be False: a row with
+def _row_ok(row) -> bool:
+    """THE green-row predicate: err must be null (or the rows-only
+    marker) AND no recorded comparison may be False — a row with
     ``rows_match: false, err: null`` is a mismatch, not an attestation.
-    """
+    One definition shared by retire-on-success and freshness ordering
+    (if these two ever disagreed, a changed query could retire its
+    forced re-attest while the rotation still treated it as stale, or
+    vice versa)."""
+    if not (isinstance(row, dict) and row.get("err") in (None, "no_oracle")):
+        return False
+    return not any(
+        row.get(k) is False
+        for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
+def _attestation_rounds(min_round: int = 0, ok_only: bool = False) -> dict:
+    """name → newest CORRECTNESS_r{N} round (N >= min_round) carrying a
+    row for that query; with ``ok_only``, only rows passing
+    :func:`_row_ok` count."""
     import re
 
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m or int(m.group(1)) < min_round:
             continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if ok_only:
-                if not (
-                    isinstance(row, dict)
-                    and row.get("err") in (None, "no_oracle")
-                ):
-                    continue
-                if any(
-                    row.get(k) is False
-                    for k in ("rows_match", "schema_match", "hash_match")
-                ):
-                    continue
-            seen.add(name)
-    return seen
+            if ok_only and not _row_ok(row):
+                continue
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _scan_artifacts(min_round: int = 0, ok_only: bool = False) -> set[str]:
+    """Query names with a row in CORRECTNESS_r{N}.json for N >= min_round
+    (``ok_only``: successful rows only — see :func:`_row_ok`)."""
+    return set(_attestation_rounds(min_round, ok_only))
 
 
 def _already_attested() -> set[str]:
@@ -104,44 +115,17 @@ def _short_errors(
 
 
 def _last_attested() -> dict[str, int]:
-    """Newest CORRECTNESS_r{N} round carrying a row for each query.
+    """Newest SUCCESSFUL round per query (freshness for the rotation).
 
     Round-7 verdict #2: the rotation previously ordered already-attested
     queries by registry position, which re-attested the same early-dict
     names every round while 75 queries aged past the round-5 testdata
-    refresh.  Ordering the attested group OLDEST-ROUND-FIRST turns the
-    driver's ~50-row artifact cap into a true freshness rotation.
+    refresh.  Ordering the attested group OLDEST-SUCCESS-FIRST turns the
+    driver's ~50-row artifact cap into a true freshness rotation; a
+    recorded failure does NOT count as fresh, so a red query keeps
+    sorting near the front and retries next round.
     """
-    import re
-
-    last: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            with open(path) as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        for name, row in rows.items():
-            # only SUCCESSFUL rows count as freshness — a recorded
-            # failure must keep the query near the FRONT of the
-            # rotation (so it retries next round), not sink it behind
-            # every older-but-green name
-            if not (
-                isinstance(row, dict)
-                and row.get("err") in (None, "no_oracle")
-            ):
-                continue
-            if any(
-                row.get(k) is False
-                for k in ("rows_match", "schema_match", "hash_match")
-            ):
-                continue
-            last[name] = max(last.get(name, 0), rnd)
-    return last
+    return _attestation_rounds(ok_only=True)
 
 
 # Queries whose behavior materially changed this round and must re-attest

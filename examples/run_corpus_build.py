@@ -52,6 +52,13 @@ def main() -> None:
 
     sf_dir = args.sf_dir or SF1_DIR
     if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        # the generator writes ONLY to SF1_DIR — an absent custom dir is
+        # a user error, not something to silently "fix" elsewhere
+        if sf_dir != SF1_DIR:
+            raise SystemExit(
+                f"--sf-dir {sf_dir} has no documents.parquet (the "
+                f"generator only produces {SF1_DIR})"
+            )
         print(f"generating seeded ~sf1 slice under {sf_dir} ...")
         generate(spark)
 

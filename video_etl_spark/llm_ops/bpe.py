@@ -222,13 +222,11 @@ def tokenize_corpus(
     character segmentation (the standard unseen-word rule for a
     character-alphabet BPE).
     """
-    from video_etl_spark.queries.text import _tokens_col
+    from video_etl_spark.queries.text import _nonempty_tokens_col
 
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(
-            F.filter(_tokens_col(text_col), lambda x: x != "")
-        ).alias("pos", "word"),
+        F.posexplode(_nonempty_tokens_col(text_col)).alias("pos", "word"),
     )
     seg = words.select("word", "syms")
     joined = toks.join(seg, "word", "left").withColumn(

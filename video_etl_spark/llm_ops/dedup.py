@@ -1134,13 +1134,21 @@ def corpus_components(
     nodes = docs.select(id_col).join(
         members.select(id_col), id_col, "left_anti"
     )
-    comp = connected_components(
-        edges,
-        nodes,
-        node_col=id_col,
-        max_iter=max_iter,
-        edges_distinct=True,
-    )
+    try:
+        comp = connected_components(
+            edges,
+            nodes,
+            node_col=id_col,
+            max_iter=max_iter,
+            edges_distinct=True,
+        )
+    except Exception:
+        # on the non-convergence raise there is no return value the
+        # caches could serve — release them so each "retry with a higher
+        # max_iter" doesn't accumulate pinned signature blocks
+        sigs.unpersist()
+        rep_sigs.unpersist()
+        raise
     rep_comp = comp.select(F.col("node").alias(id_col), "component")
     member_comp = members.join(
         rep_comp.select(F.col(id_col).alias("rep_id"), "component"),

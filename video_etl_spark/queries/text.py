@@ -73,10 +73,13 @@ def _tokens_col(col: str = "text") -> F.Column:
     CONVENTION (round-7 advice): a raw split of empty/whitespace-only
     text yields [''] — one phantom token.  Positional/shingle operators
     keep the raw form (their ≥2/≥3-token guards drop such docs anyway);
-    operators whose OUTPUT is a token count (packing offsets, length
-    percentiles, epoch budgets, quality sampling) use
-    ``_nonempty_tokens_col`` / ``_DUCK_TOKENS_NE`` so an empty document
-    counts 0 tokens on both engines.
+    operators whose OUTPUT is a token count (packing offsets and
+    manifests, length percentiles, epoch budgets, mixture weights,
+    quality sampling, source reports) use ``_nonempty_tokens_col`` /
+    ``_DUCK_TOKENS_NE`` so an empty document counts 0 tokens on both
+    engines.  ``token_stats``/``ttr`` deliberately keep the raw split:
+    they report whitespace-SPLIT statistics (n_ws is "number of split
+    fields", the classic wc-style readout), not corpus token budgets.
     """
     return F.split(F.trim(F.lower(F.col(col))), r"\s+")
 
@@ -1252,7 +1255,8 @@ def fuzzy_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, source,
-             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x != '')) AS n_tokens
       FROM documents),
     offs AS (
       SELECT doc_id, source, n_tokens,
@@ -1273,7 +1277,8 @@ def fuzzy_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", "source", F.size(_tokens_col()).alias("n_tokens")
+        "doc_id", "source",
+        F.size(_nonempty_tokens_col()).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("source")
@@ -1357,7 +1362,8 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH per_doc AS (
       SELECT doc_id, source,
-             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_toks,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x != '')) AS n_toks,
              {_DUCK_HASH.format(expr="trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")} AS fp
       FROM documents),
     fp_counts AS (
@@ -1385,7 +1391,7 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("long")
     per_doc = docs.select(
         "doc_id", "source",
-        F.size(_tokens_col()).alias("n_toks"),
+        F.size(_nonempty_tokens_col()).alias("n_toks"),
         fp.alias("fp"),
     )
     fp_counts = per_doc.groupBy("source", "fp").agg(
@@ -1458,7 +1464,7 @@ def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_mixture_weights",
     oracle=f"""
     WITH t AS (
-      SELECT source, len({_DUCK_TOKENS}) AS n_tok FROM documents),
+      SELECT source, len({_DUCK_TOKENS_NE}) AS n_tok FROM documents),
     s AS (
       SELECT source, count(*) AS n_docs,
              CAST(sum(n_tok) AS BIGINT) AS n_tokens
@@ -1480,7 +1486,8 @@ def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     per_source = docs.select(
-        "source", F.size(_tokens_col()).cast("long").alias("n_tok")
+        "source",
+        F.size(_nonempty_tokens_col()).cast("long").alias("n_tok"),
     ).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
@@ -2450,7 +2457,7 @@ def dup_cluster_size_histogram(
     "mixture_resample",
     oracle=f"""
     WITH t AS (
-      SELECT source, doc_id, len({_DUCK_TOKENS}) AS n_tok FROM documents),
+      SELECT source, doc_id, len({_DUCK_TOKENS_NE}) AS n_tok FROM documents),
     s AS (
       SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       FROM t GROUP BY source),
@@ -2477,7 +2484,8 @@ def dup_cluster_size_histogram(
 def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
-        "source", "doc_id", F.size(_tokens_col()).cast("long").alias("n_tok")
+        "source", "doc_id",
+        F.size(_nonempty_tokens_col()).cast("long").alias("n_tok"),
     )
     per_source = t.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
     floor_tokens = per_source.agg(F.min("n_tokens").alias("floor_tokens"))
@@ -2890,7 +2898,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_temperature_weights",
     oracle=f"""
     WITH t AS (
-      SELECT source, len({_DUCK_TOKENS}) AS n_tok FROM documents),
+      SELECT source, len({_DUCK_TOKENS_NE}) AS n_tok FROM documents),
     s AS (
       SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       FROM t GROUP BY source),
@@ -2914,7 +2922,9 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     per_source = (
-        docs.select("source", F.size(_tokens_col()).cast("long").alias("n_tok"))
+        docs.select(
+        "source", F.size(_nonempty_tokens_col()).cast("long").alias("n_tok")
+    )
         .groupBy("source")
         .agg(F.sum("n_tok").alias("n_tokens"))
     )
@@ -3806,6 +3816,10 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT shard, n_tok, cum_after, cum_after - n_tok AS cum_before
       FROM c),
     x AS (
+      -- n_tok > 0: a 0-token doc occupies no sequence.  generate_series
+      -- is INCLUSIVE, so without the guard a mid-sequence empty doc
+      -- would still emit one (toks_here = 0) row here while the Spark
+      -- side (which filters n_tok > 0 before exploding) emits none.
       SELECT shard, u.s AS seq_id,
              least(cum_after, (u.s + 1) * {_PACK_SEQ_LEN})
                - greatest(cum_before, u.s * {_PACK_SEQ_LEN})
@@ -3813,7 +3827,8 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d, unnest(generate_series(
                CAST(cum_before // {_PACK_SEQ_LEN} AS BIGINT),
                CAST((cum_after - 1) // {_PACK_SEQ_LEN} AS BIGINT)))
-        AS u(s))
+        AS u(s)
+      WHERE n_tok > 0)
     SELECT CAST(shard AS BIGINT) AS shard,
            CAST(seq_id AS BIGINT) AS seq_id,
            count(*) AS n_docs,
@@ -3829,8 +3844,8 @@ def sequence_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS
     )
     L = _PACK_SEQ_LEN
-    # 0-token docs occupy no sequence (DuckDB's generate_series over an
-    # empty token span emits nothing; mirror that exactly)
+    # 0-token docs occupy no sequence — filtered on BOTH engines (the
+    # oracle guards its inclusive generate_series with n_tok > 0 too)
     x = packed.filter(F.col("n_tok") > 0).select(
         "shard",
         F.explode(F.expr("sequence(start_seq, end_seq)")).alias("seq_id"),

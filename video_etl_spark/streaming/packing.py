@@ -41,7 +41,7 @@ def make_packing_handler(
     from pyspark.sql import Window
 
     from video_etl_spark.llm_ops.export import shard_assignments
-    from video_etl_spark.queries.text import _tokens_col
+    from video_etl_spark.queries.text import _nonempty_tokens_col
 
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
@@ -51,7 +51,9 @@ def make_packing_handler(
         t = shard_assignments(
             batch_df.select(
                 "doc_id",
-                F.size(_tokens_col()).cast("long").alias("n_tok"),
+                # token-COUNT semantics, matching export.pack_sequences
+                # bit for bit (the batch twin this module must equal)
+                F.size(_nonempty_tokens_col()).cast("long").alias("n_tok"),
             ),
             n_shards,
             salt="pack|",
