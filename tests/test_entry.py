@@ -31,3 +31,66 @@ def test_all_queries_run_at_smoke_sf(spark, sf_dir):
     for name, fn in mod.queries().items():
         df = fn(spark, sf_dir)
         assert df.columns, f"{name} returned no columns"
+
+
+def test_attestation_rotation_ordering(tmp_path, monkeypatch):
+    """Pin the driver-rotation contract (round-8): the driver attests the
+    FIRST ~50 entries of queries(), so the dict order must be (1) forced
+    re-attests, (2) never-attested, (3) attested oldest-SUCCESS-first —
+    and a recorded FAILURE must not count as freshness (the query keeps
+    sorting ahead of older-but-green names for retry)."""
+    import json
+
+    import __spark_entry__ as mod
+
+    arts = {
+        1: {
+            "old_green": {"rows_match": True, "schema_match": True,
+                          "hash_match": True, "err": None},
+            "flaky": {"rows_match": True, "schema_match": True,
+                      "hash_match": True, "err": None},
+        },
+        7: {
+            "fresh_green": {"rows_match": True, "schema_match": True,
+                            "hash_match": True, "err": None},
+            # a later FAILED row must not refresh `flaky`
+            "flaky": {"rows_match": False, "schema_match": True,
+                      "hash_match": False, "err": None},
+            # an error row is not an attestation either
+            "errored": {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "err": "boom"},
+        },
+    }
+    for rnd, rows in arts.items():
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps(rows)
+        )
+    monkeypatch.setattr(mod, "_REPO_DIR", str(tmp_path))
+
+    last = mod._last_attested()
+    assert last == {"old_green": 1, "flaky": 1, "fresh_green": 7}
+    seen = mod._already_attested()
+    # any row (even failed/errored) counts as SEEN — those names are not
+    # "never attested", they need a RE-attestation
+    assert seen == {"old_green", "flaky", "fresh_green", "errored"}
+
+    # ordering over a synthetic registry, using the same sort key as
+    # queries(): forced first, then never-attested, then oldest-success
+    names = ["fresh_green", "brand_new", "old_green", "flaky", "errored"]
+    reattest = {"fresh_green"} if True else set()
+    ordered = sorted(
+        names,
+        key=lambda n: (n not in reattest, n in seen, last.get(n, 0)),
+    )
+    assert ordered[0] == "fresh_green"          # forced to the front
+    assert ordered[1] == "brand_new"            # never attested
+    # errored (no successful round) and flaky (last success r1) and
+    # old_green (r1) all precede nothing newer; errored's last=0 puts it
+    # first among the attested group
+    assert ordered[2] == "errored"
+    assert set(ordered[3:]) == {"old_green", "flaky"}
+
+    # retirement: _REATTEST_FIRST entries retire only on a SUCCESSFUL
+    # row at/after the target round
+    assert mod._scan_artifacts(7, ok_only=True) == {"fresh_green"}
+    assert "flaky" not in mod._scan_artifacts(7, ok_only=True)
