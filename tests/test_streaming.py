@@ -2031,3 +2031,46 @@ def test_streaming_tokenize_matches_batch_and_retry_safe(spark, tmp_path):
         .collect()
     )
     assert again == got
+
+
+def test_curation_occupancy_monitor_flags_hot_batch(spark, tmp_path):
+    """Round-8: with occupancy_dir set, each curation batch writes its
+    band-occupancy histogram — a crawl batch dominated by one boilerplate
+    page must surface as one row whose candidate_pairs dwarfs the rest,
+    BEFORE the dedup index can accumulate the skew."""
+    from video_etl_spark.streaming.curation import make_ingest_handler
+    from video_etl_spark.streaming.decontaminate import doc_shingles
+
+    bench_src = spark.createDataFrame(
+        [(99, "nothing in this benchmark matches the crawl at all")],
+        "doc_id long, text string",
+    )
+    doc_shingles(bench_src).select("s").distinct().write.parquet(
+        str(tmp_path / "bench")
+    )
+    handler = make_ingest_handler(
+        str(tmp_path / "sig_index"),
+        str(tmp_path / "bench"),
+        str(tmp_path / "clean"),
+        str(tmp_path / "rejected"),
+        occupancy_dir=str(tmp_path / "occ"),
+    )
+    boiler = ("identical boilerplate page body repeated across the whole "
+              "crawl batch tonight")
+    rows = [(i, boiler) for i in range(40)] + [
+        (100 + i, f"unique alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+        for i in range(10)
+    ]
+    handler(
+        spark.createDataFrame(rows, "doc_id long, text string"), 0
+    )
+    occ = {
+        r["occupancy"]: (r["n_keys"], r["candidate_pairs"])
+        for r in spark.read.parquet(str(tmp_path / "occ")).collect()
+    }
+    # the hot key is loud: 40 identical docs on both bands
+    assert occ[40] == (2, 2 * (40 * 39 // 2))
+    # and the survivors are still exact-collapsed by the dedup leg:
+    # 39 of the 40 boilerplate copies land in the rejected sink
+    rej = spark.read.parquet(str(tmp_path / "rejected"))
+    assert rej.filter("reason = 'near_dup'").count() == 39

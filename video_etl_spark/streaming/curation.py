@@ -97,6 +97,7 @@ def make_ingest_handler(
     n_bands: int = 2,
     rows_per_band: int = 2,
     stats_dir: str | None = None,
+    occupancy_dir: str | None = None,
 ):
     """The per-micro-batch curation step, exposed for direct testing and
     for embedding in a custom foreachBatch pipeline.
@@ -110,12 +111,20 @@ def make_ingest_handler(
     (source, n_docs, n_tokens) partial aggregate into the incremental
     stats table (streaming/stats.py) — mixture weights over the curated
     corpus then fold partials instead of rescanning the clean sink.
+
+    With ``occupancy_dir`` set, each batch also writes its
+    ``band_occupancy`` histogram (occupancy, n_keys, candidate_pairs,
+    batch_id) — the loud hot-key monitor for the pair-generation family:
+    a crawl batch dominated by one boilerplate page shows up as a row
+    whose candidate_pairs dwarfs the rest, BEFORE the index it feeds can
+    accumulate the skew.
     """
     from pyspark.errors import AnalysisException
 
     from video_etl_spark.llm_ops.dedup import (
         band_candidates,
         band_candidates_within,
+        band_occupancy,
         minhash_band_signatures,
     )
     from video_etl_spark.llm_ops.export import shard_assignments
@@ -217,6 +226,15 @@ def make_ingest_handler(
                 .partitionBy("batch_id")
                 .parquet(index_dir)
             )
+            if occupancy_dir is not None:
+                (
+                    band_occupancy(sigs, n_bands)
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(occupancy_dir)
+                )
             if stats_dir is not None:
                 from video_etl_spark.streaming.stats import batch_partial
 
