@@ -2384,3 +2384,119 @@ def test_token_count_family_ignores_phantom_empty_token(spark):
     assert packed[0]["n_tok"] == 3 and packed[3]["n_tok"] == 2
     m = packing_manifest(pack_sequences(docs, 4, 1), 4).collect()[0]
     assert m["n_tokens"] == 5  # phantom tokens would make this 7
+
+
+def test_simhash_index_no_index_shuffle_and_equivalence(spark, tmp_path):
+    """Round-8 index symmetry: the SimHash chunk index this module's
+    docstring promised is real — bucketed on ckey, the incremental probe
+    reads it exchange-free (one ckey exchange: the new batch's), equals
+    the direct asymmetric form, and an unbucketed copy reintroduces the
+    exchange."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.dedup import (
+        incremental_simhash_against_index,
+        incremental_simhash_dedup,
+        simhash_index_rows,
+        simhash_signatures,
+        write_simhash_index,
+    )
+
+    A = "gamma sigma beta upsilon nu omicron upsilon zeta"
+    B = "completely different maritime insurance boilerplate text here"
+    rows = [(10, A), (20, B), (1, A), (2, A), (3, B), (4, "short words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = docs.filter(F.col("doc_id") >= 10)
+    hist = docs.filter(F.col("doc_id") < 10)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_simhash_index(
+            hist, "t_simhash_index", str(tmp_path / "sh_idx"), n_buckets=8
+        )
+        out = incremental_simhash_against_index(
+            new, spark.table("t_simhash_index")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange hashpartitioning(ckey") == 1, plan
+
+        got = sorted(map(tuple, out.collect()))
+        want = sorted(
+            map(tuple, incremental_simhash_dedup(new, hist).collect())
+        )
+        assert got == want and got
+        by_doc = dict((r[0], r) for r in got)
+        assert by_doc[10][1] == 1 and by_doc[10][3] == 0  # dup_of, hamming
+
+        # negative probe: unbucketed index -> exchange comes back
+        simhash_index_rows(simhash_signatures(hist)).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "sh_plain"))
+        plain = incremental_simhash_against_index(
+            new, spark.read.parquet(str(tmp_path / "sh_plain"))
+        )
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert plain_plan.count("Exchange hashpartitioning(ckey") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_simhash_index")
+
+
+def test_winnowing_fingerprint_index_probe(spark, tmp_path):
+    """Round-8: winnowing fingerprints get the persistent/incremental form
+    too — a new batch's fingerprints probe the bucketed index
+    exchange-free and reproduce exactly the cross-split subset of the
+    corpus-wide pair computation (the >= w+k-1 guarantee carries over)."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.dedup import (
+        winnowing_candidates_against_index,
+        write_fingerprint_index,
+    )
+    from video_etl_spark.queries.text import (
+        _WINNOW_MIN_SHARED,
+        _winnowing_fps,
+    )
+
+    shared = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu")
+    rows = [
+        (1, shared + " old tail words one"),
+        (2, "unrelated maritime insurance boilerplate claim text entirely"),
+        (10, shared + " new tail words two"),
+        (11, "another fully unrelated document about braising short ribs"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hist_fps = _winnowing_fps(docs.filter(F.col("doc_id") < 10))
+    new_fps = _winnowing_fps(docs.filter(F.col("doc_id") >= 10))
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_fingerprint_index(
+            hist_fps, "t_fp_index", str(tmp_path / "fp_idx"), n_buckets=8
+        )
+        out = winnowing_candidates_against_index(
+            new_fps, spark.table("t_fp_index"), _WINNOW_MIN_SHARED
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange hashpartitioning(fingerprint") == 1, plan
+
+        got = sorted(map(tuple, out.collect()))
+        # the 12-token shared run >= w+k-1=6 GUARANTEES the (10, 1) pair
+        assert [r[:2] for r in got] == [(10, 1)]
+        # equals the cross-split subset of the corpus-wide pair query
+        from video_etl_spark.queries.text import _winnowing_pairs
+
+        direct = {
+            (r["doc_b"], r["doc_a"], r["n_shared"])
+            for r in _winnowing_pairs(docs).collect()
+            if r["doc_b"] >= 10 and r["doc_a"] < 10
+        }
+        assert set(map(tuple, got)) == direct
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_fp_index")

@@ -721,6 +721,153 @@ def incremental_simhash_dedup(
     )
 
 
+# ---------------------------------------------------------------------------
+# U21⊕ (round 8) — SIMHASH INDEX: the persistent 100 TB form this module's
+# docstrings promise ("at 100 TB the history side is a persisted signature
+# table bucketed on chunk"), now real: chunk rows (with the full 64-bit
+# signature for the Hamming re-check) bucketed on the composite chunk key,
+# so each crawl batch's candidate join reads co-located index buckets and
+# shuffles ONLY the new batch — completing the index symmetry across the
+# dedup modalities (band / simhash / embedding-LSH / phash).
+
+
+def simhash_index_rows(sigs: DataFrame) -> DataFrame:
+    """Long-format index rows over :func:`simhash_signatures` output:
+    (doc_id, simhash, ckey), ckey = "<c>|<chunk>" — one row per doc per
+    16-bit chunk (same key convention as ``multimodal.phash_index_rows``
+    and ``band_index_rows``: one string column is both join key and
+    bucket key)."""
+    return _chunk_stacked(sigs, "doc_id", "simhash").select(
+        "doc_id",
+        "simhash",
+        F.concat_ws("|", F.col("c"), F.col("chunk")).alias("ckey"),
+    )
+
+
+def write_simhash_index(
+    docs: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+    text_col: str = "text",
+) -> None:
+    """Persist the corpus SimHash index as a bucketed external table on
+    ``ckey``."""
+    (
+        simhash_index_rows(simhash_signatures(docs, text_col))
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, "ckey")
+        .sortBy("ckey")
+        .saveAsTable(table)
+    )
+
+
+def incremental_simhash_against_index(
+    new: DataFrame,
+    index: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`incremental_simhash_dedup` against a persisted chunk index
+    (``spark.table(...)`` written by :func:`write_simhash_index`).
+
+    Same output contract (new_doc, dup_of, n_candidates, min_hamming);
+    with the bucketed table the join plan has NO exchange on the index
+    side — only the new batch shuffles (plan-asserted in tests).  Same
+    hot-key guard as the direct form: the batch probes by one
+    representative per distinct signature and members expand after.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk blocking "
+            "guarantee (recall is only complete for distance <= 3)"
+        )
+    new_sig = simhash_signatures(new, text_col).persist()
+    sig_cols = ["simhash", "chunk0", "chunk1", "chunk2", "chunk3"]
+    grp = new_sig.groupBy(*sig_cols).agg(F.min("doc_id").alias("doc_id"))
+    mem = new_sig.select("doc_id", "simhash").join(
+        grp.select(F.col("doc_id").alias("new_rep"), "simhash"), "simhash"
+    ).select("new_rep", F.col("doc_id").alias("new_doc"))
+    new_rows = simhash_index_rows(grp.select("doc_id", *sig_cols)).select(
+        F.col("doc_id").alias("new_rep"),
+        F.col("simhash").alias("sig_a"),
+        "ckey",
+    )
+    hist_rows = index.select(
+        F.col("doc_id").alias("old_doc"),
+        F.col("simhash").alias("sig_b"),
+        "ckey",
+    )
+    per_rep = (
+        new_rows.join(hist_rows, "ckey")
+        .select("new_rep", "old_doc", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", _hamming(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("new_rep")
+        .agg(
+            F.min("old_doc").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.min("hamming").cast("long").alias("min_hamming"),
+        )
+    )
+    return mem.join(per_rep, "new_rep").select(
+        "new_doc", "dup_of", "n_candidates", "min_hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# U21⊕ (round 8) — WINNOWING FINGERPRINT INDEX: the incremental/persistent
+# form of the MOSS fingerprints (queries.text winnowing family) — the last
+# dedup modality without one.  Fingerprints are content-addressed 60-bit
+# hashes, so the index is (doc_id, fingerprint) bucketed on fingerprint
+# and a new crawl batch joins its own fingerprints against it without
+# re-fingerprinting the corpus.  Guarantee carries over: any shared token
+# run >= w + k - 1 between a batch doc and an indexed doc shares a
+# fingerprint, so candidate recall for that overlap length is complete.
+
+
+def write_fingerprint_index(
+    fps: DataFrame, table: str, path: str, n_buckets: int = 32
+) -> None:
+    """Persist (doc_id, fingerprint) winnowing fingerprints (the output
+    of ``queries.text._winnowing_fps``/equivalent) as a bucketed external
+    table on ``fingerprint``."""
+    (
+        fps.select("doc_id", "fingerprint")
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, "fingerprint")
+        .sortBy("fingerprint")
+        .saveAsTable(table)
+    )
+
+
+def winnowing_candidates_against_index(
+    new_fps: DataFrame, index: DataFrame, min_shared: int = 3
+) -> DataFrame:
+    """(new_doc, old_doc, n_shared) overlap candidates of a NEW batch's
+    fingerprints against the persisted index — asymmetric (no old×old
+    pair), shuffle on the fingerprint key only; with the bucketed table
+    the index side arrives exchange-free.
+
+    Exact-duplicate documents share EVERY fingerprint, so like the other
+    pair-generation paths the batch side should be exact-collapsed
+    upstream (``operators.io.read_text_corpus`` content-addressing does
+    this at ingest); the output is pair-grain by contract and bounded by
+    genuine overlap, with ``min_shared`` gating the noise floor.
+    """
+    n = new_fps.select(F.col("doc_id").alias("new_doc"), "fingerprint")
+    o = index.select(F.col("doc_id").alias("old_doc"), "fingerprint")
+    return (
+        n.join(o, "fingerprint")
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def incremental_embedding_dedup(
     new: DataFrame,
     history: DataFrame,
