@@ -69,7 +69,10 @@ def main() -> None:
     finally:
         # a failed stage must not leak the catalog tables or the
         # multi-GB /tmp work dir
-        for t in ("cb_band_index", "cb_comp_index", "cb_phash_index"):
+        for t in (
+            "cb_band_index", "cb_comp_index", "cb_phash_index",
+            "cb_fp_index",
+        ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         if not args.keep:
             shutil.rmtree(work, ignore_errors=True)
@@ -151,6 +154,25 @@ def _run(spark, sf_dir: str, work: str, timings) -> None:
             batch, spark.table("cb_band_index")
         ).count()
     print(f"      batch docs with history candidates: {n_dup_hits}")
+
+    # ---- winnowing fingerprint index + overlap probe of the batch ----
+    from video_etl_spark.llm_ops.dedup import (
+        winnowing_candidates_against_index,
+        write_fingerprint_index,
+    )
+    from video_etl_spark.queries.text import _winnowing_fps
+
+    with stage("write_fingerprint_index"):
+        write_fingerprint_index(
+            _winnowing_fps(history),
+            "cb_fp_index",
+            os.path.join(work, "fp_idx"),
+        )
+    with stage("winnowing probe @ fp index"):
+        n_overlaps = winnowing_candidates_against_index(
+            _winnowing_fps(batch), spark.table("cb_fp_index")
+        ).count()
+    print(f"      batch docs with fingerprint overlaps: {n_overlaps}")
 
     # ---- frame-side artifact: phash index + incremental probe ----
     from video_etl_spark.llm_ops.multimodal import (
