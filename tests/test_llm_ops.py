@@ -1379,6 +1379,53 @@ def test_ivf_partitioned_corpus_prunes_probed_cells(spark, sf_dir, tmp_path):
     assert {r["vec_id"] for r in probed.collect()} == want
 
 
+def test_ivf_index_equivalence_and_pruning(spark, sf_dir, tmp_path):
+    """Round-8 index symmetry for ANN: write_ivf_index persists the
+    inverted file ONCE (assigned vectors + precomputed norms,
+    partitioned by centroid); ivf_topk_against_index must (a) return
+    exactly what the direct ivf_topk returns for the same corpus / seed
+    / params, (b) partition-prune the vector scan to the probed cells,
+    and (c) never re-fit or re-assign the corpus."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.similarity import (
+        ivf_topk,
+        ivf_topk_against_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    assert 0 < queries.count() < emb.count()
+
+    path = str(tmp_path / "ivf")
+    centers = write_ivf_index(emb, path, n_centroids=8, seed=42)
+    assert len(centers) == 8
+
+    out = ivf_topk_against_index(spark, queries, path, k=5, n_probe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the vector scan carries the probed-cell partition filter
+    assert "PartitionFilters: [centroid" in plan, plan
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"], round(r["cos_sim"], 9))
+        for r in out.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"], round(r["cos_sim"], 9))
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3,
+                          seed=42).collect()
+    )
+    assert got == want and got
+    # the probe touches a strict subset of cells when queries cluster
+    probed_dirs = {
+        f.split("centroid=")[1].split("/")[0]
+        for f in out.inputFiles()
+        if "centroid=" in f
+    }
+    assert probed_dirs  # and every probed dir is a real cell
+    assert probed_dirs <= {str(i) for i in range(8)}
+
+
 def test_component_index_bucketed_no_index_shuffle(spark, sf_dir, tmp_path):
     """round-7 ask #1: the CC labeling persisted ONCE per corpus revision
     as a bucketed (doc_id, component, is_canonical) table.  The labeling
