@@ -1426,6 +1426,56 @@ def test_ivf_index_equivalence_and_pruning(spark, sf_dir, tmp_path):
     assert probed_dirs <= {str(i) for i in range(8)}
 
 
+def test_lsh_index_equivalence_and_no_index_shuffle(spark, sf_dir, tmp_path):
+    """Round-8 index symmetry for ANN, LSH leg: write_lsh_index persists
+    the bucket table + vector sidecar ONCE (hyperplane UDF never re-runs
+    over the corpus); the probe must equal lsh_topk exactly and both
+    index-side joins must arrive exchange-free from the bucketed tables
+    — only the query side shuffles."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.similarity import (
+        lsh_topk,
+        lsh_topk_against_index,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_lsh_index(
+            emb, "t_lsh_index", str(tmp_path / "lsh"), n_buckets=8
+        )
+        out = lsh_topk_against_index(
+            queries,
+            spark.table("t_lsh_index"),
+            spark.table("t_lsh_index_vecs"),
+            k=5,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # one tkey exchange (the query batch), none for the bucket table;
+        # one neighbor_id exchange (the pair side), none for the sidecar
+        assert plan.count("Exchange hashpartitioning(tkey") == 1, plan
+        assert plan.count("Exchange hashpartitioning(neighbor_id") == 1, plan
+
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], r["rn"], round(r["cos_sim"], 9))
+            for r in out.collect()
+        )
+        want = sorted(
+            (r["query_id"], r["neighbor_id"], r["rn"], round(r["cos_sim"], 9))
+            for r in lsh_topk(emb, queries, k=5).collect()
+        )
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_lsh_index")
+        spark.sql("DROP TABLE IF EXISTS t_lsh_index_vecs")
+
+
 def test_component_index_bucketed_no_index_shuffle(spark, sf_dir, tmp_path):
     """round-7 ask #1: the CC labeling persisted ONCE per corpus revision
     as a bucketed (doc_id, component, is_canonical) table.  The labeling

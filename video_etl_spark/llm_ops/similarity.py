@@ -143,6 +143,148 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# U22⊕ (round 8) — PERSISTED LSH INDEX: the module docstring's "corpus-side
+# bucket table is computed once and can be written bucketed-by(bucket);
+# query batches then join without reshuffling the corpus", now real.  Two
+# bucketed tables per index:
+#   {table}       (neighbor_id, tkey="<table_id>|<bucket>")  on tkey
+#   {table}_vecs  (neighbor_id, neighbor_vec, nrm)           on neighbor_id
+# so BOTH index-side joins of a probe (candidate equi-join on the bucket
+# key, vector fetch for the re-rank) read co-located buckets with no
+# Exchange; the hyperplane UDF runs over the corpus exactly once, at
+# write time.  Same key convention as band/simhash/phash indexes: one
+# string column is both join key and bucket key.
+
+
+def _lsh_bucket_rows(
+    df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, tkey) long-format bucket membership — one row per vector per
+    hash table, tkey = "<table_id>|<bucket>"."""
+    bucketize = _bucket_udf(planes)
+    return df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(bucketize(F.col(vec_col))).alias("table_id", "bucket"),
+    ).select(
+        "neighbor_id",
+        F.concat_ws("|", F.col("table_id"), F.col("bucket")).alias("tkey"),
+    )
+
+
+def write_lsh_index(
+    corpus: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus LSH bucket table (+ vector sidecar with
+    precomputed norms) as bucketed external tables; the hyperplanes are
+    deterministic (md5-derived), so probes recompute only the QUERY
+    side's buckets."""
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(corpus.sparkSession)
+    planes = _planes(n_tables, n_planes, dim)
+    (
+        _lsh_bucket_rows(corpus, planes, id_col, vec_col)
+        .write.mode("overwrite")
+        .option("path", f"{path}/buckets")
+        .bucketBy(n_buckets, "tkey")
+        .sortBy("tkey")
+        .saveAsTable(table)
+    )
+    nd = f"transform({vec_col}, x -> cast(x as double))"
+    (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(nd).alias("neighbor_vec"),
+            F.expr(
+                f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, "
+                "(s, v) -> s + v))"
+            ).alias("nrm"),
+        )
+        .write.mode("overwrite")
+        .option("path", f"{path}/vectors")
+        .bucketBy(n_buckets, "neighbor_id")
+        .sortBy("neighbor_id")
+        .saveAsTable(f"{table}_vecs")
+    )
+
+
+def lsh_topk_against_index(
+    queries: DataFrame,
+    buckets: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 1_000_000,
+) -> DataFrame:
+    """:func:`lsh_topk` against a persisted index (``spark.table`` reads
+    of :func:`write_lsh_index`'s two tables) — identical output for the
+    same corpus / plane parameters (tested), with the corpus never
+    re-bucketized and both index-side joins exchange-free on the
+    bucketed tables (plan-asserted in tests).
+
+    Same bounded-broadcast contract as the direct form: query vectors are
+    broadcast into the re-rank, so the query set is capped at
+    ``max_queries`` with a loud raise.
+    """
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(queries.sparkSession)
+    if queries.select(id_col).limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"lsh_topk_against_index query set exceeds max_queries="
+            f"{max_queries}; batch the queries (or raise max_queries "
+            "deliberately) — the query vectors are broadcast to every "
+            "executor for the re-rank"
+        )
+    planes = _planes(n_tables, n_planes, dim)
+    q_buckets = _lsh_bucket_rows(queries, planes, id_col, vec_col).select(
+        F.col("neighbor_id").alias("query_id"), "tkey"
+    )
+    pair_ids = (
+        q_buckets.join(buckets.select("neighbor_id", "tkey"), "tkey")
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cand = pair_ids.join(
+        F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("query_vec"),
+            )
+        ),
+        "query_id",
+    ).join(vectors.select("neighbor_id", "neighbor_vec", "nrm"), "neighbor_id")
+
+    # identical re-rank arithmetic to lsh_topk (neighbor_vec is already
+    # double and nrm was computed with the same expression at write time)
+    qd = "transform(query_vec, x -> cast(x as double))"
+    dot = (
+        f"aggregate(zip_with({qd}, neighbor_vec, (a, b) -> a * b), 0D, "
+        "(s, v) -> s + v)"
+    )
+    nq = f"sqrt(aggregate(transform({qd}, x -> x * x), 0D, (s, v) -> s + v))"
+    scored = cand.withColumn("cos_sim", F.expr(f"{dot} / ({nq} * nrm)"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
