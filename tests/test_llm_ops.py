@@ -1426,6 +1426,61 @@ def test_ivf_index_equivalence_and_pruning(spark, sf_dir, tmp_path):
     assert probed_dirs <= {str(i) for i in range(8)}
 
 
+def test_pq_index_equivalence_and_no_rerank_shuffle(spark, sf_dir, tmp_path):
+    """Round-8 index symmetry for ANN, PQ leg: write_pq_index fits the
+    codebooks and encodes the corpus ONCE; the probe must equal pq_topk
+    exactly (same sample/seed => same codebooks => same codes => same
+    ADC scores and shortlist), scan only the m-byte codes table, and the
+    exact re-rank's index side must arrive exchange-free from the
+    bucketed vector sidecar."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.similarity import (
+        pq_topk,
+        pq_topk_against_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_pq_index(
+            emb, "t_pq_index", str(tmp_path / "pq"), n_buckets=8
+        )
+        out = pq_topk_against_index(
+            queries,
+            spark.table("t_pq_index"),
+            spark.table("t_pq_index_vecs"),
+            spark.table("t_pq_index_books"),
+            k=5,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # one neighbor_id exchange (the shortlist side); the bucketed
+        # sidecar contributes none
+        assert plan.count("Exchange hashpartitioning(neighbor_id") == 1, plan
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], r["rn"], round(r["cos_sim"], 9))
+            for r in out.collect()
+        )
+        want = sorted(
+            (r["query_id"], r["neighbor_id"], r["rn"], round(r["cos_sim"], 9))
+            for r in pq_topk(emb, queries, k=5).collect()
+        )
+        assert got == want and got
+        # the corpus side is served by the persisted artifacts (the
+        # embeddings scan that remains is the QUERY slice)
+        files = out.inputFiles()
+        assert any("/pq/codes" in f for f in files), files
+        assert any("/pq/vectors" in f for f in files), files
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for t in ("t_pq_index", "t_pq_index_vecs", "t_pq_index_books"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_lsh_index_equivalence_and_no_index_shuffle(spark, sf_dir, tmp_path):
     """Round-8 index symmetry for ANN, LSH leg: write_lsh_index persists
     the bucket table + vector sidecar ONCE (hyperplane UDF never re-runs

@@ -697,6 +697,223 @@ def pq_topk(
 
 
 # ---------------------------------------------------------------------------
+# U22⊕ (round 8) — PERSISTED PQ INDEX, closing the ANN index symmetry
+# (LSH: write_lsh_index, IVF: write_ivf_index, PQ: here).  pq_topk refits
+# codebooks and RE-ENCODES the whole corpus on every call; at scale the
+# m-byte codes are the artifact — encoded once, scanned per probe.  Three
+# tables per index:
+#   {table}        (neighbor_id, code array<int>)       the compressed scan
+#   {table}_vecs   (neighbor_id, neighbor_vec, nrm)     bucketed(neighbor_id)
+#   {table}_books  (subspace, code, center)             m·ksub rows
+# A probe's ADC scan is a narrow mapInPandas over the codes table (no
+# re-encode, no shuffle); only the bounded shortlist shuffles into the
+# exact re-rank, whose index side arrives exchange-free from the bucketed
+# sidecar (plan-asserted in tests).
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    table: str,
+    path: str,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 2048,
+    n_buckets: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> None:
+    """Fit codebooks on a bounded sample, encode the corpus ONCE in a
+    distributed Arrow map, and persist codes + re-rank sidecar + codebooks.
+
+    The codes table is written plain (probes scan it narrowly — there is
+    no join to co-locate); the vector sidecar is bucketed on neighbor_id
+    so the exact re-rank's index side never shuffles.  Codebooks are
+    persisted so probes reproduce pq_topk's arithmetic exactly without
+    touching raw corpus vectors.
+    """
+    from video_etl_spark.session import ensure_executor_package
+
+    spark = corpus.sparkSession
+    ensure_executor_package(spark)
+
+    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
+    sample = _normalize(np.array([r[0] for r in sample_rows], dtype=np.float64))
+    books = _fit_pq_codebooks(sample, m=m, ksub=ksub, seed=seed)
+    dsub = sample.shape[1] // m
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            sub = mat.reshape(len(mat), m, dsub)
+            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "code": [row.tolist() for row in codes],
+                }
+            )
+
+    (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(encode, schema=enc_schema)
+        .write.mode("overwrite")
+        .option("path", f"{path}/codes")
+        .saveAsTable(table)
+    )
+    nd = f"transform({vec_col}, x -> cast(x as double))"
+    (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(nd).alias("neighbor_vec"),
+            F.expr(
+                f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, "
+                "(s, v) -> s + v))"
+            ).alias("nrm"),
+        )
+        .write.mode("overwrite")
+        .option("path", f"{path}/vectors")
+        .bucketBy(n_buckets, "neighbor_id")
+        .sortBy("neighbor_id")
+        .saveAsTable(f"{table}_vecs")
+    )
+    spark.createDataFrame(
+        [
+            (j, c, books[j, c].tolist())
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "subspace int, code int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").option(
+        "path", f"{path}/books"
+    ).saveAsTable(f"{table}_books")
+
+
+def pq_topk_against_index(
+    queries: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+    books_df: DataFrame,
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 65_536,
+) -> DataFrame:
+    """:func:`pq_topk` against a persisted index (``spark.table`` reads of
+    :func:`write_pq_index`'s three tables) — identical output for the same
+    corpus / seed / parameters (tested), with the corpus never re-sampled
+    or re-encoded.
+
+    The partition-local top-``k*refine`` prefilter is sound under ANY
+    partitioning of the codes table (every global top-r candidate is in
+    its own partition's top-r), so the persisted layout need not match the
+    original corpus scan.  Query LUTs are driver-built and broadcast, so
+    the query set is capped at ``max_queries`` with a loud raise; the two
+    driver collects (codebooks: m·ksub rows, queries: bounded) are
+    control-plane reads.
+    """
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(queries.sparkSession)
+
+    book_rows = books_df.collect()
+    m = 1 + max(r["subspace"] for r in book_rows)
+    ksub = 1 + max(r["code"] for r in book_rows)
+    books = np.empty((m, ksub, len(book_rows[0]["center"])))
+    for r in book_rows:
+        books[r["subspace"], r["code"]] = r["center"]
+    dsub = books.shape[2]
+
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk_against_index query set exceeds max_queries="
+            f"{max_queries}; batch the queries (or raise max_queries "
+            "deliberately) — the query LUTs are driver-built and broadcast"
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+    luts = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_ids), m, dsub), books)
+
+    r_keep = k * refine
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("approx_ip", T.DoubleType()),
+        ]
+    )
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            code_mat = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            approx = luts[:, np.arange(m)[None, :], code_mat].sum(axis=2)
+            ids = pdf["neighbor_id"].to_numpy()
+            rows = []
+            keep = min(r_keep, approx.shape[1])
+            top = np.argpartition(-approx, keep - 1, axis=1)[:, :keep]
+            for qi in range(len(q_ids)):
+                for bi in top[qi]:
+                    rows.append(
+                        (int(q_ids[qi]), int(ids[bi]), float(approx[qi, bi]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["query_id", "neighbor_id", "approx_ip"]
+            )
+
+    cand = codes.select("neighbor_id", "code").mapInPandas(
+        score_partition, schema=out_schema
+    )
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), "neighbor_id"
+    )
+    shortlist = (
+        cand.withColumn("arn", F.row_number().over(w_a))
+        .filter(F.col("arn") <= r_keep)
+        .select("query_id", "neighbor_id")
+    )
+
+    rer = shortlist.join(
+        F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("query_vec"),
+            )
+        ),
+        "query_id",
+    ).join(vectors.select("neighbor_id", "neighbor_vec", "nrm"), "neighbor_id")
+    # identical re-rank arithmetic to pq_topk: the sidecar's neighbor_vec
+    # was cast to double and nrm computed with pq_topk's expression at
+    # write time, so cos_sim values are bit-identical
+    qd = "transform(query_vec, x -> cast(x as double))"
+    dot = (
+        f"aggregate(zip_with({qd}, neighbor_vec, (a, b) -> a * b), 0D, "
+        "(s, v) -> s + v)"
+    )
+    nq = f"sqrt(aggregate(transform({qd}, x -> x * x), 0D, (s, v) -> s + v))"
+    scored = rer.withColumn("cos_sim", F.expr(f"{dot} / ({nq} * nrm)"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming PQ serving: the compressed codes table is small by construction
 # (m bytes/vector — 8 MB per million vectors at m=8), so it broadcasts to
 # every executor and a STREAM of query vectors scores per micro-batch in a
