@@ -96,6 +96,7 @@ def main() -> None:
                 queries,
                 spark.table("econ_lsh"),
                 spark.table("econ_lsh_vecs"),
+                spark.table("econ_lsh_params"),
                 k=10,
             ),
             args.reps,
@@ -146,6 +147,7 @@ def main() -> None:
         for t in (
             "econ_lsh",
             "econ_lsh_vecs",
+            "econ_lsh_params",
             "econ_pq",
             "econ_pq_vecs",
             "econ_pq_books",

@@ -1501,13 +1501,17 @@ def test_lsh_index_equivalence_and_no_index_shuffle(spark, sf_dir, tmp_path):
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # non-default n_planes: the probe must pick the hash params up
+        # from the persisted sidecar, not from its own defaults
         write_lsh_index(
-            emb, "t_lsh_index", str(tmp_path / "lsh"), n_buckets=8
+            emb, "t_lsh_index", str(tmp_path / "lsh"), n_buckets=8,
+            n_planes=5,
         )
         out = lsh_topk_against_index(
             queries,
             spark.table("t_lsh_index"),
             spark.table("t_lsh_index_vecs"),
+            spark.table("t_lsh_index_params"),
             k=5,
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
@@ -1522,13 +1526,13 @@ def test_lsh_index_equivalence_and_no_index_shuffle(spark, sf_dir, tmp_path):
         )
         want = sorted(
             (r["query_id"], r["neighbor_id"], r["rn"], round(r["cos_sim"], 9))
-            for r in lsh_topk(emb, queries, k=5).collect()
+            for r in lsh_topk(emb, queries, k=5, n_planes=5).collect()
         )
         assert got == want and got
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        spark.sql("DROP TABLE IF EXISTS t_lsh_index")
-        spark.sql("DROP TABLE IF EXISTS t_lsh_index_vecs")
+        for t in ("t_lsh_index", "t_lsh_index_vecs", "t_lsh_index_params"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_component_index_bucketed_no_index_shuffle(spark, sf_dir, tmp_path):

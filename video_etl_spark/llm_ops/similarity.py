@@ -146,10 +146,11 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 # U22⊕ (round 8) — PERSISTED LSH INDEX: the module docstring's "corpus-side
 # bucket table is computed once and can be written bucketed-by(bucket);
-# query batches then join without reshuffling the corpus", now real.  Two
-# bucketed tables per index:
-#   {table}       (neighbor_id, tkey="<table_id>|<bucket>")  on tkey
-#   {table}_vecs  (neighbor_id, neighbor_vec, nrm)           on neighbor_id
+# query batches then join without reshuffling the corpus", now real.  Three
+# tables per index:
+#   {table}         (neighbor_id, tkey="<table_id>|<bucket>")  bucketed(tkey)
+#   {table}_vecs    (neighbor_id, neighbor_vec, nrm)    bucketed(neighbor_id)
+#   {table}_params  (n_tables, n_planes, dim)           1 row
 # so BOTH index-side joins of a probe (candidate equi-join on the bucket
 # key, vector fetch for the re-rank) read co-located buckets with no
 # Exchange; the hyperplane UDF runs over the corpus exactly once, at
@@ -186,21 +187,29 @@ def write_lsh_index(
     """Persist the corpus LSH bucket table (+ vector sidecar with
     precomputed norms) as bucketed external tables; the hyperplanes are
     deterministic (md5-derived), so probes recompute only the QUERY
-    side's buckets."""
+    side's buckets.
+
+    The hash parameters are persisted too (``{table}_params``, one row)
+    and probes READ them instead of trusting caller-resupplied kwargs: a
+    probe hashing queries with different n_planes than the index was
+    built with would produce tkeys that only accidentally collide —
+    recall craters with no exception.
+    """
+    from video_etl_spark.operators.io import write_bucketed
     from video_etl_spark.session import ensure_executor_package
 
-    ensure_executor_package(corpus.sparkSession)
+    spark = corpus.sparkSession
+    ensure_executor_package(spark)
     planes = _planes(n_tables, n_planes, dim)
-    (
-        _lsh_bucket_rows(corpus, planes, id_col, vec_col)
-        .write.mode("overwrite")
-        .option("path", f"{path}/buckets")
-        .bucketBy(n_buckets, "tkey")
-        .sortBy("tkey")
-        .saveAsTable(table)
+    write_bucketed(
+        _lsh_bucket_rows(corpus, planes, id_col, vec_col),
+        table,
+        f"{path}/buckets",
+        ["tkey"],
+        n_buckets,
     )
     nd = f"transform({vec_col}, x -> cast(x as double))"
-    (
+    write_bucketed(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.expr(nd).alias("neighbor_vec"),
@@ -208,34 +217,40 @@ def write_lsh_index(
                 f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, "
                 "(s, v) -> s + v))"
             ).alias("nrm"),
-        )
-        .write.mode("overwrite")
-        .option("path", f"{path}/vectors")
-        .bucketBy(n_buckets, "neighbor_id")
-        .sortBy("neighbor_id")
-        .saveAsTable(f"{table}_vecs")
+        ),
+        f"{table}_vecs",
+        f"{path}/vectors",
+        ["neighbor_id"],
+        n_buckets,
     )
+    spark.createDataFrame(
+        [(n_tables, n_planes, dim)],
+        "n_tables int, n_planes int, dim int",
+    ).coalesce(1).write.mode("overwrite").option(
+        "path", f"{path}/params"
+    ).saveAsTable(f"{table}_params")
 
 
 def lsh_topk_against_index(
     queries: DataFrame,
     buckets: DataFrame,
     vectors: DataFrame,
+    params: DataFrame,
     k: int = 10,
-    n_tables: int = 8,
-    n_planes: int = 4,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 1_000_000,
 ) -> DataFrame:
     """:func:`lsh_topk` against a persisted index (``spark.table`` reads
-    of :func:`write_lsh_index`'s two tables) — identical output for the
-    same corpus / plane parameters (tested), with the corpus never
-    re-bucketized and both index-side joins exchange-free on the
-    bucketed tables (plan-asserted in tests).
+    of :func:`write_lsh_index`'s tables) — identical output for the same
+    corpus (tested), with the corpus never re-bucketized and both
+    index-side joins exchange-free on the bucketed tables (plan-asserted
+    in tests).
 
-    Same bounded-broadcast contract as the direct form: query vectors are
+    The hash parameters come from the index's own ``{table}_params``
+    sidecar (a 1-row control-plane read), so query tkeys are always
+    computed with the planes the index was built with.  Same
+    bounded-broadcast contract as the direct form: query vectors are
     broadcast into the re-rank, so the query set is capped at
     ``max_queries`` with a loud raise.
     """
@@ -249,7 +264,8 @@ def lsh_topk_against_index(
             "deliberately) — the query vectors are broadcast to every "
             "executor for the re-rank"
         )
-    planes = _planes(n_tables, n_planes, dim)
+    p = params.collect()[0]
+    planes = _planes(p["n_tables"], p["n_planes"], p["dim"])
     q_buckets = _lsh_bucket_rows(queries, planes, id_col, vec_col).select(
         F.col("neighbor_id").alias("query_id"), "tkey"
     )
@@ -574,6 +590,20 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _ordered_sample(
+    df: DataFrame, id_col: str, vec_col: str, n: int
+) -> np.ndarray:
+    """Deterministic codebook-fit sample: the first ``n`` vectors by id
+    (TakeOrderedAndProject — a bounded heap, not a full sort).  A bare
+    limit() takes whichever rows the scan yields first, repeatable only
+    while file layout and split planning stay fixed — a parquet
+    compaction between index build and a later direct call would
+    silently change the fitted codebooks and break the probe == direct
+    equivalence the PQ index promises."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n).collect()
+    return np.array([r[1] for r in rows], dtype=np.float64)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -605,10 +635,7 @@ def pq_topk(
     ensure_executor_package(spark)
 
     # --- fit codebooks on a driver-side sample (tiny: m·ksub·dsub floats)
-    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
-    sample = _normalize(
-        np.array([r[0] for r in sample_rows], dtype=np.float64)
-    )
+    sample = _normalize(_ordered_sample(corpus, id_col, vec_col, sample_size))
     books = _fit_pq_codebooks(sample, m=m, ksub=ksub, seed=seed)
     dsub = sample.shape[1] // m
 
@@ -653,13 +680,16 @@ def pq_topk(
             codes = d2.argmin(axis=2)  # (batch, m)
             # ADC: approx ip = sum_j luts[q, j, codes[:, j]]
             approx = luts[:, np.arange(m)[None, :], codes].sum(axis=2)
-            # (nq, batch) -> per-query partition-local top-r
+            # (nq, batch) -> per-query partition-local top-r.  lexsort
+            # (approx desc, id asc) not argpartition: a value-only cut
+            # keeps an ARBITRARY subset of boundary ties, which would make
+            # the shortlist — and the final ranking — partition-layout-
+            # dependent (duplicate vectors share codes, so ties are real).
             ids = pdf[id_col].to_numpy()
             rows = []
             keep = min(r_keep, approx.shape[1])
-            top = np.argpartition(-approx, keep - 1, axis=1)[:, :keep]
             for qi in range(len(q_ids)):
-                for bi in top[qi]:
+                for bi in np.lexsort((ids, -approx[qi]))[:keep]:
                     rows.append((int(q_ids[qi]), int(ids[bi]), float(approx[qi, bi])))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "approx_ip"])
 
@@ -727,25 +757,32 @@ def write_pq_index(
     distributed Arrow map, and persist codes + re-rank sidecar + codebooks.
 
     The codes table is written plain (probes scan it narrowly — there is
-    no join to co-locate); the vector sidecar is bucketed on neighbor_id
-    so the exact re-rank's index side never shuffles.  Codebooks are
+    no join to co-locate) with codes as BINARY — exactly m bytes/vector,
+    the 4·dim/m compression the module header promises (hence
+    ``ksub <= 256``); the vector sidecar is bucketed on neighbor_id so
+    the exact re-rank's index side never shuffles.  Codebooks are
     persisted so probes reproduce pq_topk's arithmetic exactly without
     touching raw corpus vectors.
     """
+    from video_etl_spark.operators.io import write_bucketed
     from video_etl_spark.session import ensure_executor_package
 
     spark = corpus.sparkSession
     ensure_executor_package(spark)
+    if ksub > 256:
+        raise ValueError(
+            f"write_pq_index requires ksub <= 256 (got {ksub}): codes are "
+            "persisted as one byte per subspace"
+        )
 
-    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
-    sample = _normalize(np.array([r[0] for r in sample_rows], dtype=np.float64))
+    sample = _normalize(_ordered_sample(corpus, id_col, vec_col, sample_size))
     books = _fit_pq_codebooks(sample, m=m, ksub=ksub, seed=seed)
     dsub = sample.shape[1] // m
 
     enc_schema = T.StructType(
         [
             T.StructField("neighbor_id", T.LongType()),
-            T.StructField("code", T.ArrayType(T.IntegerType())),
+            T.StructField("code", T.BinaryType()),
         ]
     )
 
@@ -756,11 +793,11 @@ def write_pq_index(
             mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
             sub = mat.reshape(len(mat), m, dsub)
             d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-            codes = d2.argmin(axis=2)
+            codes = d2.argmin(axis=2).astype(np.uint8)
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf[id_col].to_numpy(),
-                    "code": [row.tolist() for row in codes],
+                    "code": [row.tobytes() for row in codes],
                 }
             )
 
@@ -772,7 +809,7 @@ def write_pq_index(
         .saveAsTable(table)
     )
     nd = f"transform({vec_col}, x -> cast(x as double))"
-    (
+    write_bucketed(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.expr(nd).alias("neighbor_vec"),
@@ -780,12 +817,11 @@ def write_pq_index(
                 f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, "
                 "(s, v) -> s + v))"
             ).alias("nrm"),
-        )
-        .write.mode("overwrite")
-        .option("path", f"{path}/vectors")
-        .bucketBy(n_buckets, "neighbor_id")
-        .sortBy("neighbor_id")
-        .saveAsTable(f"{table}_vecs")
+        ),
+        f"{table}_vecs",
+        f"{path}/vectors",
+        ["neighbor_id"],
+        n_buckets,
     )
     spark.createDataFrame(
         [
@@ -859,14 +895,17 @@ def pq_topk_against_index(
         for pdf in batches:
             if not len(pdf):
                 continue
-            code_mat = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            code_mat = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["code"]]
+            ).astype(np.int64)
             approx = luts[:, np.arange(m)[None, :], code_mat].sum(axis=2)
             ids = pdf["neighbor_id"].to_numpy()
             rows = []
             keep = min(r_keep, approx.shape[1])
-            top = np.argpartition(-approx, keep - 1, axis=1)[:, :keep]
+            # same deterministic tie-break as pq_topk (approx desc, id
+            # asc) — required for layout-independent equivalence
             for qi in range(len(q_ids)):
-                for bi in top[qi]:
+                for bi in np.lexsort((ids, -approx[qi]))[:keep]:
                     rows.append(
                         (int(q_ids[qi]), int(ids[bi]), float(approx[qi, bi]))
                     )
@@ -945,8 +984,7 @@ def pq_encode_corpus(
 
     ensure_executor_package(corpus.sparkSession)
 
-    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
-    sample = _normalize(np.array([r[0] for r in sample_rows], dtype=np.float64))
+    sample = _normalize(_ordered_sample(corpus, id_col, vec_col, sample_size))
     books = _fit_pq_codebooks(sample, m=m, ksub=ksub, seed=seed)
     dsub = sample.shape[1] // m
 
