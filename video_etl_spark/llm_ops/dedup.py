@@ -753,13 +753,14 @@ def write_simhash_index(
 ) -> None:
     """Persist the corpus SimHash index as a bucketed external table on
     ``ckey``."""
-    (
-        simhash_index_rows(simhash_signatures(docs, text_col))
-        .write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(n_buckets, "ckey")
-        .sortBy("ckey")
-        .saveAsTable(table)
+    from video_etl_spark.operators.io import write_bucketed
+
+    write_bucketed(
+        simhash_index_rows(simhash_signatures(docs, text_col)),
+        table,
+        path,
+        ["ckey"],
+        n_buckets,
     )
 
 
@@ -834,13 +835,14 @@ def write_fingerprint_index(
     """Persist (doc_id, fingerprint) winnowing fingerprints (the output
     of ``queries.text._winnowing_fps``/equivalent) as a bucketed external
     table on ``fingerprint``."""
-    (
-        fps.select("doc_id", "fingerprint")
-        .write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(n_buckets, "fingerprint")
-        .sortBy("fingerprint")
-        .saveAsTable(table)
+    from video_etl_spark.operators.io import write_bucketed
+
+    write_bucketed(
+        fps.select("doc_id", "fingerprint"),
+        table,
+        path,
+        ["fingerprint"],
+        n_buckets,
     )
 
 
@@ -1110,14 +1112,15 @@ def write_band_index(
     id_col: str = "doc_id",
 ) -> None:
     """Persist the corpus band index as a bucketed external table on
-    ``band_key`` (see ``operators.io.write_bucketed``)."""
-    (
-        band_index_rows(docs, n_bands, rows_per_band, id_col)
-        .write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(n_buckets, "band_key")
-        .sortBy("band_key")
-        .saveAsTable(table)
+    ``band_key`` (via ``operators.io.write_bucketed``)."""
+    from video_etl_spark.operators.io import write_bucketed
+
+    write_bucketed(
+        band_index_rows(docs, n_bands, rows_per_band, id_col),
+        table,
+        path,
+        ["band_key"],
+        n_buckets,
     )
 
 
@@ -1336,13 +1339,9 @@ def write_component_index(
         "component",
         (F.col("component") == F.col(id_col)).alias("is_canonical"),
     )
-    (
-        flagged.write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(n_buckets, id_col)
-        .sortBy(id_col)
-        .saveAsTable(table)
-    )
+    from video_etl_spark.operators.io import write_bucketed
+
+    write_bucketed(flagged, table, path, [id_col], n_buckets)
 
 
 # ---------------------------------------------------------------------------

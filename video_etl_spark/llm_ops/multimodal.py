@@ -528,14 +528,9 @@ def write_phash_index(
 ) -> None:
     """Persist the corpus frame-signature index as a bucketed external
     table on ``ckey``."""
-    (
-        phash_index_rows(sigs)
-        .write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(n_buckets, "ckey")
-        .sortBy("ckey")
-        .saveAsTable(table)
-    )
+    from video_etl_spark.operators.io import write_bucketed
+
+    write_bucketed(phash_index_rows(sigs), table, path, ["ckey"], n_buckets)
 
 
 def incremental_phash_against_index(
