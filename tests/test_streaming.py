@@ -1704,6 +1704,100 @@ def test_streaming_vector_ingest_dedup_and_classify(spark, sf_dir, tmp_path):
     assert again_clean == got_clean and again_idx == got_clean
 
 
+def test_streaming_ann_serve_matches_batch_probe(spark, sf_dir, tmp_path):
+    """Streaming ANN serving over the persisted LSH index: per-batch
+    results must equal the one-shot batch probe over the union of all
+    queries (top-k is per query, each query arrives in one batch), the
+    index must never be re-derived, and a handler retry is idempotent."""
+    import json
+    import os
+
+    from video_etl_spark.llm_ops.similarity import (
+        lsh_topk_against_index,
+        write_lsh_index,
+    )
+    from video_etl_spark.streaming.ann_serve import (
+        make_ann_serve_handler,
+        streaming_ann_serve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    try:
+        write_lsh_index(emb, "t_serve_lsh", str(tmp_path / "lsh"), n_buckets=4)
+        idx = (
+            spark.table("t_serve_lsh"),
+            spark.table("t_serve_lsh_vecs"),
+            spark.table("t_serve_lsh_params"),
+        )
+
+        # two micro-batches of real corpus vectors as the query feed
+        q_rows = emb.filter(F.col("vec_id") % 97 == 0).collect()
+        assert len(q_rows) >= 4
+        half = len(q_rows) // 2
+        d = tmp_path / "queries_in"
+        d.mkdir()
+        for i, chunk in enumerate((q_rows[:half], q_rows[half:])):
+            p = d / f"b{i}.json"
+            p.write_text(
+                "\n".join(
+                    json.dumps(
+                        {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                    )
+                    for r in chunk
+                )
+                + "\n"
+            )
+            os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+
+        out_dir = str(tmp_path / "answers")
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        q = (
+            streaming_ann_serve(stream, *idx, out_dir, k=5)
+            .option("checkpointLocation", str(tmp_path / "ann_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], r["rn"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        all_queries = spark.read.schema(
+            "vec_id long, embedding array<double>"
+        ).json(str(d))
+        want = sorted(
+            (r["query_id"], r["neighbor_id"], r["rn"])
+            for r in lsh_topk_against_index(all_queries, *idx, k=5).collect()
+        )
+        assert got == want and got
+        # every query answered in exactly one batch
+        per_q = spark.read.parquet(out_dir).groupBy("query_id").agg(
+            F.countDistinct("batch_id").alias("nb")
+        )
+        assert all(r["nb"] == 1 for r in per_q.collect())
+
+        # retry idempotence: re-run batch 0's handler directly
+        handler = make_ann_serve_handler(*idx, out_dir, k=5)
+        b0 = spark.createDataFrame(
+            [(r["vec_id"], list(r["embedding"])) for r in q_rows[:half]],
+            "vec_id long, embedding array<double>",
+        )
+        handler(b0, 0)
+        again = sorted(
+            (r["query_id"], r["neighbor_id"], r["rn"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        assert again == got
+    finally:
+        for t in ("t_serve_lsh", "t_serve_lsh_vecs", "t_serve_lsh_params"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_curation_null_and_empty_text_are_rejected_not_lost(spark, tmp_path):
     """Ledger contract: every input doc lands in exactly one sink.  NULL
     text must not vanish (NULL comparisons are false in both filter

@@ -1,0 +1,85 @@
+"""Streaming ANN serving against the persisted LSH index (SURVEY §2.8 ⊕
+U22 — the online twin of ``llm_ops.similarity.lsh_topk_against_index``,
+completing the pattern the other index modalities already have: batch
+probe + streaming probe over the same write-once artifact).
+
+A continuous feed of query vectors (user queries, fresh crawl embeddings
+looking for their nearest training examples) is answered per micro-batch
+by the SAME probe the batch path uses: hash the batch's queries with the
+params the index persists, equi-join the bucketed bucket table, exact
+cosine re-rank against the bucketed vector sidecar.  The index side never
+reshuffles (bucketed reads, plan-asserted in the batch tests) and is
+never re-derived per batch — the handler captures the three static index
+frames once at build time.
+
+Semantics contract: top-k is PER QUERY, so as long as each query_id
+arrives in exactly one micro-batch the per-batch results equal the
+one-shot batch probe over the union of all queries (tested).  A retried
+batch rewrites its own ``batch_id`` partition (dynamic overwrite — the
+repo's standard idempotent-retry discipline); a query_id re-sent in a
+LATER batch re-emits its rows under the new batch_id, which is the
+at-least-once answer-log semantics an ANN serving sink wants.
+
+At 100 TB the per-batch cost is query-sized (batch buckets + candidate
+join + bounded re-rank); the corpus appears only through the bucketed
+index reads.  The ``max_queries`` broadcast bound of the batch probe
+applies per micro-batch, which is exactly the granularity it protects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from video_etl_spark.llm_ops.similarity import lsh_topk_against_index
+
+
+def make_ann_serve_handler(
+    buckets: DataFrame,
+    vectors: DataFrame,
+    params: DataFrame,
+    out_dir: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Per-micro-batch step, exposed for direct testing (retry
+    idempotence) and custom pipelines.  ``buckets``/``vectors``/
+    ``params`` are the three ``write_lsh_index`` tables (static frames,
+    captured once)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        hits = lsh_topk_against_index(
+            batch_df,
+            buckets,
+            vectors,
+            params,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        (
+            hits.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return handle
+
+
+def streaming_ann_serve(
+    queries: DataFrame,
+    buckets: DataFrame,
+    vectors: DataFrame,
+    params: DataFrame,
+    out_dir: str,
+    **kwargs,
+):
+    """Build the streaming ANN-serve writer over an (id, vector) stream.
+    Returns a ``DataStreamWriter`` — caller sets checkpointLocation /
+    trigger and calls ``start()``."""
+    return queries.writeStream.foreachBatch(
+        make_ann_serve_handler(buckets, vectors, params, out_dir, **kwargs)
+    )
