@@ -78,6 +78,35 @@ def main() -> None:
     print(f"[qa] knn label accuracy {n_correct}/{n_eval} over "
           f"{len(acc)} classes")
 
+    # 5. index: persist the write-once LSH index and answer a query
+    #    batch from it (the production serving pattern — the corpus is
+    #    never re-bucketized per batch; streaming twin in
+    #    streaming/ann_serve.py)
+    from video_etl_spark.llm_ops.similarity import (
+        lsh_topk_against_index,
+        write_lsh_index,
+    )
+
+    idx_path = "/tmp/spark_graft_demo_lsh"
+    try:
+        write_lsh_index(
+            emb.select("vec_id", "embedding"), "demo_lsh", idx_path
+        )
+        hits = lsh_topk_against_index(
+            emb.filter(F.col("vec_id") % 97 == 0).select("vec_id", "embedding"),
+            spark.table("demo_lsh"),
+            spark.table("demo_lsh_vecs"),
+            spark.table("demo_lsh_params"),
+            k=5,
+        )
+        n_hits = hits.count()
+        n_q = hits.select("query_id").distinct().count()
+        print(f"[index] persisted LSH index answered {n_q} queries "
+              f"({n_hits} result rows) without re-bucketizing the corpus")
+    finally:
+        for t in ("demo_lsh", "demo_lsh_vecs", "demo_lsh_params"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
 
 if __name__ == "__main__":
     main()
