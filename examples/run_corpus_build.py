@@ -3,9 +3,11 @@
 full artifact lifecycle in a single measured run —
 
   ingest -> band index -> component index -> CC-chain consumers reading
-  the index -> phash index + incremental frame probe -> curate (reusing
-  the component index) -> BPE train + tokenizer export -> tokenize ->
-  pack -> training shards -> manifests -> pruned shard read
+  the index -> incremental batch labels + merge ledger -> COMPACTED
+  index generation (checked against the one-shot build) -> phash index
+  + incremental frame probe -> curate (reusing the component index) ->
+  BPE train + tokenizer export -> tokenize -> pack -> training shards
+  -> manifests -> pruned shard read
 
 Every ``write_*`` artifact built by an earlier stage is CONSUMED by a
 later one (the component index feeds the CC-chain queries AND curation;
@@ -70,7 +72,7 @@ def main() -> None:
         # a failed stage must not leak the catalog tables or the
         # multi-GB /tmp work dir
         for t in (
-            "cb_band_index", "cb_comp_index", "cb_phash_index",
+            "cb_band_index", "cb_comp_index", "cb_comp_hist", "cb_comp_gen1", "cb_phash_index",
             "cb_fp_index",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -154,6 +156,51 @@ def _run(spark, sf_dir: str, work: str, timings) -> None:
             batch, spark.table("cb_band_index")
         ).count()
     print(f"      batch docs with history candidates: {n_dup_hits}")
+
+    # ---- full labeling lifecycle: incremental labels + ledger, then a
+    # COMPACTED generation that must equal the one-shot full-corpus
+    # index (write -> append + ledger -> compact, no corpus CC) ----
+    from video_etl_spark.llm_ops.dedup import (
+        compact_component_index,
+        incremental_components,
+    )
+
+    with stage("write_component_index @ history"):
+        write_component_index(
+            history, "cb_comp_hist", os.path.join(work, "comp_hist")
+        )
+    with stage("incremental_components @ batch"):
+        labels, merges = incremental_components(
+            batch,
+            spark.table("cb_band_index"),
+            spark.table("cb_comp_hist").select("doc_id", "component"),
+        )
+        # two consumers below (counts + compaction) — eager once so the
+        # batch-sized CC graph is not re-derived per action
+        labels = labels.localCheckpoint()
+        merges = merges.localCheckpoint()
+        n_new, n_merges = labels.count(), merges.count()
+    print(f"      appended {n_new} label rows; {n_merges} ledger rows")
+    with stage("compact_component_index -> gen1"):
+        compact_component_index(
+            spark.table("cb_comp_hist")
+            .select("doc_id", "component")
+            .unionByName(labels.select("doc_id", "component")),
+            merges,
+            "cb_comp_gen1",
+            os.path.join(work, "comp_gen1"),
+        )
+        gen1 = spark.table("cb_comp_gen1")
+        mismatch = (
+            gen1.exceptAll(comp_index).count()
+            + comp_index.exceptAll(gen1).count()
+        )
+    print(f"      compacted generation vs one-shot index: "
+          f"{mismatch} mismatching rows")
+    if mismatch:
+        raise RuntimeError(
+            "compacted component index diverged from the one-shot build"
+        )
 
     # ---- winnowing fingerprint index + overlap probe of the batch ----
     from video_etl_spark.llm_ops.dedup import (

@@ -2656,3 +2656,86 @@ def test_winnowing_fingerprint_index_probe(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_fp_index")
+
+
+def test_compact_component_index_matches_full_rebuild(spark, tmp_path):
+    """Compaction — the third index-lifecycle operation: fold appended
+    incremental labels + the merge ledger into a fresh bucketed
+    generation WITHOUT corpus CC, and come out bit-identical to a full
+    ``write_component_index`` rebuild.  Exercises the two hard resolve
+    cases: a bridge doc merging two history clusters, and a backfill
+    doc whose lower id steals an old component's canonical crown (the
+    compacted generation must flip ``is_canonical``)."""
+    from video_etl_spark.llm_ops.dedup import (
+        band_index_rows,
+        compact_component_index,
+        incremental_components,
+        write_component_index,
+    )
+
+    # precomputed (same as the incremental differential test): A and B
+    # never share a band; C = A+' '+B band-matches BOTH
+    A = "gamma sigma beta upsilon nu omicron upsilon zeta"
+    B = "upsilon alpha rho gamma beta beta eta theta"
+    C = A + " " + B
+    base = spark.createDataFrame(
+        [(10, A), (11, A), (20, B),
+         (30, "unrelated text totally different words here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(40, C), (5, B)],  # bridge + backfill (5 < 20)
+        "doc_id long, text string",
+    )
+    try:
+        write_component_index(
+            base, "t_cc_gen0", str(tmp_path / "gen0"), n_buckets=4
+        )
+        gen0 = spark.table("t_cc_gen0")
+        # old generation crowns 20 — the backfill must flip this
+        assert (20, 20, True) in {tuple(r) for r in gen0.collect()}
+
+        labels, merges = incremental_components(
+            batch, band_index_rows(base), gen0.select("doc_id", "component")
+        )
+        ledger = {tuple(r) for r in merges.collect()}
+        assert ledger == {(5, 10), (5, 20)}, ledger
+
+        accumulated = gen0.select("doc_id", "component").unionByName(
+            labels.select("doc_id", "component")
+        )
+        # self-overwrite refused loudly before any write
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="NEW generation"):
+            compact_component_index(
+                accumulated, merges, "t_cc_gen1", str(tmp_path / "gen0")
+            )
+        compact_component_index(
+            accumulated, merges, "t_cc_gen1", str(tmp_path / "gen1"),
+            n_buckets=4,
+        )
+
+        write_component_index(
+            base.unionByName(batch), "t_cc_full",
+            str(tmp_path / "full"), n_buckets=4,
+        )
+        got = sorted(map(tuple, spark.table("t_cc_gen1").collect()))
+        want = sorted(map(tuple, spark.table("t_cc_full").collect()))
+        assert got == want and got
+        # canonical flipped: 5 wears the crown, 20 lost it
+        assert (5, 5, True) in got and (20, 5, False) in got
+        # exactly one canonical per component
+        by_comp: dict = {}
+        for doc, comp, canon in got:
+            by_comp.setdefault(comp, []).append(canon)
+        assert all(sum(v) == 1 for v in by_comp.values())
+        # the generation is a real bucketed table, not plain parquet
+        desc = spark.sql("DESCRIBE FORMATTED t_cc_gen1").collect()
+        assert any(
+            r["col_name"] == "Num Buckets" and r["data_type"] == "4"
+            for r in desc
+        )
+    finally:
+        for t in ("t_cc_gen0", "t_cc_gen1", "t_cc_full"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -2168,3 +2168,78 @@ def test_curation_occupancy_monitor_flags_hot_batch(spark, tmp_path):
     # 39 of the 40 boilerplate copies land in the rejected sink
     rej = spark.read.parquet(str(tmp_path / "rejected"))
     assert rej.filter("reason = 'near_dup'").count() == 39
+
+
+def test_compact_stream_index_handoff(spark, tmp_path):
+    """Folding the stream's batch_id-partitioned signature dir into the
+    bucketed band-index table must hand off losslessly: a probe against
+    [compacted generation, raw tail] (per-frame joins) equals the probe
+    against the full raw accumulation, with hits contributed by BOTH
+    sides of the compaction boundary, and the compacted side arriving at
+    its join as a bucketed scan."""
+    from video_etl_spark.llm_ops.dedup import (
+        band_candidates,
+        incremental_dedup_against_index,
+        minhash_band_signatures,
+    )
+    from video_etl_spark.streaming.dedup import (
+        compact_stream_index,
+        make_batch_handler,
+        stream_tail_rows,
+    )
+
+    a = ("the quick brown fox jumps over the lazy dog while the sun "
+         "sets slowly behind the distant purple mountains tonight")
+    b = ("completely different legal boilerplate concerning maritime "
+         "insurance claims and arbitration procedure under section nine")
+    c = ("a third entirely unrelated passage describing glacial river "
+         "sediment transport dynamics across braided alpine valleys")
+    idx_dir = str(tmp_path / "s_idx")
+    handle = make_batch_handler(
+        index_dir=idx_dir, dup_dir=str(tmp_path / "s_dups")
+    )
+    handle(spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"), 0)
+    handle(spark.createDataFrame(
+        [(3, a), (4, c)], "doc_id long, text string"), 1)
+    handle(spark.createDataFrame(
+        [(5, c)], "doc_id long, text string"), 2)  # stays in the tail
+
+    try:
+        compact_stream_index(
+            spark, idx_dir, "t_stream_band",
+            str(tmp_path / "band_gen0"), upto_batch_id=1, n_buckets=4,
+        )
+        probe = spark.createDataFrame(
+            [(6, a), (7, c), (8, "words nobody in history ever wrote "
+                                 "in this exact improbable order")],
+            "doc_id long, text string",
+        )
+        got_df = incremental_dedup_against_index(
+            probe,
+            [spark.table("t_stream_band"),
+             stream_tail_rows(spark, idx_dir, after_batch_id=1)],
+        )
+        got = sorted(map(tuple, got_df.collect()))
+        want = sorted(map(tuple, band_candidates(
+            minhash_band_signatures(probe),
+            spark.read.parquet(idx_dir).drop("batch_id"),
+        ).collect()))
+        assert got == want, (got, want)
+        # both sides of the boundary contribute: doc 7 (text c) matches
+        # folded doc 4 AND tail doc 5
+        assert (7, 4, 2) in got
+        # folded-only hit: doc 6 (text a) matches docs 1 and 3
+        assert (6, 1, 2) in got
+        assert all(r[0] != 8 for r in got)
+        plan = (
+            got_df._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in plan, plan
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="empty index list"):
+            incremental_dedup_against_index(probe, [])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stream_band")

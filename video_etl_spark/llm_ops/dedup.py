@@ -1126,7 +1126,7 @@ def write_band_index(
 
 def incremental_dedup_against_index(
     new: DataFrame,
-    index: DataFrame,
+    index: DataFrame | list[DataFrame] | tuple[DataFrame, ...],
     n_bands: int = 2,
     rows_per_band: int = 2,
     id_col: str = "doc_id",
@@ -1139,12 +1139,28 @@ def incremental_dedup_against_index(
     side — only the new batch shuffles (plan-asserted in tests) — which
     is the property that keeps per-crawl cost independent of corpus size.
 
+    ``index`` may also be a LIST of band-row frames — the
+    compaction-boundary case (a bucketed compacted generation plus the
+    small raw tail the compactor has not folded yet, see
+    ``streaming.dedup.compact_stream_index``).  Each frame joins the
+    probe SEPARATELY and only the thin (new_rep, old_doc) hit pairs
+    union before the aggregate, so the bucketed generation keeps its
+    exchange-free scan; unioning the frames BEFORE the join would erase
+    the bucketing and shuffle the whole index side.  A doc lives in
+    exactly one frame (folded xor tail), so per-frame ``distinct`` +
+    one global aggregate equals the single-frame result.
+
     Hot-key guard: the batch probes by ``collapse_exact_sigs``
     representative and members expand to the representative's result;
     the per-doc index stays raw (its rows are the contract other probers
     share).  Output unchanged (oracle-pinned via incremental_band_dedup's
     equivalence tests).
     """
+    frames = (
+        list(index) if isinstance(index, (list, tuple)) else [index]
+    )
+    if not frames:
+        raise ValueError("incremental_dedup_against_index: empty index list")
     # persisted: signatures feed the collapse (reps + members) and the
     # band-key probe rows — LRU-evicted, same convention as simhash_pairs
     sigs = minhash_band_signatures(new, n_bands, rows_per_band, id_col).persist()
@@ -1152,11 +1168,17 @@ def incremental_dedup_against_index(
     new_rows = band_index_rows_from_sigs(new_reps, n_bands, id_col).select(
         F.col(id_col).alias("new_rep"), "band_key"
     )
-    hist_rows = index.select(F.col(id_col).alias("old_doc"), "band_key")
+    hits = None
+    for f in frames:
+        hist_rows = f.select(F.col(id_col).alias("old_doc"), "band_key")
+        h = (
+            new_rows.join(hist_rows, "band_key")
+            .select("new_rep", "old_doc")
+            .distinct()
+        )
+        hits = h if hits is None else hits.unionByName(h)
     per_rep = (
-        new_rows.join(hist_rows, "band_key")
-        .select("new_rep", "old_doc")
-        .distinct()
+        hits
         .groupBy("new_rep")
         .agg(
             F.min("old_doc").alias("dup_of"),
@@ -1587,3 +1609,69 @@ def resolve_labels(
             F.coalesce("__resolved", "component").alias("component"),
         )
     )
+
+
+def compact_component_index(
+    component_index: DataFrame,
+    merges: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+) -> None:
+    """Fold incremental label appends + the merge LEDGER into a fresh
+    bucketed component-index snapshot — the third operation of the index
+    lifecycle (``write_component_index`` → ``incremental_components``
+    appends + ledger → COMPACT), and the step that keeps "the next full
+    rebuild folds it in" from meaning corpus-wide CC.
+
+    ``component_index`` is the accumulated labeling: the previous
+    snapshot unioned with every batch's appended ``labels`` rows
+    ((doc_id, component, ...) — extra columns such as the stale
+    ``is_canonical`` are ignored); ``merges`` is the accumulated ledger.
+    Labels resolve through the ledger with :func:`resolve_labels`
+    (min-id equivalence collapse), so the compacted snapshot equals what
+    ``write_component_index`` over the whole corpus would produce —
+    differential-tested — at LEDGER cost (a bounded driver union-find
+    over bridge rows plus one broadcast-mapped column rewrite over the
+    index), never corpus-CC cost: no signatures, no band self-join, no
+    label iteration.  ``is_canonical`` is recomputed from the RESOLVED
+    labels (min-id convention, component == doc_id — exact, because a
+    resolved label is its merged cluster's minimum doc id, which is
+    itself a row of the index), so a previous generation's canonical
+    that lost its crown to a merged-in lower id flips correctly.
+
+    GENERATION ROTATION: the snapshot lands at a NEW (table, path); the
+    caller swaps readers over, drops the old generation, and restarts
+    with an EMPTY ledger.  Compacting onto a path the input is being
+    read from is refused loudly up front — Spark cannot overwrite a
+    path mid-read, and a partially-deleted index is the worst possible
+    failure mode for the artifact every dedup consumer keys on.  (The
+    BAND index needs no ledger fold — its appended rows are already
+    final — so when its file counts warrant, its compaction is simply
+    ``write_bucketed`` of the accumulated rows into a fresh
+    generation.)
+    """
+    import os
+
+    target = os.path.abspath(path)
+    for f in component_index.inputFiles():
+        loc = f[len("file:"):] if f.startswith("file:") else f
+        if os.path.abspath(loc).startswith(target + os.sep) or (
+            os.path.abspath(loc) == target
+        ):
+            raise ValueError(
+                f"compaction target {path!r} overlaps an input file of "
+                "the index being compacted; write a NEW generation and "
+                "swap readers over instead of overwriting in place"
+            )
+    resolved = resolve_labels(
+        component_index.select("doc_id", "component"), merges
+    )
+    flagged = resolved.select(
+        "doc_id",
+        "component",
+        (F.col("component") == F.col("doc_id")).alias("is_canonical"),
+    )
+    from video_etl_spark.operators.io import write_bucketed
+
+    write_bucketed(flagged, table, path, ["doc_id"], n_buckets)

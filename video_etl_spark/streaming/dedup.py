@@ -123,3 +123,70 @@ def streaming_incremental_dedup(
     return docs.writeStream.foreachBatch(
         make_batch_handler(index_dir, dup_dir, n_bands, rows_per_band)
     )
+
+
+def compact_stream_index(
+    spark,
+    index_dir: str,
+    table: str,
+    path: str,
+    upto_batch_id: int,
+    n_bands: int = 2,
+    n_buckets: int = 32,
+) -> None:
+    """Fold the stream's batch_id-partitioned signature directory into
+    the bucketed band-index table — the handoff from the streaming
+    append path to the batch index lifecycle.  The output is exactly the
+    ``write_band_index`` layout, so ``incremental_dedup_against_index``
+    probes it with no exchange on the index side, and a long-running
+    stream stops paying the accumulated small-file listing cost (one
+    parquet directory per micro-batch) on every history read.
+
+    ``upto_batch_id`` is INCLUSIVE and must be a batch the stream has
+    COMPLETED (read it off the query's ``lastProgress``): foreachBatch
+    is at-least-once, so an in-flight batch's partition may be
+    half-written, and folding it would freeze that partial state into
+    the compacted generation while the retry rewrites the raw partition.
+    Partitions above the watermark stay raw in ``index_dir``; probes
+    bridge the boundary by passing ``[spark.table(table),
+    stream_tail_rows(...)]`` to ``incremental_dedup_against_index``
+    (per-frame joins — the bucketed generation keeps its exchange-free
+    scan).  Deleting folded partitions and swapping readers over is the
+    caller's job, same generation-rotation contract as
+    ``llm_ops.dedup.compact_component_index``.
+    """
+    from video_etl_spark.llm_ops.dedup import band_index_rows_from_sigs
+    from video_etl_spark.operators.io import write_bucketed
+
+    sigs = (
+        spark.read.parquet(index_dir)
+        .where(F.col("batch_id") <= F.lit(upto_batch_id))
+        .drop("batch_id")
+    )
+    write_bucketed(
+        band_index_rows_from_sigs(sigs, n_bands),
+        table,
+        path,
+        ["band_key"],
+        n_buckets,
+    )
+
+
+def stream_tail_rows(
+    spark,
+    index_dir: str,
+    after_batch_id: int,
+    n_bands: int = 2,
+) -> DataFrame:
+    """(doc_id, band_key) rows of the raw partitions STRICTLY ABOVE the
+    compaction watermark — the small not-yet-folded tail.  Pass
+    ``[spark.table(table), stream_tail_rows(...)]`` as the ``index`` of
+    ``incremental_dedup_against_index`` to probe across the boundary."""
+    from video_etl_spark.llm_ops.dedup import band_index_rows_from_sigs
+
+    tail = (
+        spark.read.parquet(index_dir)
+        .where(F.col("batch_id") > F.lit(after_batch_id))
+        .drop("batch_id")
+    )
+    return band_index_rows_from_sigs(tail, n_bands)
