@@ -840,3 +840,41 @@ def test_text_queries_survive_empty_corpus(spark, tmp_path_factory, name):
     df = registry.QUERIES[name](spark, str(tmp_path))
     assert df.count() == 0
     assert len(df.columns) > 0
+
+
+def test_norm_storage_uri_and_generation_guard():
+    """The generation-rotation guard must be URI-aware: hdfs/s3 paths
+    run through os.path.abspath become cwd-relative strings that never
+    prefix-match, silently bypassing the refusal the guard exists for."""
+    import pytest
+
+    from video_etl_spark.operators.io import (
+        assert_new_generation,
+        norm_storage_uri,
+    )
+
+    # default-port vs portless authority refer to the same namenode
+    assert norm_storage_uri("hdfs://nn:8020/warehouse/gen0") == (
+        norm_storage_uri("hdfs://nn/warehouse/gen0")
+    )
+    # s3 scheme aliases are one storage
+    assert norm_storage_uri("s3a://bkt/idx") == norm_storage_uri("s3://bkt/idx")
+    # local forms normalize together
+    assert norm_storage_uri("file:/tmp/x/../x/gen0") == norm_storage_uri(
+        "/tmp/x/gen0"
+    )
+    # different hosts stay distinct
+    assert norm_storage_uri("hdfs://nn1/x") != norm_storage_uri("hdfs://nn2/x")
+
+    for target, inp in [
+        ("hdfs://nn/warehouse/gen0", "hdfs://nn:8020/warehouse/gen0/part-0"),
+        ("s3://bkt/idx", "s3a://bkt/idx/part-0.parquet"),
+        ("/tmp/g0", "file:/tmp/g0/part-0.parquet"),
+        ("/tmp/g0/sub", "/tmp/g0"),  # target INSIDE the input dir
+    ]:
+        with pytest.raises(ValueError, match="NEW generation"):
+            assert_new_generation(target, [inp], "an input")
+
+    # disjoint paths and disjoint storages pass
+    assert_new_generation("/tmp/g1", ["file:/tmp/g0/part-0.parquet"], "x")
+    assert_new_generation("hdfs://nn1/x", ["hdfs://nn2/x/part-0"], "x")

@@ -2243,3 +2243,125 @@ def test_compact_stream_index_handoff(spark, tmp_path):
             incremental_dedup_against_index(probe, [])
     finally:
         spark.sql("DROP TABLE IF EXISTS t_stream_band")
+
+
+def test_compacted_mode_handler_survives_folded_partition_deletion(
+    spark, tmp_path
+):
+    """The live stream must be able to SWITCH OVER to the compacted
+    generation: after folding batches 0..1 and DELETING their raw
+    partitions, a handler re-created with compacted_table/compacted_upto
+    still flags a near-dup of a batch-0 doc (the raw-dir-only handler
+    would silently lose all folded history), keeps the retry guard (its
+    own partial partition is above the watermark but excluded by
+    batch_id < current), and appends its signatures so later batches see
+    it.  Also pins the two loud-failure contracts: folding with a wrong
+    n_bands raises instead of dropping bands, and compacting INTO the
+    raw directory is refused."""
+    import shutil
+
+    import pytest
+
+    from video_etl_spark.streaming.dedup import (
+        compact_stream_index,
+        make_batch_handler,
+    )
+
+    a = ("the quick brown fox jumps over the lazy dog while the sun "
+         "sets slowly behind the distant purple mountains tonight")
+    b = ("completely different legal boilerplate concerning maritime "
+         "insurance claims and arbitration procedure under section nine")
+    idx_dir = str(tmp_path / "idx")
+    dup_dir = str(tmp_path / "dups")
+    raw_handle = make_batch_handler(index_dir=idx_dir, dup_dir=dup_dir)
+    raw_handle(spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"), 0)
+    raw_handle(spark.createDataFrame(
+        [(3, b)], "doc_id long, text string"), 1)
+
+    with pytest.raises(ValueError, match="2 band columns"):
+        compact_stream_index(
+            spark, idx_dir, "t_sw_band", str(tmp_path / "gen0"),
+            upto_batch_id=1, n_bands=3,
+        )
+    with pytest.raises(ValueError, match="NEW generation"):
+        compact_stream_index(
+            spark, idx_dir, "t_sw_band", idx_dir, upto_batch_id=1
+        )
+
+    try:
+        compact_stream_index(
+            spark, idx_dir, "t_sw_band", str(tmp_path / "gen0"),
+            upto_batch_id=1, n_buckets=4,
+        )
+        # the switched-over stream deletes the folded raw partitions
+        for bid in (0, 1):
+            shutil.rmtree(f"{idx_dir}/batch_id={bid}")
+        handle = make_batch_handler(
+            index_dir=idx_dir, dup_dir=dup_dir,
+            compacted_table="t_sw_band", compacted_upto=1,
+        )
+        handle(spark.createDataFrame(
+            [(4, a)], "doc_id long, text string"), 2)
+        d2 = spark.read.parquet(dup_dir).where("batch_id = 2")
+        assert [tuple(r) for r in d2.select(
+            "new_doc", "dup_of", "n_candidates").collect()] == [(4, 1, 1)]
+        # the compacted-mode batch APPENDED its sigs: batch 3 matches
+        # doc 4 through the raw tail and doc 2 through the generation,
+        # counting each exactly once
+        handle(spark.createDataFrame(
+            [(5, a), (6, b)], "doc_id long, text string"), 3)
+        d3 = spark.read.parquet(dup_dir).where("batch_id = 3")
+        got = sorted(
+            tuple(r) for r in d3.select(
+                "new_doc", "dup_of", "n_candidates").collect()
+        )
+        assert got == [(5, 1, 2), (6, 2, 2)], got
+        # retry idempotence holds in compacted mode too
+        handle(spark.createDataFrame(
+            [(5, a), (6, b)], "doc_id long, text string"), 3)
+        assert spark.read.parquet(dup_dir).where(
+            "batch_id = 3").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sw_band")
+
+
+def test_overlapping_tail_does_not_double_count(spark, tmp_path):
+    """A doc visible through BOTH frames (caller passes a tail watermark
+    below the fold watermark, re-including folded partitions) must count
+    once in n_candidates — the multi-frame probe globally de-duplicates
+    the thin hit pairs before aggregating."""
+    from video_etl_spark.llm_ops.dedup import (
+        incremental_dedup_against_index,
+    )
+    from video_etl_spark.streaming.dedup import (
+        compact_stream_index,
+        make_batch_handler,
+        stream_tail_rows,
+    )
+
+    a = ("the quick brown fox jumps over the lazy dog while the sun "
+         "sets slowly behind the distant purple mountains tonight")
+    idx_dir = str(tmp_path / "idx")
+    handle = make_batch_handler(
+        index_dir=idx_dir, dup_dir=str(tmp_path / "dups")
+    )
+    handle(spark.createDataFrame(
+        [(1, a)], "doc_id long, text string"), 0)
+    probe = spark.createDataFrame(
+        [(9, a)], "doc_id long, text string"
+    )
+    try:
+        compact_stream_index(
+            spark, idx_dir, "t_ov_band", str(tmp_path / "gen0"),
+            upto_batch_id=0, n_buckets=4,
+        )
+        got = incremental_dedup_against_index(
+            probe,
+            [spark.table("t_ov_band"),
+             # -1 < 0: batch 0 is in the generation AND this tail
+             stream_tail_rows(spark, idx_dir, after_batch_id=-1)],
+        ).collect()
+        assert [tuple(r) for r in got] == [(9, 1, 1)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ov_band")

@@ -1124,46 +1124,42 @@ def write_band_index(
     )
 
 
-def incremental_dedup_against_index(
-    new: DataFrame,
-    index: DataFrame | list[DataFrame] | tuple[DataFrame, ...],
+def band_candidates_against_rows(
+    sigs: DataFrame,
+    index_rows: DataFrame | list[DataFrame] | tuple[DataFrame, ...],
     n_bands: int = 2,
-    rows_per_band: int = 2,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """:func:`incremental_dedup` against a persisted band index
-    (``spark.table(...)`` written by :func:`write_band_index`).
+    """Probe PRE-COMPUTED batch signatures against one or more
+    LONG-format (id, band_key) index frames — the band_key twin of
+    :func:`band_candidates`, shared by :func:`incremental_dedup_against_index`
+    and the streaming handler's compacted-generation mode.
 
-    Same output contract (new_doc, dup_of, n_candidates).  When ``index``
-    is the bucketed table, the join plan has NO exchange on the index
-    side — only the new batch shuffles (plan-asserted in tests) — which
-    is the property that keeps per-crawl cost independent of corpus size.
-
-    ``index`` may also be a LIST of band-row frames — the
-    compaction-boundary case (a bucketed compacted generation plus the
-    small raw tail the compactor has not folded yet, see
-    ``streaming.dedup.compact_stream_index``).  Each frame joins the
-    probe SEPARATELY and only the thin (new_rep, old_doc) hit pairs
-    union before the aggregate, so the bucketed generation keeps its
+    ``index_rows`` may be a LIST of frames — the compaction-boundary
+    case (a bucketed compacted generation plus the small raw tail the
+    compactor has not folded yet).  Each frame joins the probe
+    SEPARATELY and only the thin (new_rep, old_doc) hit pairs union
+    before the aggregate, so the bucketed generation keeps its
     exchange-free scan; unioning the frames BEFORE the join would erase
-    the bucketing and shuffle the whole index side.  A doc lives in
-    exactly one frame (folded xor tail), so per-frame ``distinct`` +
-    one global aggregate equals the single-frame result.
+    the bucketing and shuffle the whole index side.  When more than one
+    frame is passed the unioned hits are globally de-duplicated: a doc
+    whose signatures straddle the boundary (a source re-delivery past
+    the exact-dup watermark, or an overlapping tail watermark) must
+    count ONCE in ``n_candidates``, exactly as the single-frame path's
+    global ``distinct`` guaranteed.
 
     Hot-key guard: the batch probes by ``collapse_exact_sigs``
     representative and members expand to the representative's result;
     the per-doc index stays raw (its rows are the contract other probers
-    share).  Output unchanged (oracle-pinned via incremental_band_dedup's
-    equivalence tests).
+    share).
     """
     frames = (
-        list(index) if isinstance(index, (list, tuple)) else [index]
+        list(index_rows)
+        if isinstance(index_rows, (list, tuple))
+        else [index_rows]
     )
     if not frames:
-        raise ValueError("incremental_dedup_against_index: empty index list")
-    # persisted: signatures feed the collapse (reps + members) and the
-    # band-key probe rows — LRU-evicted, same convention as simhash_pairs
-    sigs = minhash_band_signatures(new, n_bands, rows_per_band, id_col).persist()
+        raise ValueError("band_candidates_against_rows: empty index list")
     new_reps, new_members = collapse_exact_sigs(sigs, n_bands, id_col)
     new_rows = band_index_rows_from_sigs(new_reps, n_bands, id_col).select(
         F.col(id_col).alias("new_rep"), "band_key"
@@ -1177,6 +1173,9 @@ def incremental_dedup_against_index(
             .distinct()
         )
         hits = h if hits is None else hits.unionByName(h)
+    if len(frames) > 1:
+        # thin pairs only — the cross-frame dedup shuffle is probe-sized
+        hits = hits.distinct()
     per_rep = (
         hits
         .groupBy("new_rep")
@@ -1195,6 +1194,38 @@ def incremental_dedup_against_index(
     return mem_all.join(per_rep, "new_rep").select(
         "new_doc", "dup_of", "n_candidates"
     )
+
+
+def incremental_dedup_against_index(
+    new: DataFrame,
+    index: DataFrame | list[DataFrame] | tuple[DataFrame, ...],
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`incremental_dedup` against a persisted band index
+    (``spark.table(...)`` written by :func:`write_band_index`).
+
+    Same output contract (new_doc, dup_of, n_candidates).  When ``index``
+    is the bucketed table, the join plan has NO exchange on the index
+    side — only the new batch shuffles (plan-asserted in tests) — which
+    is the property that keeps per-crawl cost independent of corpus size.
+
+    ``index`` may also be a LIST of band-row frames — the
+    compaction-boundary case (a bucketed compacted generation plus the
+    small raw tail, see ``streaming.dedup.compact_stream_index``); join
+    shape, cross-frame dedup and the hot-key guard are
+    :func:`band_candidates_against_rows`'s (output unchanged vs the
+    single-frame form — oracle-pinned via incremental_band_dedup's
+    equivalence tests).
+    """
+    if isinstance(index, (list, tuple)) and not index:
+        # fail before signing — the persist below must not leak
+        raise ValueError("incremental_dedup_against_index: empty index list")
+    # persisted: signatures feed the collapse (reps + members) and the
+    # band-key probe rows — LRU-evicted, same convention as simhash_pairs
+    sigs = minhash_band_signatures(new, n_bands, rows_per_band, id_col).persist()
+    return band_candidates_against_rows(sigs, index, n_bands, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -1651,19 +1682,16 @@ def compact_component_index(
     ``write_bucketed`` of the accumulated rows into a fresh
     generation.)
     """
-    import os
+    from video_etl_spark.operators.io import (
+        assert_new_generation,
+        write_bucketed,
+    )
 
-    target = os.path.abspath(path)
-    for f in component_index.inputFiles():
-        loc = f[len("file:"):] if f.startswith("file:") else f
-        if os.path.abspath(loc).startswith(target + os.sep) or (
-            os.path.abspath(loc) == target
-        ):
-            raise ValueError(
-                f"compaction target {path!r} overlaps an input file of "
-                "the index being compacted; write a NEW generation and "
-                "swap readers over instead of overwriting in place"
-            )
+    assert_new_generation(
+        path,
+        component_index.inputFiles(),
+        "an input file of the index being compacted",
+    )
     resolved = resolve_labels(
         component_index.select("doc_id", "component"), merges
     )
@@ -1672,6 +1700,4 @@ def compact_component_index(
         "component",
         (F.col("component") == F.col("doc_id")).alias("is_canonical"),
     )
-    from video_etl_spark.operators.io import write_bucketed
-
     write_bucketed(flagged, table, path, ["doc_id"], n_buckets)

@@ -18,6 +18,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def norm_storage_uri(u: str) -> tuple[str, str, str]:
+    """Normalize a storage path/URI to (scheme, authority-sans-port,
+    path) for overlap checks.  ``os.path.abspath`` alone mangles
+    ``hdfs://nn:8020/...`` and ``s3a://...`` into cwd-relative strings
+    that never prefix-match — silently bypassing any guard built on it.
+    The s3 scheme aliases (s3/s3a/s3n) and a present-vs-absent default
+    port refer to the same storage, so both normalize together; local
+    and ``file:`` paths normalize through ``abspath``."""
+    import os
+    import posixpath
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(u)
+    if p.scheme in ("", "file"):
+        return ("file", "", os.path.abspath(unquote(p.path) or u))
+    scheme = {"s3a": "s3", "s3n": "s3"}.get(p.scheme.lower(), p.scheme.lower())
+    host = p.netloc.rsplit(":", 1)[0] if ":" in p.netloc else p.netloc
+    return (scheme, host.lower(), posixpath.normpath(unquote(p.path) or "/"))
+
+
+def assert_new_generation(
+    target: str, inputs: list[str] | tuple[str, ...], what: str
+) -> None:
+    """Refuse a generation-rotation write whose ``target`` overlaps any
+    of ``inputs`` (equal, contains, or is contained by) — Spark's
+    ``mode('overwrite')`` deletes the target location before the insert
+    job runs, so compacting onto a path still being read destroys the
+    artifact mid-job.  URI-aware via :func:`norm_storage_uri`."""
+    t_scheme, t_host, t_path = norm_storage_uri(target)
+    for inp in inputs:
+        i_scheme, i_host, i_path = norm_storage_uri(inp)
+        if (i_scheme, i_host) != (t_scheme, t_host):
+            continue
+        if (
+            i_path == t_path
+            or i_path.startswith(t_path.rstrip("/") + "/")
+            or t_path.startswith(i_path.rstrip("/") + "/")
+        ):
+            raise ValueError(
+                f"compaction target {target!r} overlaps {what} "
+                f"({inp!r}); write a NEW generation and swap readers "
+                "over instead of overwriting in place"
+            )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

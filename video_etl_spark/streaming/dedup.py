@@ -40,12 +40,26 @@ def make_batch_handler(
     dup_dir: str,
     n_bands: int = 2,
     rows_per_band: int = 2,
+    compacted_table: str | None = None,
+    compacted_upto: int = -1,
 ):
     """The per-micro-batch step of :func:`streaming_incremental_dedup`,
     exposed for direct testing (retry idempotence) and for embedding in a
-    custom foreachBatch pipeline."""
+    custom foreachBatch pipeline.
+
+    After :func:`compact_stream_index` has folded raw partitions into a
+    bucketed generation, pass ``compacted_table`` + ``compacted_upto``
+    (the fold's INCLUSIVE watermark): the handler then probes
+    [compacted generation, raw tail] instead of the raw directory, so
+    folded partitions can actually be DELETED without the live stream
+    losing its history (and the small-file listing saving is realized by
+    the stream itself, not only by external probers).  Raw partitions at
+    or below the watermark are excluded from the tail even before
+    deletion, so a not-yet-deleted folded partition cannot double-count;
+    the tail keeps the ``batch_id < current`` retry guard."""
     from video_etl_spark.llm_ops.dedup import (
         band_candidates,
+        band_candidates_against_rows,
         minhash_band_signatures,
     )
 
@@ -56,22 +70,38 @@ def make_batch_handler(
         ).persist()
         from pyspark.errors import AnalysisException
 
-        try:
-            # batch_id < current: a RETRIED batch must not match its own
-            # partially-written signatures from the failed attempt.
-            hist = spark.read.parquet(index_dir).where(
-                F.col("batch_id") < F.lit(batch_id)
+        if compacted_table is not None:
+            frames = [spark.table(compacted_table).select("doc_id", "band_key")]
+            try:
+                # batch_id < current: a RETRIED batch must not match its
+                # own partially-written signatures from the failed attempt.
+                frames.append(_stored_sig_rows(
+                    spark,
+                    index_dir,
+                    (F.col("batch_id") > F.lit(compacted_upto))
+                    & (F.col("batch_id") < F.lit(batch_id)),
+                    n_bands,
+                ))
+            except AnalysisException:  # raw dir gone: fully folded
+                pass
+            dups = band_candidates_against_rows(sigs, frames, n_bands)
+        else:
+            try:
+                # batch_id < current: see retry note above.
+                hist = spark.read.parquet(index_dir).where(
+                    F.col("batch_id") < F.lit(batch_id)
+                )
+            except AnalysisException:  # first batch: no index yet
+                hist = None
+            # first batch: an EMPTY dup frame still writes, so dup_dir
+            # exists after any run (a one-batch stream previously left it
+            # missing and consumers reading it with an explicit schema hit
+            # PATH_NOT_FOUND)
+            dups = (
+                band_candidates(sigs, hist, n_bands)
+                if hist is not None
+                else band_candidates(sigs, sigs.limit(0), n_bands)
             )
-        except AnalysisException:  # first batch: no index yet
-            hist = None
-        # first batch: an EMPTY dup frame still writes, so dup_dir exists
-        # after any run (a one-batch stream previously left it missing and
-        # consumers reading it with an explicit schema hit PATH_NOT_FOUND)
-        dups = (
-            band_candidates(sigs, hist, n_bands)
-            if hist is not None
-            else band_candidates(sigs, sigs.limit(0), n_bands)
-        )
         (
             dups.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -99,6 +129,8 @@ def streaming_incremental_dedup(
     rows_per_band: int = 2,
     exact_dedup_watermark: str | None = None,
     time_col: str = "event_time",
+    compacted_table: str | None = None,
+    compacted_upto: int = -1,
 ):
     """Build the streaming dedup writer over a (doc_id, text, ...) stream.
 
@@ -121,8 +153,40 @@ def streaming_incremental_dedup(
         ).dropDuplicatesWithinWatermark(["text"])
 
     return docs.writeStream.foreachBatch(
-        make_batch_handler(index_dir, dup_dir, n_bands, rows_per_band)
+        make_batch_handler(
+            index_dir, dup_dir, n_bands, rows_per_band,
+            compacted_table, compacted_upto,
+        )
     )
+
+
+def _stored_sig_rows(spark, index_dir: str, predicate, n_bands=None):
+    """Read the stream's batch_id-partitioned signature directory,
+    filtered by ``predicate``, as long-format (doc_id, band_key) rows —
+    the ONE reader both sides of the compaction boundary share, so the
+    folded and tail conversions cannot drift.
+
+    The band count is INFERRED from the stored band columns; an explicit
+    ``n_bands`` that disagrees raises instead of silently selecting a
+    subset (folding with fewer bands than the stream wrote would drop
+    the higher bands from the compacted generation — permanent recall
+    loss once the folded raw partitions are deleted)."""
+    import re
+
+    from video_etl_spark.llm_ops.dedup import band_index_rows_from_sigs
+
+    sigs = spark.read.parquet(index_dir).where(predicate).drop("batch_id")
+    stored = sum(
+        1 for c in sigs.columns if re.fullmatch(r"band\d+", c)
+    )
+    if n_bands is not None and n_bands != stored:
+        raise ValueError(
+            f"signature index at {index_dir!r} stores {stored} band "
+            f"columns but n_bands={n_bands} was requested; pass "
+            "n_bands=None to infer (a partial fold would silently lose "
+            "recall for the dropped bands)"
+        )
+    return band_index_rows_from_sigs(sigs, stored)
 
 
 def compact_stream_index(
@@ -131,7 +195,7 @@ def compact_stream_index(
     table: str,
     path: str,
     upto_batch_id: int,
-    n_bands: int = 2,
+    n_bands: int | None = None,
     n_buckets: int = 32,
 ) -> None:
     """Fold the stream's batch_id-partitioned signature directory into
@@ -151,20 +215,28 @@ def compact_stream_index(
     bridge the boundary by passing ``[spark.table(table),
     stream_tail_rows(...)]`` to ``incremental_dedup_against_index``
     (per-frame joins — the bucketed generation keeps its exchange-free
-    scan).  Deleting folded partitions and swapping readers over is the
-    caller's job, same generation-rotation contract as
-    ``llm_ops.dedup.compact_component_index``.
+    scan), and the LIVE stream itself switches over by re-creating its
+    handler with ``compacted_table``/``compacted_upto`` — only then may
+    the folded raw partitions be deleted.  The compacted generation
+    lands at a NEW path (writing into ``index_dir`` is refused loudly:
+    the overwrite would delete raw partitions mid-read, and a stray
+    table directory inside the raw dir would corrupt its batch_id
+    partition discovery); ``n_bands`` is inferred from the stored
+    signature columns — see :func:`_stored_sig_rows`.
     """
-    from video_etl_spark.llm_ops.dedup import band_index_rows_from_sigs
-    from video_etl_spark.operators.io import write_bucketed
+    from video_etl_spark.operators.io import (
+        assert_new_generation,
+        write_bucketed,
+    )
 
-    sigs = (
-        spark.read.parquet(index_dir)
-        .where(F.col("batch_id") <= F.lit(upto_batch_id))
-        .drop("batch_id")
+    assert_new_generation(
+        path, [index_dir], "the raw signature directory being folded"
     )
     write_bucketed(
-        band_index_rows_from_sigs(sigs, n_bands),
+        _stored_sig_rows(
+            spark, index_dir,
+            F.col("batch_id") <= F.lit(upto_batch_id), n_bands,
+        ),
         table,
         path,
         ["band_key"],
@@ -176,17 +248,16 @@ def stream_tail_rows(
     spark,
     index_dir: str,
     after_batch_id: int,
-    n_bands: int = 2,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """(doc_id, band_key) rows of the raw partitions STRICTLY ABOVE the
     compaction watermark — the small not-yet-folded tail.  Pass
     ``[spark.table(table), stream_tail_rows(...)]`` as the ``index`` of
-    ``incremental_dedup_against_index`` to probe across the boundary."""
-    from video_etl_spark.llm_ops.dedup import band_index_rows_from_sigs
-
-    tail = (
-        spark.read.parquet(index_dir)
-        .where(F.col("batch_id") > F.lit(after_batch_id))
-        .drop("batch_id")
+    ``incremental_dedup_against_index`` to probe across the boundary.
+    ``after_batch_id`` must equal the fold's ``upto_batch_id`` — a lower
+    value would re-include folded partitions (the cross-frame dedup in
+    ``band_candidates_against_rows`` keeps the result correct, but the
+    tail stops being small)."""
+    return _stored_sig_rows(
+        spark, index_dir, F.col("batch_id") > F.lit(after_batch_id), n_bands
     )
-    return band_index_rows_from_sigs(tail, n_bands)
