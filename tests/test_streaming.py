@@ -2365,3 +2365,100 @@ def test_overlapping_tail_does_not_double_count(spark, tmp_path):
         assert [tuple(r) for r in got] == [(9, 1, 1)]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ov_band")
+
+
+def test_frame_stream_compaction_switchover(spark, tmp_path):
+    """Multimodal twin of the band-stream compaction handoff: fold the
+    frame stream's raw signature partitions into the bucketed chunk
+    index, DELETE them, and show (a) an external probe across
+    [generation, tail] equals the probe against the full raw
+    accumulation with the generation arriving bucketed, and (b) the
+    LIVE handler switched to compacted mode still flags a near-dup of a
+    folded frame, appends its own signatures, and stays retry-safe.
+    In-place folds are refused."""
+    import shutil
+
+    import pytest
+
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        incremental_phash_against_index,
+        incremental_phash_dedup,
+        phash_signatures,
+    )
+    from video_etl_spark.streaming.frame_dedup import (
+        compact_stream_frame_index,
+        frame_tail_rows,
+        make_frame_batch_handler,
+    )
+
+    def frames_of(rows):
+        return attach_fake_payload(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+
+    index_dir = str(tmp_path / "ph_idx")
+    dup_dir = str(tmp_path / "ph_dups")
+    handler = make_frame_batch_handler(index_dir, dup_dir)
+    handler(frames_of([(1, "frame alpha"), (2, "frame beta")]), 0)
+    handler(frames_of([(3, "frame gamma")]), 1)
+    handler(frames_of([(4, "frame delta")]), 2)  # stays in the tail
+
+    with pytest.raises(ValueError, match="NEW generation"):
+        compact_stream_frame_index(
+            spark, index_dir, "t_ph_gen", index_dir, upto_batch_id=1
+        )
+    try:
+        compact_stream_frame_index(
+            spark, index_dir, "t_ph_gen", str(tmp_path / "gen0"),
+            upto_batch_id=1, n_buckets=4,
+        )
+        # (a) external probe across the boundary == full-raw probe
+        probe = phash_signatures(frames_of(
+            [(9, "frame alpha"), (10, "frame delta"), (11, "frame nu")]
+        ))
+        got_df = incremental_phash_against_index(
+            probe,
+            [spark.table("t_ph_gen"),
+             frame_tail_rows(spark, index_dir, after_batch_id=1)],
+        )
+        got = sorted(map(tuple, got_df.collect()))
+        hist = phash_signatures(frames_of(
+            [(1, "frame alpha"), (2, "frame beta"),
+             (3, "frame gamma"), (4, "frame delta")]
+        ))
+        want = sorted(map(tuple, incremental_phash_dedup(probe, hist).collect()))
+        assert got == want == [(9, 1, 1, 0), (10, 4, 1, 0)], (got, want)
+        plan = (
+            got_df._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in plan, plan
+
+        # (b) live switchover after deleting the folded partitions
+        for bid in (0, 1):
+            shutil.rmtree(f"{index_dir}/batch_id={bid}")
+        sw = make_frame_batch_handler(
+            index_dir, dup_dir,
+            compacted_table="t_ph_gen", compacted_upto=1,
+        )
+        sw(frames_of([(21, "frame alpha"), (22, "frame delta")]), 3)
+        d3 = sorted(
+            tuple(r) for r in spark.read.parquet(dup_dir)
+            .where("batch_id = 3")
+            .select("new_doc", "dup_of", "n_candidates", "min_hamming")
+            .collect()
+        )
+        # 21 matches folded frame 1; 22 matches tail frame 4
+        assert d3 == [(21, 1, 1, 0), (22, 4, 1, 0)], d3
+        # the compacted-mode batch appended its sigs: 31 sees 21 via the
+        # tail and 1 via the generation — counted once each
+        sw(frames_of([(31, "frame alpha")]), 4)
+        d4 = [tuple(r) for r in spark.read.parquet(dup_dir)
+              .where("batch_id = 4")
+              .select("new_doc", "dup_of", "n_candidates").collect()]
+        assert d4 == [(31, 1, 2)], d4
+        # retry idempotence in compacted mode
+        sw(frames_of([(31, "frame alpha")]), 4)
+        assert spark.read.parquet(dup_dir).where("batch_id = 4").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ph_gen")

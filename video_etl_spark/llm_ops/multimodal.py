@@ -534,7 +534,9 @@ def write_phash_index(
 
 
 def incremental_phash_against_index(
-    new_sigs: DataFrame, index: DataFrame, max_hamming: int = 3
+    new_sigs: DataFrame,
+    index: DataFrame | list[DataFrame] | tuple[DataFrame, ...],
+    max_hamming: int = 3,
 ) -> DataFrame:
     """:func:`incremental_phash_dedup` against a persisted chunk index
     (``spark.table(...)`` written by :func:`write_phash_index`).
@@ -545,12 +547,26 @@ def incremental_phash_against_index(
     property that keeps per-crawl frame dedup independent of corpus
     size.
 
+    ``index`` may also be a LIST of chunk-row frames — the
+    compaction-boundary case (the bucketed compacted generation plus
+    the small raw tail, see
+    ``streaming.frame_dedup.compact_stream_frame_index``).  Each frame
+    joins the probe SEPARATELY so the bucketed generation keeps its
+    exchange-free scan, only the thin (new_rep, old_doc, hamming) hit
+    triples union, and with more than one frame the union is globally
+    de-duplicated: a frame visible through both sides of an overlapping
+    boundary must count once (its hamming is hash-determined, so the
+    triple is identical in every frame it appears in).
+
     Hot-key guard: the batch probes by one representative per distinct
     hash and members expand to the representative's result (same as
     :func:`incremental_phash_dedup`); the per-doc index stays raw — its
     rows are the shared prober contract.
     """
     _require_chunk_recall(max_hamming)
+    frames = list(index) if isinstance(index, (list, tuple)) else [index]
+    if not frames:
+        raise ValueError("incremental_phash_against_index: empty index list")
     grp = new_sigs.groupBy(*_PHASH_CHUNKS).agg(
         F.min("doc_id").alias("doc_id")
     )
@@ -563,17 +579,26 @@ def incremental_phash_against_index(
         *[F.col(c).alias(f"a_{c}") for c in _PHASH_CHUNKS],
         "ckey",
     )
-    hist_rows = index.select(
-        F.col("doc_id").alias("old_doc"),
-        *[F.col(c).alias(f"b_{c}") for c in _PHASH_CHUNKS],
-        "ckey",
-    )
+    hits = None
+    for f in frames:
+        hist_rows = f.select(
+            F.col("doc_id").alias("old_doc"),
+            *[F.col(c).alias(f"b_{c}") for c in _PHASH_CHUNKS],
+            "ckey",
+        )
+        h = (
+            new_rows.join(hist_rows, "ckey")
+            .withColumn("hamming", _hamming4().cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("new_rep", "old_doc", "hamming")
+            .distinct()
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    if len(frames) > 1:
+        # thin triples only — the cross-frame dedup shuffle is probe-sized
+        hits = hits.distinct()
     per_rep = (
-        new_rows.join(hist_rows, "ckey")
-        .withColumn("hamming", _hamming4().cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("new_rep", "old_doc", "hamming")
-        .distinct()
+        hits
         .groupBy("new_rep")
         .agg(
             F.min("old_doc").alias("dup_of"),

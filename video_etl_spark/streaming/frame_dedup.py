@@ -32,11 +32,26 @@ INDEX_SCHEMA = (
 
 
 def make_frame_batch_handler(
-    index_dir: str, dup_dir: str, max_hamming: int = 3
+    index_dir: str,
+    dup_dir: str,
+    max_hamming: int = 3,
+    compacted_table: str | None = None,
+    compacted_upto: int = -1,
 ):
     """Per-micro-batch step of :func:`streaming_frame_dedup`, exposed for
-    direct testing (retry idempotence) and custom pipelines."""
+    direct testing (retry idempotence) and custom pipelines.
+
+    After :func:`compact_stream_frame_index` has folded raw partitions
+    into a bucketed generation, pass ``compacted_table`` +
+    ``compacted_upto`` (the fold's INCLUSIVE watermark): the handler
+    then probes [compacted generation, raw tail] instead of the raw
+    directory, so folded partitions can be DELETED without the live
+    stream losing its history.  Raw partitions at or below the
+    watermark are excluded from the tail even before deletion, so a
+    not-yet-deleted folded partition cannot double-count; the tail
+    keeps the ``batch_id < current`` retry guard."""
     from video_etl_spark.llm_ops.multimodal import (
+        incremental_phash_against_index,
         incremental_phash_dedup,
         phash_signatures,
     )
@@ -47,23 +62,39 @@ def make_frame_batch_handler(
         from pyspark.errors import AnalysisException
 
         try:
-            try:
-                # batch_id < current: a RETRIED batch must not match its
-                # own partially-written signatures from the failed attempt
-                hist = (
-                    spark.read.schema(INDEX_SCHEMA)
-                    .parquet(index_dir)
-                    .where(F.col("batch_id") < F.lit(batch_id))
+            if compacted_table is not None:
+                frames = [spark.table(compacted_table)]
+                try:
+                    frames.append(_stored_index_rows(
+                        spark,
+                        index_dir,
+                        (F.col("batch_id") > F.lit(compacted_upto))
+                        & (F.col("batch_id") < F.lit(batch_id)),
+                    ))
+                except AnalysisException:  # raw dir gone: fully folded
+                    pass
+                dups = incremental_phash_against_index(
+                    sigs, frames, max_hamming
                 )
-            except AnalysisException:  # first batch: no index yet
-                hist = None
-            dups = (
-                incremental_phash_dedup(sigs, hist, max_hamming)
-                if hist is not None
-                else incremental_phash_dedup(
-                    sigs, sigs.limit(0), max_hamming
+            else:
+                try:
+                    # batch_id < current: a RETRIED batch must not match
+                    # its own partially-written signatures from the
+                    # failed attempt
+                    hist = (
+                        spark.read.schema(INDEX_SCHEMA)
+                        .parquet(index_dir)
+                        .where(F.col("batch_id") < F.lit(batch_id))
+                    )
+                except AnalysisException:  # first batch: no index yet
+                    hist = None
+                dups = (
+                    incremental_phash_dedup(sigs, hist, max_hamming)
+                    if hist is not None
+                    else incremental_phash_dedup(
+                        sigs, sigs.limit(0), max_hamming
+                    )
                 )
-            )
             (
                 dups.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
@@ -91,6 +122,8 @@ def streaming_frame_dedup(
     index_dir: str,
     dup_dir: str,
     max_hamming: int = 3,
+    compacted_table: str | None = None,
+    compacted_upto: int = -1,
 ):
     """Build the streaming frame-dedup writer over a (doc_id, payload,
     ...) stream.  Returns a ``DataStreamWriter`` — caller sets
@@ -99,5 +132,82 @@ def streaming_frame_dedup(
     min_hamming, batch_id); signatures accumulate in ``index_dir``.
     """
     return frames.writeStream.foreachBatch(
-        make_frame_batch_handler(index_dir, dup_dir, max_hamming)
+        make_frame_batch_handler(
+            index_dir, dup_dir, max_hamming, compacted_table, compacted_upto
+        )
+    )
+
+
+def _stored_index_rows(spark, index_dir: str, predicate) -> DataFrame:
+    """Read the stream's batch_id-partitioned signature directory,
+    filtered by ``predicate``, as long-format chunk index rows — the ONE
+    reader both sides of the compaction boundary share (the chunk count
+    is the module constant ``_PHASH_CHUNKS``, fixed by
+    ``INDEX_SCHEMA``, so unlike the band stream there is no stored-width
+    inference to do)."""
+    from video_etl_spark.llm_ops.multimodal import phash_index_rows
+
+    sigs = (
+        spark.read.schema(INDEX_SCHEMA)
+        .parquet(index_dir)
+        .where(predicate)
+        .drop("batch_id")
+    )
+    return phash_index_rows(sigs)
+
+
+def compact_stream_frame_index(
+    spark,
+    index_dir: str,
+    table: str,
+    path: str,
+    upto_batch_id: int,
+    n_buckets: int = 32,
+) -> None:
+    """Fold the frame stream's batch_id-partitioned signature directory
+    into the bucketed chunk-index table (`write_phash_index` layout) —
+    the multimodal twin of ``streaming.dedup.compact_stream_index``,
+    with the same contracts: ``upto_batch_id`` is INCLUSIVE and must be
+    a COMPLETED batch (foreachBatch is at-least-once — folding an
+    in-flight batch freezes a half-written partition into the
+    generation); the generation lands at a NEW path (writing into
+    ``index_dir`` is refused — the overwrite would delete raw
+    partitions mid-read); the LIVE stream switches over by re-creating
+    its handler with ``compacted_table``/``compacted_upto``, and only
+    then may folded raw partitions be deleted.  External probers bridge
+    the boundary with ``[spark.table(table),
+    frame_tail_rows(...)]`` via
+    ``multimodal.incremental_phash_against_index``.
+    """
+    from video_etl_spark.operators.io import (
+        assert_new_generation,
+        write_bucketed,
+    )
+
+    assert_new_generation(
+        path, [index_dir], "the raw signature directory being folded"
+    )
+    write_bucketed(
+        _stored_index_rows(
+            spark, index_dir, F.col("batch_id") <= F.lit(upto_batch_id)
+        ),
+        table,
+        path,
+        ["ckey"],
+        n_buckets,
+    )
+
+
+def frame_tail_rows(
+    spark, index_dir: str, after_batch_id: int
+) -> DataFrame:
+    """Chunk index rows of the raw partitions STRICTLY ABOVE the
+    compaction watermark — the small not-yet-folded tail.  Pass
+    ``[spark.table(table), frame_tail_rows(...)]`` as the ``index`` of
+    ``incremental_phash_against_index`` to probe across the boundary.
+    ``after_batch_id`` must equal the fold's ``upto_batch_id`` — a lower
+    value re-includes folded partitions (correct but no longer small,
+    thanks to the probe's cross-frame dedup)."""
+    return _stored_index_rows(
+        spark, index_dir, F.col("batch_id") > F.lit(after_batch_id)
     )
