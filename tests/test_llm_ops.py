@@ -2739,3 +2739,145 @@ def test_compact_component_index_matches_full_rebuild(spark, tmp_path):
     finally:
         for t in ("t_cc_gen0", "t_cc_gen1", "t_cc_full"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ann_index_appends_match_full_rebuild_or_frozen_params(
+    spark, sf_dir, tmp_path
+):
+    """write -> APPEND -> probe-unchanged for all three persisted ANN
+    indexes (the maintenance operation that makes them crawl-followable
+    like the dedup indexes).  LSH and PQ appends must be EXACTLY
+    equivalent to one index built over the union (LSH planes are
+    corpus-independent; PQ codebooks fit on the ordered id-prefix sample,
+    which appending higher ids leaves unchanged); IVF appends must equal
+    assignment of the union under the ORIGINAL frozen centroids.
+    Re-ingested ids are dropped uniformly, and appended bucket files keep
+    the probes' exchange-free index sides."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.control.categories import assign_categories
+    from video_etl_spark.llm_ops.similarity import (
+        append_to_ivf_index,
+        append_to_lsh_index,
+        append_to_pq_index,
+        ivf_cell_occupancy,
+        lsh_topk_against_index,
+        pq_topk_against_index,
+        write_ivf_index,
+        write_lsh_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old_vecs = emb.filter(F.col("vec_id") < 400)
+    new_vecs = emb.filter(F.col("vec_id") >= 400)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+
+    def topk_snap(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rn"], round(r["cos_sim"], 9))
+            for r in df.collect()
+        )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # ---- LSH: append == full rebuild, bit for bit ----
+        write_lsh_index(
+            old_vecs, "t_lsh_a", str(tmp_path / "lsh_a"), n_buckets=8,
+            n_planes=5,
+        )
+        append_to_lsh_index(new_vecs, "t_lsh_a")
+        write_lsh_index(
+            emb, "t_lsh_f", str(tmp_path / "lsh_f"), n_buckets=8, n_planes=5
+        )
+        probe = lambda t: lsh_topk_against_index(  # noqa: E731
+            queries, spark.table(t), spark.table(f"{t}_vecs"),
+            spark.table(f"{t}_params"), k=5,
+        )
+        out_a = probe("t_lsh_a")
+        assert topk_snap(out_a) == topk_snap(probe("t_lsh_f"))
+        # new vectors actually reachable: 388's nearest by construction
+        # includes itself only via the appended rows
+        assert any(r[1] >= 400 for r in topk_snap(out_a))
+        # appended files keep the exchange-free index sides (final AQE
+        # plan only — the executed plan prints Final + Initial copies)
+        plan = (
+            out_a._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+        assert plan.count("Exchange hashpartitioning(tkey") == 1, plan
+        assert plan.count("Exchange hashpartitioning(neighbor_id") == 1, plan
+        # re-ingest: the whole batch is already indexed -> no new rows
+        n_before = spark.table("t_lsh_a_vecs").count()
+        append_to_lsh_index(new_vecs, "t_lsh_a")
+        assert spark.table("t_lsh_a_vecs").count() == n_before == 500
+
+        # ---- PQ: append == full rebuild (ordered-prefix sample) ----
+        write_pq_index(
+            old_vecs, "t_pq_a", str(tmp_path / "pq_a"), sample_size=256,
+            n_buckets=8,
+        )
+        append_to_pq_index(new_vecs, "t_pq_a")
+        write_pq_index(
+            emb, "t_pq_f", str(tmp_path / "pq_f"), sample_size=256,
+            n_buckets=8,
+        )
+        pq_probe = lambda t: pq_topk_against_index(  # noqa: E731
+            queries, spark.table(t), spark.table(f"{t}_vecs"),
+            spark.table(f"{t}_books"), k=5,
+        )
+        assert topk_snap(pq_probe("t_pq_a")) == topk_snap(pq_probe("t_pq_f"))
+        # appended codes are byte-identical to rebuild-encoded ones
+        codes_a = {(r["neighbor_id"], bytes(r["code"]))
+                   for r in spark.table("t_pq_a").collect()}
+        codes_f = {(r["neighbor_id"], bytes(r["code"]))
+                   for r in spark.table("t_pq_f").collect()}
+        assert codes_a == codes_f and len(codes_a) == 500
+        n_before = spark.table("t_pq_a").count()
+        append_to_pq_index(new_vecs, "t_pq_a")
+        assert spark.table("t_pq_a").count() == n_before
+
+        # ---- IVF: append == union assigned under FROZEN centroids ----
+        path = str(tmp_path / "ivf_a")
+        centers = write_ivf_index(old_vecs, path, n_centroids=8, seed=42)
+        append_to_ivf_index(new_vecs, path)
+        # centroids untouched by the append
+        got_centers = sorted(
+            (r["centroid"], tuple(round(x, 9) for x in r["center"]))
+            for r in spark.read.parquet(f"{path}/centers").collect()
+        )
+        assert got_centers == sorted(
+            (i, tuple(round(x, 9) for x in c)) for i, c in enumerate(centers)
+        )
+        as_double = F.expr("transform(embedding, x -> cast(x as double))")
+        want_assign = sorted(
+            (r["neighbor_id"], r["category"])
+            for r in assign_categories(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    as_double.alias("scores"),
+                ),
+                centers,
+            ).collect()
+        )
+        got_assign = sorted(
+            (r["neighbor_id"], r["centroid"])
+            for r in spark.read.parquet(f"{path}/vectors")
+            .select("neighbor_id", "centroid").collect()
+        )
+        assert got_assign == want_assign and len(got_assign) == 500
+        occ = ivf_cell_occupancy(spark, path)
+        occ_rows = occ.collect()
+        assert sum(r["n_vectors"] for r in occ_rows) == 500
+        append_to_ivf_index(new_vecs, path)  # re-ingest: dropped
+        assert spark.read.parquet(f"{path}/vectors").count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for t in (
+            "t_lsh_a", "t_lsh_a_vecs", "t_lsh_a_params",
+            "t_lsh_f", "t_lsh_f_vecs", "t_lsh_f_params",
+            "t_pq_a", "t_pq_a_vecs", "t_pq_a_books",
+            "t_pq_f", "t_pq_f_vecs", "t_pq_f_books",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

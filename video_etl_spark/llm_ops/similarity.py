@@ -301,6 +301,79 @@ def lsh_topk_against_index(
     )
 
 
+def _fresh_only(
+    new: DataFrame, indexed_ids: DataFrame, id_col: str, assume_disjoint: bool
+) -> DataFrame:
+    """Drop batch vectors whose id is already in the index — a probe
+    re-rank joining duplicate neighbor rows would emit duplicate scored
+    rows and pollute the top-k ranks.  The anti-join's index side is an
+    id-only column-pruned scan; at full corpus scale a caller whose ids
+    are disjoint by construction (monotonic ingest cursors) skips it
+    with ``assume_disjoint=True``.  An id re-ingested with a DIFFERENT
+    vector is intentionally dropped too: the id is the identity, and
+    updating a vector means writing a new index generation."""
+    if assume_disjoint:
+        return new
+    return new.join(
+        indexed_ids.select(F.col("neighbor_id").alias(id_col)),
+        id_col,
+        "left_anti",
+    )
+
+
+def append_to_lsh_index(
+    new: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_disjoint: bool = False,
+) -> None:
+    """Append a vector batch to a persisted LSH index
+    (:func:`write_lsh_index`) — the maintenance operation that makes the
+    ANN indexes crawl-followable like the dedup indexes (write → append
+    → probe unchanged): new vectors are hashed with the PARAMS the index
+    was built with (read from ``{table}_params``, never caller-
+    resupplied) and appended to the bucket and vector tables WITH the
+    existing bucket spec, so every append stays a correctly-hashed
+    bucketed file set and probes keep their exchange-free index-side
+    scans (plan-asserted in tests).  Because the hyperplanes are
+    corpus-independent, probing after k appends is EXACTLY equivalent to
+    probing one index built over the union (differential-tested) — there
+    is no drift, and no compaction is ever semantically required (only
+    file-count hygiene, at which point a fresh ``write_lsh_index`` over
+    the accumulated vectors is the generation rotation).
+    """
+    from video_etl_spark.operators.io import append_bucketed
+    from video_etl_spark.session import ensure_executor_package
+
+    spark = new.sparkSession
+    ensure_executor_package(spark)
+    p = spark.table(f"{table}_params").collect()[0]
+    planes = _planes(p["n_tables"], p["n_planes"], p["dim"])
+    # localCheckpoint, not persist: the anti-join READS {table}_vecs and
+    # the second sink INSERTS into it — Spark's static self-insert check
+    # rejects a plan that reads its own target table, so the lineage
+    # must be truncated to the materialized batch (which also computes
+    # the anti-join once for the two sinks).  Batch-sized, maintenance-
+    # path only — never called per micro-batch.
+    fresh = _fresh_only(
+        new, spark.table(f"{table}_vecs"), id_col, assume_disjoint
+    ).localCheckpoint()
+    append_bucketed(_lsh_bucket_rows(fresh, planes, id_col, vec_col), table)
+    nd = f"transform({vec_col}, x -> cast(x as double))"
+    append_bucketed(
+        fresh.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(nd).alias("neighbor_vec"),
+            F.expr(
+                f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, "
+                "(s, v) -> s + v))"
+            ).alias("nrm"),
+        ),
+        f"{table}_vecs",
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -539,6 +612,81 @@ def ivf_topk_against_index(
     )
 
 
+def append_to_ivf_index(
+    new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_disjoint: bool = False,
+) -> None:
+    """Append a vector batch to a persisted inverted file
+    (:func:`write_ivf_index`): new vectors are assigned to the EXISTING
+    centroids (read from ``{path}/centers`` — never refit, so every
+    previously-written cell assignment stays valid and probes are
+    unchanged) and appended to their cell partitions.  Equivalent to an
+    index whose inverted file covers the union but whose centroids were
+    fit on the original corpus (differential-tested).
+
+    DRIFT CAVEAT — the honest difference from the LSH append: IVF
+    centroids are data-dependent.  Appends keep them frozen, so if the
+    embedding distribution drifts, new vectors crowd into few cells and
+    probe recall decays.  Monitor with :func:`ivf_cell_occupancy`; the
+    remedy is a new generation (fresh ``write_ivf_index`` over the
+    accumulated vectors), which is exactly the dedup-index
+    generation-rotation contract.
+    """
+    from video_etl_spark.control.categories import assign_categories
+    from video_etl_spark.session import ensure_executor_package
+
+    spark = new.sparkSession
+    ensure_executor_package(spark)
+    centers_rows = sorted(
+        spark.read.parquet(f"{path}/centers").collect(),
+        key=lambda r: r["centroid"],
+    )
+    centers = [list(r["center"]) for r in centers_rows]
+    as_double = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    new_d = new.select(
+        F.col(id_col).alias("neighbor_id"), as_double.alias("scores")
+    )
+    fresh = _fresh_only(
+        new_d,
+        spark.read.parquet(f"{path}/vectors"),
+        "neighbor_id",
+        assume_disjoint,
+    ).localCheckpoint()  # reads {path}/vectors, sink below appends to it
+    nrm = (
+        "sqrt(aggregate(transform(scores, x -> x * x), 0D, (s, v) -> s + v))"
+    )
+    (
+        assign_categories(fresh, centers)
+        .select(
+            "neighbor_id",
+            F.col("scores").alias("neighbor_vec"),
+            F.expr(nrm).alias("nrm"),
+            F.col("category").alias("centroid"),
+        )
+        .write.mode("append")
+        .partitionBy("centroid")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def ivf_cell_occupancy(spark, path: str) -> DataFrame:
+    """(centroid, n_vectors) cell sizes of a persisted inverted file —
+    the drift/skew readout for :func:`append_to_ivf_index` (the IVF twin
+    of ``dedup.band_occupancy``): a cell absorbing a disproportionate
+    share of appended vectors is the signal to rotate generations before
+    probe cost and recall degrade.  Reads only partition-pruned
+    metadata-cheap columns."""
+    return (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy("centroid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("centroid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the compressed-domain ANN path (third scale
 # route next to LSH and IVF).  The corpus is encoded once into m uint8
@@ -741,6 +889,40 @@ def pq_topk(
 # sidecar (plan-asserted in tests).
 
 
+def _pq_encode_frame(
+    df: DataFrame, books: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(neighbor_id, code) PQ encoding of ``df``'s vectors under the
+    given codebooks — the ONE encoder :func:`write_pq_index` and
+    :func:`append_to_pq_index` share, so appended codes are
+    byte-identical to what a write-time encode of the same vectors
+    would produce."""
+    m, _, dsub = books.shape
+    enc_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("code", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            sub = mat.reshape(len(mat), m, dsub)
+            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "code": [row.tobytes() for row in codes],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema=enc_schema)
+
+
 def write_pq_index(
     corpus: DataFrame,
     table: str,
@@ -777,33 +959,9 @@ def write_pq_index(
 
     sample = _normalize(_ordered_sample(corpus, id_col, vec_col, sample_size))
     books = _fit_pq_codebooks(sample, m=m, ksub=ksub, seed=seed)
-    dsub = sample.shape[1] // m
-
-    enc_schema = T.StructType(
-        [
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("code", T.BinaryType()),
-        ]
-    )
-
-    def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-            sub = mat.reshape(len(mat), m, dsub)
-            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-            codes = d2.argmin(axis=2).astype(np.uint8)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(),
-                    "code": [row.tobytes() for row in codes],
-                }
-            )
 
     (
-        corpus.select(id_col, vec_col)
-        .mapInPandas(encode, schema=enc_schema)
+        _pq_encode_frame(corpus, books, id_col, vec_col)
         .write.mode("overwrite")
         .option("path", f"{path}/codes")
         .saveAsTable(table)
@@ -949,6 +1107,66 @@ def pq_topk_against_index(
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def append_to_pq_index(
+    new: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_disjoint: bool = False,
+) -> None:
+    """Append a vector batch to a persisted PQ index
+    (:func:`write_pq_index`): new vectors are encoded with the EXISTING
+    codebooks (read from ``{table}_books`` — never refit, so previously
+    written codes stay comparable) through the same encoder the writer
+    used, and appended to the codes table and the bucketed re-rank
+    sidecar.  Probing after k appends equals probing one index whose
+    codes table covers the union under the original codebooks
+    (differential-tested — and because ``write_pq_index``'s codebook
+    sample is the ordered id-prefix, appending ids ABOVE the original
+    corpus's range reproduces a full rebuild bit-for-bit).
+
+    Same drift caveat as :func:`append_to_ivf_index`: codebooks are
+    data-dependent, so a drifting embedding distribution quantizes new
+    vectors poorly (rising reconstruction error, recall decay); the
+    remedy is a new generation over the accumulated vectors.
+    """
+    from video_etl_spark.operators.io import append_bucketed
+    from video_etl_spark.session import ensure_executor_package
+
+    spark = new.sparkSession
+    ensure_executor_package(spark)
+    book_rows = spark.table(f"{table}_books").collect()
+    m = 1 + max(r["subspace"] for r in book_rows)
+    ksub = 1 + max(r["code"] for r in book_rows)
+    books = np.empty((m, ksub, len(book_rows[0]["center"])))
+    for r in book_rows:
+        books[r["subspace"], r["code"]] = r["center"]
+
+    # localCheckpoint: the anti-join reads the codes table the first
+    # sink inserts into (self-insert check), and the batch feeds two
+    # sinks.  Maintenance path, never per micro-batch.
+    fresh = _fresh_only(
+        new, spark.table(table), id_col, assume_disjoint
+    ).localCheckpoint()
+    (
+        _pq_encode_frame(fresh, books, id_col, vec_col)
+        .write.mode("append")
+        .saveAsTable(table)
+    )
+    nd = f"transform({vec_col}, x -> cast(x as double))"
+    append_bucketed(
+        fresh.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(nd).alias("neighbor_vec"),
+            F.expr(
+                f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, "
+                "(s, v) -> s + v))"
+            ).alias("nrm"),
+        ),
+        f"{table}_vecs",
     )
 
 

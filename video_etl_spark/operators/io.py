@@ -141,6 +141,32 @@ def write_bucketed(
     )
 
 
+def append_bucketed(df: DataFrame, table: str) -> None:
+    """Append rows to an existing bucketed table written by
+    :func:`write_bucketed`, preserving its bucket spec (each append job
+    adds correctly-hashed files per bucket, so consumers keep their
+    exchange-free scans — verified by plan assertions in tests).  Spark
+    requires the matching spec to be RE-SUPPLIED on append (a spec-less
+    or mismatched append is rejected), so it is read from the catalog
+    here rather than trusted from the caller — the same
+    never-resupply-params discipline as the ANN index sidecars."""
+    spark = df.sparkSession
+    desc = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    info = {r["col_name"]: r["data_type"] for r in desc}
+    if "Num Buckets" not in info:
+        raise ValueError(
+            f"append_bucketed: {table!r} is not a bucketed table"
+        )
+    n_buckets = int(info["Num Buckets"])
+    cols = [c.strip("[]` ") for c in info["Bucket Columns"].split(",")]
+    (
+        df.write.mode("append")
+        .bucketBy(n_buckets, *cols)
+        .sortBy(*cols)
+        .saveAsTable(table)
+    )
+
+
 def write_orc_partitioned(
     df: DataFrame,
     path: str,
