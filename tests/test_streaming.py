@@ -2242,7 +2242,8 @@ def test_compact_stream_index_handoff(spark, tmp_path):
         with _pytest.raises(ValueError, match="empty index list"):
             incremental_dedup_against_index(probe, [])
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_stream_band")
+        for t in ("t_stream_band", "t_stream_band_watermark"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_compacted_mode_handler_survives_folded_partition_deletion(
@@ -2297,9 +2298,11 @@ def test_compacted_mode_handler_survives_folded_partition_deletion(
         # the switched-over stream deletes the folded raw partitions
         for bid in (0, 1):
             shutil.rmtree(f"{idx_dir}/batch_id={bid}")
+        # no compacted_upto: the handler reads the fold's persisted
+        # watermark sidecar instead of trusting a caller-remembered value
         handle = make_batch_handler(
             index_dir=idx_dir, dup_dir=dup_dir,
-            compacted_table="t_sw_band", compacted_upto=1,
+            compacted_table="t_sw_band",
         )
         handle(spark.createDataFrame(
             [(4, a)], "doc_id long, text string"), 2)
@@ -2323,7 +2326,8 @@ def test_compacted_mode_handler_survives_folded_partition_deletion(
         assert spark.read.parquet(dup_dir).where(
             "batch_id = 3").count() == 2
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_sw_band")
+        for t in ("t_sw_band", "t_sw_band_watermark"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_overlapping_tail_does_not_double_count(spark, tmp_path):
@@ -2364,7 +2368,8 @@ def test_overlapping_tail_does_not_double_count(spark, tmp_path):
         ).collect()
         assert [tuple(r) for r in got] == [(9, 1, 1)]
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_ov_band")
+        for t in ("t_ov_band", "t_ov_band_watermark"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_frame_stream_compaction_switchover(spark, tmp_path):
@@ -2417,10 +2422,14 @@ def test_frame_stream_compaction_switchover(spark, tmp_path):
         probe = phash_signatures(frames_of(
             [(9, "frame alpha"), (10, "frame delta"), (11, "frame nu")]
         ))
+        from video_etl_spark.streaming.dedup import compaction_watermark
+
+        wm = compaction_watermark(spark, "t_ph_gen")
+        assert wm == 1
         got_df = incremental_phash_against_index(
             probe,
             [spark.table("t_ph_gen"),
-             frame_tail_rows(spark, index_dir, after_batch_id=1)],
+             frame_tail_rows(spark, index_dir, after_batch_id=wm)],
         )
         got = sorted(map(tuple, got_df.collect()))
         hist = phash_signatures(frames_of(
@@ -2438,9 +2447,8 @@ def test_frame_stream_compaction_switchover(spark, tmp_path):
         for bid in (0, 1):
             shutil.rmtree(f"{index_dir}/batch_id={bid}")
         sw = make_frame_batch_handler(
-            index_dir, dup_dir,
-            compacted_table="t_ph_gen", compacted_upto=1,
-        )
+            index_dir, dup_dir, compacted_table="t_ph_gen",
+        )  # watermark read from the sidecar, not resupplied
         sw(frames_of([(21, "frame alpha"), (22, "frame delta")]), 3)
         d3 = sorted(
             tuple(r) for r in spark.read.parquet(dup_dir)
@@ -2461,4 +2469,5 @@ def test_frame_stream_compaction_switchover(spark, tmp_path):
         sw(frames_of([(31, "frame alpha")]), 4)
         assert spark.read.parquet(dup_dir).where("batch_id = 4").count() == 1
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_ph_gen")
+        for t in ("t_ph_gen", "t_ph_gen_watermark"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

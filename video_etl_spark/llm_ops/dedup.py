@@ -1167,15 +1167,15 @@ def band_candidates_against_rows(
     hits = None
     for f in frames:
         hist_rows = f.select(F.col(id_col).alias("old_doc"), "band_key")
-        h = (
-            new_rows.join(hist_rows, "band_key")
-            .select("new_rep", "old_doc")
-            .distinct()
-        )
+        h = new_rows.join(hist_rows, "band_key").select("new_rep", "old_doc")
         hits = h if hits is None else hits.unionByName(h)
-    if len(frames) > 1:
-        # thin pairs only — the cross-frame dedup shuffle is probe-sized
-        hits = hits.distinct()
+    # exactly ONE distinct over the (thin, probe-sized) pair union —
+    # it both collapses a doc's multiple band collisions and, in the
+    # multi-frame case, de-dups a doc visible through both sides of an
+    # overlapping compaction boundary; per-frame distincts before it
+    # would just shuffle the same pairs twice (distinct already
+    # partial-aggregates map-side)
+    hits = hits.distinct()
     per_rep = (
         hits
         .groupBy("new_rep")

@@ -591,12 +591,14 @@ def incremental_phash_against_index(
             .withColumn("hamming", _hamming4().cast("long"))
             .filter(F.col("hamming") <= max_hamming)
             .select("new_rep", "old_doc", "hamming")
-            .distinct()
         )
         hits = h if hits is None else hits.unionByName(h)
-    if len(frames) > 1:
-        # thin triples only — the cross-frame dedup shuffle is probe-sized
-        hits = hits.distinct()
+    # exactly ONE distinct over the (thin, probe-sized) triple union —
+    # collapses multi-chunk collisions AND cross-frame re-sightings of
+    # the same doc in one shuffle (per-frame distincts before it would
+    # shuffle the same triples twice; distinct partial-aggregates
+    # map-side, so the union is collapsed before the wire either way)
+    hits = hits.distinct()
     per_rep = (
         hits
         .groupBy("new_rep")

@@ -208,16 +208,8 @@ def write_lsh_index(
         ["tkey"],
         n_buckets,
     )
-    nd = f"transform({vec_col}, x -> cast(x as double))"
     write_bucketed(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.expr(nd).alias("neighbor_vec"),
-            F.expr(
-                f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, "
-                "(s, v) -> s + v))"
-            ).alias("nrm"),
-        ),
+        _vec_sidecar_rows(corpus, id_col, vec_col),
         f"{table}_vecs",
         f"{path}/vectors",
         ["neighbor_id"],
@@ -311,7 +303,15 @@ def _fresh_only(
     are disjoint by construction (monotonic ingest cursors) skips it
     with ``assume_disjoint=True``.  An id re-ingested with a DIFFERENT
     vector is intentionally dropped too: the id is the identity, and
-    updating a vector means writing a new index generation."""
+    updating a vector means writing a new index generation.
+
+    INTRA-batch duplicate ids are collapsed unconditionally (the
+    anti-join only sees the index — a fan-out upstream join or a
+    double-delivery within one batch would otherwise append duplicate
+    neighbor rows, the exact pollution this helper exists to prevent);
+    same-id rows are assumed to be re-deliveries of the same payload,
+    so which one survives is immaterial."""
+    new = new.dropDuplicates([id_col])
     if assume_disjoint:
         return new
     return new.join(
@@ -319,6 +319,43 @@ def _fresh_only(
         id_col,
         "left_anti",
     )
+
+
+def _vec_sidecar_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(neighbor_id, neighbor_vec, nrm) exact re-rank rows — THE one
+    definition of the vector-sidecar arithmetic (LSH/PQ writers and
+    their appends all go through here, so probe and append cos_sim
+    values cannot drift)."""
+    nd = f"transform({vec_col}, x -> cast(x as double))"
+    return df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(nd).alias("neighbor_vec"),
+        F.expr(
+            f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, "
+            "(s, v) -> s + v))"
+        ).alias("nrm"),
+    )
+
+
+def _read_centers(spark, path: str) -> list[list[float]]:
+    """The persisted IVF centers, ordered by centroid id — the one
+    reader probes and appends share."""
+    rows = sorted(
+        spark.read.parquet(f"{path}/centers").collect(),
+        key=lambda r: r["centroid"],
+    )
+    return [list(r["center"]) for r in rows]
+
+
+def _books_from_rows(book_rows) -> np.ndarray:
+    """Reassemble the (m, ksub, dsub) codebook array from the persisted
+    ``{table}_books`` rows — shared by the PQ probe and append."""
+    m = 1 + max(r["subspace"] for r in book_rows)
+    ksub = 1 + max(r["code"] for r in book_rows)
+    books = np.empty((m, ksub, len(book_rows[0]["center"])))
+    for r in book_rows:
+        books[r["subspace"], r["code"]] = r["center"]
+    return books
 
 
 def append_to_lsh_index(
@@ -350,28 +387,23 @@ def append_to_lsh_index(
     ensure_executor_package(spark)
     p = spark.table(f"{table}_params").collect()[0]
     planes = _planes(p["n_tables"], p["n_planes"], p["dim"])
-    # localCheckpoint, not persist: the anti-join READS {table}_vecs and
-    # the second sink INSERTS into it — Spark's static self-insert check
-    # rejects a plan that reads its own target table, so the lineage
-    # must be truncated to the materialized batch (which also computes
-    # the anti-join once for the two sinks).  Batch-sized, maintenance-
-    # path only — never called per micro-batch.
-    fresh = _fresh_only(
+    # PER-SINK idempotence: each sink appends the batch MINUS what that
+    # sink already holds, so a crash between the two appends retries to
+    # a self-healing no-op on the committed sink instead of duplicating
+    # it (anti-joining both sinks against just one table would either
+    # skip the missing sink or double the committed one).  localCheckpoint,
+    # not persist: each anti-join READS the table its sink INSERTS into,
+    # and Spark's static self-insert check rejects a plan that reads its
+    # own target — the lineage must be truncated to the materialized
+    # batch.  Maintenance path, never per micro-batch.
+    fresh_b = _fresh_only(
+        new, spark.table(table), id_col, assume_disjoint
+    ).localCheckpoint()
+    append_bucketed(_lsh_bucket_rows(fresh_b, planes, id_col, vec_col), table)
+    fresh_v = _fresh_only(
         new, spark.table(f"{table}_vecs"), id_col, assume_disjoint
     ).localCheckpoint()
-    append_bucketed(_lsh_bucket_rows(fresh, planes, id_col, vec_col), table)
-    nd = f"transform({vec_col}, x -> cast(x as double))"
-    append_bucketed(
-        fresh.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.expr(nd).alias("neighbor_vec"),
-            F.expr(
-                f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, "
-                "(s, v) -> s + v))"
-            ).alias("nrm"),
-        ),
-        f"{table}_vecs",
-    )
+    append_bucketed(_vec_sidecar_rows(fresh_v, id_col, vec_col), f"{table}_vecs")
 
 
 def ivf_topk(
@@ -549,11 +581,7 @@ def ivf_topk_against_index(
 
     ensure_executor_package(spark)
 
-    centers_rows = sorted(
-        spark.read.parquet(f"{path}/centers").collect(),
-        key=lambda r: r["centroid"],
-    )
-    centers = [list(r["center"]) for r in centers_rows]
+    centers = _read_centers(spark, path)
 
     as_double = F.expr(f"transform({vec_col}, x -> cast(x as double))")
     queries_d = queries.select(
@@ -640,11 +668,7 @@ def append_to_ivf_index(
 
     spark = new.sparkSession
     ensure_executor_package(spark)
-    centers_rows = sorted(
-        spark.read.parquet(f"{path}/centers").collect(),
-        key=lambda r: r["centroid"],
-    )
-    centers = [list(r["center"]) for r in centers_rows]
+    centers = _read_centers(spark, path)
     as_double = F.expr(f"transform({vec_col}, x -> cast(x as double))")
     new_d = new.select(
         F.col(id_col).alias("neighbor_id"), as_double.alias("scores")
@@ -655,6 +679,19 @@ def append_to_ivf_index(
         "neighbor_id",
         assume_disjoint,
     ).localCheckpoint()  # reads {path}/vectors, sink below appends to it
+    # a dim-mismatched batch must fail LOUDLY: assign_categories'
+    # zip_with null-pads mismatched arrays, every distance goes NULL,
+    # and the rows would land in the NULL default partition —
+    # permanently invisible to the probe's centroid.isin() pruning
+    # (LSH and PQ fail on the same mistake with shape errors; this is
+    # IVF's equivalent guard)
+    dim = len(centers[0])
+    if fresh.where(F.size("scores") != dim).limit(1).count():
+        raise ValueError(
+            f"append_to_ivf_index: batch contains vectors whose "
+            f"dimension differs from the index's centroids (dim={dim}); "
+            "they would be assigned centroid NULL and never probed"
+        )
     nrm = (
         "sqrt(aggregate(transform(scores, x -> x * x), 0D, (s, v) -> s + v))"
     )
@@ -966,16 +1003,8 @@ def write_pq_index(
         .option("path", f"{path}/codes")
         .saveAsTable(table)
     )
-    nd = f"transform({vec_col}, x -> cast(x as double))"
     write_bucketed(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.expr(nd).alias("neighbor_vec"),
-            F.expr(
-                f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, "
-                "(s, v) -> s + v))"
-            ).alias("nrm"),
-        ),
+        _vec_sidecar_rows(corpus, id_col, vec_col),
         f"{table}_vecs",
         f"{path}/vectors",
         ["neighbor_id"],
@@ -1021,13 +1050,8 @@ def pq_topk_against_index(
 
     ensure_executor_package(queries.sparkSession)
 
-    book_rows = books_df.collect()
-    m = 1 + max(r["subspace"] for r in book_rows)
-    ksub = 1 + max(r["code"] for r in book_rows)
-    books = np.empty((m, ksub, len(book_rows[0]["center"])))
-    for r in book_rows:
-        books[r["subspace"], r["code"]] = r["center"]
-    dsub = books.shape[2]
+    books = _books_from_rows(books_df.collect())
+    m, _, dsub = books.shape
 
     q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
     if len(q_rows) > max_queries:
@@ -1138,36 +1162,26 @@ def append_to_pq_index(
 
     spark = new.sparkSession
     ensure_executor_package(spark)
-    book_rows = spark.table(f"{table}_books").collect()
-    m = 1 + max(r["subspace"] for r in book_rows)
-    ksub = 1 + max(r["code"] for r in book_rows)
-    books = np.empty((m, ksub, len(book_rows[0]["center"])))
-    for r in book_rows:
-        books[r["subspace"], r["code"]] = r["center"]
+    books = _books_from_rows(spark.table(f"{table}_books").collect())
 
-    # localCheckpoint: the anti-join reads the codes table the first
-    # sink inserts into (self-insert check), and the batch feeds two
-    # sinks.  Maintenance path, never per micro-batch.
-    fresh = _fresh_only(
+    # PER-SINK idempotence + localCheckpoint: same contract as
+    # append_to_lsh_index — each sink appends the batch minus what THAT
+    # sink already holds (a crash between the appends retries to a
+    # self-healing no-op on the committed sink), and each anti-join
+    # reads its own sink's table, so the lineage must be truncated
+    # before inserting.  Maintenance path, never per micro-batch.
+    fresh_c = _fresh_only(
         new, spark.table(table), id_col, assume_disjoint
     ).localCheckpoint()
     (
-        _pq_encode_frame(fresh, books, id_col, vec_col)
+        _pq_encode_frame(fresh_c, books, id_col, vec_col)
         .write.mode("append")
         .saveAsTable(table)
     )
-    nd = f"transform({vec_col}, x -> cast(x as double))"
-    append_bucketed(
-        fresh.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.expr(nd).alias("neighbor_vec"),
-            F.expr(
-                f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, "
-                "(s, v) -> s + v))"
-            ).alias("nrm"),
-        ),
-        f"{table}_vecs",
-    )
+    fresh_v = _fresh_only(
+        new, spark.table(f"{table}_vecs"), id_col, assume_disjoint
+    ).localCheckpoint()
+    append_bucketed(_vec_sidecar_rows(fresh_v, id_col, vec_col), f"{table}_vecs")
 
 
 # ---------------------------------------------------------------------------

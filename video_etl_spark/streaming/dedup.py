@@ -41,22 +41,26 @@ def make_batch_handler(
     n_bands: int = 2,
     rows_per_band: int = 2,
     compacted_table: str | None = None,
-    compacted_upto: int = -1,
+    compacted_upto: int | None = None,
 ):
     """The per-micro-batch step of :func:`streaming_incremental_dedup`,
     exposed for direct testing (retry idempotence) and for embedding in a
     custom foreachBatch pipeline.
 
     After :func:`compact_stream_index` has folded raw partitions into a
-    bucketed generation, pass ``compacted_table`` + ``compacted_upto``
-    (the fold's INCLUSIVE watermark): the handler then probes
-    [compacted generation, raw tail] instead of the raw directory, so
-    folded partitions can actually be DELETED without the live stream
-    losing its history (and the small-file listing saving is realized by
-    the stream itself, not only by external probers).  Raw partitions at
-    or below the watermark are excluded from the tail even before
-    deletion, so a not-yet-deleted folded partition cannot double-count;
-    the tail keeps the ``batch_id < current`` retry guard."""
+    bucketed generation, pass ``compacted_table``: the handler then
+    probes [compacted generation, raw tail] instead of the raw
+    directory, so folded partitions can actually be DELETED without the
+    live stream losing its history (and the small-file listing saving is
+    realized by the stream itself, not only by external probers).  The
+    fold's INCLUSIVE watermark is read from the generation's own
+    ``{table}_watermark`` sidecar — never trusted from the caller, since
+    a too-high remembered value would silently exclude never-folded raw
+    partitions from the tail; ``compacted_upto`` exists only as an
+    explicit override for replay/testing.  Raw partitions at or below
+    the watermark are excluded from the tail even before deletion, so a
+    not-yet-deleted folded partition cannot double-count; the tail keeps
+    the ``batch_id < current`` retry guard."""
     from video_etl_spark.llm_ops.dedup import (
         band_candidates,
         band_candidates_against_rows,
@@ -71,6 +75,11 @@ def make_batch_handler(
         from pyspark.errors import AnalysisException
 
         if compacted_table is not None:
+            upto = (
+                compacted_upto
+                if compacted_upto is not None
+                else compaction_watermark(spark, compacted_table)
+            )
             frames = [spark.table(compacted_table).select("doc_id", "band_key")]
             try:
                 # batch_id < current: a RETRIED batch must not match its
@@ -78,7 +87,7 @@ def make_batch_handler(
                 frames.append(_stored_sig_rows(
                     spark,
                     index_dir,
-                    (F.col("batch_id") > F.lit(compacted_upto))
+                    (F.col("batch_id") > F.lit(upto))
                     & (F.col("batch_id") < F.lit(batch_id)),
                     n_bands,
                 ))
@@ -130,7 +139,7 @@ def streaming_incremental_dedup(
     exact_dedup_watermark: str | None = None,
     time_col: str = "event_time",
     compacted_table: str | None = None,
-    compacted_upto: int = -1,
+    compacted_upto: int | None = None,
 ):
     """Build the streaming dedup writer over a (doc_id, text, ...) stream.
 
@@ -158,6 +167,27 @@ def streaming_incremental_dedup(
             compacted_table, compacted_upto,
         )
     )
+
+
+def _write_watermark(spark, table: str, path: str, upto_batch_id: int) -> None:
+    """Persist the fold's INCLUSIVE watermark next to the generation
+    (``{table}_watermark``, one row) — the never-resupply-params
+    discipline: handlers and probers READ the boundary the compactor
+    actually wrote instead of trusting a caller-remembered value (a
+    too-high value would silently exclude never-folded raw partitions
+    from the tail — a permanent recall hole)."""
+    spark.createDataFrame(
+        [(upto_batch_id,)], "upto_batch_id long"
+    ).coalesce(1).write.mode("overwrite").option(
+        "path", f"{path}_watermark"
+    ).saveAsTable(f"{table}_watermark")
+
+
+def compaction_watermark(spark, table: str) -> int:
+    """The persisted INCLUSIVE fold watermark of a compacted stream
+    index (band or frame) — pass as ``after_batch_id`` to the tail
+    readers."""
+    return spark.table(f"{table}_watermark").collect()[0]["upto_batch_id"]
 
 
 def _stored_sig_rows(spark, index_dir: str, predicate, n_bands=None):
@@ -242,6 +272,7 @@ def compact_stream_index(
         ["band_key"],
         n_buckets,
     )
+    _write_watermark(spark, table, path, upto_batch_id)
 
 
 def stream_tail_rows(

@@ -36,20 +36,23 @@ def make_frame_batch_handler(
     dup_dir: str,
     max_hamming: int = 3,
     compacted_table: str | None = None,
-    compacted_upto: int = -1,
+    compacted_upto: int | None = None,
 ):
     """Per-micro-batch step of :func:`streaming_frame_dedup`, exposed for
     direct testing (retry idempotence) and custom pipelines.
 
     After :func:`compact_stream_frame_index` has folded raw partitions
-    into a bucketed generation, pass ``compacted_table`` +
-    ``compacted_upto`` (the fold's INCLUSIVE watermark): the handler
+    into a bucketed generation, pass ``compacted_table``: the handler
     then probes [compacted generation, raw tail] instead of the raw
     directory, so folded partitions can be DELETED without the live
-    stream losing its history.  Raw partitions at or below the
-    watermark are excluded from the tail even before deletion, so a
-    not-yet-deleted folded partition cannot double-count; the tail
-    keeps the ``batch_id < current`` retry guard."""
+    stream losing its history.  The fold's INCLUSIVE watermark is read
+    from the generation's ``{table}_watermark`` sidecar (see
+    ``streaming.dedup.compaction_watermark`` — never trusted from the
+    caller; ``compacted_upto`` is an explicit override for
+    replay/testing only).  Raw partitions at or below the watermark are
+    excluded from the tail even before deletion, so a not-yet-deleted
+    folded partition cannot double-count; the tail keeps the
+    ``batch_id < current`` retry guard."""
     from video_etl_spark.llm_ops.multimodal import (
         incremental_phash_against_index,
         incremental_phash_dedup,
@@ -63,12 +66,21 @@ def make_frame_batch_handler(
 
         try:
             if compacted_table is not None:
+                from video_etl_spark.streaming.dedup import (
+                    compaction_watermark,
+                )
+
+                upto = (
+                    compacted_upto
+                    if compacted_upto is not None
+                    else compaction_watermark(spark, compacted_table)
+                )
                 frames = [spark.table(compacted_table)]
                 try:
                     frames.append(_stored_index_rows(
                         spark,
                         index_dir,
-                        (F.col("batch_id") > F.lit(compacted_upto))
+                        (F.col("batch_id") > F.lit(upto))
                         & (F.col("batch_id") < F.lit(batch_id)),
                     ))
                 except AnalysisException:  # raw dir gone: fully folded
@@ -123,7 +135,7 @@ def streaming_frame_dedup(
     dup_dir: str,
     max_hamming: int = 3,
     compacted_table: str | None = None,
-    compacted_upto: int = -1,
+    compacted_upto: int | None = None,
 ):
     """Build the streaming frame-dedup writer over a (doc_id, payload,
     ...) stream.  Returns a ``DataStreamWriter`` — caller sets
@@ -196,6 +208,9 @@ def compact_stream_frame_index(
         ["ckey"],
         n_buckets,
     )
+    from video_etl_spark.streaming.dedup import _write_watermark
+
+    _write_watermark(spark, table, path, upto_batch_id)
 
 
 def frame_tail_rows(
