@@ -143,14 +143,77 @@ def main() -> None:
         )
         assert n == n_p, (n, n_p)
         results["pq"] = (t_direct, t_build, t_probe, n)
+
+        # --- append maintenance vs generation rebuild ----------------------
+        # the crawl-follow pattern: an index over 90 % of the corpus
+        # absorbs the other 10 % via append_to_*_index; the alternative
+        # is rebuilding the full index.  Probes must see the appended
+        # vectors (count re-checked against the full-index probes above).
+        from video_etl_spark.llm_ops.similarity import (
+            append_to_ivf_index,
+            append_to_lsh_index,
+            append_to_pq_index,
+        )
+
+        old_vecs = emb.filter(F.col("vec_id") % 10 != 0)
+        batch = emb.filter(F.col("vec_id") % 10 == 0)
+        print(f"\nappend economics: base={old_vecs.count()} vectors, "
+              f"batch={batch.count()}")
+        appends = {}
+
+        write_lsh_index(old_vecs, "econ_lsh_a", f"{IDX_DIR}/lsh_a")
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        append_to_lsh_index(batch, "econ_lsh_a")
+        t_app = time.perf_counter() - t0
+        n_a = force(lsh_topk_against_index(
+            queries, spark.table("econ_lsh_a"),
+            spark.table("econ_lsh_a_vecs"),
+            spark.table("econ_lsh_a_params"), k=10,
+        ))
+        assert n_a == results["lsh"][3], (n_a, results["lsh"][3])
+        appends["lsh"] = (t_app, results["lsh"][1])
+
+        write_ivf_index(old_vecs, f"{IDX_DIR}/ivf_a", n_centroids=8)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        append_to_ivf_index(batch, f"{IDX_DIR}/ivf_a")
+        t_app = time.perf_counter() - t0
+        force(ivf_topk_against_index(
+            spark, queries, f"{IDX_DIR}/ivf_a", k=10, n_probe=3
+        ))  # row count may differ from the full rebuild: frozen centroids
+        appends["ivf"] = (t_app, results["ivf"][1])
+
+        write_pq_index(old_vecs, "econ_pq_a", f"{IDX_DIR}/pq_a")
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        append_to_pq_index(batch, "econ_pq_a")
+        t_app = time.perf_counter() - t0
+        n_a = force(pq_topk_against_index(
+            queries, spark.table("econ_pq_a"),
+            spark.table("econ_pq_a_vecs"),
+            spark.table("econ_pq_a_books"), k=10,
+        ))
+        assert n_a == results["pq"][3], (n_a, results["pq"][3])
+        appends["pq"] = (t_app, results["pq"][1])
+
+        print(f"{'leg':<5} {'append':>8} {'rebuild':>8} {'ratio':>7}")
+        for leg, (a, b) in appends.items():
+            print(f"{leg:<5} {a:>7.2f}s {b:>7.2f}s {b / a:>6.1f}x")
     finally:
         for t in (
             "econ_lsh",
             "econ_lsh_vecs",
             "econ_lsh_params",
+            "econ_lsh_a",
+            "econ_lsh_a_vecs",
+            "econ_lsh_a_params",
             "econ_pq",
             "econ_pq_vecs",
             "econ_pq_books",
+            "econ_pq_a",
+            "econ_pq_a_vecs",
+            "econ_pq_a_books",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
