@@ -2325,6 +2325,39 @@ def test_compacted_mode_handler_survives_folded_partition_deletion(
             [(5, a), (6, b)], "doc_id long, text string"), 3)
         assert spark.read.parquet(dup_dir).where(
             "batch_id = 3").count() == 2
+        # explicit compacted_upto override (the replay/testing escape
+        # hatch), deliberately with the FALSY value 0: the tail then
+        # re-includes folded batch 1, which is also in the generation —
+        # results must stay identical via the probe's cross-frame dedup
+        # (and a `if compacted_upto:` truthiness refactor would break
+        # exactly this case)
+        ov = make_batch_handler(
+            index_dir=idx_dir, dup_dir=dup_dir,
+            compacted_table="t_sw_band", compacted_upto=0,
+        )
+        ov(spark.createDataFrame(
+            [(5, a), (6, b)], "doc_id long, text string"), 3)
+        d3b = sorted(
+            tuple(r) for r in spark.read.parquet(dup_dir)
+            .where("batch_id = 3")
+            .select("new_doc", "dup_of", "n_candidates").collect()
+        )
+        assert d3b == [(5, 1, 2), (6, 2, 2)], d3b
+        # pre-sidecar generation (or a write_band_index table used as
+        # one): missing watermark sidecar must fall back to -1 (full raw
+        # tail — correct via cross-frame dedup), not crash per batch
+        spark.sql("DROP TABLE IF EXISTS t_sw_band_watermark")
+        fb = make_batch_handler(
+            index_dir=idx_dir, dup_dir=dup_dir, compacted_table="t_sw_band",
+        )
+        fb(spark.createDataFrame(
+            [(5, a), (6, b)], "doc_id long, text string"), 3)
+        d3c = sorted(
+            tuple(r) for r in spark.read.parquet(dup_dir)
+            .where("batch_id = 3")
+            .select("new_doc", "dup_of", "n_candidates").collect()
+        )
+        assert d3c == [(5, 1, 2), (6, 2, 2)], d3c
     finally:
         for t in ("t_sw_band", "t_sw_band_watermark"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

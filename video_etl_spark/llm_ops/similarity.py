@@ -305,13 +305,13 @@ def _fresh_only(
     vector is intentionally dropped too: the id is the identity, and
     updating a vector means writing a new index generation.
 
-    INTRA-batch duplicate ids are collapsed unconditionally (the
-    anti-join only sees the index — a fan-out upstream join or a
-    double-delivery within one batch would otherwise append duplicate
-    neighbor rows, the exact pollution this helper exists to prevent);
-    same-id rows are assumed to be re-deliveries of the same payload,
-    so which one survives is immaterial."""
-    new = new.dropDuplicates([id_col])
+    Callers must hand this a batch WITHOUT intra-batch duplicate ids —
+    the appends collapse them with ONE materialized
+    ``dropDuplicates([id_col]).localCheckpoint()`` up front, so every
+    sink sees the SAME survivor row (dropDuplicates is
+    partition-order-dependent per execution; re-running it per sink
+    could hash payload A into the buckets/codes while storing payload
+    B's vector in the re-rank sidecar)."""
     if assume_disjoint:
         return new
     return new.join(
@@ -387,21 +387,22 @@ def append_to_lsh_index(
     ensure_executor_package(spark)
     p = spark.table(f"{table}_params").collect()[0]
     planes = _planes(p["n_tables"], p["n_planes"], p["dim"])
-    # PER-SINK idempotence: each sink appends the batch MINUS what that
-    # sink already holds, so a crash between the two appends retries to
-    # a self-healing no-op on the committed sink instead of duplicating
-    # it (anti-joining both sinks against just one table would either
-    # skip the missing sink or double the committed one).  localCheckpoint,
-    # not persist: each anti-join READS the table its sink INSERTS into,
-    # and Spark's static self-insert check rejects a plan that reads its
-    # own target — the lineage must be truncated to the materialized
-    # batch.  Maintenance path, never per micro-batch.
+    # Intra-batch duplicate ids are collapsed ONCE into a materialized
+    # batch so both sinks see the same survivor row (see _fresh_only).
+    # PER-SINK idempotence: each sink then appends that batch MINUS what
+    # the sink already holds, so a crash between the two appends retries
+    # to a self-healing no-op on the committed sink instead of
+    # duplicating it.  localCheckpoint, not persist: each anti-join
+    # READS the table its sink INSERTS into, and Spark's static
+    # self-insert check rejects a plan that reads its own target — the
+    # lineage must be truncated.  Maintenance path, never per micro-batch.
+    batch = new.dropDuplicates([id_col]).localCheckpoint()
     fresh_b = _fresh_only(
-        new, spark.table(table), id_col, assume_disjoint
+        batch, spark.table(table), id_col, assume_disjoint
     ).localCheckpoint()
     append_bucketed(_lsh_bucket_rows(fresh_b, planes, id_col, vec_col), table)
     fresh_v = _fresh_only(
-        new, spark.table(f"{table}_vecs"), id_col, assume_disjoint
+        batch, spark.table(f"{table}_vecs"), id_col, assume_disjoint
     ).localCheckpoint()
     append_bucketed(_vec_sidecar_rows(fresh_v, id_col, vec_col), f"{table}_vecs")
 
@@ -673,8 +674,10 @@ def append_to_ivf_index(
     new_d = new.select(
         F.col(id_col).alias("neighbor_id"), as_double.alias("scores")
     )
+    # single sink: the intra-batch dedup can ride the same plan (no
+    # cross-sink divergence risk — see _fresh_only)
     fresh = _fresh_only(
-        new_d,
+        new_d.dropDuplicates(["neighbor_id"]),
         spark.read.parquet(f"{path}/vectors"),
         "neighbor_id",
         assume_disjoint,
@@ -686,11 +689,18 @@ def append_to_ivf_index(
     # (LSH and PQ fail on the same mistake with shape errors; this is
     # IVF's equivalent guard)
     dim = len(centers[0])
-    if fresh.where(F.size("scores") != dim).limit(1).count():
+    # isNull checked explicitly: under ANSI semantics size(null) is null
+    # and (null != dim) filters the row OUT of the probe — letting a
+    # null vector slip through to the same invisible NULL partition
+    bad = fresh.where(
+        F.col("scores").isNull() | (F.size("scores") != dim)
+    )
+    if bad.limit(1).count():
         raise ValueError(
-            f"append_to_ivf_index: batch contains vectors whose "
-            f"dimension differs from the index's centroids (dim={dim}); "
-            "they would be assigned centroid NULL and never probed"
+            f"append_to_ivf_index: batch contains null vectors or "
+            f"vectors whose dimension differs from the index's "
+            f"centroids (dim={dim}); they would be assigned centroid "
+            "NULL and never probed"
         )
     nrm = (
         "sqrt(aggregate(transform(scores, x -> x * x), 0D, (s, v) -> s + v))"
@@ -1164,14 +1174,15 @@ def append_to_pq_index(
     ensure_executor_package(spark)
     books = _books_from_rows(spark.table(f"{table}_books").collect())
 
-    # PER-SINK idempotence + localCheckpoint: same contract as
-    # append_to_lsh_index — each sink appends the batch minus what THAT
-    # sink already holds (a crash between the appends retries to a
-    # self-healing no-op on the committed sink), and each anti-join
-    # reads its own sink's table, so the lineage must be truncated
-    # before inserting.  Maintenance path, never per micro-batch.
+    # Same discipline as append_to_lsh_index: ONE materialized
+    # dedup of the batch (both sinks must see the same survivor row),
+    # then PER-SINK anti-joins so a crash between the appends retries
+    # to a self-healing no-op on the committed sink; localCheckpoint
+    # truncates each self-inserting lineage.  Maintenance path, never
+    # per micro-batch.
+    batch = new.dropDuplicates([id_col]).localCheckpoint()
     fresh_c = _fresh_only(
-        new, spark.table(table), id_col, assume_disjoint
+        batch, spark.table(table), id_col, assume_disjoint
     ).localCheckpoint()
     (
         _pq_encode_frame(fresh_c, books, id_col, vec_col)
@@ -1179,7 +1190,7 @@ def append_to_pq_index(
         .saveAsTable(table)
     )
     fresh_v = _fresh_only(
-        new, spark.table(f"{table}_vecs"), id_col, assume_disjoint
+        batch, spark.table(f"{table}_vecs"), id_col, assume_disjoint
     ).localCheckpoint()
     append_bucketed(_vec_sidecar_rows(fresh_v, id_col, vec_col), f"{table}_vecs")
 

@@ -67,6 +67,13 @@ def make_batch_handler(
         minhash_band_signatures,
     )
 
+    # the watermark is fixed for the handler's lifetime (a new fold means
+    # re-creating the handler), so resolve it ONCE on first use instead of
+    # paying a catalog read + collect per micro-batch; missing sidecar
+    # (pre-sidecar generation / write_band_index table) falls back to -1 —
+    # tail spans all raw partitions, correct via cross-frame dedup
+    _upto: list[int | None] = [compacted_upto]
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sigs = minhash_band_signatures(
@@ -74,58 +81,64 @@ def make_batch_handler(
         ).persist()
         from pyspark.errors import AnalysisException
 
-        if compacted_table is not None:
-            upto = (
-                compacted_upto
-                if compacted_upto is not None
-                else compaction_watermark(spark, compacted_table)
-            )
-            frames = [spark.table(compacted_table).select("doc_id", "band_key")]
-            try:
-                # batch_id < current: a RETRIED batch must not match its
-                # own partially-written signatures from the failed attempt.
-                frames.append(_stored_sig_rows(
-                    spark,
-                    index_dir,
-                    (F.col("batch_id") > F.lit(upto))
-                    & (F.col("batch_id") < F.lit(batch_id)),
-                    n_bands,
-                ))
-            except AnalysisException:  # raw dir gone: fully folded
-                pass
-            dups = band_candidates_against_rows(sigs, frames, n_bands)
-        else:
-            try:
-                # batch_id < current: see retry note above.
-                hist = spark.read.parquet(index_dir).where(
-                    F.col("batch_id") < F.lit(batch_id)
+        try:
+            if compacted_table is not None:
+                if _upto[0] is None:
+                    _upto[0] = compaction_watermark(
+                        spark, compacted_table, default=-1
+                    )
+                frames = [
+                    spark.table(compacted_table).select("doc_id", "band_key")
+                ]
+                try:
+                    # batch_id < current: a RETRIED batch must not match
+                    # its own partially-written signatures from the
+                    # failed attempt.
+                    frames.append(_stored_sig_rows(
+                        spark,
+                        index_dir,
+                        (F.col("batch_id") > F.lit(_upto[0]))
+                        & (F.col("batch_id") < F.lit(batch_id)),
+                        n_bands,
+                    ))
+                except AnalysisException:  # raw dir gone: fully folded
+                    pass
+                dups = band_candidates_against_rows(sigs, frames, n_bands)
+            else:
+                try:
+                    # batch_id < current: see retry note above.
+                    hist = spark.read.parquet(index_dir).where(
+                        F.col("batch_id") < F.lit(batch_id)
+                    )
+                except AnalysisException:  # first batch: no index yet
+                    hist = None
+                # first batch: an EMPTY dup frame still writes, so
+                # dup_dir exists after any run (a one-batch stream
+                # previously left it missing and consumers reading it
+                # with an explicit schema hit PATH_NOT_FOUND)
+                dups = (
+                    band_candidates(sigs, hist, n_bands)
+                    if hist is not None
+                    else band_candidates(sigs, sigs.limit(0), n_bands)
                 )
-            except AnalysisException:  # first batch: no index yet
-                hist = None
-            # first batch: an EMPTY dup frame still writes, so dup_dir
-            # exists after any run (a one-batch stream previously left it
-            # missing and consumers reading it with an explicit schema hit
-            # PATH_NOT_FOUND)
-            dups = (
-                band_candidates(sigs, hist, n_bands)
-                if hist is not None
-                else band_candidates(sigs, sigs.limit(0), n_bands)
+            (
+                dups.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(dup_dir)
             )
-        (
-            dups.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(dup_dir)
-        )
-        (
-            sigs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(index_dir)
-        )
-        sigs.unpersist()
+            (
+                sigs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(index_dir)
+            )
+        finally:
+            # a failed sink write (or a missing-table raise) must not
+            # leak the cached signatures across engine-driven retries
+            sigs.unpersist()
 
     return handle
 
@@ -183,11 +196,21 @@ def _write_watermark(spark, table: str, path: str, upto_batch_id: int) -> None:
     ).saveAsTable(f"{table}_watermark")
 
 
-def compaction_watermark(spark, table: str) -> int:
+def compaction_watermark(spark, table: str, default: int | None = None) -> int:
     """The persisted INCLUSIVE fold watermark of a compacted stream
     index (band or frame) — pass as ``after_batch_id`` to the tail
-    readers."""
-    return spark.table(f"{table}_watermark").collect()[0]["upto_batch_id"]
+    readers.  ``default`` covers tables that predate the sidecar (or a
+    ``write_band_index`` table used as the generation): -1 makes the
+    tail span every raw partition, which stays CORRECT through the
+    probes' cross-frame dedup, just without the small-tail saving."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.table(f"{table}_watermark").collect()[0]["upto_batch_id"]
+    except AnalysisException:
+        if default is None:
+            raise
+        return default
 
 
 def _stored_sig_rows(spark, index_dir: str, predicate, n_bands=None):

@@ -58,6 +58,12 @@ def make_frame_batch_handler(
         incremental_phash_dedup,
         phash_signatures,
     )
+    from video_etl_spark.streaming.dedup import compaction_watermark
+
+    # fixed for the handler's lifetime — resolved once, not per batch
+    # (missing sidecar falls back to -1: full raw tail, correct via the
+    # probe's cross-frame dedup)
+    _upto: list[int | None] = [compacted_upto]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -66,21 +72,16 @@ def make_frame_batch_handler(
 
         try:
             if compacted_table is not None:
-                from video_etl_spark.streaming.dedup import (
-                    compaction_watermark,
-                )
-
-                upto = (
-                    compacted_upto
-                    if compacted_upto is not None
-                    else compaction_watermark(spark, compacted_table)
-                )
+                if _upto[0] is None:
+                    _upto[0] = compaction_watermark(
+                        spark, compacted_table, default=-1
+                    )
                 frames = [spark.table(compacted_table)]
                 try:
                     frames.append(_stored_index_rows(
                         spark,
                         index_dir,
-                        (F.col("batch_id") > F.lit(upto))
+                        (F.col("batch_id") > F.lit(_upto[0]))
                         & (F.col("batch_id") < F.lit(batch_id)),
                     ))
                 except AnalysisException:  # raw dir gone: fully folded
