@@ -123,13 +123,20 @@ def main() -> None:
             shutil.rmtree(f"{idx_dir}/batch_id={b}", ignore_errors=True)
         shutil.rmtree(f"{idx_dir}/batch_id={args.batches}",
                       ignore_errors=True)  # raw-mode probe's own append
+        # the raw run's dup partition must go BEFORE the compacted run:
+        # dynamic overwrite of an EMPTY result writes no files, so a
+        # broken switchover producing 0 candidates would re-read the raw
+        # run's stale 570 rows and the consistency check below would
+        # pass vacuously
+        shutil.rmtree(f"{work}/dups/batch_id={args.batches}",
+                      ignore_errors=True)
         sw_handler = make_batch_handler(
             idx_dir, f"{work}/dups", compacted_table="sce_band_gen",
         )
         t_sw, n_sw = run(sw_handler, args.batches)
         print(f"compacted-mode handler: {t_sw:6.1f}s "
               f"({n_sw} dup candidates)")
-        if n_sw != n_raw:
+        if n_sw != n_raw or n_sw == 0:
             raise RuntimeError(
                 f"switchover changed the dedup verdicts: {n_raw} -> {n_sw}"
             )

@@ -2295,9 +2295,14 @@ def test_compacted_mode_handler_survives_folded_partition_deletion(
             spark, idx_dir, "t_sw_band", str(tmp_path / "gen0"),
             upto_batch_id=1, n_buckets=4,
         )
-        # the switched-over stream deletes the folded raw partitions
-        for bid in (0, 1):
-            shutil.rmtree(f"{idx_dir}/batch_id={bid}")
+        # the switched-over stream deletes folded raw partition 0 but —
+        # deliberately — NOT partition 1: a folded-but-undeleted
+        # partition must not double-count behind the sidecar watermark,
+        # and the override/fallback scenarios below need a REAL
+        # generation/tail overlap to prove the cross-frame dedup (with
+        # both partitions gone their assertions would pass even if the
+        # probe double-counted)
+        shutil.rmtree(f"{idx_dir}/batch_id=0")
         # no compacted_upto: the handler reads the fold's persisted
         # watermark sidecar instead of trusting a caller-remembered value
         handle = make_batch_handler(

@@ -397,12 +397,16 @@ def append_to_lsh_index(
     # self-insert check rejects a plan that reads its own target — the
     # lineage must be truncated.  Maintenance path, never per micro-batch.
     batch = new.dropDuplicates([id_col]).localCheckpoint()
-    fresh_b = _fresh_only(
-        batch, spark.table(table), id_col, assume_disjoint
+    # assume_disjoint: the checkpointed batch IS the fresh set — no
+    # anti-join ran, so no self-insert lineage and nothing new to
+    # materialize (re-checkpointing it per sink would scan-and-store
+    # the same blocks two more times)
+    fresh_b = batch if assume_disjoint else _fresh_only(
+        batch, spark.table(table), id_col, False
     ).localCheckpoint()
     append_bucketed(_lsh_bucket_rows(fresh_b, planes, id_col, vec_col), table)
-    fresh_v = _fresh_only(
-        batch, spark.table(f"{table}_vecs"), id_col, assume_disjoint
+    fresh_v = batch if assume_disjoint else _fresh_only(
+        batch, spark.table(f"{table}_vecs"), id_col, False
     ).localCheckpoint()
     append_bucketed(_vec_sidecar_rows(fresh_v, id_col, vec_col), f"{table}_vecs")
 
@@ -689,18 +693,22 @@ def append_to_ivf_index(
     # (LSH and PQ fail on the same mistake with shape errors; this is
     # IVF's equivalent guard)
     dim = len(centers[0])
-    # isNull checked explicitly: under ANSI semantics size(null) is null
-    # and (null != dim) filters the row OUT of the probe — letting a
-    # null vector slip through to the same invisible NULL partition
+    # isNull/exists checked explicitly: under ANSI semantics size(null)
+    # is null and (null != dim) filters the row OUT of the probe, and a
+    # right-LENGTH vector with one null ELEMENT also nulls every
+    # distance — either way the row would slip into the invisible NULL
+    # partition this guard exists to refuse
     bad = fresh.where(
-        F.col("scores").isNull() | (F.size("scores") != dim)
+        F.col("scores").isNull()
+        | (F.size("scores") != dim)
+        | F.exists("scores", lambda x: x.isNull())
     )
     if bad.limit(1).count():
         raise ValueError(
-            f"append_to_ivf_index: batch contains null vectors or "
-            f"vectors whose dimension differs from the index's "
-            f"centroids (dim={dim}); they would be assigned centroid "
-            "NULL and never probed"
+            f"append_to_ivf_index: batch contains null vectors, vectors "
+            f"with null elements, or vectors whose dimension differs "
+            f"from the index's centroids (dim={dim}); they would be "
+            "assigned centroid NULL and never probed"
         )
     nrm = (
         "sqrt(aggregate(transform(scores, x -> x * x), 0D, (s, v) -> s + v))"
@@ -1181,16 +1189,17 @@ def append_to_pq_index(
     # truncates each self-inserting lineage.  Maintenance path, never
     # per micro-batch.
     batch = new.dropDuplicates([id_col]).localCheckpoint()
-    fresh_c = _fresh_only(
-        batch, spark.table(table), id_col, assume_disjoint
+    # assume_disjoint short-circuit: see append_to_lsh_index
+    fresh_c = batch if assume_disjoint else _fresh_only(
+        batch, spark.table(table), id_col, False
     ).localCheckpoint()
     (
         _pq_encode_frame(fresh_c, books, id_col, vec_col)
         .write.mode("append")
         .saveAsTable(table)
     )
-    fresh_v = _fresh_only(
-        batch, spark.table(f"{table}_vecs"), id_col, assume_disjoint
+    fresh_v = batch if assume_disjoint else _fresh_only(
+        batch, spark.table(f"{table}_vecs"), id_col, False
     ).localCheckpoint()
     append_bucketed(_vec_sidecar_rows(fresh_v, id_col, vec_col), f"{table}_vecs")
 

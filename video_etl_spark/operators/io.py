@@ -125,6 +125,7 @@ def write_bucketed(
     path: str,
     bucket_cols: list[str],
     n_buckets: int = 8,
+    files_per_bucket: int = 1,
 ) -> None:
     """Bucketed external table (SURVEY §7.2 step 7 / build brief
     "bucketing for co-located joins"): pre-shuffles data into
@@ -138,12 +139,23 @@ def write_bucketed(
     (n_tasks × n_buckets files — measured 1 600 files for a 32-bucket
     index at ~sf1), because bucket assignment and shuffle partitioning
     use the same Murmur3 hash but the input tasks each hold rows of
-    every bucket.  Aligning the shuffle with the bucket hash first means
-    each task holds exactly one bucket → exactly ``n_buckets`` files,
-    and every later scan pays file-listing proportional to the bucket
-    count, not to the writing job's parallelism."""
+    every bucket.  Repartitioning to ``files_per_bucket × n_buckets``
+    first puts each bucket's rows in exactly ``files_per_bucket``
+    partitions (partition p holds only bucket p % n_buckets), so the
+    file count is chosen, not an accident of the writing job's
+    parallelism.
+
+    ``files_per_bucket`` is ALSO the write-stage parallelism dial: the
+    default 1 caps the sort-and-write at ``n_buckets`` tasks — right for
+    indexes and local runs, a straggler/OOM cliff for a huge fact table
+    on a 1000-executor cluster, where the move is ``files_per_bucket ≈
+    executors / n_buckets`` (or simply more buckets) so every executor
+    writes while file counts stay bounded at files_per_bucket per
+    bucket."""
     (
-        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        df.repartition(
+            files_per_bucket * n_buckets, *[F.col(c) for c in bucket_cols]
+        )
         .write.mode("overwrite")
         .option("path", path)
         .bucketBy(n_buckets, *bucket_cols)
@@ -152,7 +164,9 @@ def write_bucketed(
     )
 
 
-def append_bucketed(df: DataFrame, table: str) -> None:
+def append_bucketed(
+    df: DataFrame, table: str, files_per_bucket: int = 1
+) -> None:
     """Append rows to an existing bucketed table written by
     :func:`write_bucketed`, preserving its bucket spec (each append job
     adds correctly-hashed files per bucket, so consumers keep their
@@ -171,9 +185,11 @@ def append_bucketed(df: DataFrame, table: str) -> None:
     n_buckets = int(info["Num Buckets"])
     cols = [c.strip("[]` ") for c in info["Bucket Columns"].split(",")]
     (
-        # same small-file guard as write_bucketed: one file per bucket
-        # per append, not one per task per bucket
-        df.repartition(n_buckets, *[F.col(c) for c in cols])
+        # same small-file guard + parallelism dial as write_bucketed:
+        # files_per_bucket files per bucket per append, not one per task
+        df.repartition(
+            files_per_bucket * n_buckets, *[F.col(c) for c in cols]
+        )
         .write.mode("append")
         .bucketBy(n_buckets, *cols)
         .sortBy(*cols)

@@ -83,10 +83,19 @@ def make_batch_handler(
 
         try:
             if compacted_table is not None:
-                if _upto[0] is None:
-                    _upto[0] = compaction_watermark(
-                        spark, compacted_table, default=-1
-                    )
+                upto = _upto[0]
+                if upto is None:
+                    try:
+                        # memoize ONLY a successful read: caching the -1
+                        # fallback would freeze a transiently-failing (or
+                        # just-being-created) sidecar into full-tail mode
+                        # for the stream's whole lifetime, silently losing
+                        # the compaction saving
+                        upto = _upto[0] = compaction_watermark(
+                            spark, compacted_table
+                        )
+                    except AnalysisException:
+                        upto = -1  # this batch only; retried next batch
                 frames = [
                     spark.table(compacted_table).select("doc_id", "band_key")
                 ]
@@ -97,7 +106,7 @@ def make_batch_handler(
                     frames.append(_stored_sig_rows(
                         spark,
                         index_dir,
-                        (F.col("batch_id") > F.lit(_upto[0]))
+                        (F.col("batch_id") > F.lit(upto))
                         & (F.col("batch_id") < F.lit(batch_id)),
                         n_bands,
                     ))

@@ -72,16 +72,23 @@ def make_frame_batch_handler(
 
         try:
             if compacted_table is not None:
-                if _upto[0] is None:
-                    _upto[0] = compaction_watermark(
-                        spark, compacted_table, default=-1
-                    )
+                upto = _upto[0]
+                if upto is None:
+                    try:
+                        # memoize ONLY a successful read (see the band
+                        # handler): a cached -1 fallback would silently
+                        # freeze full-tail mode for the stream's lifetime
+                        upto = _upto[0] = compaction_watermark(
+                            spark, compacted_table
+                        )
+                    except AnalysisException:
+                        upto = -1  # this batch only; retried next batch
                 frames = [spark.table(compacted_table)]
                 try:
                     frames.append(_stored_index_rows(
                         spark,
                         index_dir,
-                        (F.col("batch_id") > F.lit(_upto[0]))
+                        (F.col("batch_id") > F.lit(upto))
                         & (F.col("batch_id") < F.lit(batch_id)),
                     ))
                 except AnalysisException:  # raw dir gone: fully folded
