@@ -95,15 +95,24 @@ def main() -> None:
               f"({raw_files} files); probe batch={n_batch} docs")
 
         def run(handler, bid):
+            from pyspark.errors import AnalysisException
+
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             handler(batch, bid)
             dt = time.perf_counter() - t0
-            n = (
-                spark.read.parquet(f"{work}/dups")
-                .where(f"batch_id = {bid}")
-                .count()
-            )
+            try:
+                n = (
+                    spark.read.parquet(f"{work}/dups")
+                    .where(f"batch_id = {bid}")
+                    .count()
+                )
+            except AnalysisException:
+                # an EMPTY dup result writes no files (dynamic
+                # overwrite), and with the stale partition deleted the
+                # dir has nothing to infer a schema from — that IS the
+                # broken-switchover signal, reported as 0 below
+                n = 0
             return dt, n
 
         raw_handler = make_batch_handler(idx_dir, f"{work}/dups")
@@ -138,7 +147,8 @@ def main() -> None:
               f"({n_sw} dup candidates)")
         if n_sw != n_raw or n_sw == 0:
             raise RuntimeError(
-                f"switchover changed the dedup verdicts: {n_raw} -> {n_sw}"
+                "broken switchover: compacted-mode handler flagged "
+                f"{n_sw} candidates where raw mode flagged {n_raw}"
             )
         be = t_compact / max(t_raw - t_sw, 1e-9)
         print(f"compaction: {t_compact:.1f}s once, {raw_files} raw files "

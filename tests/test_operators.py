@@ -878,3 +878,51 @@ def test_norm_storage_uri_and_generation_guard():
     # disjoint paths and disjoint storages pass
     assert_new_generation("/tmp/g1", ["file:/tmp/g0/part-0.parquet"], "x")
     assert_new_generation("hdfs://nn1/x", ["hdfs://nn2/x/part-0"], "x")
+
+
+def test_write_bucketed_files_per_bucket_dial(spark, tmp_path):
+    """files_per_bucket trades file count for write parallelism without
+    losing the bucketing contract: k×n_buckets files land (partition p
+    of the aligned shuffle holds only bucket p % n_buckets), appends add
+    at most k files per bucket, and consumers keep the exchange-free
+    bucketed scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.operators.io import append_bucketed, write_bucketed
+
+    def n_files(root):
+        return sum(
+            1 for _, _, fs in os.walk(root)
+            for f in fs if f.endswith(".parquet")
+        )
+
+    df = spark.range(0, 20000).select(
+        F.col("id"), (F.col("id") % 997).cast("string").alias("k")
+    )
+    try:
+        write_bucketed(
+            df, "t_fpb", str(tmp_path / "fpb"), ["k"], n_buckets=8,
+            files_per_bucket=2,
+        )
+        assert n_files(str(tmp_path / "fpb")) == 16
+        append_bucketed(
+            spark.range(20000, 40000).select(
+                F.col("id"), (F.col("id") % 997).cast("string").alias("k")
+            ),
+            "t_fpb",
+            files_per_bucket=2,
+        )
+        assert n_files(str(tmp_path / "fpb")) == 32
+        t = spark.table("t_fpb")
+        assert t.count() == 40000
+        agg = t.groupBy("k").count()
+        agg.count()
+        plan = (
+            agg._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fpb")

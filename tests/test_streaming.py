@@ -2250,15 +2250,17 @@ def test_compacted_mode_handler_survives_folded_partition_deletion(
     spark, tmp_path
 ):
     """The live stream must be able to SWITCH OVER to the compacted
-    generation: after folding batches 0..1 and DELETING their raw
-    partitions, a handler re-created with compacted_table/compacted_upto
-    still flags a near-dup of a batch-0 doc (the raw-dir-only handler
-    would silently lose all folded history), keeps the retry guard (its
-    own partial partition is above the watermark but excluded by
-    batch_id < current), and appends its signatures so later batches see
-    it.  Also pins the two loud-failure contracts: folding with a wrong
-    n_bands raises instead of dropping bands, and compacting INTO the
-    raw directory is refused."""
+    generation: after folding batches 0..1 and deleting raw partition 0
+    (partition 1 deliberately stays on disk — folded-but-undeleted, so
+    the override/fallback scenarios exercise a REAL generation/tail
+    overlap), a handler re-created with compacted_table still flags a
+    near-dup of a batch-0 doc (the raw-dir-only handler would silently
+    lose all folded history), keeps the retry guard (its own partial
+    partition is above the watermark but excluded by batch_id <
+    current), and appends its signatures so later batches see it.  Also
+    pins: wrong-n_bands and in-place-fold refusals, the explicit
+    compacted_upto override (falsy 0), and the missing-sidecar -1
+    fallback."""
     import shutil
 
     import pytest

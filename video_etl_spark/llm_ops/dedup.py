@@ -750,6 +750,7 @@ def write_simhash_index(
     path: str,
     n_buckets: int = 32,
     text_col: str = "text",
+    files_per_bucket: int = 1,
 ) -> None:
     """Persist the corpus SimHash index as a bucketed external table on
     ``ckey``."""
@@ -761,6 +762,7 @@ def write_simhash_index(
         path,
         ["ckey"],
         n_buckets,
+        files_per_bucket,
     )
 
 
@@ -830,7 +832,8 @@ def incremental_simhash_against_index(
 
 
 def write_fingerprint_index(
-    fps: DataFrame, table: str, path: str, n_buckets: int = 32
+    fps: DataFrame, table: str, path: str, n_buckets: int = 32,
+    files_per_bucket: int = 1,
 ) -> None:
     """Persist (doc_id, fingerprint) winnowing fingerprints (the output
     of ``queries.text._winnowing_fps``/equivalent) as a bucketed external
@@ -843,6 +846,7 @@ def write_fingerprint_index(
         path,
         ["fingerprint"],
         n_buckets,
+        files_per_bucket,
     )
 
 
@@ -1110,6 +1114,7 @@ def write_band_index(
     rows_per_band: int = 2,
     n_buckets: int = 32,
     id_col: str = "doc_id",
+    files_per_bucket: int = 1,
 ) -> None:
     """Persist the corpus band index as a bucketed external table on
     ``band_key`` (via ``operators.io.write_bucketed``)."""
@@ -1121,6 +1126,7 @@ def write_band_index(
         path,
         ["band_key"],
         n_buckets,
+        files_per_bucket,
     )
 
 
@@ -1369,6 +1375,7 @@ def write_component_index(
     n_buckets: int = 32,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    files_per_bucket: int = 1,
 ) -> None:
     """Persist the duplicate-cluster labeling as a BUCKETED external table
     keyed on the doc id: (doc_id, component, is_canonical).
@@ -1394,7 +1401,8 @@ def write_component_index(
     )
     from video_etl_spark.operators.io import write_bucketed
 
-    write_bucketed(flagged, table, path, [id_col], n_buckets)
+    write_bucketed(flagged, table, path, [id_col], n_buckets,
+                   files_per_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -1648,6 +1656,7 @@ def compact_component_index(
     table: str,
     path: str,
     n_buckets: int = 32,
+    files_per_bucket: int = 1,
 ) -> None:
     """Fold incremental label appends + the merge LEDGER into a fresh
     bucketed component-index snapshot — the third operation of the index
@@ -1700,4 +1709,5 @@ def compact_component_index(
         "component",
         (F.col("component") == F.col("doc_id")).alias("is_canonical"),
     )
-    write_bucketed(flagged, table, path, ["doc_id"], n_buckets)
+    write_bucketed(flagged, table, path, ["doc_id"], n_buckets,
+                   files_per_bucket)

@@ -524,13 +524,15 @@ def phash_index_rows(sigs: DataFrame) -> DataFrame:
 
 
 def write_phash_index(
-    sigs: DataFrame, table: str, path: str, n_buckets: int = 32
+    sigs: DataFrame, table: str, path: str, n_buckets: int = 32,
+    files_per_bucket: int = 1,
 ) -> None:
     """Persist the corpus frame-signature index as a bucketed external
     table on ``ckey``."""
     from video_etl_spark.operators.io import write_bucketed
 
-    write_bucketed(phash_index_rows(sigs), table, path, ["ckey"], n_buckets)
+    write_bucketed(phash_index_rows(sigs), table, path, ["ckey"],
+                   n_buckets, files_per_bucket)
 
 
 def incremental_phash_against_index(

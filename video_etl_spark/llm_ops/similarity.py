@@ -183,6 +183,7 @@ def write_lsh_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_bucket: int = 1,
 ) -> None:
     """Persist the corpus LSH bucket table (+ vector sidecar with
     precomputed norms) as bucketed external tables; the hyperplanes are
@@ -207,6 +208,7 @@ def write_lsh_index(
         f"{path}/buckets",
         ["tkey"],
         n_buckets,
+        files_per_bucket,
     )
     write_bucketed(
         _vec_sidecar_rows(corpus, id_col, vec_col),
@@ -214,6 +216,7 @@ def write_lsh_index(
         f"{path}/vectors",
         ["neighbor_id"],
         n_buckets,
+        files_per_bucket,
     )
     spark.createDataFrame(
         [(n_tables, n_planes, dim)],
@@ -321,6 +324,20 @@ def _fresh_only(
     )
 
 
+def _fresh_checkpointed(
+    batch: DataFrame, indexed_ids: DataFrame, id_col: str, assume_disjoint: bool
+) -> DataFrame:
+    """Per-sink fresh set for a multi-sink append: ``batch`` (already
+    dedup'd + checkpointed) minus what this sink's table already holds,
+    lineage-truncated because the sink INSERTS into the table the
+    anti-join reads (static self-insert check).  Under
+    ``assume_disjoint`` the checkpointed batch IS the fresh set — no
+    anti-join ran, nothing new to materialize."""
+    if assume_disjoint:
+        return batch
+    return _fresh_only(batch, indexed_ids, id_col, False).localCheckpoint()
+
+
 def _vec_sidecar_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(neighbor_id, neighbor_vec, nrm) exact re-rank rows — THE one
     definition of the vector-sidecar arithmetic (LSH/PQ writers and
@@ -364,6 +381,7 @@ def append_to_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assume_disjoint: bool = False,
+    files_per_bucket: int = 1,
 ) -> None:
     """Append a vector batch to a persisted LSH index
     (:func:`write_lsh_index`) — the maintenance operation that makes the
@@ -397,18 +415,22 @@ def append_to_lsh_index(
     # self-insert check rejects a plan that reads its own target — the
     # lineage must be truncated.  Maintenance path, never per micro-batch.
     batch = new.dropDuplicates([id_col]).localCheckpoint()
-    # assume_disjoint: the checkpointed batch IS the fresh set — no
-    # anti-join ran, so no self-insert lineage and nothing new to
-    # materialize (re-checkpointing it per sink would scan-and-store
-    # the same blocks two more times)
-    fresh_b = batch if assume_disjoint else _fresh_only(
-        batch, spark.table(table), id_col, False
-    ).localCheckpoint()
-    append_bucketed(_lsh_bucket_rows(fresh_b, planes, id_col, vec_col), table)
-    fresh_v = batch if assume_disjoint else _fresh_only(
-        batch, spark.table(f"{table}_vecs"), id_col, False
-    ).localCheckpoint()
-    append_bucketed(_vec_sidecar_rows(fresh_v, id_col, vec_col), f"{table}_vecs")
+    fresh_b = _fresh_checkpointed(
+        batch, spark.table(table), id_col, assume_disjoint
+    )
+    append_bucketed(
+        _lsh_bucket_rows(fresh_b, planes, id_col, vec_col),
+        table,
+        files_per_bucket,
+    )
+    fresh_v = _fresh_checkpointed(
+        batch, spark.table(f"{table}_vecs"), id_col, assume_disjoint
+    )
+    append_bucketed(
+        _vec_sidecar_rows(fresh_v, id_col, vec_col),
+        f"{table}_vecs",
+        files_per_bucket,
+    )
 
 
 def ivf_topk(
@@ -989,6 +1011,7 @@ def write_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    files_per_bucket: int = 1,
 ) -> None:
     """Fit codebooks on a bounded sample, encode the corpus ONCE in a
     distributed Arrow map, and persist codes + re-rank sidecar + codebooks.
@@ -1027,6 +1050,7 @@ def write_pq_index(
         f"{path}/vectors",
         ["neighbor_id"],
         n_buckets,
+        files_per_bucket,
     )
     spark.createDataFrame(
         [
@@ -1158,6 +1182,7 @@ def append_to_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assume_disjoint: bool = False,
+    files_per_bucket: int = 1,
 ) -> None:
     """Append a vector batch to a persisted PQ index
     (:func:`write_pq_index`): new vectors are encoded with the EXISTING
@@ -1189,19 +1214,22 @@ def append_to_pq_index(
     # truncates each self-inserting lineage.  Maintenance path, never
     # per micro-batch.
     batch = new.dropDuplicates([id_col]).localCheckpoint()
-    # assume_disjoint short-circuit: see append_to_lsh_index
-    fresh_c = batch if assume_disjoint else _fresh_only(
-        batch, spark.table(table), id_col, False
-    ).localCheckpoint()
+    fresh_c = _fresh_checkpointed(
+        batch, spark.table(table), id_col, assume_disjoint
+    )
     (
         _pq_encode_frame(fresh_c, books, id_col, vec_col)
         .write.mode("append")
         .saveAsTable(table)
     )
-    fresh_v = batch if assume_disjoint else _fresh_only(
-        batch, spark.table(f"{table}_vecs"), id_col, False
-    ).localCheckpoint()
-    append_bucketed(_vec_sidecar_rows(fresh_v, id_col, vec_col), f"{table}_vecs")
+    fresh_v = _fresh_checkpointed(
+        batch, spark.table(f"{table}_vecs"), id_col, assume_disjoint
+    )
+    append_bucketed(
+        _vec_sidecar_rows(fresh_v, id_col, vec_col),
+        f"{table}_vecs",
+        files_per_bucket,
+    )
 
 
 # ---------------------------------------------------------------------------

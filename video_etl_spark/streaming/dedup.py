@@ -68,10 +68,8 @@ def make_batch_handler(
     )
 
     # the watermark is fixed for the handler's lifetime (a new fold means
-    # re-creating the handler), so resolve it ONCE on first use instead of
-    # paying a catalog read + collect per micro-batch; missing sidecar
-    # (pre-sidecar generation / write_band_index table) falls back to -1 —
-    # tail spans all raw partitions, correct via cross-frame dedup
+    # re-creating the handler) — resolution + memoization semantics in
+    # _resolve_upto
     _upto: list[int | None] = [compacted_upto]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -83,19 +81,7 @@ def make_batch_handler(
 
         try:
             if compacted_table is not None:
-                upto = _upto[0]
-                if upto is None:
-                    try:
-                        # memoize ONLY a successful read: caching the -1
-                        # fallback would freeze a transiently-failing (or
-                        # just-being-created) sidecar into full-tail mode
-                        # for the stream's whole lifetime, silently losing
-                        # the compaction saving
-                        upto = _upto[0] = compaction_watermark(
-                            spark, compacted_table
-                        )
-                    except AnalysisException:
-                        upto = -1  # this batch only; retried next batch
+                upto = _resolve_upto(_upto, spark, compacted_table)
                 frames = [
                     spark.table(compacted_table).select("doc_id", "band_key")
                 ]
@@ -205,6 +191,32 @@ def _write_watermark(spark, table: str, path: str, upto_batch_id: int) -> None:
     ).saveAsTable(f"{table}_watermark")
 
 
+def _resolve_upto(memo: list, spark, table: str) -> int:
+    """Resolve the fold watermark for a switched-over handler, memoizing
+    into ``memo[0]`` — the ONE implementation both the band and frame
+    handlers share.  Memoized outcomes: a successful sidecar read, and
+    the -1 fallback for a DEFINITELY-missing sidecar (pre-sidecar
+    generation / ``write_band_index`` table — permanent, so re-probing
+    the catalog every micro-batch would just throw forever).  Any OTHER
+    AnalysisException (transient catalog failure, sidecar mid-creation)
+    falls back to -1 for THIS batch only and retries next batch — a
+    cached -1 there would silently freeze full-tail mode for the
+    stream's lifetime.  -1 is always CORRECT (full raw tail, cross-frame
+    dedup), only less small."""
+    from pyspark.errors import AnalysisException
+
+    if memo[0] is None:
+        try:
+            memo[0] = compaction_watermark(spark, table)
+        except AnalysisException as e:
+            cls = e.getCondition() or ""
+            if "TABLE_OR_VIEW_NOT_FOUND" in cls:
+                memo[0] = -1  # permanently absent: stop probing
+            else:
+                return -1  # transient: not memoized, retried next batch
+    return memo[0]
+
+
 def compaction_watermark(spark, table: str, default: int | None = None) -> int:
     """The persisted INCLUSIVE fold watermark of a compacted stream
     index (band or frame) — pass as ``after_batch_id`` to the tail
@@ -259,6 +271,7 @@ def compact_stream_index(
     upto_batch_id: int,
     n_bands: int | None = None,
     n_buckets: int = 32,
+    files_per_bucket: int = 1,
 ) -> None:
     """Fold the stream's batch_id-partitioned signature directory into
     the bucketed band-index table — the handoff from the streaming
@@ -303,6 +316,7 @@ def compact_stream_index(
         path,
         ["band_key"],
         n_buckets,
+        files_per_bucket,
     )
     _write_watermark(spark, table, path, upto_batch_id)
 

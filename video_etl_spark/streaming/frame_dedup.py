@@ -58,11 +58,10 @@ def make_frame_batch_handler(
         incremental_phash_dedup,
         phash_signatures,
     )
-    from video_etl_spark.streaming.dedup import compaction_watermark
+    from video_etl_spark.streaming.dedup import _resolve_upto
 
-    # fixed for the handler's lifetime — resolved once, not per batch
-    # (missing sidecar falls back to -1: full raw tail, correct via the
-    # probe's cross-frame dedup)
+    # fixed for the handler's lifetime — resolution + memoization
+    # semantics in streaming.dedup._resolve_upto
     _upto: list[int | None] = [compacted_upto]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -72,17 +71,7 @@ def make_frame_batch_handler(
 
         try:
             if compacted_table is not None:
-                upto = _upto[0]
-                if upto is None:
-                    try:
-                        # memoize ONLY a successful read (see the band
-                        # handler): a cached -1 fallback would silently
-                        # freeze full-tail mode for the stream's lifetime
-                        upto = _upto[0] = compaction_watermark(
-                            spark, compacted_table
-                        )
-                    except AnalysisException:
-                        upto = -1  # this batch only; retried next batch
+                upto = _resolve_upto(_upto, spark, compacted_table)
                 frames = [spark.table(compacted_table)]
                 try:
                     frames.append(_stored_index_rows(
@@ -183,6 +172,7 @@ def compact_stream_frame_index(
     path: str,
     upto_batch_id: int,
     n_buckets: int = 32,
+    files_per_bucket: int = 1,
 ) -> None:
     """Fold the frame stream's batch_id-partitioned signature directory
     into the bucketed chunk-index table (`write_phash_index` layout) —
@@ -215,6 +205,7 @@ def compact_stream_frame_index(
         path,
         ["ckey"],
         n_buckets,
+        files_per_bucket,
     )
     from video_etl_spark.streaming.dedup import _write_watermark
 
