@@ -2511,3 +2511,72 @@ def test_frame_stream_compaction_switchover(spark, tmp_path):
     finally:
         for t in ("t_ph_gen", "t_ph_gen_watermark"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_prune_folded_partitions_watermark_driven(spark, tmp_path):
+    """The switchover's delete step, made safe: prune reads the fold
+    watermark from the generation's own sidecar (a missing sidecar
+    RAISES — no correct fallback exists for a delete), removes exactly
+    the folded batch_id partitions, leaves the tail and foreign files
+    untouched, and the switched-over handler keeps flagging dups of
+    pruned history.  Works for both the band and frame streams (shared
+    layout)."""
+    import os
+
+    import pytest
+
+    from video_etl_spark.streaming.dedup import (
+        compact_stream_index,
+        make_batch_handler,
+        prune_folded_partitions,
+    )
+
+    a = ("the quick brown fox jumps over the lazy dog while the sun "
+         "sets slowly behind the distant purple mountains tonight")
+    b = ("completely different legal boilerplate concerning maritime "
+         "insurance claims and arbitration procedure under section nine")
+    idx_dir = str(tmp_path / "idx")
+    handle = make_batch_handler(idx_dir, str(tmp_path / "dups"))
+    handle(spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"), 0)
+    handle(spark.createDataFrame(
+        [(3, b)], "doc_id long, text string"), 1)
+    handle(spark.createDataFrame(
+        [(4, a)], "doc_id long, text string"), 2)  # the tail
+    # a foreign (non-partition) file must survive the prune —
+    # underscore-prefixed, as anything else in a parquet dataset root
+    # would break the readers themselves
+    with open(os.path.join(idx_dir, "_notes.txt"), "w") as f:
+        f.write("operator breadcrumb")
+
+    try:
+        # no generation yet -> no sidecar -> refuse to guess
+        with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|not found"):
+            prune_folded_partitions(spark, idx_dir, "t_pr_gen")
+
+        compact_stream_index(
+            spark, idx_dir, "t_pr_gen", str(tmp_path / "gen0"),
+            upto_batch_id=1, n_buckets=4,
+        )
+        assert prune_folded_partitions(spark, idx_dir, "t_pr_gen") == [0, 1]
+        left = sorted(os.listdir(idx_dir))
+        assert "batch_id=2" in left and "_notes.txt" in left
+        assert not any(d in left for d in ("batch_id=0", "batch_id=1"))
+        # idempotent
+        assert prune_folded_partitions(spark, idx_dir, "t_pr_gen") == []
+        # pruned history still visible through the generation
+        sw = make_batch_handler(
+            idx_dir, str(tmp_path / "dups"), compacted_table="t_pr_gen",
+        )
+        sw(spark.createDataFrame(
+            [(9, a)], "doc_id long, text string"), 3)
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(str(tmp_path / "dups"))
+            .where("batch_id = 3")
+            .select("new_doc", "dup_of", "n_candidates").collect()
+        )
+        # 9 matches pruned doc 1 (generation) AND tail doc 4 — once each
+        assert got == [(9, 1, 2)], got
+    finally:
+        for t in ("t_pr_gen", "t_pr_gen_watermark"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -234,6 +234,44 @@ def compaction_watermark(spark, table: str, default: int | None = None) -> int:
         return default
 
 
+def prune_folded_partitions(spark, index_dir: str, table: str) -> list[int]:
+    """Delete the raw ``batch_id=<n>`` partitions that
+    :func:`compact_stream_index` (or the frame twin) has folded into the
+    ``table`` generation — the last step of the switchover, made safe by
+    NEVER trusting a caller-remembered boundary: the watermark comes
+    from the generation's own ``{table}_watermark`` sidecar, and a
+    missing sidecar raises instead of guessing (deleting an unfolded
+    partition is permanent recall loss; there is no correct fallback for
+    a DELETE).  Only numeric ``batch_id=<n>`` directories with
+    ``n <= watermark`` are touched — the tail, in-flight partitions, and
+    any foreign files are left alone.  Uses the Hadoop FileSystem API,
+    so it works on whatever storage ``index_dir`` lives on.  Returns the
+    deleted batch ids (empty when already pruned).
+
+    Call AFTER re-creating the live handler with ``compacted_table`` —
+    pruning first would leave a raw-mode handler reading a history hole.
+    """
+    upto = compaction_watermark(spark, table)  # raises if sidecar absent
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    deleted = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("batch_id=")):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue  # not a numeric partition — leave it alone
+        if bid <= upto:
+            fs.delete(status.getPath(), True)
+            deleted.append(bid)
+    return sorted(deleted)
+
+
 def _stored_sig_rows(spark, index_dir: str, predicate, n_bands=None):
     """Read the stream's batch_id-partitioned signature directory,
     filtered by ``predicate``, as long-format (doc_id, band_key) rows —
@@ -291,8 +329,10 @@ def compact_stream_index(
     stream_tail_rows(...)]`` to ``incremental_dedup_against_index``
     (per-frame joins — the bucketed generation keeps its exchange-free
     scan), and the LIVE stream itself switches over by re-creating its
-    handler with ``compacted_table``/``compacted_upto`` — only then may
-    the folded raw partitions be deleted.  The compacted generation
+    handler with ``compacted_table``/``compacted_upto`` — only then
+    delete the folded raw partitions, via
+    :func:`prune_folded_partitions` (watermark-driven, never a
+    hand-typed boundary).  The compacted generation
     lands at a NEW path (writing into ``index_dir`` is refused loudly:
     the overwrite would delete raw partitions mid-read, and a stray
     table directory inside the raw dir would corrupt its batch_id

@@ -184,7 +184,10 @@ def compact_stream_frame_index(
     ``index_dir`` is refused — the overwrite would delete raw
     partitions mid-read); the LIVE stream switches over by re-creating
     its handler with ``compacted_table``/``compacted_upto``, and only
-    then may folded raw partitions be deleted.  External probers bridge
+    then deletes folded raw partitions — via
+    ``streaming.dedup.prune_folded_partitions`` (the layout is shared,
+    so the same watermark-driven pruner serves both streams).  External
+    probers bridge
     the boundary with ``[spark.table(table),
     frame_tail_rows(...)]`` via
     ``multimodal.incremental_phash_against_index``.
