@@ -127,9 +127,11 @@ def main() -> None:
         )
         t_compact = time.perf_counter() - t0
         gen_files = n_files(f"{work}/gen0")
-        # switchover: folded partitions really deleted
-        for b in range(args.batches):
-            shutil.rmtree(f"{idx_dir}/batch_id={b}", ignore_errors=True)
+        # switchover: folded partitions really deleted — watermark-driven
+        from video_etl_spark.streaming.dedup import prune_folded_partitions
+
+        pruned = prune_folded_partitions(spark, idx_dir, "sce_band_gen")
+        assert len(pruned) == args.batches, pruned
         shutil.rmtree(f"{idx_dir}/batch_id={args.batches}",
                       ignore_errors=True)  # raw-mode probe's own append
         # the raw run's dup partition must go BEFORE the compacted run:
