@@ -127,11 +127,6 @@ def main() -> None:
         )
         t_compact = time.perf_counter() - t0
         gen_files = n_files(f"{work}/gen0")
-        # switchover: folded partitions really deleted — watermark-driven
-        from video_etl_spark.streaming.dedup import prune_folded_partitions
-
-        pruned = prune_folded_partitions(spark, idx_dir, "sce_band_gen")
-        assert len(pruned) == args.batches, pruned
         shutil.rmtree(f"{idx_dir}/batch_id={args.batches}",
                       ignore_errors=True)  # raw-mode probe's own append
         # the raw run's dup partition must go BEFORE the compacted run:
@@ -144,6 +139,13 @@ def main() -> None:
         sw_handler = make_batch_handler(
             idx_dir, f"{work}/dups", compacted_table="sce_band_gen",
         )
+        # prune AFTER the handler switchover (the reference recipe —
+        # pruning first leaves a raw-mode handler a history hole);
+        # watermark-driven, never a hand-typed boundary
+        from video_etl_spark.streaming.dedup import prune_folded_partitions
+
+        pruned = prune_folded_partitions(spark, idx_dir, "sce_band_gen")
+        assert len(pruned) == args.batches, pruned
         t_sw, n_sw = run(sw_handler, args.batches)
         print(f"compacted-mode handler: {t_sw:6.1f}s "
               f"({n_sw} dup candidates)")

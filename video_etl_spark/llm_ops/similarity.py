@@ -325,17 +325,21 @@ def _fresh_only(
 
 
 def _fresh_checkpointed(
-    batch: DataFrame, indexed_ids: DataFrame, id_col: str, assume_disjoint: bool
+    batch: DataFrame, indexed_ids_thunk, id_col: str, assume_disjoint: bool
 ) -> DataFrame:
     """Per-sink fresh set for a multi-sink append: ``batch`` (already
     dedup'd + checkpointed) minus what this sink's table already holds,
     lineage-truncated because the sink INSERTS into the table the
     anti-join reads (static self-insert check).  Under
     ``assume_disjoint`` the checkpointed batch IS the fresh set — no
-    anti-join ran, nothing new to materialize."""
+    anti-join ran, nothing new to materialize; the sink table is passed
+    as a THUNK so the fast path never resolves it (spark.table is an
+    eager catalog round-trip)."""
     if assume_disjoint:
         return batch
-    return _fresh_only(batch, indexed_ids, id_col, False).localCheckpoint()
+    return _fresh_only(
+        batch, indexed_ids_thunk(), id_col, False
+    ).localCheckpoint()
 
 
 def _vec_sidecar_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -416,7 +420,7 @@ def append_to_lsh_index(
     # lineage must be truncated.  Maintenance path, never per micro-batch.
     batch = new.dropDuplicates([id_col]).localCheckpoint()
     fresh_b = _fresh_checkpointed(
-        batch, spark.table(table), id_col, assume_disjoint
+        batch, lambda: spark.table(table), id_col, assume_disjoint
     )
     append_bucketed(
         _lsh_bucket_rows(fresh_b, planes, id_col, vec_col),
@@ -424,7 +428,7 @@ def append_to_lsh_index(
         files_per_bucket,
     )
     fresh_v = _fresh_checkpointed(
-        batch, spark.table(f"{table}_vecs"), id_col, assume_disjoint
+        batch, lambda: spark.table(f"{table}_vecs"), id_col, assume_disjoint
     )
     append_bucketed(
         _vec_sidecar_rows(fresh_v, id_col, vec_col),
@@ -1215,7 +1219,7 @@ def append_to_pq_index(
     # per micro-batch.
     batch = new.dropDuplicates([id_col]).localCheckpoint()
     fresh_c = _fresh_checkpointed(
-        batch, spark.table(table), id_col, assume_disjoint
+        batch, lambda: spark.table(table), id_col, assume_disjoint
     )
     (
         _pq_encode_frame(fresh_c, books, id_col, vec_col)
@@ -1223,7 +1227,7 @@ def append_to_pq_index(
         .saveAsTable(table)
     )
     fresh_v = _fresh_checkpointed(
-        batch, spark.table(f"{table}_vecs"), id_col, assume_disjoint
+        batch, lambda: spark.table(f"{table}_vecs"), id_col, assume_disjoint
     )
     append_bucketed(
         _vec_sidecar_rows(fresh_v, id_col, vec_col),

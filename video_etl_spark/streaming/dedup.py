@@ -69,8 +69,8 @@ def make_batch_handler(
 
     # the watermark is fixed for the handler's lifetime (a new fold means
     # re-creating the handler) — resolution + memoization semantics in
-    # _resolve_upto
-    _upto: list[int | None] = [compacted_upto]
+    # _resolve_upto ([value_or_None, consecutive_misses])
+    _upto: list = [compacted_upto, 0]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -177,32 +177,40 @@ def streaming_incremental_dedup(
     )
 
 
-def _write_watermark(spark, table: str, path: str, upto_batch_id: int) -> None:
+def _write_watermark(
+    spark, table: str, path: str, upto_batch_id: int, index_dir: str
+) -> None:
     """Persist the fold's INCLUSIVE watermark next to the generation
     (``{table}_watermark``, one row) — the never-resupply-params
     discipline: handlers and probers READ the boundary the compactor
     actually wrote instead of trusting a caller-remembered value (a
     too-high value would silently exclude never-folded raw partitions
-    from the tail — a permanent recall hole)."""
+    from the tail — a permanent recall hole).  The SOURCE ``index_dir``
+    is recorded too, so :func:`prune_folded_partitions` can refuse a
+    mismatched (index_dir, table) pair before deleting anything."""
     spark.createDataFrame(
-        [(upto_batch_id,)], "upto_batch_id long"
+        [(upto_batch_id, index_dir)],
+        "upto_batch_id long, index_dir string",
     ).coalesce(1).write.mode("overwrite").option(
         "path", f"{path}_watermark"
     ).saveAsTable(f"{table}_watermark")
 
 
-def _resolve_upto(memo: list, spark, table: str) -> int:
+def _resolve_upto(memo: list, spark, table: str, miss_limit: int = 3) -> int:
     """Resolve the fold watermark for a switched-over handler, memoizing
     into ``memo[0]`` — the ONE implementation both the band and frame
-    handlers share.  Memoized outcomes: a successful sidecar read, and
-    the -1 fallback for a DEFINITELY-missing sidecar (pre-sidecar
-    generation / ``write_band_index`` table — permanent, so re-probing
-    the catalog every micro-batch would just throw forever).  Any OTHER
-    AnalysisException (transient catalog failure, sidecar mid-creation)
-    falls back to -1 for THIS batch only and retries next batch — a
-    cached -1 there would silently freeze full-tail mode for the
-    stream's lifetime.  -1 is always CORRECT (full raw tail, cross-frame
-    dedup), only less small."""
+    handlers share (``memo`` is ``[value_or_None, consecutive_misses]``).
+    A successful sidecar read memoizes immediately.  A missing sidecar
+    is ambiguous: it can be PERMANENT (pre-sidecar generation /
+    ``write_band_index`` table — re-probing the catalog every batch
+    would throw forever) or TRANSIENT (a restart racing the fold's
+    ``_write_watermark``, which surfaces as the same
+    TABLE_OR_VIEW_NOT_FOUND until the overwrite commits) — so the -1
+    fallback is memoized only after ``miss_limit`` consecutive misses:
+    a mid-fold sidecar appearing a batch or two later is picked up,
+    while a legacy table stops paying the failing lookup after a few
+    batches.  Any other AnalysisException never memoizes.  -1 is always
+    CORRECT (full raw tail, cross-frame dedup), only less small."""
     from pyspark.errors import AnalysisException
 
     if memo[0] is None:
@@ -211,9 +219,10 @@ def _resolve_upto(memo: list, spark, table: str) -> int:
         except AnalysisException as e:
             cls = e.getCondition() or ""
             if "TABLE_OR_VIEW_NOT_FOUND" in cls:
-                memo[0] = -1  # permanently absent: stop probing
-            else:
-                return -1  # transient: not memoized, retried next batch
+                memo[1] += 1
+                if memo[1] >= miss_limit:
+                    memo[0] = -1  # persistently absent: stop probing
+            return -1
     return memo[0]
 
 
@@ -251,7 +260,20 @@ def prune_folded_partitions(spark, index_dir: str, table: str) -> list[int]:
     Call AFTER re-creating the live handler with ``compacted_table`` —
     pruning first would leave a raw-mode handler reading a history hole.
     """
-    upto = compaction_watermark(spark, table)  # raises if sidecar absent
+    from video_etl_spark.operators.io import norm_storage_uri
+
+    row = spark.table(f"{table}_watermark").collect()[0]  # absent: raises
+    upto = row["upto_batch_id"]
+    # the sidecar records which raw directory was folded: pruning a
+    # DIFFERENT directory with this table's watermark (the twin-stream
+    # copy-paste mistake) would delete never-folded history
+    folded_dir = row["index_dir"]
+    if norm_storage_uri(folded_dir) != norm_storage_uri(index_dir):
+        raise ValueError(
+            f"prune_folded_partitions: {table!r} folded {folded_dir!r}, "
+            f"not {index_dir!r}; refusing to delete partitions the "
+            "generation does not cover"
+        )
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(index_dir)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -267,7 +289,13 @@ def prune_folded_partitions(spark, index_dir: str, table: str) -> list[int]:
         except ValueError:
             continue  # not a numeric partition — leave it alone
         if bid <= upto:
-            fs.delete(status.getPath(), True)
+            if not fs.delete(status.getPath(), True):
+                # a swallowed false return would report space as
+                # reclaimed while the partition keeps paying listing cost
+                raise RuntimeError(
+                    f"prune_folded_partitions: filesystem refused to "
+                    f"delete {name} under {index_dir!r}"
+                )
             deleted.append(bid)
     return sorted(deleted)
 
@@ -358,7 +386,7 @@ def compact_stream_index(
         n_buckets,
         files_per_bucket,
     )
-    _write_watermark(spark, table, path, upto_batch_id)
+    _write_watermark(spark, table, path, upto_batch_id, index_dir)
 
 
 def stream_tail_rows(

@@ -62,7 +62,8 @@ def make_frame_batch_handler(
 
     # fixed for the handler's lifetime — resolution + memoization
     # semantics in streaming.dedup._resolve_upto
-    _upto: list[int | None] = [compacted_upto]
+    # ([value_or_None, consecutive_misses])
+    _upto: list = [compacted_upto, 0]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -212,7 +213,7 @@ def compact_stream_frame_index(
     )
     from video_etl_spark.streaming.dedup import _write_watermark
 
-    _write_watermark(spark, table, path, upto_batch_id)
+    _write_watermark(spark, table, path, upto_batch_id, index_dir)
 
 
 def frame_tail_rows(
