@@ -2580,3 +2580,69 @@ def test_prune_folded_partitions_watermark_driven(spark, tmp_path):
     finally:
         for t in ("t_pr_gen", "t_pr_gen_watermark"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_curation_switchover_to_compacted_index(spark, tmp_path):
+    """The curation pipeline shares the dedup streams' index lifecycle:
+    fold its survivors' signature dir, switch the handler to the
+    compacted generation, PRUNE the folded partitions — and a later
+    batch's near-dup of pruned history is still rejected with the same
+    evidence the raw-mode handler produces, with the generation/tail
+    boundary crossed correctly."""
+    from video_etl_spark.streaming.curation import make_ingest_handler
+    from video_etl_spark.streaming.decontaminate import doc_shingles
+    from video_etl_spark.streaming.dedup import (
+        compact_stream_index,
+        prune_folded_partitions,
+    )
+
+    a, b, c, batches = _curation_batches()
+    bench_src = spark.createDataFrame([(99, c)], "doc_id long, text string")
+    doc_shingles(bench_src).select("s").distinct().write.parquet(
+        str(tmp_path / "bench")
+    )
+    sig_dir = str(tmp_path / "sig_index")
+    args = (sig_dir, str(tmp_path / "bench"),
+            str(tmp_path / "clean"), str(tmp_path / "rejected"))
+    raw = make_ingest_handler(*args)
+    for i in range(2):
+        raw(spark.createDataFrame(batches[i], "doc_id long, text string"), i)
+    try:
+        # fold batch 0 only; batch 1's survivor sigs stay in the raw tail
+        compact_stream_index(
+            spark, sig_dir, "t_cur_gen", str(tmp_path / "gen0"),
+            upto_batch_id=0, n_buckets=4,
+        )
+        sw = make_ingest_handler(*args, compacted_table="t_cur_gen")
+        assert prune_folded_partitions(spark, sig_dir, "t_cur_gen") == [0]
+        sw(spark.createDataFrame(
+            batches[2], "doc_id long, text string"), 2)
+        rej = {
+            r["doc_id"]: (r["reason"], r["detail"])
+            for r in spark.read.parquet(str(tmp_path / "rejected"))
+            .where("batch_id = 2").collect()
+        }
+        # doc 6 dups PRUNED doc 1 (via the generation); doc 5 still hits
+        # the benchmark — identical verdicts to the raw-mode run
+        assert rej == {5: ("contaminated", rej[5][1]),
+                       6: ("near_dup", 1)}, rej
+        clean2 = {r["doc_id"] for r in spark.read.parquet(
+            str(tmp_path / "clean")).where("batch_id = 2").collect()}
+        assert clean2 == set()
+        # a dup of the TAIL (batch-1 survivor doc 4) is caught too
+        sw(spark.createDataFrame(
+            [(8, b)], "doc_id long, text string"), 3)
+        rej3 = {
+            r["doc_id"]: (r["reason"], r["detail"])
+            for r in spark.read.parquet(str(tmp_path / "rejected"))
+            .where("batch_id = 3").collect()
+        }
+        assert rej3 == {8: ("near_dup", 4)}, rej3
+        # retry idempotence in compacted mode
+        sw(spark.createDataFrame(
+            [(8, b)], "doc_id long, text string"), 3)
+        assert spark.read.parquet(str(tmp_path / "rejected")).where(
+            "batch_id = 3").count() == 1
+    finally:
+        for t in ("t_cur_gen", "t_cur_gen_watermark"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -98,9 +98,20 @@ def make_ingest_handler(
     rows_per_band: int = 2,
     stats_dir: str | None = None,
     occupancy_dir: str | None = None,
+    compacted_table: str | None = None,
+    compacted_upto: int | None = None,
 ):
     """The per-micro-batch curation step, exposed for direct testing and
     for embedding in a custom foreachBatch pipeline.
+
+    The survivors' signature directory has exactly the
+    ``streaming.dedup`` layout, so the SAME compaction lifecycle
+    applies: fold it with ``streaming.dedup.compact_stream_index``,
+    re-create this handler with ``compacted_table`` (watermark read
+    from the generation's sidecar; ``compacted_upto`` is the
+    replay/testing override), then ``prune_folded_partitions`` — the
+    history leg of the near-dup gate switches to the exchange-free
+    bucketed generation plus the raw tail.
 
     Clean sink rows: (doc_id, text, ..., ttr_ppm, shard, batch_id).
     Rejected sink rows: (doc_id, reason, detail, batch_id) where reason ∈
@@ -123,14 +134,18 @@ def make_ingest_handler(
 
     from video_etl_spark.llm_ops.dedup import (
         band_candidates,
+        band_candidates_against_rows,
         band_candidates_within,
         band_occupancy,
         minhash_band_signatures,
     )
     from video_etl_spark.llm_ops.export import shard_assignments
     from video_etl_spark.streaming.decontaminate import doc_shingles
+    from video_etl_spark.streaming.dedup import _resolve_upto, _stored_sig_rows
 
     cache: dict[str, DataFrame] = {}
+    # watermark memo — semantics in streaming.dedup._resolve_upto
+    _upto: list = [compacted_upto, 0]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -176,19 +191,40 @@ def make_ingest_handler(
                 n_bands,
                 rows_per_band,
             ).persist()
-            try:
-                hist = spark.read.parquet(index_dir).where(
-                    F.col("batch_id") < F.lit(batch_id)
-                )
-            except AnalysisException:  # first batch: no index yet
-                hist = None
             # near-dups against EARLIER batches ∪ near-dups WITHIN this
             # batch (earliest id wins in both) — without the intra-batch
             # leg, same-micro-batch copies would all pass and permanently
             # pollute the signature index
             dups = band_candidates_within(sigs, n_bands)
-            if hist is not None:
-                dups = dups.unionByName(band_candidates(sigs, hist, n_bands))
+            if compacted_table is not None:
+                upto = _resolve_upto(_upto, spark, compacted_table)
+                hist_frames = [
+                    spark.table(compacted_table).select("doc_id", "band_key")
+                ]
+                try:
+                    hist_frames.append(_stored_sig_rows(
+                        spark,
+                        index_dir,
+                        (F.col("batch_id") > F.lit(upto))
+                        & (F.col("batch_id") < F.lit(batch_id)),
+                        n_bands,
+                    ))
+                except AnalysisException:  # raw dir gone: fully folded
+                    pass
+                dups = dups.unionByName(
+                    band_candidates_against_rows(sigs, hist_frames, n_bands)
+                )
+            else:
+                try:
+                    hist = spark.read.parquet(index_dir).where(
+                        F.col("batch_id") < F.lit(batch_id)
+                    )
+                except AnalysisException:  # first batch: no index yet
+                    hist = None
+                if hist is not None:
+                    dups = dups.unionByName(
+                        band_candidates(sigs, hist, n_bands)
+                    )
             dups = dups.groupBy("new_doc").agg(
                 F.min("dup_of").alias("dup_of"),
                 F.sum("n_candidates").alias("n_candidates"),
