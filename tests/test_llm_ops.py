@@ -1425,6 +1425,22 @@ def test_ivf_index_equivalence_and_pruning(spark, sf_dir, tmp_path):
     assert probed_dirs  # and every probed dir is a real cell
     assert probed_dirs <= {str(i) for i in range(8)}
 
+    # the broadcast cell-ranking form (the >64-centroid scale path: plan
+    # size constant instead of n_centroids x dim literals) must probe the
+    # SAME cells and return the SAME rows — same fold expression on the
+    # same parquet doubles, same (distance, centroid) tie-break — and the
+    # vector scan must keep its partition filter
+    out_b = ivf_topk_against_index(
+        spark, queries, path, k=5, n_probe=3, cell_rank="broadcast"
+    )
+    plan_b = out_b._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid" in plan_b, plan_b
+    got_b = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"], round(r["cos_sim"], 9))
+        for r in out_b.collect()
+    )
+    assert got_b == want
+
 
 def test_pq_index_equivalence_and_no_rerank_shuffle(spark, sf_dir, tmp_path):
     """Round-8 index symmetry for ANN, PQ leg: write_pq_index fits the
@@ -2881,3 +2897,83 @@ def test_ann_index_appends_match_full_rebuild_or_frozen_params(
             "t_pq_f", "t_pq_f_vecs", "t_pq_f_books",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_det_topk_idx_matches_full_lexsort():
+    """_det_topk_idx (argpartition + boundary-tie expansion) must equal
+    the full-lexsort answer for any tie pattern — the determinism the PQ
+    partition-local prefilters rely on, at near-linear instead of
+    O(B log B) cost.  Heavy-duplicate arrays are the adversarial case:
+    duplicate vectors share PQ codes, so boundary ties are real."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from video_etl_spark.llm_ops.similarity import _det_topk_idx
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=1, max_size=40
+        ),
+        keep=st.integers(min_value=1, max_value=50),
+    )
+    def check(vals, keep):
+        a = np.array(vals, dtype=np.float64)
+        ids = np.arange(1000, 1000 + len(a), dtype=np.int64)
+        # shuffle id order relative to values so ties exercise the id
+        # tie-break, deterministically per example
+        perm = np.argsort((a * 7919).astype(np.int64) % 13, kind="stable")
+        a, ids = a[perm], ids[perm]
+        got = _det_topk_idx(a, ids, keep)
+        want = np.lexsort((ids, -a))[:keep]
+        assert list(ids[got]) == list(ids[want])
+        assert list(a[got]) == list(a[want])
+
+    check()
+
+
+def test_simhash_overlap_stats_analytic_matches_pair_aggregate(spark, sf_dir):
+    """simhash_overlap_stats computes partner counts ANALYTICALLY at rep
+    grain (never expanding member pairs); it must equal the brute
+    aggregate of simhash_pairs' doc-grain output — including on a corpus
+    with a hot identical-content group, where the analytic path is the
+    whole point (group of n costs one row, not n(n-1)/2)."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.dedup import (
+        simhash_overlap_stats,
+        simhash_pairs,
+    )
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(80).select(
+        "doc_id", "text"
+    )
+    hot = spark.range(200000, 200300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page body repeated").alias("text"),
+    )
+    corpus = docs.unionByName(hot)
+
+    pairs = simhash_pairs(corpus, max_hamming=3)
+    bidir = pairs.select(F.col("doc_a").alias("doc_id"), "hamming").unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), "hamming")
+    )
+    want = {
+        r["doc_id"]: (r["n_partners"], r["min_hamming"])
+        for r in bidir.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_partners"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_partners"], r["min_hamming"])
+        for r in simhash_overlap_stats(corpus, max_hamming=3).collect()
+    }
+    assert got == want
+    # the hot group is present and fully counted: 300 copies -> 299+
+    # partners each at distance 0
+    assert got[200000][0] >= 299 and got[200000][1] == 0

@@ -865,6 +865,17 @@ def test_norm_storage_uri_and_generation_guard():
     )
     # different hosts stay distinct
     assert norm_storage_uri("hdfs://nn1/x") != norm_storage_uri("hdfs://nn2/x")
+    # userinfo in the authority is NOT part of the storage identity
+    # (s3a://key@bucket/x is the same bucket as s3a://bucket/x); a
+    # manual netloc split kept 'key@bucket' together and the overlap
+    # guards silently stopped matching
+    assert norm_storage_uri("s3a://AKIA123@bkt/idx") == (
+        norm_storage_uri("s3://bkt/idx")
+    )
+    # IPv6 without a port: '[::1]'.rsplit(':', 1) used to yield '[:'
+    assert norm_storage_uri("hdfs://[::1]/x") == (
+        norm_storage_uri("hdfs://[::1]:8020/x")
+    )
 
     for target, inp in [
         ("hdfs://nn/warehouse/gen0", "hdfs://nn:8020/warehouse/gen0/part-0"),

@@ -268,27 +268,7 @@ def simhash_pairs(
             "guarantee (recall is only complete for distance <= 3); use "
             "more/finer chunks for larger radii"
         )
-    sig = simhash_signatures(docs, text_col).persist()
-    sig_cols = ["simhash", "chunk0", "chunk1", "chunk2", "chunk3"]
-    grp = sig.groupBy(*sig_cols).agg(F.min("doc_id").alias("doc_id"))
-    reps = grp.select("doc_id", *sig_cols).persist()
-    # membership map includes the representative itself (rep → rep)
-    mem = sig.select("doc_id", "simhash").join(
-        grp.select(F.col("doc_id").alias("rep"), "simhash"), "simhash"
-    ).select("rep", "doc_id")
-    a = _chunk_stacked(reps, "doc_a", "sig_a")
-    b = _chunk_stacked(reps, "doc_b", "sig_b")
-    rep_pairs = (
-        a.join(b, ["c", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            _hamming(F.col("sig_a"), F.col("sig_b")).cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    mem, rep_pairs = _simhash_rep_structures(docs, text_col, max_hamming)
     cross = (
         rep_pairs.join(
             mem.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("xa")),
@@ -311,6 +291,103 @@ def simhash_pairs(
         .select("doc_a", "doc_b", F.lit(0).cast("long").alias("hamming"))
     )
     return cross.unionByName(intra)
+
+
+def _simhash_rep_structures(
+    docs: DataFrame, text_col: str, max_hamming: int
+) -> tuple[DataFrame, DataFrame]:
+    """The collapse-guarded core :func:`simhash_pairs` and
+    :func:`simhash_overlap_stats` share: ``(mem, rep_pairs)`` where
+    ``mem`` is the (rep, doc_id) membership map (rep included) and
+    ``rep_pairs`` the distinct (doc_a, doc_b, hamming) pairs over ONE
+    representative per distinct signature.  The signature and rep frames
+    are persisted (doc_id + 5 longs — tiny next to the corpus) and left
+    to LRU eviction because the callers return lazy plans."""
+    sig = simhash_signatures(docs, text_col).persist()
+    sig_cols = ["simhash", "chunk0", "chunk1", "chunk2", "chunk3"]
+    grp = sig.groupBy(*sig_cols).agg(F.min("doc_id").alias("doc_id"))
+    reps = grp.select("doc_id", *sig_cols).persist()
+    # membership map includes the representative itself (rep → rep)
+    mem = sig.select("doc_id", "simhash").join(
+        grp.select(F.col("doc_id").alias("rep"), "simhash"), "simhash"
+    ).select("rep", "doc_id")
+    a = _chunk_stacked(reps, "doc_a", "sig_a")
+    b = _chunk_stacked(reps, "doc_b", "sig_b")
+    rep_pairs = (
+        a.join(b, ["c", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            _hamming(F.col("sig_a"), F.col("sig_b")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return mem, rep_pairs
+
+
+def simhash_overlap_stats(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """COUNT-grain SimHash readout: per document, how many near-dup
+    partners within ``max_hamming`` bits and the closest distance —
+    ≤ 1 row per document at ANY duplicate density (round-8 verdict #7,
+    mirroring ``winnowing_overlap_stats``).
+
+    Unlike aggregating :func:`simhash_pairs`' output, this never
+    materializes the member-pair expansion AT ALL: partner counts are
+    computed analytically at REPRESENTATIVE grain — a member of a
+    signature group of size s with rep-adjacency {(r', h)} has
+    ``(s - 1) + Σ s_{r'}`` partners and min distance 0 if s > 1 else
+    min h — then joined back to members once.  A 20k-copy hot page costs
+    one group row here where the pair grain emits ~2×10⁸ rows; the
+    DuckDB oracle takes the exhaustive doc-grain pair route, re-proving
+    the analytic shortcut on every attestation.  Distinct signatures
+    always differ in ≥ 1 bit, so the intra-group distance 0 correctly
+    dominates every cross-group min.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk blocking "
+            "guarantee (recall is only complete for distance <= 3); use "
+            "more/finer chunks for larger radii"
+        )
+    mem, rep_pairs = _simhash_rep_structures(docs, text_col, max_hamming)
+    sizes = mem.groupBy("rep").agg(F.count(F.lit(1)).alias("sz"))
+    adj = rep_pairs.select(
+        F.col("doc_a").alias("rep"), F.col("doc_b").alias("nbr"), "hamming"
+    ).unionByName(
+        rep_pairs.select(
+            F.col("doc_b").alias("rep"), F.col("doc_a").alias("nbr"), "hamming"
+        )
+    )
+    cross_stats = (
+        adj.join(
+            sizes.select(F.col("rep").alias("nbr"), F.col("sz").alias("nbr_sz")),
+            "nbr",
+        )
+        .groupBy("rep")
+        .agg(
+            F.sum("nbr_sz").alias("cross_partners"),
+            F.min("hamming").alias("min_cross_h"),
+        )
+    )
+    rep_stats = sizes.join(cross_stats, "rep", "left").select(
+        "rep",
+        (F.col("sz") - 1 + F.coalesce("cross_partners", F.lit(0)))
+        .cast("long")
+        .alias("n_partners"),
+        F.when(F.col("sz") > 1, F.lit(0))
+        .otherwise(F.col("min_cross_h"))
+        .cast("long")
+        .alias("min_hamming"),
+    )
+    return (
+        mem.join(rep_stats, "rep")
+        .filter(F.col("n_partners") > 0)
+        .select("doc_id", "n_partners", "min_hamming")
+    )
 
 
 def stratified_sample(

@@ -544,12 +544,21 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centers: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Fit + assign ONCE and persist the inverted file.
 
     Vectors are stored as array<double> with their L2 norm precomputed
     (`nrm`) so query-time scoring never recomputes corpus norms; returns
     the fitted centers (also persisted under ``{path}/centers``).
+
+    ``centers``, if given, SKIPS the KMeans fit and uses the supplied
+    coarse quantizer verbatim (list of ``n_centroids`` dim-length float
+    lists, centroid id = list position) — the standard
+    externally-trained-quantizer workflow (fit on a sample elsewhere,
+    or deterministic seed centers for an oracle-reproducible index).
+    Like the fitted form, the centers are persisted in the index so
+    probes never re-supply them.
     """
     from video_etl_spark.control.categories import (
         assign_categories,
@@ -564,7 +573,13 @@ def write_ivf_index(
     corpus_d = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double.alias("scores")
     )
-    centers = fit_categories(corpus_d, k=n_centroids, seed=seed)
+    if centers is None:
+        centers = fit_categories(corpus_d, k=n_centroids, seed=seed)
+    elif len(centers) != n_centroids:
+        raise ValueError(
+            f"write_ivf_index: {len(centers)} explicit centers but "
+            f"n_centroids={n_centroids}"
+        )
     nrm = (
         "sqrt(aggregate(transform(scores, x -> x * x), 0D, (s, v) -> s + v))"
     )
@@ -587,6 +602,15 @@ def write_ivf_index(
     return centers
 
 
+#: above this many centroids the probe's cell ranking switches from
+#: per-centroid literal struct columns to a broadcast join against the
+#: persisted centers table: a literal plan carries n_centroids × dim
+#: float literals (a realistic 100 TB IVF wants thousands of cells —
+#: ~256k literals would be a driver/codegen problem), while the
+#: broadcast form is one tiny join whose plan size is constant.
+_LITERAL_CELL_RANK_MAX = 64
+
+
 def ivf_topk_against_index(
     spark,
     queries: DataFrame,
@@ -595,6 +619,7 @@ def ivf_topk_against_index(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_rank: str = "auto",
 ) -> DataFrame:
     """:func:`ivf_topk` against a persisted inverted file
     (:func:`write_ivf_index`) — identical output for the same corpus /
@@ -607,46 +632,101 @@ def ivf_topk_against_index(
     two driver collects here are bounded control-plane reads: the
     centers table (n_centroids rows) and the distinct probed-cell list
     (<= n_centroids ints) needed to build the literal pruning filter.
+
+    Cell ranking has two equivalent forms (``cell_rank``: "auto" picks by
+    ``_LITERAL_CELL_RANK_MAX``, "literal"/"broadcast" force one): the
+    literal form inlines every centroid into the plan (zero extra
+    shuffle — right for the tens-of-cells regime), the broadcast form
+    joins the centers table and window-ranks per query (constant plan
+    size — right for thousands of cells).  Same fold expression on the
+    same parquet-read doubles and the same (distance, centroid) ascending
+    tie-break, so the probed cell set is identical (equivalence-tested).
+
+    The intermediate ``probed`` frame stays persisted after return — it
+    feeds both the eager cell-list collect and the returned lazy plan, so
+    an eager unpersist here would force recomputation at action time.
+    Blocks are LRU-evicted / released at session end, the same convention
+    as ``simhash_pairs`` / ``corpus_components``; callers probing in a
+    tight loop can ``spark.catalog.clearCache()`` between rounds.
     """
     from video_etl_spark.session import ensure_executor_package
 
     ensure_executor_package(spark)
 
     centers = _read_centers(spark, path)
+    if cell_rank == "auto":
+        cell_rank = (
+            "literal"
+            if len(centers) <= _LITERAL_CELL_RANK_MAX
+            else "broadcast"
+        )
 
     as_double = F.expr(f"transform({vec_col}, x -> cast(x as double))")
     queries_d = queries.select(
         F.col(id_col).alias("query_id"), as_double.alias("scores")
     )
-    # per query: distances to every centroid, take the n_probe nearest
-    # (same expression shape as ivf_topk so results match exactly)
-    dist_cols = []
-    for i, center in enumerate(centers):
-        lit_center = F.array(*[F.lit(float(x)) for x in center])
-        dist_cols.append(
-            F.struct(
+    if cell_rank == "literal":
+        # per query: distances to every centroid, take the n_probe nearest
+        # (same expression shape as ivf_topk so results match exactly)
+        dist_cols = []
+        for i, center in enumerate(centers):
+            lit_center = F.array(*[F.lit(float(x)) for x in center])
+            dist_cols.append(
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("scores"),
+                            lit_center,
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(i).alias("c"),
+                )
+            )
+        probed = (
+            queries_d.withColumn("dists", F.array_sort(F.array(*dist_cols)))
+            .withColumn("probe", F.slice("dists", 1, n_probe))
+            .select(
+                "query_id",
+                F.col("scores").alias("query_vec"),
+                F.explode(F.col("probe.c")).alias("centroid"),
+            )
+        )
+    elif cell_rank == "broadcast":
+        centers_df = spark.read.parquet(f"{path}/centers")
+        w_c = Window.partitionBy("query_id").orderBy("d", "centroid")
+        probed = (
+            queries_d.crossJoin(F.broadcast(centers_df))
+            .withColumn(
+                "d",
                 F.aggregate(
                     F.zip_with(
                         F.col("scores"),
-                        lit_center,
+                        F.col("center"),
                         lambda a, b: (a - b) * (a - b),
                     ),
                     F.lit(0.0),
                     lambda acc, v: acc + v,
-                ).alias("d"),
-                F.lit(i).alias("c"),
+                ),
+            )
+            .withColumn("crn", F.row_number().over(w_c))
+            .filter(F.col("crn") <= n_probe)
+            .select(
+                "query_id",
+                F.col("scores").alias("query_vec"),
+                "centroid",
             )
         )
-    probed = (
-        queries_d.withColumn("dists", F.array_sort(F.array(*dist_cols)))
-        .withColumn("probe", F.slice("dists", 1, n_probe))
-        .select(
-            "query_id",
-            F.col("scores").alias("query_vec"),
-            F.explode(F.col("probe.c")).alias("centroid"),
+    else:
+        raise ValueError(
+            f"ivf_topk_against_index: cell_rank must be 'auto', "
+            f"'literal' or 'broadcast', got {cell_rank!r}"
         )
-        .persist()  # feeds the cell-list collect AND the candidate join
-    )
+    # feeds the cell-list collect AND the candidate join; stays pinned
+    # until LRU eviction by design (docstring)
+    probed = probed.persist()
     cells = [
         r["centroid"] for r in probed.select("centroid").distinct().collect()
     ]
@@ -819,6 +899,24 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _det_topk_idx(a: np.ndarray, ids: np.ndarray, keep: int) -> np.ndarray:
+    """Indices of the top-``keep`` entries of ``a`` under the deterministic
+    (score desc, id asc) order, at near-linear cost: ``argpartition``
+    finds the keep-th value, the candidate slice expands to ALL boundary
+    ties (``>= thr`` — argpartition's own tie choice is arbitrary and
+    partition-layout-dependent, and duplicate vectors share PQ codes so
+    ties are real), then only that slice is lexsorted.  Equals the
+    full-lexsort answer because every excluded element scores strictly
+    below ``thr``, but costs O(B + t log t) for t boundary candidates
+    instead of O(B log B)."""
+    if keep < len(a):
+        thr = a[np.argpartition(-a, keep - 1)[:keep]].min()
+        cand = np.flatnonzero(a >= thr)
+    else:
+        cand = np.arange(len(a))
+    return cand[np.lexsort((ids[cand], -a[cand]))][:keep]
+
+
 def _ordered_sample(
     df: DataFrame, id_col: str, vec_col: str, n: int
 ) -> np.ndarray:
@@ -909,17 +1007,16 @@ def pq_topk(
             codes = d2.argmin(axis=2)  # (batch, m)
             # ADC: approx ip = sum_j luts[q, j, codes[:, j]]
             approx = luts[:, np.arange(m)[None, :], codes].sum(axis=2)
-            # (nq, batch) -> per-query partition-local top-r.  lexsort
-            # (approx desc, id asc) not argpartition: a value-only cut
-            # keeps an ARBITRARY subset of boundary ties, which would make
-            # the shortlist — and the final ranking — partition-layout-
-            # dependent (duplicate vectors share codes, so ties are real).
+            # (nq, batch) -> per-query partition-local top-r, with the
+            # deterministic (approx desc, id asc) tie-break at
+            # near-linear cost (see _det_topk_idx)
             ids = pdf[id_col].to_numpy()
             rows = []
             keep = min(r_keep, approx.shape[1])
             for qi in range(len(q_ids)):
-                for bi in np.lexsort((ids, -approx[qi]))[:keep]:
-                    rows.append((int(q_ids[qi]), int(ids[bi]), float(approx[qi, bi])))
+                a = approx[qi]
+                for bi in _det_topk_idx(a, ids, keep):
+                    rows.append((int(q_ids[qi]), int(ids[bi]), float(a[bi])))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "approx_ip"])
 
     cand = (
@@ -1133,10 +1230,9 @@ def pq_topk_against_index(
             # same deterministic tie-break as pq_topk (approx desc, id
             # asc) — required for layout-independent equivalence
             for qi in range(len(q_ids)):
-                for bi in np.lexsort((ids, -approx[qi]))[:keep]:
-                    rows.append(
-                        (int(q_ids[qi]), int(ids[bi]), float(approx[qi, bi]))
-                    )
+                a = approx[qi]
+                for bi in _det_topk_idx(a, ids, keep):
+                    rows.append((int(q_ids[qi]), int(ids[bi]), float(a[bi])))
             yield pd.DataFrame(
                 rows, columns=["query_id", "neighbor_id", "approx_ip"]
             )
@@ -1351,7 +1447,7 @@ def pq_serve_stream(
             approx = luts[:, np.arange(m)[None, :], codes].sum(axis=2)
             rows = []
             for qi in range(len(q)):
-                order = np.lexsort((ids, -approx[qi]))[:k]
+                order = _det_topk_idx(approx[qi], ids, min(k, len(ids)))
                 for rank, bi in enumerate(order, start=1):
                     rows.append(
                         (int(pdf[id_col].iloc[qi]), int(ids[bi]),

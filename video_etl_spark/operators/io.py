@@ -24,8 +24,10 @@ def norm_storage_uri(u: str) -> tuple[str, str, str]:
     ``hdfs://nn:8020/...`` and ``s3a://...`` into cwd-relative strings
     that never prefix-match — silently bypassing any guard built on it.
     The s3 scheme aliases (s3/s3a/s3n) and a present-vs-absent default
-    port refer to the same storage, so both normalize together; local
-    and ``file:`` paths normalize through ``abspath``."""
+    port refer to the same storage, so both normalize together, as do a
+    present-vs-absent userinfo (``s3a://key@bucket/x`` is the same bucket
+    as ``s3a://bucket/x``) and IPv6 brackets; local and ``file:`` paths
+    normalize through ``abspath``."""
     import os
     import posixpath
     from urllib.parse import unquote, urlparse
@@ -34,8 +36,11 @@ def norm_storage_uri(u: str) -> tuple[str, str, str]:
     if p.scheme in ("", "file"):
         return ("file", "", os.path.abspath(unquote(p.path) or u))
     scheme = {"s3a": "s3", "s3n": "s3"}.get(p.scheme.lower(), p.scheme.lower())
-    host = p.netloc.rsplit(":", 1)[0] if ":" in p.netloc else p.netloc
-    return (scheme, host.lower(), posixpath.normpath(unquote(p.path) or "/"))
+    # .hostname strips userinfo, the port, and IPv6 brackets (and
+    # lowercases) — a manual netloc.rsplit(':', 1) keeps 'key@bucket'
+    # together and turns a port-less '[::1]' into '[:'
+    host = p.hostname or ""
+    return (scheme, host, posixpath.normpath(unquote(p.path) or "/"))
 
 
 def assert_new_generation(
@@ -177,13 +182,36 @@ def append_bucketed(
     never-resupply-params discipline as the ANN index sidecars."""
     spark = df.sparkSession
     desc = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
-    info = {r["col_name"]: r["data_type"] for r in desc}
+    # only the metadata section after the '# Detailed Table Information'
+    # marker is table info — the rows above it are the DATA columns, so a
+    # column literally named 'Num Buckets' must not shadow the spec
+    try:
+        start = next(
+            i
+            for i, r in enumerate(desc)
+            if r["col_name"].strip().startswith("# Detailed Table")
+        )
+    except StopIteration:
+        raise ValueError(
+            f"append_bucketed: DESCRIBE FORMATTED {table!r} has no "
+            "'# Detailed Table Information' section — unsupported "
+            "catalog/Spark version, refusing to guess the bucket spec"
+        )
+    info = {r["col_name"]: r["data_type"] for r in desc[start:]}
     if "Num Buckets" not in info:
         raise ValueError(
             f"append_bucketed: {table!r} is not a bucketed table"
         )
     n_buckets = int(info["Num Buckets"])
     cols = [c.strip("[]` ") for c in info["Bucket Columns"].split(",")]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"append_bucketed: parsed bucket columns {cols} from "
+            f"{table!r} but {missing} are absent from the appended "
+            f"frame (columns: {df.columns}) — spec parse or schema "
+            "mismatch"
+        )
     (
         # same small-file guard + parallelism dial as write_bucketed:
         # files_per_bucket files per bucket per append, not one per task

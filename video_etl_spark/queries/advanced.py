@@ -124,10 +124,50 @@ _DUCK_CHUNK_MATCH = (
     """,
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIR-grain SimHash evidence.  Output grows quadratically with
+    duplicate mass by definition (n exact copies -> n(n-1)/2 rows), so at
+    100 TB this grain is for BOUNDED investigations; the corpus-wide
+    monitoring default is ``simhash_overlap_stats`` (<= 1 row/doc at any
+    density), and component-grain consumers should prefer the CC chain."""
     from video_etl_spark.llm_ops.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
+
+
+@query(
+    "simhash_overlap_stats",
+    oracle=_duck_simhash_sig_cte()
+    + f""",
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.doc_id < b.doc_id AND {_DUCK_CHUNK_MATCH}),
+    dpairs AS (
+      SELECT DISTINCT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3),
+    bidir AS (
+      SELECT doc_a AS doc_id, hamming FROM dpairs
+      UNION ALL
+      SELECT doc_b AS doc_id, hamming FROM dpairs)
+    SELECT doc_id,
+           count(*) AS n_partners,
+           CAST(min(hamming) AS BIGINT) AS min_hamming
+    FROM bidir GROUP BY doc_id
+    """,
+)
+def simhash_overlap_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-grain SimHash readout (round-8 verdict #7): per-doc partner
+    count + closest Hamming distance, <= 1 row/doc at any duplicate
+    density.  The Spark side computes partners ANALYTICALLY at
+    representative grain (llm_ops.dedup.simhash_overlap_stats — a 20k-copy
+    hot page is one group row, never ~2x10^8 expanded pairs); the oracle
+    is the exhaustive doc-grain pair aggregate, so every attestation
+    re-proves the analytic shortcut against the quadratic ground truth."""
+    from video_etl_spark.llm_ops.dedup import simhash_overlap_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_overlap_stats(docs, max_hamming=3)
 
 
 @query(

@@ -820,3 +820,101 @@ def embedding_drift_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mb").cast("long").alias("mean_b_ppm"),
         F.abs(F.col("ma") - F.col("mb")).cast("long").alias("drift_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# U22⊕ — ORACLE-BACKED PERSISTED-IVF PROBE (round-8 verdict #3): the one
+# ANN instance whose correctness the DRIVER can attest, not just local
+# pytest.  The Spark side runs the REAL artifact path — write_ivf_index
+# to a scratch dir (explicit seed centers = the quantized first-8
+# vectors: a deterministic externally-supplied coarse quantizer), then
+# ivf_topk_against_index with its partition-pruned probe — over
+# integer-quantized vectors, so every distance and dot product is exact
+# integer arithmetic carried in doubles (all intermediates < 2^53 at
+# |x| < 0.53 × 1e6, dim 64) and both engines agree bit-for-bit; division
+# by the norm product comes last (the semantic_dedup_pairs recipe).  The
+# DuckDB twin replays assignment (nearest center, ties → lowest
+# centroid), per-query top-3 cell ranking, and cosine top-5 over the
+# probed cells' members — so a green row re-proves the whole IVF
+# pipeline: assignment, cell pruning, candidate generation, ranking.
+_IVF_Q_K = 8        # centroids (vec_id < 8 seed centers)
+_IVF_Q_PROBE = 3    # cells probed per query
+_IVF_Q_TOPK = 5
+_IVF_Q_MOD = 25     # query set: vec_id % 25 == 0 (bounded: corpus/25)
+
+
+@query(
+    "knn_ivf_indexed",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings),
+    n AS (
+      SELECT vec_id, q, CAST({_DUCK_SQ} AS DOUBLE) AS sq FROM q),
+    c0 AS (
+      SELECT vec_id AS centroid, q AS c FROM q WHERE vec_id < {_IVF_Q_K}),
+    dc AS (
+      SELECT a.vec_id, c.centroid,
+             list_sum([(a.q[i] - c.c[i]) * (a.q[i] - c.c[i])
+                       FOR i IN generate_series(1, len(a.q))]) AS dist
+      FROM q a CROSS JOIN c0 c),
+    asg AS (
+      SELECT vec_id, centroid FROM (
+        SELECT vec_id, centroid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, centroid) AS rn
+        FROM dc) WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, centroid FROM (
+        SELECT vec_id, centroid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, centroid) AS rn
+        FROM dc WHERE vec_id % {_IVF_Q_MOD} = 0)
+      WHERE rn <= {_IVF_Q_PROBE}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(list_sum([x.q[i] * y.q[i]
+                            FOR i IN generate_series(1, len(x.q))]) AS DOUBLE)
+               / (sqrt(x.sq) * sqrt(y.sq)) AS cos_sim
+      FROM probe p
+      JOIN asg a ON p.centroid = a.centroid
+      JOIN n x ON p.query_id = x.vec_id
+      JOIN n y ON a.vec_id = y.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM cand) WHERE rn <= {_IVF_Q_TOPK}
+    """,
+)
+def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a freshly-written persisted IVF index (U22⊕ driver-attestable
+    instance).  The scratch index dir is left for OS tmp cleanup: the
+    returned plan is lazy and still reads it at collect time."""
+    import tempfile
+
+    from video_etl_spark.llm_ops.similarity import (
+        ivf_topk_against_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # quantized micro-unit vectors carried as exact-integer doubles
+    qemb = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(cast(round(cast(x as double) * 1000000) as bigint) "
+            "as double))"
+        ).alias("embedding"),
+    )
+    centers = [
+        list(r["embedding"])
+        for r in qemb.filter(F.col("vec_id") < _IVF_Q_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    path = tempfile.mkdtemp(prefix="knn_ivf_indexed_")
+    write_ivf_index(qemb, path, n_centroids=_IVF_Q_K, centers=centers)
+    queries = qemb.filter(F.col("vec_id") % _IVF_Q_MOD == 0)
+    return ivf_topk_against_index(
+        spark, queries, path, k=_IVF_Q_TOPK, n_probe=_IVF_Q_PROBE
+    )

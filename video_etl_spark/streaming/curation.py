@@ -141,7 +141,11 @@ def make_ingest_handler(
     )
     from video_etl_spark.llm_ops.export import shard_assignments
     from video_etl_spark.streaming.decontaminate import doc_shingles
-    from video_etl_spark.streaming.dedup import _resolve_upto, _stored_sig_rows
+    from video_etl_spark.streaming.dedup import (
+        _resolve_upto,
+        _stored_sig_rows,
+        is_missing_source,
+    )
 
     cache: dict[str, DataFrame] = {}
     # watermark memo — semantics in streaming.dedup._resolve_upto
@@ -209,8 +213,11 @@ def make_ingest_handler(
                         & (F.col("batch_id") < F.lit(batch_id)),
                         n_bands,
                     ))
-                except AnalysisException:  # raw dir gone: fully folded
-                    pass
+                except AnalysisException as e:
+                    # raw dir gone: fully folded; any other analysis
+                    # failure raises (see streaming.dedup.is_missing_source)
+                    if not is_missing_source(e):
+                        raise
                 dups = dups.unionByName(
                     band_candidates_against_rows(sigs, hist_frames, n_bands)
                 )
@@ -219,8 +226,10 @@ def make_ingest_handler(
                     hist = spark.read.parquet(index_dir).where(
                         F.col("batch_id") < F.lit(batch_id)
                     )
-                except AnalysisException:  # first batch: no index yet
-                    hist = None
+                except AnalysisException as e:
+                    if not is_missing_source(e):
+                        raise
+                    hist = None  # first batch: no index yet
                 if hist is not None:
                     dups = dups.unionByName(
                         band_candidates(sigs, hist, n_bands)

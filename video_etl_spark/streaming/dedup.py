@@ -34,6 +34,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: error conditions that mean "the path/table genuinely is not there" —
+#: the ONLY AnalysisExceptions the missing-history fallbacks may swallow.
+#: Anything else (corrupt footer, schema-merge conflict, permission
+#: failure) must RAISE: treating it as "fully folded" / "first batch"
+#: silently narrows the dedup history and loses tail recall for the batch.
+_MISSING_CONDITIONS = (
+    "PATH_NOT_FOUND",
+    "UNABLE_TO_INFER_SCHEMA",
+    "TABLE_OR_VIEW_NOT_FOUND",
+)
+
+
+def is_missing_source(e) -> bool:
+    """True iff an ``AnalysisException`` denotes a missing path/table
+    (see ``_MISSING_CONDITIONS``) rather than a real analysis failure."""
+    cond = e.getCondition() or ""
+    return any(c in cond for c in _MISSING_CONDITIONS)
+
 
 def make_batch_handler(
     index_dir: str,
@@ -96,8 +114,12 @@ def make_batch_handler(
                         & (F.col("batch_id") < F.lit(batch_id)),
                         n_bands,
                     ))
-                except AnalysisException:  # raw dir gone: fully folded
-                    pass
+                except AnalysisException as e:
+                    # raw dir gone: fully folded.  Any OTHER analysis
+                    # failure (corrupt footer, schema conflict) raises —
+                    # swallowing it would silently drop the raw tail.
+                    if not is_missing_source(e):
+                        raise
                 dups = band_candidates_against_rows(sigs, frames, n_bands)
             else:
                 try:
@@ -105,8 +127,10 @@ def make_batch_handler(
                     hist = spark.read.parquet(index_dir).where(
                         F.col("batch_id") < F.lit(batch_id)
                     )
-                except AnalysisException:  # first batch: no index yet
-                    hist = None
+                except AnalysisException as e:
+                    if not is_missing_source(e):
+                        raise
+                    hist = None  # first batch: no index yet
                 # first batch: an EMPTY dup frame still writes, so
                 # dup_dir exists after any run (a one-batch stream
                 # previously left it missing and consumers reading it
@@ -237,8 +261,10 @@ def compaction_watermark(spark, table: str, default: int | None = None) -> int:
 
     try:
         return spark.table(f"{table}_watermark").collect()[0]["upto_batch_id"]
-    except AnalysisException:
-        if default is None:
+    except AnalysisException as e:
+        # only a genuinely-absent sidecar may fall back; a corrupt or
+        # unreadable one must raise even with a default supplied
+        if default is None or not is_missing_source(e):
             raise
         return default
 

@@ -58,7 +58,10 @@ def make_frame_batch_handler(
         incremental_phash_dedup,
         phash_signatures,
     )
-    from video_etl_spark.streaming.dedup import _resolve_upto
+    from video_etl_spark.streaming.dedup import (
+        _resolve_upto,
+        is_missing_source,
+    )
 
     # fixed for the handler's lifetime — resolution + memoization
     # semantics in streaming.dedup._resolve_upto
@@ -81,8 +84,11 @@ def make_frame_batch_handler(
                         (F.col("batch_id") > F.lit(upto))
                         & (F.col("batch_id") < F.lit(batch_id)),
                     ))
-                except AnalysisException:  # raw dir gone: fully folded
-                    pass
+                except AnalysisException as e:
+                    # raw dir gone: fully folded; any other analysis
+                    # failure raises (see streaming.dedup.is_missing_source)
+                    if not is_missing_source(e):
+                        raise
                 dups = incremental_phash_against_index(
                     sigs, frames, max_hamming
                 )
@@ -96,8 +102,10 @@ def make_frame_batch_handler(
                         .parquet(index_dir)
                         .where(F.col("batch_id") < F.lit(batch_id))
                     )
-                except AnalysisException:  # first batch: no index yet
-                    hist = None
+                except AnalysisException as e:
+                    if not is_missing_source(e):
+                        raise
+                    hist = None  # first batch: no index yet
                 dups = (
                     incremental_phash_dedup(sigs, hist, max_hamming)
                     if hist is not None
