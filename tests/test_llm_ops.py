@@ -2977,3 +2977,125 @@ def test_simhash_overlap_stats_analytic_matches_pair_aggregate(spark, sf_dir):
     # the hot group is present and fully counted: 300 copies -> 299+
     # partners each at distance 0
     assert got[200000][0] >= 299 and got[200000][1] == 0
+
+
+def test_simhash_fingerprint_append_and_compact_lifecycle(spark, tmp_path):
+    """Round-9 lifecycle symmetry (round-8 verdict #6): the simhash and
+    fingerprint indexes gain append + generation compaction.  Contracts:
+    (a) append == full rebuild of the union corpus BIT-FOR-BIT (rows are
+    content-derived — the property IVF's frozen centroids cannot give);
+    (b) a retried append is a no-op (doc-grain anti-join idempotence —
+    duplicated fingerprint rows would inflate counted probes, not just
+    waste space); (c) compact_bucketed_index folds accumulated
+    per-append files into a fresh generation that is row-identical,
+    keeps the exchange-free probe, and restores the n_buckets file
+    count; (d) compacting onto the live generation's path is refused."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.dedup import (
+        append_to_fingerprint_index,
+        append_to_simhash_index,
+        write_fingerprint_index,
+        write_simhash_index,
+    )
+    from video_etl_spark.operators.io import compact_bucketed_index
+    from video_etl_spark.queries.text import _winnowing_fps
+
+    def n_files(root):
+        return sum(
+            1 for _, _, fs in os.walk(root)
+            for f in fs if f.endswith(".parquet")
+        )
+
+    A = "gamma sigma beta upsilon nu omicron upsilon zeta"
+    rows = [
+        (1, A),
+        (2, "completely different maritime insurance boilerplate text"),
+        (3, "another document about braising short ribs gently"),
+        (10, A + " tail"),
+        (11, "fresh crawl document with novel content entirely new"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = docs.filter(F.col("doc_id") < 10)
+    batch = docs.filter(F.col("doc_id") >= 10)
+
+    try:
+        # --- simhash: write + append == rebuild, retry no-op
+        write_simhash_index(
+            hist, "t_sh_lc", str(tmp_path / "sh_g1"), n_buckets=4
+        )
+        append_to_simhash_index(batch, "t_sh_lc")
+        got = sorted(map(tuple, spark.table("t_sh_lc").collect()))
+        write_simhash_index(
+            docs, "t_sh_rebuild", str(tmp_path / "sh_rb"), n_buckets=4
+        )
+        want = sorted(map(tuple, spark.table("t_sh_rebuild").collect()))
+        assert got == want and got
+        n_before = len(got)
+        append_to_simhash_index(batch, "t_sh_lc")  # retry: no-op
+        assert spark.table("t_sh_lc").count() == n_before
+        # files grew with the (first) append ...
+        assert n_files(str(tmp_path / "sh_g1")) > 4
+
+        # --- compaction: fresh generation, row-identical, file count back
+        compact_bucketed_index(
+            spark, "t_sh_lc", "t_sh_lc_g2", str(tmp_path / "sh_g2")
+        )
+        assert sorted(map(tuple, spark.table("t_sh_lc_g2").collect())) == want
+        assert n_files(str(tmp_path / "sh_g2")) == 4
+        # probe of the new generation keeps the exchange-free index scan
+        from video_etl_spark.llm_ops.dedup import (
+            incremental_simhash_against_index,
+        )
+
+        probe_batch = spark.createDataFrame(
+            [(100, A)], "doc_id long, text string"
+        )
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = incremental_simhash_against_index(
+                probe_batch, spark.table("t_sh_lc_g2")
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange hashpartitioning(ckey") == 1, plan
+            assert {r["dup_of"] for r in out.collect()} == {1}
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", old_thresh
+            )
+        # overlap guard: folding onto the live generation path refuses
+        with pytest.raises(ValueError, match="NEW generation"):
+            compact_bucketed_index(
+                spark, "t_sh_lc_g2", "t_sh_lc_g3", str(tmp_path / "sh_g2")
+            )
+
+        # --- fingerprint twin: append == rebuild, retry no-op, compact
+        write_fingerprint_index(
+            _winnowing_fps(hist), "t_fp_lc", str(tmp_path / "fp_g1"),
+            n_buckets=4,
+        )
+        append_to_fingerprint_index(_winnowing_fps(batch), "t_fp_lc")
+        append_to_fingerprint_index(_winnowing_fps(batch), "t_fp_lc")
+        got_fp = sorted(map(tuple, spark.table("t_fp_lc").collect()))
+        write_fingerprint_index(
+            _winnowing_fps(docs), "t_fp_rebuild", str(tmp_path / "fp_rb"),
+            n_buckets=4,
+        )
+        assert got_fp == sorted(
+            map(tuple, spark.table("t_fp_rebuild").collect())
+        )
+        compact_bucketed_index(
+            spark, "t_fp_lc", "t_fp_lc_g2", str(tmp_path / "fp_g2")
+        )
+        assert sorted(
+            map(tuple, spark.table("t_fp_lc_g2").collect())
+        ) == got_fp
+        assert n_files(str(tmp_path / "fp_g2")) == 4
+    finally:
+        for t in ("t_sh_lc", "t_sh_rebuild", "t_sh_lc_g2", "t_sh_lc_g3",
+                  "t_fp_lc", "t_fp_rebuild", "t_fp_lc_g2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

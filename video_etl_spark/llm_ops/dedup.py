@@ -927,6 +927,61 @@ def write_fingerprint_index(
     )
 
 
+def append_to_simhash_index(
+    new_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    files_per_bucket: int = 1,
+) -> None:
+    """Append a crawl batch's chunk rows to the persisted SimHash index
+    (:func:`write_simhash_index`) — batch-sized work, bucket layout (and
+    therefore the probe's exchange-free index scan) preserved by
+    ``operators.io.append_bucketed``.  Content-derived rows mean append
+    == full rebuild of the union corpus BIT-FOR-BIT (tested), the
+    property IVF appends cannot have.
+
+    Idempotence: the batch anti-joins the index's existing doc_ids, so a
+    crashed-and-retried append cannot double a doc's rows (duplicated
+    chunk rows would survive ``incremental_simhash_against_index``'s
+    distinct but inflate ``winnowing``-style counted probes; one
+    discipline for all index appends).  ``localCheckpoint`` because the
+    plan reads the table it appends to.  File-count growth over many
+    appends is folded by ``operators.io.compact_bucketed_index``
+    (generation rotation); there is no raw batch_id tail here to fold or
+    prune — a STREAMING simhash writer would reuse the
+    ``compact_stream_index`` raw-layout contract instead.
+    """
+    from video_etl_spark.operators.io import append_bucketed
+
+    spark = new_docs.sparkSession
+    rows = simhash_index_rows(simhash_signatures(new_docs, text_col))
+    fresh = rows.join(
+        spark.table(table).select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint()
+    append_bucketed(fresh, table, files_per_bucket)
+
+
+def append_to_fingerprint_index(
+    new_fps: DataFrame, table: str, files_per_bucket: int = 1
+) -> None:
+    """Append a batch's winnowing fingerprints to the persisted index
+    (:func:`write_fingerprint_index`).  Same contract as
+    :func:`append_to_simhash_index`: doc-grain anti-join idempotence
+    (``winnowing_candidates_against_index`` COUNTS shared fingerprints,
+    so duplicated rows would inflate ``n_shared`` — not just waste
+    space), localCheckpoint for the self-read, bucket layout preserved,
+    compaction via ``operators.io.compact_bucketed_index``."""
+    from video_etl_spark.operators.io import append_bucketed
+
+    spark = new_fps.sparkSession
+    fresh = (
+        new_fps.select("doc_id", "fingerprint")
+        .join(spark.table(table).select("doc_id"), "doc_id", "left_anti")
+        .localCheckpoint()
+    )
+    append_bucketed(fresh, table, files_per_bucket)
+
+
 def winnowing_candidates_against_index(
     new_fps: DataFrame, index: DataFrame, min_shared: int = 3
 ) -> DataFrame:

@@ -156,7 +156,15 @@ def write_bucketed(
     on a 1000-executor cluster, where the move is ``files_per_bucket ≈
     executors / n_buckets`` (or simply more buckets) so every executor
     writes while file counts stay bounded at files_per_bucket per
-    bucket."""
+    bucket.
+
+    CALLER TRAP: do not feed this a bare ``spark.table()`` scan of an
+    ALREADY-BUCKETED table with the same key — the scan's partitioning
+    claim lets the optimizer elide the repartition, auto-bucketed-scan
+    then disables the bucketed read, and the planned write re-shuffles
+    to ``spark.sql.shuffle.partitions`` files.  Read the table's
+    LOCATION as plain parquet instead (what
+    :func:`compact_bucketed_index` does)."""
     (
         df.repartition(
             files_per_bucket * n_buckets, *[F.col(c) for c in bucket_cols]
@@ -167,6 +175,34 @@ def write_bucketed(
         .sortBy(*bucket_cols)
         .saveAsTable(table)
     )
+
+
+def bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str], str]:
+    """``(n_buckets, bucket_cols, location)`` of a bucketed catalog
+    table, parsed from DESCRIBE FORMATTED — the never-resupply-params
+    reader :func:`append_bucketed` and :func:`compact_bucketed_index`
+    share.  Only the metadata section after the '# Detailed Table
+    Information' marker is read: the rows above it are the DATA columns,
+    so a column literally named 'Num Buckets' cannot shadow the spec."""
+    desc = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    try:
+        start = next(
+            i
+            for i, r in enumerate(desc)
+            if r["col_name"].strip().startswith("# Detailed Table")
+        )
+    except StopIteration:
+        raise ValueError(
+            f"bucket_spec: DESCRIBE FORMATTED {table!r} has no "
+            "'# Detailed Table Information' section — unsupported "
+            "catalog/Spark version, refusing to guess the bucket spec"
+        )
+    info = {r["col_name"]: r["data_type"] for r in desc[start:]}
+    if "Num Buckets" not in info:
+        raise ValueError(f"bucket_spec: {table!r} is not a bucketed table")
+    n_buckets = int(info["Num Buckets"])
+    cols = [c.strip("[]` ") for c in info["Bucket Columns"].split(",")]
+    return n_buckets, cols, info.get("Location", "")
 
 
 def append_bucketed(
@@ -181,29 +217,7 @@ def append_bucketed(
     here rather than trusted from the caller — the same
     never-resupply-params discipline as the ANN index sidecars."""
     spark = df.sparkSession
-    desc = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
-    # only the metadata section after the '# Detailed Table Information'
-    # marker is table info — the rows above it are the DATA columns, so a
-    # column literally named 'Num Buckets' must not shadow the spec
-    try:
-        start = next(
-            i
-            for i, r in enumerate(desc)
-            if r["col_name"].strip().startswith("# Detailed Table")
-        )
-    except StopIteration:
-        raise ValueError(
-            f"append_bucketed: DESCRIBE FORMATTED {table!r} has no "
-            "'# Detailed Table Information' section — unsupported "
-            "catalog/Spark version, refusing to guess the bucket spec"
-        )
-    info = {r["col_name"]: r["data_type"] for r in desc[start:]}
-    if "Num Buckets" not in info:
-        raise ValueError(
-            f"append_bucketed: {table!r} is not a bucketed table"
-        )
-    n_buckets = int(info["Num Buckets"])
-    cols = [c.strip("[]` ") for c in info["Bucket Columns"].split(",")]
+    n_buckets, cols, _ = bucket_spec(spark, table)
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(
@@ -223,6 +237,48 @@ def append_bucketed(
         .sortBy(*cols)
         .saveAsTable(table)
     )
+
+
+def compact_bucketed_index(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    dst_path: str,
+    files_per_bucket: int = 1,
+) -> None:
+    """Fold an append-maintained bucketed table's accumulated per-append
+    files into a FRESH generation with the identical bucket spec — the
+    file-count compaction of the index lifecycle (write → append →
+    compact → swap readers → drop old generation).
+
+    Each :func:`append_bucketed` call adds ``files_per_bucket`` files per
+    bucket, so after k appends every bucketed scan lists k× the files; at
+    1000-executor scale that listing cost is the whole reason compaction
+    exists.  Unlike the STREAMING fold (``streaming.dedup.
+    compact_stream_index``, which converts a raw batch_id-partitioned
+    layout into its first bucketed generation), this source is already
+    bucketed — the spec (n_buckets, columns) is read from the catalog,
+    never caller-resupplied, and rows land unchanged, so probes of the
+    new generation are bit-identical (tested).  The destination must be
+    a NEW path (``assert_new_generation``): overwriting the source
+    location would delete files mid-read.  The caller swaps readers to
+    ``dst_table`` and drops the old table/path afterwards."""
+    n_buckets, cols, src_loc = bucket_spec(spark, src_table)
+    inputs = [src_loc] if src_loc else []
+    assert_new_generation(
+        dst_path, inputs, f"the current generation of {src_table!r}"
+    )
+    # read the LOCATION, not the catalog table: a bucketed table scan
+    # advertises hash(cols, n_buckets) partitioning, so the optimizer
+    # elides write_bucketed's explicit repartition as redundant — then
+    # auto-bucketed-scan disables the bucketed read (nothing left that
+    # exploits it) and the planned write re-shuffles to
+    # spark.sql.shuffle.partitions, emitting THAT many files instead of
+    # files_per_bucket × n_buckets (observed: 8 files for a 4-bucket
+    # fold).  A plain parquet scan carries no partitioning claim, so the
+    # file-count guard survives planning.
+    src = spark.read.parquet(src_loc) if src_loc else spark.table(src_table)
+    write_bucketed(src, dst_table, dst_path, cols, n_buckets, files_per_bucket)
 
 
 def write_orc_partitioned(
