@@ -93,6 +93,11 @@ HEADLINE = [
     # pair-family skew guard histogram.
     "winnowing_overlap_stats",
     "band_occupancy_histogram",
+    # round-9 addition: the SimHash count-grain readout (rep-grain
+    # analytic partners — the corpus-scale default the pair form defers
+    # to; knn_ivf_indexed stays driver-only, its per-call index write
+    # belongs to the @index-twin measurement family, not the headline).
+    "simhash_overlap_stats",
     "sequence_packing_manifest",
     "bigram_lm_topk",
     "winnowing_overlap_pairs",

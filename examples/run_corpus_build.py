@@ -41,28 +41,49 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=None)
     ap.add_argument(
+        "--scale", type=int, default=1,
+        help="corpus multiplier over the ~sf1 slice (10 -> 500k docs "
+        "under /tmp/spark_graft_sf10); the per-stage ratio evidence "
+        "PERF.md records",
+    )
+    ap.add_argument(
         "--keep", action="store_true",
         help="leave the artifact directory on disk after the run",
     )
     args = ap.parse_args()
 
-    from examples.scale_rehearsal import SF1_DIR, generate
+    from examples.scale_rehearsal import (
+        N_DOCS,
+        N_EVENTS,
+        N_VECS,
+        SF1_DIR,
+        generate,
+    )
     from video_etl_spark.session import get_spark, load_table
 
     spark = get_spark("video-etl-spark-corpus-build")
     spark.sparkContext.setLogLevel("ERROR")
 
-    sf_dir = args.sf_dir or SF1_DIR
+    gen_dir = (
+        SF1_DIR if args.scale == 1 else f"/tmp/spark_graft_sf{args.scale}"
+    )
+    sf_dir = args.sf_dir or gen_dir
     if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
-        # the generator writes ONLY to SF1_DIR — an absent custom dir is
-        # a user error, not something to silently "fix" elsewhere
-        if sf_dir != SF1_DIR:
+        # the generator writes ONLY to its own dirs — an absent custom
+        # dir is a user error, not something to silently "fix" elsewhere
+        if sf_dir != gen_dir:
             raise SystemExit(
                 f"--sf-dir {sf_dir} has no documents.parquet (the "
-                f"generator only produces {SF1_DIR})"
+                f"generator only produces {gen_dir})"
             )
-        print(f"generating seeded ~sf1 slice under {sf_dir} ...")
-        generate(spark)
+        print(f"generating seeded ~sf{args.scale} slice under {sf_dir} ...")
+        generate(
+            spark,
+            out_dir=gen_dir,
+            n_docs=N_DOCS * args.scale,
+            n_events=N_EVENTS * args.scale,
+            n_vecs=N_VECS * args.scale,
+        )
 
     work = tempfile.mkdtemp(prefix="corpus_build_")
     timings: list[tuple[str, float]] = []
@@ -309,9 +330,28 @@ def _run(spark, sf_dir: str, work: str, timings) -> None:
         ).count()
     print(f"      shard 2 docs: {n_shard2}")
 
+    # ---- bucketed-index file counts: the round-8 small-file fix means
+    # these track n_buckets (x files_per_bucket for generations), NOT
+    # writer parallelism — the property that keeps a 1000-executor
+    # index listable; printed so the scale rehearsal log carries the
+    # evidence at every corpus size ----
+    print("\n      bucketed index file counts (parquet parts):")
+    for idx in ("band_idx", "comp_idx", "comp_hist", "comp_gen1",
+                "fp_idx", "phash_idx"):
+        path = os.path.join(work, idx)
+        if not os.path.isdir(path):
+            continue
+        n_parts = sum(
+            1
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        print(f"        {idx:<10} {n_parts} files")
+
     total = sum(dt for _, dt in timings)
     print(f"\nend-to-end corpus revision: {total:.1f}s over "
-          f"{len(timings)} stages at ~sf1 ({n_docs} docs)")
+          f"{len(timings)} stages ({n_docs} docs)")
     print("artifacts under", work)
 
 

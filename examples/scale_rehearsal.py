@@ -41,12 +41,21 @@ _VOCAB = (
 ).split()
 
 
-def generate(spark) -> None:
-    """Write documents.parquet + events.parquet at ~sf1 under SF1_DIR."""
+def generate(
+    spark,
+    out_dir: str = SF1_DIR,
+    n_docs: int = N_DOCS,
+    n_events: int = N_EVENTS,
+    n_vecs: int = N_VECS,
+) -> None:
+    """Write documents/embeddings/events parquet at ``out_dir`` —
+    defaults reproduce the seeded ~sf1 slice; the 10× lifecycle
+    rehearsal passes ``n_docs=500_000`` etc. (content is a pure hash of
+    the row id, so a larger corpus is a SUPERSET of the smaller one)."""
     vocab = F.array(*[F.lit(w) for w in _VOCAB])
 
     # ~1 % exact dups: doc_id % 100 == 7 reuses the text of doc_id - 7
-    base = spark.range(N_DOCS).select(
+    base = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.when(F.col("id") % 100 == 7, F.col("id") - 7)
         .otherwise(F.col("id"))
@@ -77,10 +86,10 @@ def generate(spark) -> None:
             F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(20)).cast("string"),
         ).alias("source"),
     ).withColumn("n_chars", F.length("text").cast("long"))
-    docs.repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+    docs.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     # embeddings: 64 hash-deterministic floats in (-0.5, 0.5) + 10 labels
-    emb = spark.range(N_VECS).select(
+    emb = spark.range(n_vecs).select(
         F.col("id").alias("vec_id"),
         F.transform(
             F.sequence(F.lit(1), F.lit(_DIM)),
@@ -96,10 +105,10 @@ def generate(spark) -> None:
         .alias("label"),
     )
     emb.repartition(32).write.mode("overwrite").parquet(
-        f"{SF1_DIR}/embeddings.parquet"
+        f"{out_dir}/embeddings.parquet"
     )
 
-    events = spark.range(N_EVENTS).select(
+    events = spark.range(n_events).select(
         F.col("id").alias("event_id"),
         F.timestamp_micros(
             F.lit(1_704_067_200_000_000)  # 2024-01-01 00:00:00 UTC
@@ -117,7 +126,7 @@ def generate(spark) -> None:
             F.lit("}"),
         ).alias("props"),
     )
-    events.repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/events.parquet")
+    events.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
 def rss_mib() -> float:
