@@ -320,10 +320,15 @@ def main() -> None:
     }
     # normalization is only meaningful at the pinned config with real pins
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # session.get_spark honors a SPARK_MASTER override, under which the
+    # cpus default of 32 would be a lie — the pins were measured on
+    # local[32], so any other master disables normalization
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if (
         all(v is not None for v in CONTROL_PINNED.values())
         and sf == _PIN_CONFIG["sf"]
         and cpus == _PIN_CONFIG["cpus"]
+        and master == f"local[{_PIN_CONFIG['cpus']}]"
         and reps >= 3
     ):
         ratio = round(

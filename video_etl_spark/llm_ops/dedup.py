@@ -354,7 +354,12 @@ def simhash_overlap_stats(
             "more/finer chunks for larger radii"
         )
     mem, rep_pairs = _simhash_rep_structures(docs, text_col, max_hamming)
-    sizes = mem.groupBy("rep").agg(F.count(F.lit(1)).alias("sz"))
+    # both adj branches below read rep_pairs and two consumers read
+    # sizes — persist them or the chunk self-join (the expensive part)
+    # runs once per branch (measured 6.6s -> pair-form parity at sf0.1);
+    # same LRU-eviction convention as the signature frames
+    rep_pairs = rep_pairs.persist()
+    sizes = mem.groupBy("rep").agg(F.count(F.lit(1)).alias("sz")).persist()
     adj = rep_pairs.select(
         F.col("doc_a").alias("rep"), F.col("doc_b").alias("nbr"), "hamming"
     ).unionByName(

@@ -629,9 +629,11 @@ def ivf_topk_against_index(
     The scan of ``{path}/vectors`` carries a partition filter listing
     only the cells this query batch probes (plan-asserted in tests), so
     corpus IO is proportional to the probed cells, not the corpus.  The
-    two driver collects here are bounded control-plane reads: the
-    centers table (n_centroids rows) and the distinct probed-cell list
-    (<= n_centroids ints) needed to build the literal pruning filter.
+    driver-side reads are bounded control-plane reads: the distinct
+    probed-cell list (<= n_centroids ints) needed to build the literal
+    pruning filter, plus — in the literal form only — the centers table
+    (n_centroids rows); the broadcast form ships centers executor-side
+    and the auto decision reads just the row count.
 
     Cell ranking has two equivalent forms (``cell_rank``: "auto" picks by
     ``_LITERAL_CELL_RANK_MAX``, "literal"/"broadcast" force one): the
@@ -653,19 +655,30 @@ def ivf_topk_against_index(
 
     ensure_executor_package(spark)
 
-    centers = _read_centers(spark, path)
     if cell_rank == "auto":
+        # only the cell COUNT picks the branch — don't ship n_centroids
+        # × dim doubles to the driver at the scale the broadcast form
+        # exists for (the literal branch collects them below, where the
+        # plan genuinely inlines them)
+        n_centroids = spark.read.parquet(f"{path}/centers").count()
         cell_rank = (
             "literal"
-            if len(centers) <= _LITERAL_CELL_RANK_MAX
+            if n_centroids <= _LITERAL_CELL_RANK_MAX
             else "broadcast"
         )
 
     as_double = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    # duplicate query ids collapse to one row: the final top-k is keyed
+    # by query_id, so duplicated rows could only (a) emit the same
+    # neighbor at several ranks (literal form) or (b) halve the probe
+    # set (broadcast form's per-id window) — collapsing first keeps the
+    # two cell-ranking forms bit-identical.  Rows sharing an id but
+    # carrying DIFFERENT vectors are invalid input either way.
     queries_d = queries.select(
         F.col(id_col).alias("query_id"), as_double.alias("scores")
-    )
+    ).dropDuplicates(["query_id"])
     if cell_rank == "literal":
+        centers = _read_centers(spark, path)
         # per query: distances to every centroid, take the n_probe nearest
         # (same expression shape as ivf_topk so results match exactly)
         dist_cols = []

@@ -218,7 +218,17 @@ def append_bucketed(
     never-resupply-params discipline as the ANN index sidecars."""
     spark = df.sparkSession
     n_buckets, cols, _ = bucket_spec(spark, table)
-    missing = [c for c in cols if c not in df.columns]
+    # match Spark's analyzer: column resolution is case-insensitive
+    # unless spark.sql.caseSensitive is set — the guard must not reject
+    # an append the write itself would accept
+    case_sensitive = (
+        spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
+    )
+    have = df.columns if case_sensitive else [c.lower() for c in df.columns]
+    missing = [
+        c for c in cols
+        if (c if case_sensitive else c.lower()) not in have
+    ]
     if missing:
         raise ValueError(
             f"append_bucketed: parsed bucket columns {cols} from "
@@ -264,9 +274,19 @@ def compact_bucketed_index(
     location would delete files mid-read.  The caller swaps readers to
     ``dst_table`` and drops the old table/path afterwards."""
     n_buckets, cols, src_loc = bucket_spec(spark, src_table)
-    inputs = [src_loc] if src_loc else []
+    if not src_loc:
+        # without the location there is no plain-parquet read (the
+        # bucketed-scan fallback is exactly the CALLER TRAP above: the
+        # repartition gets elided and the write re-shuffles to
+        # shuffle.partitions files) AND no overlap guard — refuse loudly
+        # rather than emit a silently-mislaid generation
+        raise ValueError(
+            f"compact_bucketed_index: DESCRIBE FORMATTED {src_table!r} "
+            "reports no Location — cannot read the generation as plain "
+            "parquet or verify dst_path does not overlap it"
+        )
     assert_new_generation(
-        dst_path, inputs, f"the current generation of {src_table!r}"
+        dst_path, [src_loc], f"the current generation of {src_table!r}"
     )
     # read the LOCATION, not the catalog table: a bucketed table scan
     # advertises hash(cols, n_buckets) partitioning, so the optimizer
@@ -277,7 +297,7 @@ def compact_bucketed_index(
     # files_per_bucket × n_buckets (observed: 8 files for a 4-bucket
     # fold).  A plain parquet scan carries no partitioning claim, so the
     # file-count guard survives planning.
-    src = spark.read.parquet(src_loc) if src_loc else spark.table(src_table)
+    src = spark.read.parquet(src_loc)
     write_bucketed(src, dst_table, dst_path, cols, n_buckets, files_per_bucket)
 
 
