@@ -3099,3 +3099,81 @@ def test_simhash_fingerprint_append_and_compact_lifecycle(spark, tmp_path):
         for t in ("t_sh_lc", "t_sh_rebuild", "t_sh_lc_g2", "t_sh_lc_g3",
                   "t_fp_lc", "t_fp_rebuild", "t_fp_lc_g2"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_lsh_external_planes_lifecycle(spark, sf_dir, tmp_path):
+    """Round-9 external-quantizer workflow for LSH (the write_ivf_index
+    ``centers=`` analog): explicit planes are persisted IN the index
+    ({table}_planes) and every reader hashes with THEM — the probe via
+    ``planes_df`` and the append via the catalog sidecar — so append ==
+    full rebuild holds for an external-planes index too.  md5-derived
+    planes would scatter queries/batches into foreign buckets, which is
+    exactly what the equivalence below would catch."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.similarity import (
+        append_to_lsh_index,
+        lsh_topk_against_index,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old_vecs = emb.filter(F.col("vec_id") < 400)
+    new_vecs = emb.filter(F.col("vec_id") >= 400)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    # deterministic non-md5 planes: integer lattice offsets
+    rng = np.arange(2 * 3 * 64, dtype=np.float64)
+    planes = ((rng % 7) - 3).reshape(2, 3, 64)
+
+    def snap(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rn"], round(r["cos_sim"], 9))
+            for r in df.collect()
+        )
+
+    try:
+        # shape validation is loud
+        with pytest.raises(ValueError, match="planes shape"):
+            write_lsh_index(
+                old_vecs, "t_lsh_xp", str(tmp_path / "xp_bad"),
+                n_tables=2, n_planes=4, planes=planes,
+            )
+
+        write_lsh_index(
+            old_vecs, "t_lsh_xp", str(tmp_path / "xp_a"), n_buckets=8,
+            n_tables=2, n_planes=3, planes=planes,
+        )
+        # the planes sidecar exists and round-trips
+        assert spark.table("t_lsh_xp_planes").count() == 6
+        append_to_lsh_index(new_vecs, "t_lsh_xp")
+        write_lsh_index(
+            emb, "t_lsh_xpf", str(tmp_path / "xp_f"), n_buckets=8,
+            n_tables=2, n_planes=3, planes=planes,
+        )
+        probe = lambda t: lsh_topk_against_index(  # noqa: E731
+            queries, spark.table(t), spark.table(f"{t}_vecs"),
+            spark.table(f"{t}_params"), k=5,
+            planes_df=spark.table(f"{t}_planes"),
+        )
+        got_a = snap(probe("t_lsh_xp"))
+        assert got_a == snap(probe("t_lsh_xpf")) and got_a
+        # appended rows reachable through the external-plane hashing
+        assert any(r[1] >= 400 for r in got_a)
+
+        # a planes sidecar contradicting the params sidecar is rejected
+        with pytest.raises(ValueError, match="contradicts the params"):
+            lsh_topk_against_index(
+                queries,
+                spark.table("t_lsh_xp"),
+                spark.table("t_lsh_xp_vecs"),
+                spark.table("t_lsh_xp_params"),
+                planes_df=spark.table("t_lsh_xp_planes").filter(
+                    F.col("plane_id") < 2
+                ),
+            ).collect()
+    finally:
+        for t in ("t_lsh_xp", "t_lsh_xpf"):
+            for suffix in ("", "_vecs", "_params", "_planes"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")

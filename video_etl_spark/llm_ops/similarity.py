@@ -42,6 +42,19 @@ def _planes(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
     return out
 
 
+def _planes_from_rows(rows) -> np.ndarray:
+    """Reassemble the (n_tables, n_planes, dim) hyperplane array from
+    persisted ``{table}_planes`` rows — shared by the LSH probe and
+    append so external-plane indexes hash queries with the planes they
+    were built with."""
+    n_tables = 1 + max(r["table_id"] for r in rows)
+    n_planes = 1 + max(r["plane_id"] for r in rows)
+    out = np.empty((n_tables, n_planes, len(rows[0]["plane"])))
+    for r in rows:
+        out[r["table_id"], r["plane_id"]] = r["plane"]
+    return out
+
+
 def _bucket_udf(planes: np.ndarray):
     n_tables, n_planes, _ = planes.shape
 
@@ -184,6 +197,7 @@ def write_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     files_per_bucket: int = 1,
+    planes=None,
 ) -> None:
     """Persist the corpus LSH bucket table (+ vector sidecar with
     precomputed norms) as bucketed external tables; the hyperplanes are
@@ -195,13 +209,43 @@ def write_lsh_index(
     probe hashing queries with different n_planes than the index was
     built with would produce tkeys that only accidentally collide —
     recall craters with no exception.
+
+    ``planes``, if given, SKIPS the md5 derivation and uses the supplied
+    hyperplanes verbatim (shape ``(n_tables, n_planes, dim)``) — the
+    same externally-trained-quantizer workflow as
+    :func:`write_ivf_index`'s ``centers=`` (learned projections, or
+    data-derived planes for an oracle-reproducible index).  Like every
+    other hash parameter they are then persisted IN the index
+    (``{table}_planes``) so probes and appends hash queries with the
+    planes the index was built with; an index written without the
+    argument has no planes table and readers fall back to the md5
+    derivation, so existing indexes are untouched.
     """
     from video_etl_spark.operators.io import write_bucketed
     from video_etl_spark.session import ensure_executor_package
 
     spark = corpus.sparkSession
     ensure_executor_package(spark)
-    planes = _planes(n_tables, n_planes, dim)
+    if planes is not None:
+        planes = np.asarray(planes, dtype=np.float64)
+        if planes.shape != (n_tables, n_planes, dim):
+            raise ValueError(
+                f"write_lsh_index: planes shape {planes.shape} does not "
+                f"match (n_tables={n_tables}, n_planes={n_planes}, "
+                f"dim={dim})"
+            )
+        spark.createDataFrame(
+            [
+                (t, p, [float(x) for x in planes[t, p]])
+                for t in range(n_tables)
+                for p in range(n_planes)
+            ],
+            "table_id int, plane_id int, plane array<double>",
+        ).coalesce(1).write.mode("overwrite").option(
+            "path", f"{path}/planes"
+        ).saveAsTable(f"{table}_planes")
+    else:
+        planes = _planes(n_tables, n_planes, dim)
     write_bucketed(
         _lsh_bucket_rows(corpus, planes, id_col, vec_col),
         table,
@@ -235,6 +279,7 @@ def lsh_topk_against_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 1_000_000,
+    planes_df: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`lsh_topk` against a persisted index (``spark.table`` reads
     of :func:`write_lsh_index`'s tables) — identical output for the same
@@ -244,10 +289,13 @@ def lsh_topk_against_index(
 
     The hash parameters come from the index's own ``{table}_params``
     sidecar (a 1-row control-plane read), so query tkeys are always
-    computed with the planes the index was built with.  Same
-    bounded-broadcast contract as the direct form: query vectors are
-    broadcast into the re-rank, so the query set is capped at
-    ``max_queries`` with a loud raise.
+    computed with the planes the index was built with; for an index
+    written with explicit planes, pass its ``{table}_planes`` sidecar
+    as ``planes_df`` (bounded: n_tables × n_planes rows) — md5-derived
+    planes would hash queries into tkeys that only accidentally collide
+    with the index's.  Same bounded-broadcast contract as the direct
+    form: query vectors are broadcast into the re-rank, so the query
+    set is capped at ``max_queries`` with a loud raise.
     """
     from video_etl_spark.session import ensure_executor_package
 
@@ -260,7 +308,17 @@ def lsh_topk_against_index(
             "executor for the re-rank"
         )
     p = params.collect()[0]
-    planes = _planes(p["n_tables"], p["n_planes"], p["dim"])
+    if planes_df is not None:
+        planes = _planes_from_rows(planes_df.collect())
+        if planes.shape != (p["n_tables"], p["n_planes"], p["dim"]):
+            raise ValueError(
+                f"lsh_topk_against_index: planes sidecar shape "
+                f"{planes.shape} contradicts the params sidecar "
+                f"({p['n_tables']}, {p['n_planes']}, {p['dim']}) — "
+                "mismatched index tables"
+            )
+    else:
+        planes = _planes(p["n_tables"], p["n_planes"], p["dim"])
     q_buckets = _lsh_bucket_rows(queries, planes, id_col, vec_col).select(
         F.col("neighbor_id").alias("query_id"), "tkey"
     )
@@ -408,7 +466,12 @@ def append_to_lsh_index(
     spark = new.sparkSession
     ensure_executor_package(spark)
     p = spark.table(f"{table}_params").collect()[0]
-    planes = _planes(p["n_tables"], p["n_planes"], p["dim"])
+    if spark.catalog.tableExists(f"{table}_planes"):
+        # index written with explicit planes — hash the batch with THOSE
+        # (md5-derived planes would scatter it into foreign buckets)
+        planes = _planes_from_rows(spark.table(f"{table}_planes").collect())
+    else:
+        planes = _planes(p["n_tables"], p["n_planes"], p["dim"])
     # Intra-batch duplicate ids are collapsed ONCE into a materialized
     # batch so both sinks see the same survivor row (see _fresh_only).
     # PER-SINK idempotence: each sink then appends that batch MINUS what

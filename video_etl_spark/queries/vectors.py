@@ -931,3 +931,124 @@ def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_against_index(
         spark, queries, path, k=_IVF_Q_TOPK, n_probe=_IVF_Q_PROBE
     )
+
+
+# U22⊕ — ORACLE-BACKED PERSISTED-LSH PROBE (round 9): the second
+# driver-attestable ANN modality, same recipe as knn_ivf_indexed but
+# exercising the LSH artifact path end-to-end — write_lsh_index with
+# EXPLICIT hyperplanes (the quantized first-8 vectors reshaped to 2
+# tables × 4 planes: a deterministic externally-trained projection,
+# persisted in the index's {table}_planes sidecar), then
+# lsh_topk_against_index reading planes + params from the index.  All
+# sign tests are exact integer arithmetic carried in doubles (dot of
+# two quantized vectors < 2^53), so both engines compute identical
+# bucket codes; candidates are same-(table, bucket) pairs, re-ranked by
+# exact cosine with the (cos desc, neighbor_id) tie-break.  A green row
+# re-proves hashing, the persisted-plane contract, bucket-join candidate
+# generation, and ranking.
+_LSH_Q_TABLES = 2
+_LSH_Q_PLANES = 4
+_LSH_Q_MOD = 25     # query set: vec_id % 25 == 0 (bounded: corpus/25)
+_LSH_Q_TOPK = 5
+_LSH_Q_INDEX_CACHE: dict[str, str] = {}  # sf_dir -> catalog table name
+
+
+@query(
+    "knn_lsh_indexed",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings),
+    n AS (
+      SELECT vec_id, q, CAST({_DUCK_SQ} AS DOUBLE) AS sq FROM q),
+    pl AS (
+      SELECT vec_id AS pid, q AS p FROM q
+      WHERE vec_id < {_LSH_Q_TABLES * _LSH_Q_PLANES}),
+    codes AS (
+      SELECT a.vec_id, pl.pid // {_LSH_Q_PLANES} AS table_id,
+             SUM(CASE WHEN list_sum([a.q[i] * pl.p[i]
+                            FOR i IN generate_series(1, len(a.q))]) > 0
+                      THEN 1 << (pl.pid % {_LSH_Q_PLANES}) ELSE 0
+                 END) AS bucket
+      FROM q a CROSS JOIN pl
+      GROUP BY a.vec_id, pl.pid // {_LSH_Q_PLANES}),
+    pairs AS (
+      SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+      FROM codes qc
+      JOIN codes cc ON qc.table_id = cc.table_id
+                   AND qc.bucket = cc.bucket
+      WHERE qc.vec_id % {_LSH_Q_MOD} = 0),
+    cand AS (
+      SELECT p.query_id, p.neighbor_id,
+             CAST(list_sum([x.q[i] * y.q[i]
+                            FOR i IN generate_series(1, len(x.q))]) AS DOUBLE)
+               / (sqrt(x.sq) * sqrt(y.sq)) AS cos_sim
+      FROM pairs p
+      JOIN n x ON p.query_id = x.vec_id
+      JOIN n y ON p.neighbor_id = y.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM cand) WHERE rn <= {_LSH_Q_TOPK}
+    """,
+)
+def knn_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a persisted LSH index written once per (process, sf_dir)
+    with explicit data-derived hyperplanes (U22⊕ second driver-attestable
+    ANN instance).  Same scratch-reuse contract as
+    :func:`knn_ivf_indexed`: re-entrant calls reuse the index, atexit
+    removes the files."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from video_etl_spark.llm_ops.similarity import (
+        lsh_topk_against_index,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(cast(round(cast(x as double) * 1000000) as bigint) "
+            "as double))"
+        ).alias("embedding"),
+    )
+    tbl = _LSH_Q_INDEX_CACHE.get(sf_dir)
+    if tbl is None or not spark.catalog.tableExists(tbl):
+        n_seed = _LSH_Q_TABLES * _LSH_Q_PLANES
+        seed = (
+            qemb.filter(F.col("vec_id") < n_seed).orderBy("vec_id").collect()
+        )
+        planes = [
+            [
+                list(seed[t * _LSH_Q_PLANES + p]["embedding"])
+                for p in range(_LSH_Q_PLANES)
+            ]
+            for t in range(_LSH_Q_TABLES)
+        ]
+        path = tempfile.mkdtemp(prefix="knn_lsh_indexed_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        tbl = "knn_lsh_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        write_lsh_index(
+            qemb,
+            tbl,
+            path,
+            n_buckets=8,
+            n_tables=_LSH_Q_TABLES,
+            n_planes=_LSH_Q_PLANES,
+            dim=64,
+            planes=planes,
+        )
+        _LSH_Q_INDEX_CACHE[sf_dir] = tbl
+    queries = qemb.filter(F.col("vec_id") % _LSH_Q_MOD == 0)
+    return lsh_topk_against_index(
+        queries,
+        spark.table(tbl),
+        spark.table(f"{tbl}_vecs"),
+        spark.table(f"{tbl}_params"),
+        k=_LSH_Q_TOPK,
+        planes_df=spark.table(f"{tbl}_planes"),
+    )
