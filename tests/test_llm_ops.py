@@ -3173,6 +3173,34 @@ def test_lsh_external_planes_lifecycle(spark, sf_dir, tmp_path):
                     F.col("plane_id") < 2
                 ),
             ).collect()
+
+        # params records has_planes, so the silent md5 fallback is
+        # impossible in BOTH directions: probing an external-planes
+        # index without its sidecar refuses...
+        with pytest.raises(ValueError, match="EXPLICIT planes"):
+            lsh_topk_against_index(
+                queries,
+                spark.table("t_lsh_xp"),
+                spark.table("t_lsh_xp_vecs"),
+                spark.table("t_lsh_xp_params"),
+            ).collect()
+        # ...and an md5 rebuild DROPS the stale sidecar (an append after
+        # the rebuild would otherwise hash with the dead generation's
+        # planes) and refuses a foreign planes_df
+        write_lsh_index(
+            old_vecs, "t_lsh_xp", str(tmp_path / "xp_md5"), n_buckets=8,
+            n_tables=2, n_planes=3,
+        )
+        assert not spark.catalog.tableExists("t_lsh_xp_planes")
+        append_to_lsh_index(new_vecs, "t_lsh_xp")  # md5 hashing, clean
+        with pytest.raises(ValueError, match="does not belong"):
+            lsh_topk_against_index(
+                queries,
+                spark.table("t_lsh_xp"),
+                spark.table("t_lsh_xp_vecs"),
+                spark.table("t_lsh_xp_params"),
+                planes_df=spark.table("t_lsh_xpf_planes"),
+            ).collect()
     finally:
         for t in ("t_lsh_xp", "t_lsh_xpf"):
             for suffix in ("", "_vecs", "_params", "_planes"):

@@ -46,9 +46,23 @@ def _planes_from_rows(rows) -> np.ndarray:
     """Reassemble the (n_tables, n_planes, dim) hyperplane array from
     persisted ``{table}_planes`` rows — shared by the LSH probe and
     append so external-plane indexes hash queries with the planes they
-    were built with."""
+    were built with.  Completeness is VALIDATED: the target array starts
+    uninitialized, so a partially-committed or hand-repaired sidecar
+    with a missing (table, plane) row would otherwise hash with
+    whatever bytes np.empty left there — nondeterministic garbage with
+    no exception."""
+    if not rows:
+        raise ValueError("planes sidecar is empty")
     n_tables = 1 + max(r["table_id"] for r in rows)
     n_planes = 1 + max(r["plane_id"] for r in rows)
+    seen = {(r["table_id"], r["plane_id"]) for r in rows}
+    expected = {(t, p) for t in range(n_tables) for p in range(n_planes)}
+    if seen != expected or len(rows) != len(expected):
+        raise ValueError(
+            f"planes sidecar is incomplete or duplicated: {len(rows)} "
+            f"rows for a ({n_tables}, {n_planes}) grid, missing "
+            f"{sorted(expected - seen)[:4]}"
+        )
     out = np.empty((n_tables, n_planes, len(rows[0]["plane"])))
     for r in rows:
         out[r["table_id"], r["plane_id"]] = r["plane"]
@@ -107,6 +121,10 @@ def lsh_topk(
             "batch the queries (or raise max_queries deliberately) — the "
             "query vectors are broadcast to every executor for the re-rank"
         )
+    # duplicate query ids collapse — probe-family convention (see
+    # ivf_topk_against_index): top-k is keyed by query_id, duplicated
+    # rows could only corrupt ranks
+    queries = queries.dropDuplicates([id_col])
     planes = _planes(n_tables, n_planes, dim)
     bucketize = _bucket_udf(planes)
 
@@ -216,17 +234,21 @@ def write_lsh_index(
     :func:`write_ivf_index`'s ``centers=`` (learned projections, or
     data-derived planes for an oracle-reproducible index).  Like every
     other hash parameter they are then persisted IN the index
-    (``{table}_planes``) so probes and appends hash queries with the
-    planes the index was built with; an index written without the
-    argument has no planes table and readers fall back to the md5
-    derivation, so existing indexes are untouched.
+    (``{table}_planes``) and RECORDED in the params row
+    (``has_planes``), so readers can refuse the md5 fallback for an
+    external-planes index instead of silently hashing queries into
+    foreign buckets; a rebuild WITHOUT the argument drops any stale
+    planes sidecar from the previous generation for the same reason.
+    Write order: buckets → vectors → planes → params LAST, so the
+    generation's claim about itself is the final thing committed.
     """
     from video_etl_spark.operators.io import write_bucketed
     from video_etl_spark.session import ensure_executor_package
 
     spark = corpus.sparkSession
     ensure_executor_package(spark)
-    if planes is not None:
+    has_planes = planes is not None
+    if has_planes:
         planes = np.asarray(planes, dtype=np.float64)
         if planes.shape != (n_tables, n_planes, dim):
             raise ValueError(
@@ -234,17 +256,12 @@ def write_lsh_index(
                 f"match (n_tables={n_tables}, n_planes={n_planes}, "
                 f"dim={dim})"
             )
-        spark.createDataFrame(
-            [
-                (t, p, [float(x) for x in planes[t, p]])
-                for t in range(n_tables)
-                for p in range(n_planes)
-            ],
-            "table_id int, plane_id int, plane array<double>",
-        ).coalesce(1).write.mode("overwrite").option(
-            "path", f"{path}/planes"
-        ).saveAsTable(f"{table}_planes")
     else:
+        # a stale sidecar surviving an md5 rebuild would make
+        # append_to_lsh_index hash batches with the OLD generation's
+        # planes — appended vectors land in foreign buckets, invisible
+        # to probes, no exception anywhere
+        spark.sql(f"DROP TABLE IF EXISTS {table}_planes")
         planes = _planes(n_tables, n_planes, dim)
     write_bucketed(
         _lsh_bucket_rows(corpus, planes, id_col, vec_col),
@@ -262,9 +279,20 @@ def write_lsh_index(
         n_buckets,
         files_per_bucket,
     )
+    if has_planes:
+        spark.createDataFrame(
+            [
+                (t, p, [float(x) for x in planes[t, p]])
+                for t in range(n_tables)
+                for p in range(n_planes)
+            ],
+            "table_id int, plane_id int, plane array<double>",
+        ).coalesce(1).write.mode("overwrite").option(
+            "path", f"{path}/planes"
+        ).saveAsTable(f"{table}_planes")
     spark.createDataFrame(
-        [(n_tables, n_planes, dim)],
-        "n_tables int, n_planes int, dim int",
+        [(n_tables, n_planes, dim, has_planes)],
+        "n_tables int, n_planes int, dim int, has_planes boolean",
     ).coalesce(1).write.mode("overwrite").option(
         "path", f"{path}/params"
     ).saveAsTable(f"{table}_params")
@@ -308,7 +336,23 @@ def lsh_topk_against_index(
             "executor for the re-rank"
         )
     p = params.collect()[0]
+    # pre-round-9 params rows have no has_planes column (md5-only era)
+    has_planes = bool(p.asDict().get("has_planes", False))
+    if has_planes and planes_df is None:
+        raise ValueError(
+            "lsh_topk_against_index: the params sidecar records this "
+            "index as built with EXPLICIT planes — pass its "
+            "{table}_planes sidecar as planes_df; the md5 fallback "
+            "would hash queries into foreign buckets (recall craters "
+            "with no exception)"
+        )
     if planes_df is not None:
+        if not has_planes:
+            raise ValueError(
+                "lsh_topk_against_index: planes_df given but the params "
+                "sidecar records md5-derived planes — the sidecar does "
+                "not belong to this index generation"
+            )
         planes = _planes_from_rows(planes_df.collect())
         if planes.shape != (p["n_tables"], p["n_planes"], p["dim"]):
             raise ValueError(
@@ -319,6 +363,11 @@ def lsh_topk_against_index(
             )
     else:
         planes = _planes(p["n_tables"], p["n_planes"], p["dim"])
+    # duplicate query ids collapse — same convention as
+    # ivf_topk_against_index: top-k is keyed by query_id, duplicated
+    # rows could only corrupt ranks; different vectors under one id are
+    # invalid input either way
+    queries = queries.dropDuplicates([id_col])
     q_buckets = _lsh_bucket_rows(queries, planes, id_col, vec_col).select(
         F.col("neighbor_id").alias("query_id"), "tkey"
     )
@@ -466,10 +515,25 @@ def append_to_lsh_index(
     spark = new.sparkSession
     ensure_executor_package(spark)
     p = spark.table(f"{table}_params").collect()[0]
-    if spark.catalog.tableExists(f"{table}_planes"):
+    has_planes = bool(p.asDict().get("has_planes", False))
+    sidecar_exists = spark.catalog.tableExists(f"{table}_planes")
+    if has_planes != sidecar_exists:
+        raise ValueError(
+            f"append_to_lsh_index: params sidecar of {table!r} says "
+            f"has_planes={has_planes} but the {table}_planes table "
+            f"{'exists' if sidecar_exists else 'is missing'} — mixed "
+            "index generations; rebuild the index before appending"
+        )
+    if has_planes:
         # index written with explicit planes — hash the batch with THOSE
         # (md5-derived planes would scatter it into foreign buckets)
         planes = _planes_from_rows(spark.table(f"{table}_planes").collect())
+        if planes.shape != (p["n_tables"], p["n_planes"], p["dim"]):
+            raise ValueError(
+                f"append_to_lsh_index: planes sidecar shape "
+                f"{planes.shape} contradicts the params sidecar "
+                f"({p['n_tables']}, {p['n_planes']}, {p['dim']})"
+            )
     else:
         planes = _planes(p["n_tables"], p["n_planes"], p["dim"])
     # Intra-batch duplicate ids are collapsed ONCE into a materialized
@@ -718,17 +782,26 @@ def ivf_topk_against_index(
 
     ensure_executor_package(spark)
 
+    centers = None
     if cell_rank == "auto":
-        # only the cell COUNT picks the branch — don't ship n_centroids
-        # × dim doubles to the driver at the scale the broadcast form
-        # exists for (the literal branch collects them below, where the
-        # plan genuinely inlines them)
-        n_centroids = spark.read.parquet(f"{path}/centers").count()
-        cell_rank = (
-            "literal"
-            if n_centroids <= _LITERAL_CELL_RANK_MAX
-            else "broadcast"
+        # ONE bounded read picks the branch: limit(MAX+1) never ships
+        # more than MAX+1 rows to the driver (so a thousand-cell index
+        # doesn't pay an n_centroids × dim transfer just to decide), and
+        # when the index is small the collected rows ARE the full centers
+        # set — reused by the literal branch instead of a second read
+        head = (
+            spark.read.parquet(f"{path}/centers")
+            .limit(_LITERAL_CELL_RANK_MAX + 1)
+            .collect()
         )
+        if len(head) <= _LITERAL_CELL_RANK_MAX:
+            cell_rank = "literal"
+            centers = [
+                list(r["center"])
+                for r in sorted(head, key=lambda r: r["centroid"])
+            ]
+        else:
+            cell_rank = "broadcast"
 
     as_double = F.expr(f"transform({vec_col}, x -> cast(x as double))")
     # duplicate query ids collapse to one row: the final top-k is keyed
@@ -741,7 +814,8 @@ def ivf_topk_against_index(
         F.col(id_col).alias("query_id"), as_double.alias("scores")
     ).dropDuplicates(["query_id"])
     if cell_rank == "literal":
-        centers = _read_centers(spark, path)
+        if centers is None:  # forced literal — auto didn't collect
+            centers = _read_centers(spark, path)
         # per query: distances to every centroid, take the n_probe nearest
         # (same expression shape as ivf_topk so results match exactly)
         dist_cols = []
@@ -1045,7 +1119,14 @@ def pq_topk(
     # --- query LUTs: ip(q_sub, centroid) per (query, subspace, code)
     # limit(max_queries + 1) bounds the collect itself: the guard must not
     # pull an unbounded query set into driver memory just to count it.
-    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    # duplicate query ids collapse — probe-family convention (see
+    # ivf_topk_against_index)
+    q_rows = (
+        queries.select(id_col, vec_col)
+        .dropDuplicates([id_col])
+        .limit(max_queries + 1)
+        .collect()
+    )
     if len(q_rows) > max_queries:
         raise ValueError(
             f"pq_topk query set exceeds max_queries={max_queries}; "
@@ -1272,7 +1353,14 @@ def pq_topk_against_index(
     books = _books_from_rows(books_df.collect())
     m, _, dsub = books.shape
 
-    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    # duplicate query ids collapse — probe-family convention (see
+    # ivf_topk_against_index)
+    q_rows = (
+        queries.select(id_col, vec_col)
+        .dropDuplicates([id_col])
+        .limit(max_queries + 1)
+        .collect()
+    )
     if len(q_rows) > max_queries:
         raise ValueError(
             f"pq_topk_against_index query set exceeds max_queries="

@@ -42,11 +42,16 @@ def make_ann_serve_handler(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes_df: DataFrame | None = None,
 ):
     """Per-micro-batch step, exposed for direct testing (retry
     idempotence) and custom pipelines.  ``buckets``/``vectors``/
     ``params`` are the three ``write_lsh_index`` tables (static frames,
-    captured once)."""
+    captured once); for an external-planes index pass its
+    ``{table}_planes`` sidecar as ``planes_df`` — the probe refuses the
+    md5 fallback for such an index (params records ``has_planes``), so
+    forgetting it raises on the first batch instead of silently serving
+    garbage neighbors."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         hits = lsh_topk_against_index(
@@ -57,6 +62,7 @@ def make_ann_serve_handler(
             k=k,
             id_col=id_col,
             vec_col=vec_col,
+            planes_df=planes_df,
         )
         (
             hits.withColumn("batch_id", F.lit(batch_id))
