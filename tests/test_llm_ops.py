@@ -3193,7 +3193,7 @@ def test_lsh_external_planes_lifecycle(spark, sf_dir, tmp_path):
         )
         assert not spark.catalog.tableExists("t_lsh_xp_planes")
         append_to_lsh_index(new_vecs, "t_lsh_xp")  # md5 hashing, clean
-        with pytest.raises(ValueError, match="does not belong"):
+        with pytest.raises(ValueError, match="does not record explicit"):
             lsh_topk_against_index(
                 queries,
                 spark.table("t_lsh_xp"),
@@ -3205,3 +3205,38 @@ def test_lsh_external_planes_lifecycle(spark, sf_dir, tmp_path):
         for t in ("t_lsh_xp", "t_lsh_xpf"):
             for suffix in ("", "_vecs", "_params", "_planes"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+
+def test_probe_family_collapses_duplicate_query_ids(spark, sf_dir):
+    """Review regression: duplicate query ids must collapse in EVERY
+    probe, not just the LUT side — pq's exact re-rank joins the query
+    frame, so an un-deduped frame fanned each shortlist pair into
+    adjacent identical ranks (the same neighbor at rn 1 AND 2, halving
+    effective k and evicting real neighbors silently)."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.similarity import lsh_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 300)
+    q1 = emb.filter(F.col("vec_id").isin([5, 31]))
+    dup_q = q1.unionByName(q1)  # every query id twice, same vectors
+
+    for probe in (
+        lambda q: pq_topk(corpus, q, k=4, sample_size=128),
+        lambda q: lsh_topk(corpus, q, k=4),
+    ):
+        rows = probe(dup_q).collect()
+        # no neighbor repeated within a query's top-k...
+        seen = {}
+        for r in rows:
+            key = (r["query_id"], r["neighbor_id"])
+            assert key not in seen, f"duplicate neighbor in top-k: {key}"
+            seen[key] = r["rn"]
+        # ...and the result equals the unique-query run exactly
+        want = sorted(
+            (r["query_id"], r["neighbor_id"], r["rn"])
+            for r in probe(q1).collect()
+        )
+        got = sorted((q, n, rn) for (q, n), rn in seen.items())
+        assert got == want and got

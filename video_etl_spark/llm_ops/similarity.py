@@ -111,20 +111,19 @@ def lsh_topk(
     from video_etl_spark.session import ensure_executor_package
 
     ensure_executor_package(corpus.sparkSession)
-    # limit(max+1) bounds the count job itself, and projecting the id
-    # column first lets the scan prune the vectors — the guard job reads
-    # ids, never embeddings.  One cheap action up front beats an executor
-    # OOM mid-join.
-    if queries.select(id_col).limit(max_queries + 1).count() > max_queries:
-        raise ValueError(
-            f"lsh_topk query set exceeds max_queries={max_queries}; "
-            "batch the queries (or raise max_queries deliberately) — the "
-            "query vectors are broadcast to every executor for the re-rank"
-        )
     # duplicate query ids collapse — probe-family convention (see
     # ivf_topk_against_index): top-k is keyed by query_id, duplicated
-    # rows could only corrupt ranks
+    # rows could only corrupt ranks.  Dedup BEFORE the guard so
+    # max_queries uniformly bounds DISTINCT ids across the probe family;
+    # limit(max+1) still bounds the count job itself.
     queries = queries.dropDuplicates([id_col])
+    if queries.select(id_col).limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"lsh_topk query set exceeds max_queries={max_queries} "
+            "distinct ids; batch the queries (or raise max_queries "
+            "deliberately) — the query vectors are broadcast to every "
+            "executor for the re-rank"
+        )
     planes = _planes(n_tables, n_planes, dim)
     bucketize = _bucket_udf(planes)
 
@@ -257,12 +256,17 @@ def write_lsh_index(
                 f"dim={dim})"
             )
     else:
-        # a stale sidecar surviving an md5 rebuild would make
-        # append_to_lsh_index hash batches with the OLD generation's
-        # planes — appended vectors land in foreign buckets, invisible
-        # to probes, no exception anywhere
-        spark.sql(f"DROP TABLE IF EXISTS {table}_planes")
         planes = _planes(n_tables, n_planes, dim)
+    # validation above, destruction below.  Drop any previous
+    # generation's sidecar BEFORE touching the data tables, in BOTH
+    # branches: surviving an md5 rebuild it would make
+    # append_to_lsh_index hash batches with the OLD generation's planes
+    # (foreign buckets, invisible to probes, no exception); surviving a
+    # crash mid-external-rebuild it would pair old planes with new
+    # buckets undetectably — with the early drop, a crash before the new
+    # sidecar lands leaves has_planes(old params) ≠ sidecar-exists, which
+    # every reader refuses loudly
+    spark.sql(f"DROP TABLE IF EXISTS {table}_planes")
     write_bucketed(
         _lsh_bucket_rows(corpus, planes, id_col, vec_col),
         table,
@@ -328,15 +332,21 @@ def lsh_topk_against_index(
     from video_etl_spark.session import ensure_executor_package
 
     ensure_executor_package(queries.sparkSession)
+    # duplicate query ids collapse BEFORE the guard — probe-family
+    # convention (see lsh_topk / ivf_topk_against_index)
+    queries = queries.dropDuplicates([id_col])
     if queries.select(id_col).limit(max_queries + 1).count() > max_queries:
         raise ValueError(
             f"lsh_topk_against_index query set exceeds max_queries="
-            f"{max_queries}; batch the queries (or raise max_queries "
-            "deliberately) — the query vectors are broadcast to every "
-            "executor for the re-rank"
+            f"{max_queries} distinct ids; batch the queries (or raise "
+            "max_queries deliberately) — the query vectors are broadcast "
+            "to every executor for the re-rank"
         )
     p = params.collect()[0]
-    # pre-round-9 params rows have no has_planes column (md5-only era)
+    # params rows without a has_planes column predate the marker and are
+    # treated as md5-era; an external-planes index written before the
+    # marker existed must be rebuilt (its params cannot vouch for the
+    # sidecar)
     has_planes = bool(p.asDict().get("has_planes", False))
     if has_planes and planes_df is None:
         raise ValueError(
@@ -350,8 +360,11 @@ def lsh_topk_against_index(
         if not has_planes:
             raise ValueError(
                 "lsh_topk_against_index: planes_df given but the params "
-                "sidecar records md5-derived planes — the sidecar does "
-                "not belong to this index generation"
+                "sidecar does not record explicit planes — either the "
+                "sidecar belongs to another index generation, or the "
+                "index predates the has_planes marker (rebuild it with "
+                "write_lsh_index(planes=...) so params can vouch for "
+                "the sidecar)"
             )
         planes = _planes_from_rows(planes_df.collect())
         if planes.shape != (p["n_tables"], p["n_planes"], p["dim"]):
@@ -363,11 +376,6 @@ def lsh_topk_against_index(
             )
     else:
         planes = _planes(p["n_tables"], p["n_planes"], p["dim"])
-    # duplicate query ids collapse — same convention as
-    # ivf_topk_against_index: top-k is keyed by query_id, duplicated
-    # rows could only corrupt ranks; different vectors under one id are
-    # invalid input either way
-    queries = queries.dropDuplicates([id_col])
     q_buckets = _lsh_bucket_rows(queries, planes, id_col, vec_col).select(
         F.col("neighbor_id").alias("query_id"), "tkey"
     )
@@ -465,14 +473,20 @@ def _vec_sidecar_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _centers_from_rows(rows) -> list[list[float]]:
+    """Order collected centers rows by centroid id and strip to plain
+    lists — THE one conversion every centers reader goes through (the
+    literal branch's positional ``F.lit(i)`` centroid ids depend on this
+    ordering)."""
+    return [
+        list(r["center"]) for r in sorted(rows, key=lambda r: r["centroid"])
+    ]
+
+
 def _read_centers(spark, path: str) -> list[list[float]]:
     """The persisted IVF centers, ordered by centroid id — the one
     reader probes and appends share."""
-    rows = sorted(
-        spark.read.parquet(f"{path}/centers").collect(),
-        key=lambda r: r["centroid"],
-    )
-    return [list(r["center"]) for r in rows]
+    return _centers_from_rows(spark.read.parquet(f"{path}/centers").collect())
 
 
 def _books_from_rows(book_rows) -> np.ndarray:
@@ -796,10 +810,7 @@ def ivf_topk_against_index(
         )
         if len(head) <= _LITERAL_CELL_RANK_MAX:
             cell_rank = "literal"
-            centers = [
-                list(r["center"])
-                for r in sorted(head, key=lambda r: r["centroid"])
-            ]
+            centers = _centers_from_rows(head)
         else:
             cell_rank = "broadcast"
 
@@ -1117,21 +1128,19 @@ def pq_topk(
     dsub = sample.shape[1] // m
 
     # --- query LUTs: ip(q_sub, centroid) per (query, subspace, code)
-    # limit(max_queries + 1) bounds the collect itself: the guard must not
-    # pull an unbounded query set into driver memory just to count it.
     # duplicate query ids collapse — probe-family convention (see
-    # ivf_topk_against_index)
-    q_rows = (
-        queries.select(id_col, vec_col)
-        .dropDuplicates([id_col])
-        .limit(max_queries + 1)
-        .collect()
-    )
+    # ivf_topk_against_index); the DEDUPED frame must feed both the LUT
+    # collect AND the exact re-rank join below, or duplicated rows fan
+    # every shortlist pair out to adjacent identical ranks.  The dedup
+    # shuffle runs distributed; driver memory stays bounded by the
+    # limit(max_queries + 1) on what is actually collected.
+    queries = queries.dropDuplicates([id_col])
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
     if len(q_rows) > max_queries:
         raise ValueError(
-            f"pq_topk query set exceeds max_queries={max_queries}; "
-            "batch the queries (or raise max_queries deliberately) — the "
-            "query LUTs are driver-built and broadcast"
+            f"pq_topk query set exceeds max_queries={max_queries} "
+            "distinct ids; batch the queries (or raise max_queries "
+            "deliberately) — the query LUTs are driver-built and broadcast"
         )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
@@ -1354,18 +1363,16 @@ def pq_topk_against_index(
     m, _, dsub = books.shape
 
     # duplicate query ids collapse — probe-family convention (see
-    # ivf_topk_against_index)
-    q_rows = (
-        queries.select(id_col, vec_col)
-        .dropDuplicates([id_col])
-        .limit(max_queries + 1)
-        .collect()
-    )
+    # ivf_topk_against_index); the DEDUPED frame must feed both the LUT
+    # collect AND the exact re-rank join below (see pq_topk)
+    queries = queries.dropDuplicates([id_col])
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
     if len(q_rows) > max_queries:
         raise ValueError(
             f"pq_topk_against_index query set exceeds max_queries="
-            f"{max_queries}; batch the queries (or raise max_queries "
-            "deliberately) — the query LUTs are driver-built and broadcast"
+            f"{max_queries} distinct ids; batch the queries (or raise "
+            "max_queries deliberately) — the query LUTs are driver-built "
+            "and broadcast"
         )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))

@@ -50,8 +50,32 @@ def make_ann_serve_handler(
     captured once); for an external-planes index pass its
     ``{table}_planes`` sidecar as ``planes_df`` — the probe refuses the
     md5 fallback for such an index (params records ``has_planes``), so
-    forgetting it raises on the first batch instead of silently serving
-    garbage neighbors."""
+    forgetting it raises at BUILD time instead of silently serving
+    garbage neighbors: the sidecar/params pairing is validated once
+    here, before the stream starts (the per-batch probe re-reads these
+    1-row/8-row control-plane frames, which is negligible next to the
+    candidate join)."""
+    from video_etl_spark.llm_ops.similarity import _planes_from_rows
+
+    p = params.collect()[0]
+    has_planes = bool(p.asDict().get("has_planes", False))
+    if has_planes != (planes_df is not None):
+        raise ValueError(
+            "make_ann_serve_handler: this index "
+            + ("was built with explicit planes — pass its {table}_planes "
+               "sidecar as planes_df" if has_planes
+               else "records md5-derived planes — planes_df does not "
+               "belong to it")
+        )
+    if planes_df is not None:
+        # completeness + shape fail here, not at first-batch time
+        planes_arr = _planes_from_rows(planes_df.collect())
+        if planes_arr.shape != (p["n_tables"], p["n_planes"], p["dim"]):
+            raise ValueError(
+                f"make_ann_serve_handler: planes sidecar shape "
+                f"{planes_arr.shape} contradicts the params sidecar "
+                f"({p['n_tables']}, {p['n_planes']}, {p['dim']})"
+            )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         hits = lsh_topk_against_index(
