@@ -950,7 +950,7 @@ _LSH_Q_TABLES = 2
 _LSH_Q_PLANES = 4
 _LSH_Q_MOD = 25     # query set: vec_id % 25 == 0 (bounded: corpus/25)
 _LSH_Q_TOPK = 5
-_LSH_Q_INDEX_CACHE: dict[str, str] = {}  # sf_dir -> catalog table name
+_LSH_Q_INDEX_CACHE: dict[str, tuple[str, str]] = {}  # sf_dir -> (table, path)
 
 
 @query(
@@ -1016,8 +1016,16 @@ def knn_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as double))"
         ).alias("embedding"),
     )
-    tbl = _LSH_Q_INDEX_CACHE.get(sf_dir)
-    if tbl is None or not spark.catalog.tableExists(tbl):
+    cached = _LSH_Q_INDEX_CACHE.get(sf_dir)
+    tbl = cached[0] if cached else None
+    # tableExists alone can't vouch for the files (the scratch dir may
+    # have been reaped under a live catalog entry) — check both, like
+    # the IVF twin's isdir check
+    if (
+        cached is None
+        or not spark.catalog.tableExists(tbl)
+        or not os.path.isdir(cached[1])
+    ):
         n_seed = _LSH_Q_TABLES * _LSH_Q_PLANES
         seed = (
             qemb.filter(F.col("vec_id") < n_seed).orderBy("vec_id").collect()
@@ -1042,7 +1050,7 @@ def knn_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim=64,
             planes=planes,
         )
-        _LSH_Q_INDEX_CACHE[sf_dir] = tbl
+        _LSH_Q_INDEX_CACHE[sf_dir] = (tbl, path)
     queries = qemb.filter(F.col("vec_id") % _LSH_Q_MOD == 0)
     return lsh_topk_against_index(
         queries,
