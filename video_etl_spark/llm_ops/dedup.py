@@ -354,10 +354,24 @@ def simhash_overlap_stats(
             "more/finer chunks for larger radii"
         )
     mem, rep_pairs = _simhash_rep_structures(docs, text_col, max_hamming)
-    # both adj branches below read rep_pairs and two consumers read
-    # sizes — persist them or the chunk self-join (the expensive part)
-    # runs once per branch (measured 6.6s -> pair-form parity at sf0.1);
-    # same LRU-eviction convention as the signature frames
+    return rep_grain_overlap_stats(mem, rep_pairs)
+
+
+def rep_grain_overlap_stats(mem: DataFrame, rep_pairs: DataFrame) -> DataFrame:
+    """The analytic count-grain core :func:`simhash_overlap_stats` and
+    ``multimodal.phash_overlap_stats`` share: given a (rep, doc_id)
+    membership map and distinct (doc_a, doc_b, hamming) REPRESENTATIVE
+    pairs, return per-doc ``(doc_id, n_partners, min_hamming)`` without
+    ever materializing member pairs — a member of a group of size s with
+    rep-adjacency {(r', h)} has ``(s - 1) + Σ s_{r'}`` partners and min
+    distance 0 if s > 1 else min h.  Distinct signatures always differ
+    in ≥ 1 bit, so intra-group distance 0 correctly dominates every
+    cross-group min.
+
+    Both adj branches below read rep_pairs and two consumers read sizes
+    — persist them or the chunk self-join (the expensive part) runs once
+    per branch (measured 6.6s → pair-form parity at sf0.1); same
+    LRU-eviction convention as the signature frames."""
     rep_pairs = rep_pairs.persist()
     sizes = mem.groupBy("rep").agg(F.count(F.lit(1)).alias("sz")).persist()
     adj = rep_pairs.select(

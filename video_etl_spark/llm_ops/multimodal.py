@@ -383,6 +383,51 @@ def _hamming4() -> F.Column:
     )
 
 
+def _phash_rep_structures(
+    sigs: DataFrame, max_hamming: int
+) -> tuple[DataFrame, DataFrame]:
+    """The collapse-guarded core :func:`phash_pairs` and
+    :func:`phash_overlap_stats` share — the multimodal twin of
+    ``dedup._simhash_rep_structures``: ``(mem, rep_pairs)`` with one
+    representative per distinct 64-bit hash.  Signature and rep frames
+    persisted, left to LRU eviction (lazy-plan builders)."""
+    sig = sigs.persist()
+    grp = sig.groupBy(*_PHASH_CHUNKS).agg(F.min("doc_id").alias("doc_id"))
+    reps = grp.select("doc_id", *_PHASH_CHUNKS).persist()
+    mem = sig.join(
+        grp.select(*_PHASH_CHUNKS, F.col("doc_id").alias("rep")),
+        list(_PHASH_CHUNKS),
+    ).select("rep", "doc_id")
+    a = _chunk_side(reps, "doc_a", "a_")
+    b = _chunk_side(reps, "doc_b", "b_")
+    rep_pairs = (
+        a.join(b, ["c", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", _hamming4().cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+    return mem, rep_pairs
+
+
+def phash_overlap_stats(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """COUNT-grain perceptual-hash readout: per frame, how many near-dup
+    partners within ``max_hamming`` bits and the closest distance —
+    ≤ 1 row per frame at ANY duplicate density, completing the
+    count-grain symmetry across the pair families (simhash ✓ winnowing ✓
+    phash ✓).  Computed analytically at representative grain via
+    ``dedup.rep_grain_overlap_stats`` — a stadium-broadcast frame
+    repeated 20k times costs one group row here where the pair grain
+    emits ~2×10⁸ rows; the DuckDB oracle takes the exhaustive all-pairs
+    route, re-proving the shortcut on every attestation."""
+    from video_etl_spark.llm_ops.dedup import rep_grain_overlap_stats
+
+    _require_chunk_recall(max_hamming)
+    mem, rep_pairs = _phash_rep_structures(sigs, max_hamming)
+    return rep_grain_overlap_stats(mem, rep_pairs)
+
+
 def phash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(doc_a, doc_b, hamming) near-dup frame pairs from
     :func:`phash_signatures` output, via the 16-bit chunk-blocked
@@ -408,23 +453,7 @@ def phash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     shuffle.
     """
     _require_chunk_recall(max_hamming)
-    sig = sigs.persist()
-    grp = sig.groupBy(*_PHASH_CHUNKS).agg(F.min("doc_id").alias("doc_id"))
-    reps = grp.select("doc_id", *_PHASH_CHUNKS).persist()
-    mem = sig.join(
-        grp.select(*_PHASH_CHUNKS, F.col("doc_id").alias("rep")),
-        list(_PHASH_CHUNKS),
-    ).select("rep", "doc_id")
-    a = _chunk_side(reps, "doc_a", "a_")
-    b = _chunk_side(reps, "doc_b", "b_")
-    rep_pairs = (
-        a.join(b, ["c", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", _hamming4().cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-        .distinct()
-    )
+    mem, rep_pairs = _phash_rep_structures(sigs, max_hamming)
     cross = (
         rep_pairs.join(
             mem.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("xa")),

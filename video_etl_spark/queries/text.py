@@ -2987,7 +2987,7 @@ _PHASH_PAYLOAD_SQL = (
 )
 
 
-def _phash_oracle() -> str:
+def _phash_oracle(stats: bool = False) -> str:
     px_cols = []
     for idx in range(64):
         j, t = divmod(idx, 16)
@@ -3009,7 +3009,7 @@ def _phash_oracle() -> str:
     hamming = " + ".join(
         f"bit_count(xor(a.chunk{c}, b.chunk{c}))" for c in range(4)
     )
-    return f"""
+    prefix = f"""
     WITH pay AS (
       SELECT doc_id, {_PHASH_PAYLOAD_SQL} AS payload FROM documents),
     hx AS (
@@ -3021,12 +3021,29 @@ def _phash_oracle() -> str:
       FROM pay),
     px AS (SELECT doc_id, {", ".join(px_cols)} FROM hx),
     pxt AS (SELECT *, {total} AS tot FROM px),
-    sig AS (SELECT doc_id, {", ".join(chunk_cols)} FROM pxt)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST({hamming} AS BIGINT) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE {hamming} <= 3
+    sig AS (SELECT doc_id, {", ".join(chunk_cols)} FROM pxt)"""
+    pairs = f"""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST({hamming} AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {hamming} <= 3"""
+    if not stats:
+        return prefix + pairs
+    # exhaustive doc-grain aggregate of the pair form — re-proves the
+    # Spark side's analytic rep-grain shortcut on every attestation
+    return (
+        prefix
+        + f""",
+    pairs AS ({pairs}),
+    adj AS (
+      SELECT doc_a AS doc_id, hamming FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, hamming FROM pairs)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners,
+           CAST(min(hamming) AS BIGINT) AS min_hamming
+    FROM adj GROUP BY doc_id
     """
+    )
 
 
 @query("phash_near_dup_pairs", oracle=_phash_oracle())
@@ -3040,6 +3057,23 @@ def phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     frames = attach_fake_payload(docs, collide_near_dups=True)
     return phash_pairs(phash_signatures(frames))
+
+
+@query("phash_overlap_stats", oracle=_phash_oracle(stats=True))
+def phash_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-grain twin of ``phash_near_dup_pairs`` (round 9): per-frame
+    (n_partners, min_hamming), ≤ 1 row per frame at any dup density —
+    the same analytic rep-grain shortcut as ``simhash_overlap_stats``,
+    re-proved by the exhaustive all-pairs DuckDB aggregate."""
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        phash_overlap_stats as _stats,
+        phash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = attach_fake_payload(docs, collide_near_dups=True)
+    return _stats(phash_signatures(frames))
 
 
 # --------------------------------------------------------------------------
