@@ -93,11 +93,13 @@ HEADLINE = [
     # pair-family skew guard histogram.
     "winnowing_overlap_stats",
     "band_occupancy_histogram",
-    # round-9 addition: the SimHash count-grain readout (rep-grain
-    # analytic partners — the corpus-scale default the pair form defers
-    # to; knn_ivf_indexed stays driver-only, its per-call index write
-    # belongs to the @index-twin measurement family, not the headline).
+    # round-9 additions: the SimHash and phash count-grain readouts
+    # (rep-grain analytic partners — the corpus-scale default the pair
+    # forms defer to; knn_{ivf,lsh}_indexed stay driver-only, their
+    # per-call index writes belong to the @index-twin measurement
+    # family, not the headline).
     "simhash_overlap_stats",
+    "phash_overlap_stats",
     "sequence_packing_manifest",
     "bigram_lm_topk",
     "winnowing_overlap_pairs",

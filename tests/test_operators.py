@@ -503,9 +503,10 @@ _HEADLINE_PLAN_EXPECTATIONS = {
     # skew histogram (two map-side-combined aggregates)
     "winnowing_overlap_stats": (["Window", "HashAggregate"], False, False),
     "band_occupancy_histogram": (["HashAggregate"], False, False),
-    # round-9 addition: rep-grain analytic partner counts — chunked
+    # round-9 additions: rep-grain analytic partner counts — chunked
     # equi-joins + group arithmetic, no window, no Python stage
     "simhash_overlap_stats": (["HashAggregate"], False, False),
+    "phash_overlap_stats": (["HashAggregate"], False, False),
 }
 
 
