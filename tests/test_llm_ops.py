@@ -3240,3 +3240,55 @@ def test_probe_family_collapses_duplicate_query_ids(spark, sf_dir):
         )
         got = sorted((q, n, rn) for (q, n), rn in seen.items())
         assert got == want and got
+
+
+def test_phash_overlap_stats_analytic_matches_pair_aggregate(spark, sf_dir):
+    """phash_overlap_stats (shared rep_grain_overlap_stats core) must
+    equal the brute aggregate of phash_pairs' doc-grain output —
+    including a hot identical-payload group (a stadium frame repeated
+    300x collapses to one rep row where the pair grain would emit
+    ~45k member pairs)."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        phash_overlap_stats,
+        phash_pairs,
+        phash_signatures,
+    )
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(80).select(
+        "doc_id", "text"
+    )
+    hot = spark.range(200000, 200300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same broadcast frame repeated").alias("text"),
+    )
+    sigs = phash_signatures(
+        attach_fake_payload(docs.unionByName(hot), collide_near_dups=True)
+    )
+
+    pairs = phash_pairs(sigs, max_hamming=3)
+    bidir = pairs.select(F.col("doc_a").alias("doc_id"), "hamming").unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), "hamming")
+    )
+    want = {
+        r["doc_id"]: (r["n_partners"], r["min_hamming"])
+        for r in bidir.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_partners"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_partners"], r["min_hamming"])
+        for r in phash_overlap_stats(sigs, max_hamming=3).collect()
+    }
+    assert got == want
+    # identical text -> identical fake payload -> identical phash for
+    # the hot members with doc_id % 5 != 0 (the %5==0 ids get id-derived
+    # collide_near_dups payloads instead): ~240 of the 300 share one
+    # hash — fully counted at distance 0 without member expansion
+    assert got[200001][0] >= 200 and got[200001][1] == 0

@@ -1019,13 +1019,23 @@ def knn_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _LSH_Q_INDEX_CACHE.get(sf_dir)
     tbl = cached[0] if cached else None
     # tableExists alone can't vouch for the files (the scratch dir may
-    # have been reaped under a live catalog entry) — check both, like
-    # the IVF twin's isdir check
-    if (
-        cached is None
-        or not spark.catalog.tableExists(tbl)
-        or not os.path.isdir(cached[1])
-    ):
+    # have been reaped under a live catalog entry) — the reuse path
+    # reads FOUR catalog tables and their data dirs, so check them all
+    # or a partially-reaped index fails at probe time instead of
+    # triggering the rebuild this check exists for
+    def _index_whole(c) -> bool:
+        if c is None:
+            return False
+        t, p = c
+        return all(
+            spark.catalog.tableExists(t + sfx)
+            for sfx in ("", "_vecs", "_params", "_planes")
+        ) and all(
+            os.path.isdir(os.path.join(p, sub))
+            for sub in ("buckets", "vectors", "params", "planes")
+        )
+
+    if not _index_whole(cached):
         n_seed = _LSH_Q_TABLES * _LSH_Q_PLANES
         seed = (
             qemb.filter(F.col("vec_id") < n_seed).orderBy("vec_id").collect()
