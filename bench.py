@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines: first the FULL artifact (per-query timings, both control
+passes, per-mode ratios, pinned-RDD readout), then — LAST, so a
+tail-capturing driver always parses it (round-9 verdict #1: the full
+line overflowed the driver's capture window and r9 recorded no headline
+number) — a COMPACT summary: {"metric", "value", "unit", "sf",
+"n_queries", "control_ratio", "control_ratio_start",
+"control_ratio_end", "degraded_during_run", "value_normalized"}.
 
 Each query runs one warm-up pass (JIT, code cache, file listing — NOT
 counted) and then $SPARK_GRAFT_BENCH_REPS timed passes (default 3); the
@@ -18,6 +23,7 @@ row.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -248,6 +254,10 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    # cache-hygiene readout (round-9 verdict #4): queries that leave
+    # pinned RDDs behind AFTER clearCache (localCheckpoints etc.) show
+    # up here so storage-state growth across the run is in-artifact
+    pinned_after: dict[str, int] = {}
 
     def time_query(name, build, n_reps=None):
         force(build())  # warm-up (not timed)
@@ -258,21 +268,45 @@ def main() -> None:
             force(build())
             samples.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+        # localCheckpoint blocks (CC chain, pagerank) are released via
+        # GC + ContextCleaner, not clearCache — when blocks linger, nudge
+        # both collectors and give the async cleaner a beat so the
+        # readout shows real leaks, not finalization lag
+        n_pinned = spark.sparkContext._jsc.getPersistentRDDs().size()
+        if n_pinned:
+            # py4j detach (gc.collect) must land BEFORE the JVM collection
+            # that fires the cleaner's weak refs, hence the two beats
+            gc.collect()
+            time.sleep(0.2)
+            spark._jvm.System.gc()
+            time.sleep(0.5)
+            n_pinned = spark.sparkContext._jsc.getPersistentRDDs().size()
+        if n_pinned:
+            pinned_after[name] = n_pinned
         timings[name] = round(sorted(samples)[len(samples) // 2], 4)
 
-    # --- noise controls first: capture the box state the headline runs
-    # in.  Controls are ~1s each, so they get extra reps (median-of-7):
-    # the shuffle/persist mode jitters ±15% at median-of-3 even on an
-    # idle box, which would alias into the very ratio the controls exist
-    # to stabilize.
+    # --- noise controls: capture the box state the headline runs in.
+    # Controls are ~1s each, so they get extra reps (median-of-7): the
+    # shuffle/persist mode jitters ±15% at median-of-3 even on an idle
+    # box, which would alias into the very ratio the controls exist to
+    # stabilize.  Run at START and END of the run (round-9 verdict #1b:
+    # the driver's box degraded MID-run after healthy start controls and
+    # a single run-once-first trio certified a 1.66×-degraded headline
+    # as clean) — divergence > 10% between the passes flags the artifact.
     controls = _control_builders(spark, sf_dir)
-    control_t: dict[str, float] = {}
-    for name, build in controls.items():
-        time_query(name, build, n_reps=max(7, reps))
-        control_t[name] = timings.pop(name)
+
+    def run_controls() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name, build in controls.items():
+            time_query(name, build, n_reps=max(7, reps))
+            out[name] = timings.pop(name)
+            pinned_after.pop(name, None)
+        return out
+
+    control_start = run_controls()
 
     if os.environ.get("SPARK_GRAFT_BENCH_CONTROL_ONLY"):
-        print(json.dumps({"control": control_t, "sf": sf}))
+        print(json.dumps({"control": control_start, "sf": sf}))
         return
 
     for name in HEADLINE:
@@ -307,18 +341,32 @@ def main() -> None:
         spark.sql(f"DROP TABLE IF EXISTS {_INDEX_TABLE}")
         shutil.rmtree(idx_path, ignore_errors=True)
 
+    # end-of-run control pass: same trio, same reps — the delta between
+    # the two passes is the within-run degradation signal the r9 driver
+    # run lacked
+    control_end = run_controls()
+
     # headline total covers HEADLINE only — the @index twins report in
     # the queries map but must not inflate the round-over-round trend
     # metric (they re-measure two queries already counted inline)
     total = round(sum(timings[n] for n in HEADLINE), 4)
-    out = {
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "control": control_t,
+        "control_start": control_start,
+        "control_end": control_end,
         "control_pinned": CONTROL_PINNED,
+        "pinned_rdds_after": pinned_after,
+    }
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(HEADLINE),
     }
     # normalization is only meaningful at the pinned config with real pins
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -333,19 +381,35 @@ def main() -> None:
         and master == f"local[{_PIN_CONFIG['cpus']}]"
         and reps >= 3
     ):
-        ratio = round(
-            sum(control_t.values()) / sum(CONTROL_PINNED.values()), 4
+        pin_sum = sum(CONTROL_PINNED.values())
+        r_start = round(sum(control_start.values()) / pin_sum, 4)
+        r_end = round(sum(control_end.values()) / pin_sum, 4)
+        # the run-average box state is the best single correction when
+        # the two passes disagree; the start/end split shows the shape
+        ratio = round((r_start + r_end) / 2, 4)
+        degraded = abs(r_end - r_start) / r_start > 0.10
+        full["control_ratio_start"] = compact["control_ratio_start"] = r_start
+        full["control_ratio_end"] = compact["control_ratio_end"] = r_end
+        full["control_ratio"] = compact["control_ratio"] = ratio
+        full["degraded_during_run"] = compact["degraded_during_run"] = degraded
+        full["value_normalized"] = compact["value_normalized"] = round(
+            total / ratio, 4
         )
-        out["control_ratio"] = ratio
-        out["value_normalized"] = round(total / ratio, 4)
         # per-mode ratios: box drift is mode-specific (r07->r08: TPC-H
         # moved 0.6% while the Python-worker path moved 3.3x), so the
         # judge can see WHICH mode drifted, not just that one did
-        out["control_mode_ratio"] = {
-            k: round(control_t[k] / CONTROL_PINNED[k], 4)
-            for k in control_t
+        full["control_mode_ratio"] = {
+            k: {
+                "start": round(control_start[k] / CONTROL_PINNED[k], 4),
+                "end": round(control_end[k] / CONTROL_PINNED[k], 4),
+            }
+            for k in control_start
         }
-    print(json.dumps(out))
+    print(json.dumps(full))
+    # the compact line goes LAST: ~250 chars, always inside a
+    # tail-capture window (round-9 verdict #1 — BENCH_r09 was parsed:null
+    # because the full line alone overflowed it)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -3292,3 +3292,40 @@ def test_phash_overlap_stats_analytic_matches_pair_aggregate(spark, sf_dir):
     # collide_near_dups payloads instead): ~240 of the 300 share one
     # hash — fully counted at distance 0 without member expansion
     assert got[200001][0] >= 200 and got[200001][1] == 0
+
+
+def test_eager_stats_queries_leave_no_pinned_rdds(spark, sf_dir):
+    """Round-9 verdict #7: the three count-grain stats queries run in
+    eager mode from the registry — they materialize their bounded output
+    and unpersist the signature/rep/pair frames in ``finally`` — so a
+    sweeping caller (driver gate, bench) sees NO net-new pinned RDDs
+    after each returns.  `<=` not `==`: the async ContextCleaner may
+    release unrelated earlier-test RDDs between the two readings."""
+    from video_etl_spark import registry
+
+    registry.load_all()
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs
+    for name in (
+        "simhash_overlap_stats",
+        "phash_overlap_stats",
+        "winnowing_overlap_stats",
+    ):
+        before = jmap().size()
+        out = registry.QUERIES[name](spark, sf_dir)
+        assert out.count() > 0, name
+        assert jmap().size() <= before, name
+
+
+def test_overlap_stats_eager_matches_lazy(spark, sf_dir):
+    """eager=True is a lifecycle mode, not a semantic one — same rows."""
+    from video_etl_spark.llm_ops.dedup import simhash_overlap_stats
+    from video_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60).select(
+        "doc_id", "text"
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(simhash_overlap_stats(docs, eager=True)) == key(
+        simhash_overlap_stats(docs)
+    )

@@ -294,19 +294,24 @@ def simhash_pairs(
 
 
 def _simhash_rep_structures(
-    docs: DataFrame, text_col: str, max_hamming: int
+    docs: DataFrame, text_col: str, max_hamming: int, pinned: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """The collapse-guarded core :func:`simhash_pairs` and
     :func:`simhash_overlap_stats` share: ``(mem, rep_pairs)`` where
     ``mem`` is the (rep, doc_id) membership map (rep included) and
     ``rep_pairs`` the distinct (doc_a, doc_b, hamming) pairs over ONE
     representative per distinct signature.  The signature and rep frames
-    are persisted (doc_id + 5 longs — tiny next to the corpus) and left
-    to LRU eviction because the callers return lazy plans."""
+    are persisted (doc_id + 5 longs — tiny next to the corpus); when the
+    caller returns a lazy plan they are left to LRU eviction, but a
+    caller that materializes (``eager=True`` stats) passes ``pinned`` to
+    collect them for an explicit unpersist-in-finally (round-9 verdict
+    #7: dozens of LRU-orphaned frames pressured late bench queries)."""
     sig = simhash_signatures(docs, text_col).persist()
     sig_cols = ["simhash", "chunk0", "chunk1", "chunk2", "chunk3"]
     grp = sig.groupBy(*sig_cols).agg(F.min("doc_id").alias("doc_id"))
     reps = grp.select("doc_id", *sig_cols).persist()
+    if pinned is not None:
+        pinned.extend([sig, reps])
     # membership map includes the representative itself (rep → rep)
     mem = sig.select("doc_id", "simhash").join(
         grp.select(F.col("doc_id").alias("rep"), "simhash"), "simhash"
@@ -327,8 +332,30 @@ def _simhash_rep_structures(
     return mem, rep_pairs
 
 
+def collect_and_unpersist(df: DataFrame, pinned: list) -> DataFrame:
+    """Materialize a BOUNDED result eagerly so its pinned intermediates
+    can be released deterministically (the ``dup_graph_triangles``
+    discipline, round-9 verdict #7): collect the rows, unpersist every
+    frame in ``pinned`` (even if the action fails), and return a fresh
+    local DataFrame with the same schema.
+
+    Only for outputs known to be small (the count-grain stats queries
+    emit ≤ 1 row per document WITH a near-dup partner); corpus-scale
+    callers keep the lazy form and write to a sink instead."""
+    spark = df.sparkSession
+    try:
+        rows = df.collect()
+    finally:
+        for p in pinned:
+            p.unpersist()
+    return spark.createDataFrame(rows, df.schema)
+
+
 def simhash_overlap_stats(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    eager: bool = False,
 ) -> DataFrame:
     """COUNT-grain SimHash readout: per document, how many near-dup
     partners within ``max_hamming`` bits and the closest distance —
@@ -346,6 +373,11 @@ def simhash_overlap_stats(
     the analytic shortcut on every attestation.  Distinct signatures
     always differ in ≥ 1 bit, so the intra-group distance 0 correctly
     dominates every cross-group min.
+
+    ``eager=True`` materializes the (bounded: ≤ 1 row per doc with a
+    partner) result and unpersists every intermediate in ``finally``
+    instead of leaving them to LRU — the sweeping-caller mode (driver
+    gate, bench); corpus-scale callers keep the default lazy plan.
     """
     if max_hamming > 3:
         raise ValueError(
@@ -353,11 +385,17 @@ def simhash_overlap_stats(
             "guarantee (recall is only complete for distance <= 3); use "
             "more/finer chunks for larger radii"
         )
-    mem, rep_pairs = _simhash_rep_structures(docs, text_col, max_hamming)
-    return rep_grain_overlap_stats(mem, rep_pairs)
+    pinned: list | None = [] if eager else None
+    mem, rep_pairs = _simhash_rep_structures(docs, text_col, max_hamming, pinned)
+    out = rep_grain_overlap_stats(mem, rep_pairs, pinned)
+    if eager:
+        return collect_and_unpersist(out, pinned)
+    return out
 
 
-def rep_grain_overlap_stats(mem: DataFrame, rep_pairs: DataFrame) -> DataFrame:
+def rep_grain_overlap_stats(
+    mem: DataFrame, rep_pairs: DataFrame, pinned: list | None = None
+) -> DataFrame:
     """The analytic count-grain core :func:`simhash_overlap_stats` and
     ``multimodal.phash_overlap_stats`` share: given a (rep, doc_id)
     membership map and distinct (doc_a, doc_b, hamming) REPRESENTATIVE
@@ -371,9 +409,12 @@ def rep_grain_overlap_stats(mem: DataFrame, rep_pairs: DataFrame) -> DataFrame:
     Both adj branches below read rep_pairs and two consumers read sizes
     — persist them or the chunk self-join (the expensive part) runs once
     per branch (measured 6.6s → pair-form parity at sf0.1); same
-    LRU-eviction convention as the signature frames."""
+    LRU-eviction convention as the signature frames unless the caller
+    passes ``pinned`` to take over the unpersist."""
     rep_pairs = rep_pairs.persist()
     sizes = mem.groupBy("rep").agg(F.count(F.lit(1)).alias("sz")).persist()
+    if pinned is not None:
+        pinned.extend([rep_pairs, sizes])
     adj = rep_pairs.select(
         F.col("doc_a").alias("rep"), F.col("doc_b").alias("nbr"), "hamming"
     ).unionByName(

@@ -384,16 +384,19 @@ def _hamming4() -> F.Column:
 
 
 def _phash_rep_structures(
-    sigs: DataFrame, max_hamming: int
+    sigs: DataFrame, max_hamming: int, pinned: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """The collapse-guarded core :func:`phash_pairs` and
     :func:`phash_overlap_stats` share — the multimodal twin of
     ``dedup._simhash_rep_structures``: ``(mem, rep_pairs)`` with one
     representative per distinct 64-bit hash.  Signature and rep frames
-    persisted, left to LRU eviction (lazy-plan builders)."""
+    persisted; left to LRU eviction for lazy-plan builders, collected
+    into ``pinned`` for eager callers that unpersist in ``finally``."""
     sig = sigs.persist()
     grp = sig.groupBy(*_PHASH_CHUNKS).agg(F.min("doc_id").alias("doc_id"))
     reps = grp.select("doc_id", *_PHASH_CHUNKS).persist()
+    if pinned is not None:
+        pinned.extend([sig, reps])
     mem = sig.join(
         grp.select(*_PHASH_CHUNKS, F.col("doc_id").alias("rep")),
         list(_PHASH_CHUNKS),
@@ -411,7 +414,9 @@ def _phash_rep_structures(
     return mem, rep_pairs
 
 
-def phash_overlap_stats(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def phash_overlap_stats(
+    sigs: DataFrame, max_hamming: int = 3, eager: bool = False
+) -> DataFrame:
     """COUNT-grain perceptual-hash readout: per frame, how many near-dup
     partners within ``max_hamming`` bits and the closest distance —
     ≤ 1 row per frame at ANY duplicate density, completing the
@@ -420,12 +425,23 @@ def phash_overlap_stats(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ``dedup.rep_grain_overlap_stats`` — a stadium-broadcast frame
     repeated 20k times costs one group row here where the pair grain
     emits ~2×10⁸ rows; the DuckDB oracle takes the exhaustive all-pairs
-    route, re-proving the shortcut on every attestation."""
-    from video_etl_spark.llm_ops.dedup import rep_grain_overlap_stats
+    route, re-proving the shortcut on every attestation.
+
+    ``eager=True`` materializes the bounded result and unpersists the
+    signature/rep/pair frames in ``finally`` (sweeping-caller mode —
+    driver gate, bench); corpus-scale callers keep the lazy plan."""
+    from video_etl_spark.llm_ops.dedup import (
+        collect_and_unpersist,
+        rep_grain_overlap_stats,
+    )
 
     _require_chunk_recall(max_hamming)
-    mem, rep_pairs = _phash_rep_structures(sigs, max_hamming)
-    return rep_grain_overlap_stats(mem, rep_pairs)
+    pinned: list | None = [] if eager else None
+    mem, rep_pairs = _phash_rep_structures(sigs, max_hamming, pinned)
+    out = rep_grain_overlap_stats(mem, rep_pairs, pinned)
+    if eager:
+        return collect_and_unpersist(out, pinned)
+    return out
 
 
 def phash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:

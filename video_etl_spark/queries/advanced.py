@@ -163,11 +163,13 @@ def simhash_overlap_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative grain (llm_ops.dedup.simhash_overlap_stats — a 20k-copy
     hot page is one group row, never ~2x10^8 expanded pairs); the oracle
     is the exhaustive doc-grain pair aggregate, so every attestation
-    re-proves the analytic shortcut against the quadratic ground truth."""
+    re-proves the analytic shortcut against the quadratic ground truth.
+    ``eager=True``: sweeping callers (driver gate, bench) must not leave
+    pinned frames behind (round-9 verdict #7)."""
     from video_etl_spark.llm_ops.dedup import simhash_overlap_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_overlap_stats(docs, max_hamming=3)
+    return simhash_overlap_stats(docs, max_hamming=3, eager=True)
 
 
 @query(

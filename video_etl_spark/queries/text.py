@@ -3073,7 +3073,8 @@ def phash_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     frames = attach_fake_payload(docs, collide_near_dups=True)
-    return _stats(phash_signatures(frames))
+    # eager: sweeping callers must not leave pinned frames (r9 verdict #7)
+    return _stats(phash_signatures(frames), eager=True)
 
 
 # --------------------------------------------------------------------------
@@ -3649,10 +3650,11 @@ _WINNOW_PAIR_CTE = f""",
       HAVING count(*) >= {_WINNOW_MIN_SHARED})"""
 
 
-def _winnowing_fps(docs: DataFrame) -> DataFrame:
+def _winnowing_fps(docs: DataFrame, pinned: list | None = None) -> DataFrame:
     """(doc_id, fingerprint) winnowing fingerprints — the Spark twin of
     ``_WINNOW_FP_CTES``, persisted because it feeds both sides of the
-    overlap self-join (LRU-evicted like every signature block here)."""
+    overlap self-join (LRU-evicted like every signature block here,
+    unless an eager caller passes ``pinned`` to own the unpersist)."""
     h = F.expr(_SPARK_HASH.format(expr="s"))
     sh = _spark_spans(docs, 3)
     pos = (
@@ -3675,17 +3677,20 @@ def _winnowing_fps(docs: DataFrame) -> DataFrame:
         .orderBy("p")
         .rowsBetween(Window.currentRow, _WINNOW_W - 1)
     )
-    return (
+    fp = (
         pos.withColumn("wmin", F.min("h").over(w))
         .filter(F.col("p") <= F.col("n_pos") - (_WINNOW_W - 1))
         .select("doc_id", F.col("wmin").alias("fingerprint"))
         .distinct()
         .persist()
     )
+    if pinned is not None:
+        pinned.append(fp)
+    return fp
 
 
-def _winnowing_pairs(docs: DataFrame) -> DataFrame:
-    fp = _winnowing_fps(docs)
+def _winnowing_pairs(docs: DataFrame, pinned: list | None = None) -> DataFrame:
+    fp = _winnowing_fps(docs, pinned)
     a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
     return (
@@ -3741,16 +3746,23 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def winnowing_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eager-stats discipline (round-9 verdict #7): the output is bounded
+    # (≤ 1 row per doc with overlap), so materialize and unpersist the
+    # fingerprint block in finally instead of leaving it to LRU.
+    from video_etl_spark.llm_ops.dedup import collect_and_unpersist
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _winnowing_pairs(docs)
+    pinned: list = []
+    pairs = _winnowing_pairs(docs, pinned)
     bidir = pairs.select(
         F.col("doc_a").alias("doc_id"), "n_shared"
     ).unionByName(pairs.select(F.col("doc_b").alias("doc_id"), "n_shared"))
-    return bidir.groupBy("doc_id").agg(
+    out = bidir.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_partners"),
         F.max("n_shared").cast("long").alias("max_shared"),
         F.sum("n_shared").cast("long").alias("total_shared"),
     )
+    return collect_and_unpersist(out, pinned)
 
 
 # --------------------------------------------------------------------------
