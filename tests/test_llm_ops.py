@@ -3329,3 +3329,56 @@ def test_overlap_stats_eager_matches_lazy(spark, sf_dir):
     assert key(simhash_overlap_stats(docs, eager=True)) == key(
         simhash_overlap_stats(docs)
     )
+
+
+def test_probe_family_conflicting_query_vectors_raise(spark):
+    """Round-9 ADVICE: a duplicated query id carrying DIFFERENT vectors
+    must raise across the probe family — the old dropDuplicates([id])
+    kept an arbitrary survivor and returned plausible-but-wrong
+    neighbors for the dropped vector with no signal.  EXACT duplicate
+    rows still collapse silently (the documented convention)."""
+    import pytest
+
+    from video_etl_spark.llm_ops.similarity import lsh_topk, pq_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    conflicted = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="conflicting vectors"):
+        lsh_topk(corpus, conflicted, k=2, dim=4)
+    with pytest.raises(ValueError, match="conflicting vectors"):
+        pq_topk(corpus, conflicted, k=2, m=2)
+    # exact duplicates collapse silently: same rows as the deduped set
+    dup = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = lsh_topk(corpus, dup, k=2, dim=4).collect()
+    want = lsh_topk(corpus, dup.limit(1), k=2, dim=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_planes_from_rows_bounds_corrupt_ids(spark):
+    """Round-9 ADVICE: a corrupt sidecar row with table_id=2**31 must
+    raise the loud completeness error, not make the validator build a
+    2**31-element expected grid (driver OOM/hang)."""
+    import pytest
+
+    from video_etl_spark.llm_ops.similarity import _planes_from_rows
+
+    good = [
+        {"table_id": t, "plane_id": p, "plane": [0.1, 0.2]}
+        for t in range(2)
+        for p in range(2)
+    ]
+    corrupt = good[:3] + [{"table_id": 2**31, "plane_id": 0, "plane": [0.1, 0.2]}]
+    with pytest.raises(ValueError, match="out of range"):
+        _planes_from_rows(corrupt)
+    with pytest.raises(ValueError, match="out of range"):
+        _planes_from_rows(good + [{"table_id": 0, "plane_id": -1, "plane": [0.1]}])
+    assert _planes_from_rows(good).shape == (2, 2, 2)

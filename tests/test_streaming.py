@@ -2646,3 +2646,42 @@ def test_curation_switchover_to_compacted_index(spark, tmp_path):
     finally:
         for t in ("t_cur_gen", "t_cur_gen_watermark"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_is_missing_source_branches(spark, tmp_path):
+    """Round-9 ADVICE: is_missing_source tightened four streaming
+    fallback paths (non-missing AnalysisExceptions now raise) — pin both
+    branches with REAL Spark 4.x exceptions so a Spark upgrade that
+    renames the error conditions fails loudly here instead of silently
+    reintroducing history-narrowing swallows."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from video_etl_spark.streaming.dedup import is_missing_source
+
+    # missing path -> True
+    with pytest.raises(AnalysisException) as ei:
+        spark.read.parquet(str(tmp_path / "definitely_absent")).collect()
+    assert is_missing_source(ei.value)
+    # missing table -> True
+    with pytest.raises(AnalysisException) as ei:
+        spark.table("definitely_no_such_table_xyz").collect()
+    assert is_missing_source(ei.value)
+    # schema-inference failure on an empty dir -> True (a raw stream dir
+    # whose partitions were all pruned is "fully folded", not an error)
+    (tmp_path / "empty_dir").mkdir()
+    with pytest.raises(AnalysisException) as ei:
+        spark.read.parquet(str(tmp_path / "empty_dir")).collect()
+    assert is_missing_source(ei.value)
+    # a real analysis failure (unresolved column) -> False: the caller
+    # must RAISE, not treat it as first-batch/fully-folded
+    with pytest.raises(AnalysisException) as ei:
+        spark.createDataFrame([(1,)], "a long").select("nope").collect()
+    assert not is_missing_source(ei.value)
+    # getCondition() can be None on synthetic exceptions -> False, not a
+    # TypeError
+    class _Fake:
+        def getCondition(self):
+            return None
+
+    assert not is_missing_source(_Fake())

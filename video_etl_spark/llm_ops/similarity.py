@@ -55,6 +55,18 @@ def _planes_from_rows(rows) -> np.ndarray:
         raise ValueError("planes sidecar is empty")
     n_tables = 1 + max(r["table_id"] for r in rows)
     n_planes = 1 + max(r["plane_id"] for r in rows)
+    # bound the ids BEFORE building the expected grid: a single corrupt
+    # row with table_id=2**31 would otherwise make the validator itself
+    # allocate a 2**31-element set — OOM/hang instead of the loud raise
+    # this function exists for.  A real grid never exceeds the row count
+    # (complete grids have exactly n_tables*n_planes rows).
+    if n_tables * n_planes > len(rows) or min(
+        min(r["table_id"], r["plane_id"]) for r in rows
+    ) < 0:
+        raise ValueError(
+            f"planes sidecar ids out of range: max table_id {n_tables - 1},"
+            f" max plane_id {n_planes - 1} for {len(rows)} rows"
+        )
     seen = {(r["table_id"], r["plane_id"]) for r in rows}
     expected = {(t, p) for t in range(n_tables) for p in range(n_planes)}
     if seen != expected or len(rows) != len(expected):
@@ -67,6 +79,47 @@ def _planes_from_rows(rows) -> np.ndarray:
     for r in rows:
         out[r["table_id"], r["plane_id"]] = r["plane"]
     return out
+
+
+def _dedup_queries_validated(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    caller: str,
+    max_queries: int | None = None,
+) -> DataFrame:
+    """Probe-family query dedup with a conflict guard: EXACT duplicate
+    (id, vector) rows collapse silently (the documented convention), but
+    rows sharing an id with DIFFERENT vectors raise — the previous
+    ``dropDuplicates([id_col])`` kept an arbitrary survivor, turning
+    invalid input into plausible-but-wrong neighbors for the dropped
+    vector with no signal (round-9 ADVICE).  One aggregate job over the
+    (bounded, when ``max_queries`` is set) deduped id column does both
+    the conflict and the size check, so bounded callers pay the same
+    single job the old count guard cost."""
+    q = queries.dropDuplicates([id_col, vec_col])
+    ids = q.select(id_col)
+    if max_queries is not None:
+        ids = ids.limit(max_queries + 1)
+    s = ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("d"),
+    ).collect()[0]
+    if s["d"] < s["n"]:
+        raise ValueError(
+            f"{caller}: conflicting vectors under a single {id_col} in "
+            "the query set — a duplicated query id must carry an "
+            "identical vector (an arbitrary-survivor collapse would "
+            "return wrong neighbors for the dropped vector)"
+        )
+    if max_queries is not None and s["n"] > max_queries:
+        raise ValueError(
+            f"{caller} query set exceeds max_queries={max_queries} "
+            "distinct ids; batch the queries (or raise max_queries "
+            "deliberately) — the query vectors are broadcast to every "
+            "executor for the re-rank"
+        )
+    return q
 
 
 def _bucket_udf(planes: np.ndarray):
@@ -115,15 +168,10 @@ def lsh_topk(
     # ivf_topk_against_index): top-k is keyed by query_id, duplicated
     # rows could only corrupt ranks.  Dedup BEFORE the guard so
     # max_queries uniformly bounds DISTINCT ids across the probe family;
-    # limit(max+1) still bounds the count job itself.
-    queries = queries.dropDuplicates([id_col])
-    if queries.select(id_col).limit(max_queries + 1).count() > max_queries:
-        raise ValueError(
-            f"lsh_topk query set exceeds max_queries={max_queries} "
-            "distinct ids; batch the queries (or raise max_queries "
-            "deliberately) — the query vectors are broadcast to every "
-            "executor for the re-rank"
-        )
+    # conflicting vectors under one id raise (see the helper).
+    queries = _dedup_queries_validated(
+        queries, id_col, vec_col, "lsh_topk", max_queries
+    )
     planes = _planes(n_tables, n_planes, dim)
     bucketize = _bucket_udf(planes)
 
@@ -333,15 +381,11 @@ def lsh_topk_against_index(
 
     ensure_executor_package(queries.sparkSession)
     # duplicate query ids collapse BEFORE the guard — probe-family
-    # convention (see lsh_topk / ivf_topk_against_index)
-    queries = queries.dropDuplicates([id_col])
-    if queries.select(id_col).limit(max_queries + 1).count() > max_queries:
-        raise ValueError(
-            f"lsh_topk_against_index query set exceeds max_queries="
-            f"{max_queries} distinct ids; batch the queries (or raise "
-            "max_queries deliberately) — the query vectors are broadcast "
-            "to every executor for the re-rank"
-        )
+    # convention (see lsh_topk / ivf_topk_against_index); conflicting
+    # vectors under one id raise (see the helper)
+    queries = _dedup_queries_validated(
+        queries, id_col, vec_col, "lsh_topk_against_index", max_queries
+    )
     p = params.collect()[0]
     # params rows without a has_planes column predate the marker and are
     # treated as md5-era; an external-planes index written before the
@@ -820,10 +864,11 @@ def ivf_topk_against_index(
     # neighbor at several ranks (literal form) or (b) halve the probe
     # set (broadcast form's per-id window) — collapsing first keeps the
     # two cell-ranking forms bit-identical.  Rows sharing an id but
-    # carrying DIFFERENT vectors are invalid input either way.
-    queries_d = queries.select(
-        F.col(id_col).alias("query_id"), as_double.alias("scores")
-    ).dropDuplicates(["query_id"])
+    # carrying DIFFERENT vectors raise (one tiny agg job over the query
+    # batch — see the helper) instead of electing an arbitrary survivor.
+    queries_d = _dedup_queries_validated(
+        queries, id_col, vec_col, "ivf_topk_against_index"
+    ).select(F.col(id_col).alias("query_id"), as_double.alias("scores"))
     if cell_rank == "literal":
         if centers is None:  # forced literal — auto didn't collect
             centers = _read_centers(spark, path)
@@ -1131,11 +1176,19 @@ def pq_topk(
     # duplicate query ids collapse — probe-family convention (see
     # ivf_topk_against_index); the DEDUPED frame must feed both the LUT
     # collect AND the exact re-rank join below, or duplicated rows fan
-    # every shortlist pair out to adjacent identical ranks.  The dedup
-    # shuffle runs distributed; driver memory stays bounded by the
-    # limit(max_queries + 1) on what is actually collected.
-    queries = queries.dropDuplicates([id_col])
+    # every shortlist pair out to adjacent identical ranks.  Dedup by
+    # (id, vector) so only EXACT duplicates collapse; a conflicting
+    # vector under one id then survives to the collect, where the
+    # repeated id is detected driver-side FOR FREE (round-9 ADVICE: the
+    # arbitrary-survivor collapse silently returned wrong neighbors).
+    queries = queries.dropDuplicates([id_col, vec_col])
     q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len({r[0] for r in q_rows}) < len(q_rows):
+        raise ValueError(
+            f"pq_topk: conflicting vectors under a single {id_col} in "
+            "the query set — a duplicated query id must carry an "
+            "identical vector"
+        )
     if len(q_rows) > max_queries:
         raise ValueError(
             f"pq_topk query set exceeds max_queries={max_queries} "
@@ -1364,9 +1417,16 @@ def pq_topk_against_index(
 
     # duplicate query ids collapse — probe-family convention (see
     # ivf_topk_against_index); the DEDUPED frame must feed both the LUT
-    # collect AND the exact re-rank join below (see pq_topk)
-    queries = queries.dropDuplicates([id_col])
+    # collect AND the exact re-rank join below (see pq_topk); conflicting
+    # vectors under one id are detected driver-side on the collected rows
+    queries = queries.dropDuplicates([id_col, vec_col])
     q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len({r[0] for r in q_rows}) < len(q_rows):
+        raise ValueError(
+            f"pq_topk_against_index: conflicting vectors under a single "
+            f"{id_col} in the query set — a duplicated query id must "
+            "carry an identical vector"
+        )
     if len(q_rows) > max_queries:
         raise ValueError(
             f"pq_topk_against_index query set exceeds max_queries="
