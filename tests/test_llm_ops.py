@@ -1493,7 +1493,12 @@ def test_pq_index_equivalence_and_no_rerank_shuffle(spark, sf_dir, tmp_path):
         assert any("/pq/vectors" in f for f in files), files
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        for t in ("t_pq_index", "t_pq_index_vecs", "t_pq_index_books"):
+        for t in (
+            "t_pq_index",
+            "t_pq_index_vecs",
+            "t_pq_index_books",
+            "t_pq_index_params",
+        ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -2893,8 +2898,8 @@ def test_ann_index_appends_match_full_rebuild_or_frozen_params(
         for t in (
             "t_lsh_a", "t_lsh_a_vecs", "t_lsh_a_params",
             "t_lsh_f", "t_lsh_f_vecs", "t_lsh_f_params",
-            "t_pq_a", "t_pq_a_vecs", "t_pq_a_books",
-            "t_pq_f", "t_pq_f_vecs", "t_pq_f_books",
+            "t_pq_a", "t_pq_a_vecs", "t_pq_a_books", "t_pq_a_params",
+            "t_pq_f", "t_pq_f_vecs", "t_pq_f_books", "t_pq_f_params",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -3382,3 +3387,112 @@ def test_planes_from_rows_bounds_corrupt_ids(spark):
     with pytest.raises(ValueError, match="out of range"):
         _planes_from_rows(good + [{"table_id": 0, "plane_id": -1, "plane": [0.1]}])
     assert _planes_from_rows(good).shape == (2, 2, 2)
+
+
+def test_pq_index_persisted_normalize_mode(spark, tmp_path):
+    """Round-10 (verdict #3 enabler): write_pq_index(books=,
+    normalize=False) persists the encode mode in {table}_params (written
+    LAST) and the probe/append read it from the index, never from the
+    caller.  Contracts: (a) the flag is load-bearing where it can be —
+    the ENCODE path: the same corpus + books written under the two modes
+    produce different codes (probe-side LUT normalization is per-query
+    monotone scaling, so it is output-NEUTRAL by design — what params
+    buys the probe is exact-integer ADC reproducibility, not different
+    rankings); (b) append == full rebuild under the persisted mode (an
+    append that ignored params and normalized would produce mismatched
+    codes); (c) books/params shape mismatch and bad explicit books
+    raise."""
+    import numpy as np
+    import pytest
+
+    from video_etl_spark.llm_ops.similarity import (
+        append_to_pq_index,
+        pq_topk_against_index,
+        write_pq_index,
+    )
+
+    rng = np.random.default_rng(11)
+    # wildly different scales make normalized vs raw encodings disagree
+    vecs = [
+        (i, (rng.integers(-5, 6, 16).astype(float) * (10.0 ** (i % 3))).tolist())
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    try:
+        books = [
+            [vecs[c][1][j * 4 : (j + 1) * 4] for c in range(4)]
+            for j in range(4)
+        ]
+        write_pq_index(
+            emb, "t_pq_nm", str(tmp_path / "pq_nm"),
+            m=4, ksub=4, n_buckets=4, books=books, normalize=False,
+        )
+        p = spark.table("t_pq_nm_params").collect()[0]
+        assert (p["m"], p["ksub"], p["normalize"]) == (4, 4, False)
+        # (a) the persisted mode changes the encoding: same corpus, same
+        # books, other mode -> different codes
+        write_pq_index(
+            emb, "t_pq_nm_n", str(tmp_path / "pq_nm_n"),
+            m=4, ksub=4, n_buckets=4, books=books, normalize=True,
+        )
+        assert spark.table("t_pq_nm_n_params").collect()[0]["normalize"]
+        raw_codes = {
+            r["neighbor_id"]: bytes(r["code"])
+            for r in spark.table("t_pq_nm").collect()
+        }
+        norm_codes = {
+            r["neighbor_id"]: bytes(r["code"])
+            for r in spark.table("t_pq_nm_n").collect()
+        }
+        assert raw_codes != norm_codes, (
+            "normalize flag had no effect on encoding — the params "
+            "plumbing is vacuous"
+        )
+        # probing with the params table works end-to-end
+        got = pq_topk_against_index(
+            emb.filter("vec_id % 10 = 0"),
+            spark.table("t_pq_nm"),
+            spark.table("t_pq_nm_vecs"),
+            spark.table("t_pq_nm_books"),
+            k=3,
+            refine=2,
+            params_df=spark.table("t_pq_nm_params"),
+        ).collect()
+        assert {r["rn"] for r in got} == {1, 2, 3}
+        # (b) append == rebuild under the persisted normalize=False mode
+        old = emb.filter("vec_id < 40")
+        write_pq_index(
+            old, "t_pq_nm_a", str(tmp_path / "pq_nm_a"),
+            m=4, ksub=4, n_buckets=4, books=books, normalize=False,
+        )
+        append_to_pq_index(emb.filter("vec_id >= 40"), "t_pq_nm_a")
+        appended = sorted(
+            map(tuple, spark.table("t_pq_nm_a").collect())
+        )
+        rebuilt = sorted(map(tuple, spark.table("t_pq_nm").collect()))
+        assert appended == rebuilt
+        # (c) loud raises
+        with pytest.raises(ValueError, match="contradicts"):
+            write_pq_index(
+                emb, "t_pq_nm_bad", str(tmp_path / "pq_bad"),
+                m=4, ksub=8, books=books,
+            )
+        with pytest.raises(ValueError, match="mixed index generations"):
+            pq_topk_against_index(
+                emb.limit(2),
+                spark.table("t_pq_nm"),
+                spark.table("t_pq_nm_vecs"),
+                spark.table("t_pq_nm_books"),
+                params_df=spark.createDataFrame(
+                    [(8, 16, False)], "m int, ksub int, normalize boolean"
+                ),
+            )
+    finally:
+        for t in (
+            "t_pq_nm", "t_pq_nm_vecs", "t_pq_nm_books", "t_pq_nm_params",
+            "t_pq_nm_n", "t_pq_nm_n_vecs", "t_pq_nm_n_books",
+            "t_pq_nm_n_params",
+            "t_pq_nm_a", "t_pq_nm_a_vecs", "t_pq_nm_a_books",
+            "t_pq_nm_a_params",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1287,13 +1287,19 @@ def pq_topk(
 
 
 def _pq_encode_frame(
-    df: DataFrame, books: np.ndarray, id_col: str, vec_col: str
+    df: DataFrame,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    normalize: bool = True,
 ) -> DataFrame:
     """(neighbor_id, code) PQ encoding of ``df``'s vectors under the
     given codebooks — the ONE encoder :func:`write_pq_index` and
     :func:`append_to_pq_index` share, so appended codes are
     byte-identical to what a write-time encode of the same vectors
-    would produce."""
+    would produce.  ``normalize`` must be the INDEX's persisted mode
+    (``{table}_params``): encoding raw vectors against cosine-space
+    codebooks (or vice versa) silently produces garbage codes."""
     m, _, dsub = books.shape
     enc_schema = T.StructType(
         [
@@ -1306,7 +1312,9 @@ def _pq_encode_frame(
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if normalize:
+                mat = _normalize(mat)
             sub = mat.reshape(len(mat), m, dsub)
             d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
             codes = d2.argmin(axis=2).astype(np.uint8)
@@ -1332,6 +1340,8 @@ def write_pq_index(
     vec_col: str = "embedding",
     seed: int = 7,
     files_per_bucket: int = 1,
+    books: "np.ndarray | list | None" = None,
+    normalize: bool = True,
 ) -> None:
     """Fit codebooks on a bounded sample, encode the corpus ONCE in a
     distributed Arrow map, and persist codes + re-rank sidecar + codebooks.
@@ -1343,6 +1353,20 @@ def write_pq_index(
     the exact re-rank's index side never shuffles.  Codebooks are
     persisted so probes reproduce pq_topk's arithmetic exactly without
     touching raw corpus vectors.
+
+    ``books``, if given, SKIPS the fit and uses the supplied (m, ksub,
+    dim/m) codebooks verbatim — the externally-trained-quantizer
+    workflow, symmetric with ``write_ivf_index(centers=)`` and
+    ``write_lsh_index(planes=)``.  ``normalize=False`` encodes and
+    scores RAW vectors (inner-product PQ over a pre-scaled corpus, or
+    exact-integer-reproducible quantized vectors) instead of
+    L2-normalized ones; the mode is PERSISTED in ``{table}_params``
+    (written LAST, after every data table) and read back by the probe
+    and append — never caller-resupplied, since probing normalize=False
+    codes with normalized LUTs silently craters the shortlist.  The
+    stale params table is dropped FIRST, so a crash mid-write leaves no
+    params and a params-reading probe fails loudly instead of pairing
+    mixed generations.
     """
     from video_etl_spark.operators.io import write_bucketed
     from video_etl_spark.session import ensure_executor_package
@@ -1355,11 +1379,24 @@ def write_pq_index(
             "persisted as one byte per subspace"
         )
 
-    sample = _normalize(_ordered_sample(corpus, id_col, vec_col, sample_size))
-    books = _fit_pq_codebooks(sample, m=m, ksub=ksub, seed=seed)
+    # validation before destruction: check the explicit books BEFORE
+    # dropping the old generation's params
+    if books is not None:
+        books = np.asarray(books, dtype=np.float64)
+        if books.ndim != 3 or books.shape[0] != m or books.shape[1] != ksub:
+            raise ValueError(
+                f"write_pq_index: explicit books shape {books.shape} "
+                f"contradicts (m={m}, ksub={ksub}, dsub)"
+            )
+    spark.sql(f"DROP TABLE IF EXISTS {table}_params")
+    if books is None:
+        sample = _ordered_sample(corpus, id_col, vec_col, sample_size)
+        if normalize:
+            sample = _normalize(sample)
+        books = _fit_pq_codebooks(sample, m=m, ksub=ksub, seed=seed)
 
     (
-        _pq_encode_frame(corpus, books, id_col, vec_col)
+        _pq_encode_frame(corpus, books, id_col, vec_col, normalize)
         .write.mode("overwrite")
         .option("path", f"{path}/codes")
         .saveAsTable(table)
@@ -1382,6 +1419,14 @@ def write_pq_index(
     ).coalesce(1).write.mode("overwrite").option(
         "path", f"{path}/books"
     ).saveAsTable(f"{table}_books")
+    # params LAST: its presence vouches that every table above is from
+    # this generation (the has_planes discipline, round-9)
+    spark.createDataFrame(
+        [(int(books.shape[0]), int(books.shape[1]), bool(normalize))],
+        "m int, ksub int, normalize boolean",
+    ).coalesce(1).write.mode("overwrite").option(
+        "path", f"{path}/params"
+    ).saveAsTable(f"{table}_params")
 
 
 def pq_topk_against_index(
@@ -1394,9 +1439,10 @@ def pq_topk_against_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 65_536,
+    params_df: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`pq_topk` against a persisted index (``spark.table`` reads of
-    :func:`write_pq_index`'s three tables) — identical output for the same
+    :func:`write_pq_index`'s tables) — identical output for the same
     corpus / seed / parameters (tested), with the corpus never re-sampled
     or re-encoded.
 
@@ -1407,6 +1453,15 @@ def pq_topk_against_index(
     the query set is capped at ``max_queries`` with a loud raise; the two
     driver collects (codebooks: m·ksub rows, queries: bounded) are
     control-plane reads.
+
+    ``params_df`` (the ``{table}_params`` table) carries the index's
+    persisted encode mode: a normalize=False index (inner-product PQ /
+    exact-integer vectors) must have its query LUTs built from RAW
+    vectors — normalized LUTs against raw codes silently crater the
+    shortlist.  Pass it for any index written since params exist; omit
+    only for legacy pre-params indexes (treated as normalize=True, the
+    only mode that existed).  A books/params shape mismatch raises — it
+    means the tables are from different generations.
     """
     from video_etl_spark.session import ensure_executor_package
 
@@ -1414,6 +1469,16 @@ def pq_topk_against_index(
 
     books = _books_from_rows(books_df.collect())
     m, _, dsub = books.shape
+    normalize = True
+    if params_df is not None:
+        p = params_df.collect()[0]
+        normalize = bool(p["normalize"])
+        if p["m"] != m or p["ksub"] != books.shape[1]:
+            raise ValueError(
+                f"pq_topk_against_index: books shape {books.shape[:2]} "
+                f"contradicts the params sidecar ({p['m']}, {p['ksub']}) "
+                "— mixed index generations"
+            )
 
     # duplicate query ids collapse — probe-family convention (see
     # ivf_topk_against_index); the DEDUPED frame must feed both the LUT
@@ -1435,7 +1500,9 @@ def pq_topk_against_index(
             "and broadcast"
         )
     q_ids = np.array([r[0] for r in q_rows])
-    q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if normalize:
+        q_mat = _normalize(q_mat)
     luts = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_ids), m, dsub), books)
 
     r_keep = k * refine
@@ -1537,6 +1604,11 @@ def append_to_pq_index(
     spark = new.sparkSession
     ensure_executor_package(spark)
     books = _books_from_rows(spark.table(f"{table}_books").collect())
+    # the encode mode lives IN the index (never caller-resupplied);
+    # pre-params indexes only ever encoded normalized
+    normalize = True
+    if spark.catalog.tableExists(f"{table}_params"):
+        normalize = bool(spark.table(f"{table}_params").collect()[0]["normalize"])
 
     # Same discipline as append_to_lsh_index: ONE materialized
     # dedup of the batch (both sinks must see the same survivor row),
@@ -1549,7 +1621,7 @@ def append_to_pq_index(
         batch, lambda: spark.table(table), id_col, assume_disjoint
     )
     (
-        _pq_encode_frame(fresh_c, books, id_col, vec_col)
+        _pq_encode_frame(fresh_c, books, id_col, vec_col, normalize)
         .write.mode("append")
         .saveAsTable(table)
     )

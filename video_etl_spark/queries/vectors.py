@@ -1070,3 +1070,159 @@ def knn_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_LSH_Q_TOPK,
         planes_df=spark.table(f"{tbl}_planes"),
     )
+
+
+# U22⊕ — ORACLE-BACKED PERSISTED-PQ PROBE (round 10): the third and last
+# driver-attestable ANN modality, completing the trio (IVF r8, LSH r9).
+# Same recipe: integer-quantized vectors + DATA-derived quantizer params
+# — here EXPLICIT codebooks (write_pq_index(books=): books[j][c] = the
+# j-th dsub-slice of quantized vector c, an externally-trained product
+# quantizer symmetric with write_ivf_index(centers=) and
+# write_lsh_index(planes=)) and normalize=False persisted in the index's
+# {table}_params, so encode distances, LUT inner products, and ADC sums
+# are ALL exact integers carried in doubles (per-subspace dist ≤ 8·(1.06
+# e6)² ≈ 9e12 < 2⁵³; ADC ≤ 8·2.3e12 ≈ 1.8e13) — order-independent, so
+# numpy and DuckDB agree bit-for-bit with no float-summation hazard.
+# The DuckDB twin replays the FULL pipeline: per-subspace nearest-center
+# encoding (ties → lowest code), ADC scoring via the encoded codes,
+# global top-(k·refine) shortlist (approx desc, id asc), then the exact
+# integer-cosine re-rank with division LAST.  A green row re-proves
+# encoding, the persisted-books/params contract, ADC shortlisting, and
+# ranking.  Reference parity: src/offline/ann/* (the reference ships
+# brute-force + IVF only; PQ is a ⊕ scale-path addition).
+_PQ_Q_M = 8         # subspaces (dim 64 -> dsub 8)
+_PQ_Q_KSUB = 8      # codes/book, derived from vec_id < 8
+_PQ_Q_MOD = 25      # query set: vec_id % 25 == 0 (bounded: corpus/25)
+_PQ_Q_TOPK = 5
+_PQ_Q_REFINE = 4    # shortlist = 20 per query
+_PQ_Q_INDEX_CACHE: dict[str, tuple[str, str]] = {}  # sf_dir -> (table, path)
+
+
+@query(
+    "knn_pq_indexed",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings),
+    n AS (
+      SELECT vec_id, q, CAST({_DUCK_SQ} AS DOUBLE) AS sq FROM q),
+    js AS (SELECT unnest(generate_series(0, {_PQ_Q_M - 1})) AS j),
+    bk AS (
+      SELECT js.j, vec_id AS code,
+             q[js.j * 8 + 1 : js.j * 8 + 8] AS center
+      FROM q CROSS JOIN js WHERE vec_id < {_PQ_Q_KSUB}),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT a.vec_id, b.j, b.code,
+               row_number() OVER (
+                 PARTITION BY a.vec_id, b.j
+                 ORDER BY list_sum(
+                   [(a.q[b.j * 8 + i] - b.center[i])
+                    * (a.q[b.j * 8 + i] - b.center[i])
+                    FOR i IN generate_series(1, 8)]), b.code) AS rn
+        FROM q a CROSS JOIN bk b) WHERE rn = 1),
+    adc AS (
+      SELECT x.vec_id AS query_id, e.vec_id AS neighbor_id,
+             SUM(list_sum([x.q[e.j * 8 + i] * b.center[i]
+                           FOR i IN generate_series(1, 8)])) AS approx
+      FROM q x
+      CROSS JOIN enc e
+      JOIN bk b ON b.j = e.j AND b.code = e.code
+      WHERE x.vec_id % {_PQ_Q_MOD} = 0
+      GROUP BY x.vec_id, e.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx DESC, neighbor_id) AS arn
+        FROM adc) WHERE arn <= {_PQ_Q_TOPK * _PQ_Q_REFINE}),
+    cand AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(list_sum([x.q[i] * y.q[i]
+                            FOR i IN generate_series(1, len(x.q))]) AS DOUBLE)
+               / (sqrt(x.sq) * sqrt(y.sq)) AS cos_sim
+      FROM short s
+      JOIN n x ON s.query_id = x.vec_id
+      JOIN n y ON s.neighbor_id = y.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM cand) WHERE rn <= {_PQ_Q_TOPK}
+    """,
+)
+def knn_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a persisted PQ index written once per (process, sf_dir)
+    with explicit data-derived codebooks and normalize=False recorded in
+    its params table (U22⊕ third driver-attestable ANN instance).  Same
+    scratch-reuse contract as :func:`knn_ivf_indexed` /
+    :func:`knn_lsh_indexed`: re-entrant calls reuse the index after the
+    whole-index freshness check, atexit removes the files."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from video_etl_spark.llm_ops.similarity import (
+        pq_topk_against_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(cast(round(cast(x as double) * 1000000) as bigint) "
+            "as double))"
+        ).alias("embedding"),
+    )
+    cached = _PQ_Q_INDEX_CACHE.get(sf_dir)
+    tbl = cached[0] if cached else None
+
+    def _index_whole(c) -> bool:
+        if c is None:
+            return False
+        t, p = c
+        return all(
+            spark.catalog.tableExists(t + sfx)
+            for sfx in ("", "_vecs", "_books", "_params")
+        ) and all(
+            os.path.isdir(os.path.join(p, sub))
+            for sub in ("codes", "vectors", "books", "params")
+        )
+
+    if not _index_whole(cached):
+        seed = (
+            qemb.filter(F.col("vec_id") < _PQ_Q_KSUB).orderBy("vec_id").collect()
+        )
+        dsub = len(seed[0]["embedding"]) // _PQ_Q_M
+        books = [
+            [
+                list(seed[c]["embedding"][j * dsub : (j + 1) * dsub])
+                for c in range(_PQ_Q_KSUB)
+            ]
+            for j in range(_PQ_Q_M)
+        ]
+        path = tempfile.mkdtemp(prefix="knn_pq_indexed_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        tbl = "knn_pq_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        write_pq_index(
+            qemb,
+            tbl,
+            path,
+            m=_PQ_Q_M,
+            ksub=_PQ_Q_KSUB,
+            n_buckets=8,
+            books=books,
+            normalize=False,
+        )
+        _PQ_Q_INDEX_CACHE[sf_dir] = (tbl, path)
+    queries = qemb.filter(F.col("vec_id") % _PQ_Q_MOD == 0)
+    return pq_topk_against_index(
+        queries,
+        spark.table(tbl),
+        spark.table(f"{tbl}_vecs"),
+        spark.table(f"{tbl}_books"),
+        k=_PQ_Q_TOPK,
+        refine=_PQ_Q_REFINE,
+        params_df=spark.table(f"{tbl}_params"),
+    )
