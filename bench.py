@@ -5,9 +5,12 @@ JSON lines: first the FULL artifact (per-query timings, both control
 passes, per-mode ratios, pinned-RDD readout), then — LAST, so a
 tail-capturing driver always parses it (round-9 verdict #1: the full
 line overflowed the driver's capture window and r9 recorded no headline
-number) — a COMPACT summary: {"metric", "value", "unit", "sf",
-"n_queries", "control_ratio", "control_ratio_start",
-"control_ratio_end", "degraded_during_run", "value_normalized"}.
+number) — a COMPACT summary: always {"metric", "value", "unit", "sf",
+"n_queries"}, plus {"control_ratio", "control_ratio_start",
+"control_ratio_end", "degraded_during_run", "value_normalized"} ONLY at
+the pinned config (sf0.1, local[32], reps>=3 — elsewhere the controls
+still run but normalization against the pins would be meaningless, so
+consumers must treat those keys as optional).
 
 Each query runs one warm-up pass (JIT, code cache, file listing — NOT
 counted) and then $SPARK_GRAFT_BENCH_REPS timed passes (default 3); the

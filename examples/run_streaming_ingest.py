@@ -12,6 +12,17 @@ end on the driver's `documents` table (SURVEY.md §2.13).
    a training job would read.
 
 Usage: python examples/run_streaming_ingest.py [sf_dir] (default sf0.001)
+
+SCALE MODE (round-9 verdict #6 — the streaming lifecycle at 10×):
+``--scale N`` replays the seeded ~sfN corpus (N=10 → 500k docs) through
+the SAME per-micro-batch handler in ~20 batches, with the compaction
+fold + handler switchover + prune MID-STREAM after batch 9, recording
+per-batch latency before/after the fold and asserting at scale that a
+later batch's near-dup of PRE-FOLD (pruned) history is still rejected —
+the handler-driven twin of the readStream demo above, because the fold
+point and timings must be deterministic to be comparable.
+
+Usage: python examples/run_streaming_ingest.py --scale 10
 """
 
 from __future__ import annotations
@@ -35,6 +46,19 @@ N_BATCHES = 5
 
 
 def main() -> None:
+    if "--scale" in sys.argv:
+        try:
+            scale = int(sys.argv[sys.argv.index("--scale") + 1])
+        except (IndexError, ValueError):
+            raise SystemExit(
+                "usage: run_streaming_ingest.py --scale N [--no-fold]  "
+                "(N an integer corpus multiplier, e.g. 10 for the "
+                "500k-doc rehearsal; --no-fold is the control run that "
+                "stays raw-mode throughout, isolating what the fold "
+                "buys at this scale)"
+            ) from None
+        scale_lifecycle(scale, fold="--no-fold" not in sys.argv)
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("ingest-demo")
     spark.sparkContext.setLogLevel("ERROR")
@@ -148,6 +172,182 @@ def main() -> None:
         f"\n{n_clean} clean / {n_rejected} rejected "
         f"({total} total, {n_rejected * 100.0 / total:.1f}% rejected)"
     )
+
+
+N_SCALE_BATCHES = 20
+FOLD_AFTER = 9  # inclusive fold watermark: batches 0..9 fold, 10.. are tail
+_GEN_TABLE = "sl_cur_gen"
+
+
+def scale_lifecycle(scale: int, fold: bool = True) -> None:
+    """The curation lifecycle at ~sf{scale} driven per-batch: raw handler
+    for batches 0..FOLD_AFTER, then fold → switchover → prune, then the
+    compacted-mode handler for the rest.  Prints the per-batch latency
+    table PERF.md records and asserts switchover correctness at scale.
+    ``fold=False`` is the control: the raw handler runs all batches, so
+    the per-batch delta between the two runs isolates what the fold
+    buys from the semantic growth (later batches find more dups against
+    more history on a dup-dense corpus — work no layout can remove)."""
+    import shutil
+    import time
+
+    from examples.scale_rehearsal import (
+        N_DOCS,
+        N_EVENTS,
+        N_VECS,
+        SF1_DIR,
+        generate,
+    )
+    from video_etl_spark.streaming.curation import make_ingest_handler
+    from video_etl_spark.streaming.dedup import (
+        compact_stream_index,
+        prune_folded_partitions,
+    )
+    from video_etl_spark.streaming.stats import current_totals
+
+    spark = get_spark("ingest-lifecycle-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = SF1_DIR if scale == 1 else f"/tmp/spark_graft_sf{scale}"
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        print(f"generating seeded ~sf{scale} slice under {sf_dir} ...")
+        generate(
+            spark,
+            out_dir=sf_dir,
+            n_docs=N_DOCS * scale,
+            n_events=N_EVENTS * scale,
+            n_vecs=N_VECS * scale,
+        )
+
+    work = tempfile.mkdtemp(prefix="ingest_lifecycle_")
+    docs = load_table(spark, sf_dir, "documents")
+    # the seeded generator's vocabulary is deliberately small (that is
+    # what makes its dup structure dense), so a corpus-derived bench set
+    # shares >=1 shingle with EVERY doc and decontamination rejects the
+    # whole corpus — use a token-disjoint synthetic eval suite instead,
+    # and exercise the gate with PLANTED contaminated docs (batch 17)
+    bench_texts = [
+        " ".join(f"benchtok{i}_{j}" for j in range(40)) for i in range(100)
+    ]
+    bench_src = spark.createDataFrame(
+        list(enumerate(bench_texts)), "doc_id long, text string"
+    )
+    doc_shingles(bench_src).select("s").distinct().write.parquet(
+        f"{work}/bench"
+    )
+    corpus = docs.select("doc_id", "text", "source")
+
+    sig_dir = f"{work}/sig_index"
+    args = (sig_dir, f"{work}/bench", f"{work}/clean", f"{work}/rejected")
+    kw = dict(stats_dir=f"{work}/stats")
+    timings: list[tuple[int, str, float]] = []
+
+    def run(handler, batch_df, b: int, mode: str) -> None:
+        t0 = time.perf_counter()
+        handler(batch_df, b)
+        dt = time.perf_counter() - t0
+        timings.append((b, mode, dt))
+        print(f"  batch {b:2d} [{mode:9s}] {dt:6.1f}s")
+
+    try:
+        raw = make_ingest_handler(*args, **kw)
+        for b in range(FOLD_AFTER + 1):
+            run(raw, corpus.filter(F.col("doc_id") % N_SCALE_BATCHES == b), b, "raw")
+
+        if fold:
+            t0 = time.perf_counter()
+            compact_stream_index(
+                spark, sig_dir, _GEN_TABLE, f"{work}/gen0",
+                upto_batch_id=FOLD_AFTER, n_buckets=32,
+            )
+            sw = make_ingest_handler(*args, **kw, compacted_table=_GEN_TABLE)
+            pruned = prune_folded_partitions(spark, sig_dir, _GEN_TABLE)
+            fold_s = time.perf_counter() - t0
+            assert pruned == list(range(FOLD_AFTER + 1)), pruned
+            print(f"  fold + switchover + prune({len(pruned)} partitions): "
+                  f"{fold_s:.1f}s")
+        else:
+            sw, fold_s = raw, 0.0
+            print("  (--no-fold control: raw mode throughout)")
+
+        for b in range(FOLD_AFTER + 1, N_SCALE_BATCHES):
+            batch = corpus.filter(F.col("doc_id") % N_SCALE_BATCHES == b)
+            if b == 15:
+                # plant exact copies of PRE-FOLD (pruned, visible only
+                # through the generation) and TAIL survivors under fresh
+                # ids: both must be rejected as near_dup at scale
+                plants = (
+                    spark.read.parquet(f"{work}/clean")
+                    .where(f"batch_id in (2, {FOLD_AFTER + 2})")
+                    .orderBy("doc_id")
+                    .limit(50)
+                    .select(
+                        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                        "text",
+                        "source",
+                    )
+                    .localCheckpoint()  # freeze before the dynamic
+                    # overwrite of this batch's own sinks
+                )
+                batch = batch.unionByName(plants)
+            if b == 17:
+                # plant eval-suite copies: must be rejected CONTAMINATED
+                batch = batch.unionByName(
+                    spark.createDataFrame(
+                        [
+                            (20_000_000 + i, t, "planted")
+                            for i, t in enumerate(bench_texts[:20])
+                        ],
+                        "doc_id long, text string, source string",
+                    )
+                )
+            run(sw, batch, b, "compacted" if fold else "raw-ctl")
+
+        clean = spark.read.parquet(f"{work}/clean")
+        rejected = spark.read.schema(
+            "doc_id long, reason string, detail long, batch_id integer"
+        ).parquet(f"{work}/rejected")
+        # switchover correctness at scale: every planted near-dup copy
+        # rejected with its (pre-fold-pruned or tail) original as
+        # evidence, every planted eval copy rejected as contaminated
+        planted_rej = {
+            r["doc_id"]: r["reason"]
+            for r in rejected.where(
+                "doc_id >= 10000000 and doc_id < 20000000"
+            ).collect()
+        }
+        assert len(planted_rej) == 50 and set(planted_rej.values()) == {
+            "near_dup"
+        }, (
+            f"{len(planted_rej)} of 50 planted dups rejected: "
+            f"{dict(list(planted_rej.items())[:4])}"
+        )
+        contam_rej = {
+            r["doc_id"]: r["reason"]
+            for r in rejected.where("doc_id >= 20000000").collect()
+        }
+        assert len(contam_rej) == 20 and set(contam_rej.values()) == {
+            "contaminated"
+        }, contam_rej
+        # ledger conservation: every input row lands in exactly one sink
+        n_in = corpus.count() + 50 + 20
+        n_out = clean.count() + rejected.count()
+        assert n_in == n_out, (n_in, n_out)
+        stats = current_totals(spark, f"{work}/stats")
+        assert stats.agg(F.sum("n_docs")).collect()[0][0] == clean.count()
+
+        raw_t = [t for b, m, t in timings if b <= FOLD_AFTER]
+        cmp_t = [t for b, m, t in timings if b > FOLD_AFTER]
+        med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+        mode = "compacted" if fold else "raw-ctl"
+        print(f"\nper-batch median: raw {med(raw_t):.1f}s "
+              f"(batches 0-{FOLD_AFTER}), {mode} {med(cmp_t):.1f}s "
+              f"(batches {FOLD_AFTER + 1}-{N_SCALE_BATCHES - 1}); "
+              f"fold cost {fold_s:.1f}s; "
+              f"clean {clean.count()} / rejected {rejected.count()}")
+    finally:
+        for t in (_GEN_TABLE, f"{_GEN_TABLE}_watermark"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

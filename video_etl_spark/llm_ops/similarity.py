@@ -90,13 +90,15 @@ def _dedup_queries_validated(
 ) -> DataFrame:
     """Probe-family query dedup with a conflict guard: EXACT duplicate
     (id, vector) rows collapse silently (the documented convention), but
-    rows sharing an id with DIFFERENT vectors raise — the previous
-    ``dropDuplicates([id_col])`` kept an arbitrary survivor, turning
-    invalid input into plausible-but-wrong neighbors for the dropped
-    vector with no signal (round-9 ADVICE).  One aggregate job over the
-    (bounded, when ``max_queries`` is set) deduped id column does both
-    the conflict and the size check, so bounded callers pay the same
-    single job the old count guard cost."""
+    rows sharing an id with DIFFERENT vectors (or NULL ids) raise — the
+    previous ``dropDuplicates([id_col])`` kept an arbitrary survivor,
+    turning invalid input into plausible-but-wrong neighbors for the
+    dropped vector with no signal (round-9 ADVICE).  One aggregate job
+    over the (bounded, when ``max_queries`` is set) deduped id column
+    does both the conflict and the size check, so bounded callers pay
+    the same single job the old count guard cost; for the unbounded IVF
+    probe this is a NET-NEW eager job over the query batch — see
+    ``ivf_topk_against_index(validate_queries=)`` for the opt-out."""
     q = queries.dropDuplicates([id_col, vec_col])
     ids = q.select(id_col)
     if max_queries is not None:
@@ -104,7 +106,13 @@ def _dedup_queries_validated(
     s = ids.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(id_col)).alias("d"),
+        F.count(F.col(id_col)).alias("nn"),  # non-null ids
     ).collect()[0]
+    if s["nn"] < s["n"]:
+        raise ValueError(
+            f"{caller}: NULL {id_col} in the query set — every query "
+            "row needs an id to key its top-k"
+        )
     if s["d"] < s["n"]:
         raise ValueError(
             f"{caller}: conflicting vectors under a single {id_col} in "
@@ -805,6 +813,7 @@ def ivf_topk_against_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_rank: str = "auto",
+    validate_queries: bool = True,
 ) -> DataFrame:
     """:func:`ivf_topk` against a persisted inverted file
     (:func:`write_ivf_index`) — identical output for the same corpus /
@@ -819,6 +828,13 @@ def ivf_topk_against_index(
     pruning filter, plus — in the literal form only — the centers table
     (n_centroids rows); the broadcast form ships centers executor-side
     and the auto decision reads just the row count.
+
+    ``validate_queries`` (default True) runs one eager aggregate job
+    over the query batch to reject conflicting vectors under one id
+    (round-9 ADVICE) — the probe's only query-side job.  A high-rate
+    caller that validates its batches upstream can pass False to keep
+    the probe fully lazy on the query side (one arbitrary survivor per
+    duplicated id, the pre-validation semantics).
 
     Cell ranking has two equivalent forms (``cell_rank``: "auto" picks by
     ``_LITERAL_CELL_RANK_MAX``, "literal"/"broadcast" force one): the
@@ -864,11 +880,23 @@ def ivf_topk_against_index(
     # neighbor at several ranks (literal form) or (b) halve the probe
     # set (broadcast form's per-id window) — collapsing first keeps the
     # two cell-ranking forms bit-identical.  Rows sharing an id but
-    # carrying DIFFERENT vectors raise (one tiny agg job over the query
-    # batch — see the helper) instead of electing an arbitrary survivor.
-    queries_d = _dedup_queries_validated(
-        queries, id_col, vec_col, "ivf_topk_against_index"
-    ).select(F.col(id_col).alias("query_id"), as_double.alias("scores"))
+    # carrying DIFFERENT vectors raise (one eager agg job over the query
+    # batch — the probe's only query-side job; a validated-upstream
+    # high-rate caller can skip it) instead of electing an arbitrary
+    # survivor.
+    if validate_queries:
+        queries_d = _dedup_queries_validated(
+            queries, id_col, vec_col, "ivf_topk_against_index"
+        )
+    else:
+        # opt-out keeps the lazy pre-validation semantics: one survivor
+        # per id (arbitrary under conflicting vectors — the caller
+        # vouched for the batch), so both cell-rank modes stay keyed by
+        # unique query_id
+        queries_d = queries.dropDuplicates([id_col])
+    queries_d = queries_d.select(
+        F.col(id_col).alias("query_id"), as_double.alias("scores")
+    )
     if cell_rank == "literal":
         if centers is None:  # forced literal — auto didn't collect
             centers = _read_centers(spark, path)
@@ -1604,11 +1632,23 @@ def append_to_pq_index(
     spark = new.sparkSession
     ensure_executor_package(spark)
     books = _books_from_rows(spark.table(f"{table}_books").collect())
-    # the encode mode lives IN the index (never caller-resupplied);
-    # pre-params indexes only ever encoded normalized
-    normalize = True
-    if spark.catalog.tableExists(f"{table}_params"):
-        normalize = bool(spark.table(f"{table}_params").collect()[0]["normalize"])
+    # The encode mode lives IN the index (never caller-resupplied), and
+    # a MISSING params table is a hard error, not a legacy default:
+    # write_pq_index drops params FIRST and writes it LAST, so its
+    # absence next to live codes/books means a crashed re-write left
+    # mixed generations — appending under an assumed normalize=True
+    # would encode garbage codes against raw-space codebooks with no
+    # signal (round-10 review).  Legacy pre-params indexes must be
+    # rebuilt once with the current writer before appending.
+    if not spark.catalog.tableExists(f"{table}_params"):
+        raise ValueError(
+            f"append_to_pq_index: {table}_params not found — either a "
+            "crashed write_pq_index left mixed generations (rebuild the "
+            "index) or the index predates the params sidecar (rebuild "
+            "once with the current writer); appending under a guessed "
+            "encode mode would silently corrupt the codes table"
+        )
+    normalize = bool(spark.table(f"{table}_params").collect()[0]["normalize"])
 
     # Same discipline as append_to_lsh_index: ONE materialized
     # dedup of the batch (both sinks must see the same survivor row),

@@ -3746,23 +3746,38 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def winnowing_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # eager-stats discipline (round-9 verdict #7): the output is bounded
-    # (≤ 1 row per doc with overlap), so materialize and unpersist the
-    # fingerprint block in finally instead of leaving it to LRU.
+    """Eager-stats discipline (round-9 verdict #7): this registry entry
+    materializes its gate/bench-scale output and unpersists the
+    fingerprint block in ``finally`` instead of leaving it to LRU.  The
+    output is ≤ 1 row per doc WITH overlap, which on a dup-dense corpus
+    approaches one row per document — corpus-scale callers must use the
+    LAZY :func:`winnowing_overlap_stats_frame` and write to a sink, not
+    round-trip the result through the driver."""
     from video_etl_spark.llm_ops.dedup import collect_and_unpersist
 
     docs = load_table(spark, sf_dir, "documents")
     pinned: list = []
+    out = winnowing_overlap_stats_frame(docs, pinned)
+    return collect_and_unpersist(out, pinned)
+
+
+def winnowing_overlap_stats_frame(
+    docs: DataFrame, pinned: list | None = None
+) -> DataFrame:
+    """LAZY per-doc winnowing overlap stats — the corpus-scale form
+    (plan streams to whatever sink the caller writes; nothing collects).
+    The fingerprint block persists for the self-join's two sides; pass
+    ``pinned`` to own the unpersist, else it follows the LRU-eviction
+    convention of the signature blocks."""
     pairs = _winnowing_pairs(docs, pinned)
     bidir = pairs.select(
         F.col("doc_a").alias("doc_id"), "n_shared"
     ).unionByName(pairs.select(F.col("doc_b").alias("doc_id"), "n_shared"))
-    out = bidir.groupBy("doc_id").agg(
+    return bidir.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_partners"),
         F.max("n_shared").cast("long").alias("max_shared"),
         F.sum("n_shared").cast("long").alias("total_shared"),
     )
-    return collect_and_unpersist(out, pinned)
 
 
 # --------------------------------------------------------------------------

@@ -933,6 +933,23 @@ def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_index_whole(spark, cached, suffixes, subdirs) -> bool:
+    """Whole-index freshness check for the per-(process, sf_dir) scratch
+    ANN indexes (ONE definition for the LSH/PQ twins — round-10 review:
+    the copy-pasted closures would silently diverge on the next fix).
+    tableExists alone can't vouch for the files (the scratch dir may
+    have been reaped under a live catalog entry), so ALL catalog tables
+    AND all data dirs must exist, or a partially-reaped index fails at
+    probe time instead of triggering the rebuild this check exists
+    for."""
+    if cached is None:
+        return False
+    t, p = cached
+    return all(
+        spark.catalog.tableExists(t + sfx) for sfx in suffixes
+    ) and all(os.path.isdir(os.path.join(p, sub)) for sub in subdirs)
+
+
 # U22⊕ — ORACLE-BACKED PERSISTED-LSH PROBE (round 9): the second
 # driver-attestable ANN modality, same recipe as knn_ivf_indexed but
 # exercising the LSH artifact path end-to-end — write_lsh_index with
@@ -1018,24 +1035,12 @@ def knn_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = _LSH_Q_INDEX_CACHE.get(sf_dir)
     tbl = cached[0] if cached else None
-    # tableExists alone can't vouch for the files (the scratch dir may
-    # have been reaped under a live catalog entry) — the reuse path
-    # reads FOUR catalog tables and their data dirs, so check them all
-    # or a partially-reaped index fails at probe time instead of
-    # triggering the rebuild this check exists for
-    def _index_whole(c) -> bool:
-        if c is None:
-            return False
-        t, p = c
-        return all(
-            spark.catalog.tableExists(t + sfx)
-            for sfx in ("", "_vecs", "_params", "_planes")
-        ) and all(
-            os.path.isdir(os.path.join(p, sub))
-            for sub in ("buckets", "vectors", "params", "planes")
-        )
-
-    if not _index_whole(cached):
+    if not _scratch_index_whole(
+        spark,
+        cached,
+        ("", "_vecs", "_params", "_planes"),
+        ("buckets", "vectors", "params", "planes"),
+    ):
         n_seed = _LSH_Q_TABLES * _LSH_Q_PLANES
         seed = (
             qemb.filter(F.col("vec_id") < n_seed).orderBy("vec_id").collect()
@@ -1177,20 +1182,12 @@ def knn_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = _PQ_Q_INDEX_CACHE.get(sf_dir)
     tbl = cached[0] if cached else None
-
-    def _index_whole(c) -> bool:
-        if c is None:
-            return False
-        t, p = c
-        return all(
-            spark.catalog.tableExists(t + sfx)
-            for sfx in ("", "_vecs", "_books", "_params")
-        ) and all(
-            os.path.isdir(os.path.join(p, sub))
-            for sub in ("codes", "vectors", "books", "params")
-        )
-
-    if not _index_whole(cached):
+    if not _scratch_index_whole(
+        spark,
+        cached,
+        ("", "_vecs", "_books", "_params"),
+        ("codes", "vectors", "books", "params"),
+    ):
         seed = (
             qemb.filter(F.col("vec_id") < _PQ_Q_KSUB).orderBy("vec_id").collect()
         )
