@@ -517,13 +517,50 @@ def test_headline_plan_expectations_cover_bench():
     assert set(_HEADLINE_PLAN_EXPECTATIONS) == set(bench.HEADLINE)
 
 
+def _eager_stats_lazy_forms():
+    """The three count-grain stats registry queries return an eagerly
+    materialized local frame since round 10 (verdict #7: unpersist in
+    finally), so their REGISTRY plan is a LocalTableScan — the golden
+    must pin the underlying LAZY computation instead, which is what
+    actually executes (and what a corpus-scale caller runs)."""
+    from video_etl_spark.llm_ops.dedup import simhash_overlap_stats
+    from video_etl_spark.llm_ops.multimodal import (
+        attach_fake_payload,
+        phash_overlap_stats,
+        phash_signatures,
+    )
+    from video_etl_spark.queries.text import winnowing_overlap_stats_frame
+    from video_etl_spark.session import load_table
+
+    def docs(spark, sf_dir):
+        return load_table(spark, sf_dir, "documents")
+
+    return {
+        "simhash_overlap_stats": lambda s, d: simhash_overlap_stats(
+            docs(s, d), max_hamming=3
+        ),
+        "phash_overlap_stats": lambda s, d: phash_overlap_stats(
+            phash_signatures(
+                attach_fake_payload(docs(s, d), collide_near_dups=True)
+            )
+        ),
+        "winnowing_overlap_stats": lambda s, d: winnowing_overlap_stats_frame(
+            docs(s, d)
+        ),
+    }
+
+
 @_pytest.mark.parametrize("name", sorted(_HEADLINE_PLAN_EXPECTATIONS))
 def test_headline_plan_golden(spark, sf_dir, name):
     from video_etl_spark import registry
 
     registry.load_all()
     must_contain, may_bnlj, may_python = _HEADLINE_PLAN_EXPECTATIONS[name]
-    df = registry.QUERIES[name](spark, sf_dir)
+    lazy = _eager_stats_lazy_forms()
+    if name in lazy:
+        df = lazy[name](spark, sf_dir)
+    else:
+        df = registry.QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
 
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
