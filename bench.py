@@ -295,7 +295,8 @@ def main() -> None:
     # stabilize.  Run at START and END of the run (round-9 verdict #1b:
     # the driver's box degraded MID-run after healthy start controls and
     # a single run-once-first trio certified a 1.66×-degraded headline
-    # as clean) — divergence > 10% between the passes flags the artifact.
+    # as clean) — the end pass regressing > 10% past the start pass
+    # flags the artifact (one-sided: see the normalization comment).
     controls = _control_builders(spark, sf_dir)
 
     def run_controls() -> dict[str, float]:
@@ -387,10 +388,19 @@ def main() -> None:
         pin_sum = sum(CONTROL_PINNED.values())
         r_start = round(sum(control_start.values()) / pin_sum, 4)
         r_end = round(sum(control_end.values()) / pin_sum, 4)
-        # the run-average box state is the best single correction when
-        # the two passes disagree; the start/end split shows the shape
-        ratio = round((r_start + r_end) / 2, 4)
-        degraded = abs(r_end - r_start) / r_start > 0.10
+        # NORMALIZE BY THE START PASS ONLY: the pins were measured at
+        # start-of-session, and the end pass runs on a fully warmed JVM
+        # (C2-compiled Spark internals, file-listing + page caches from
+        # ~220 headline jobs) — measured up to ~40% faster than pin on
+        # the scan mode with the box idle.  Mixing the warm pass into
+        # the ratio would deflate it and inflate value_normalized.
+        ratio = r_start
+        # The degradation flag is therefore ONE-SIDED: warm-up makes
+        # end <= start the expected shape, so end > start by 10% means
+        # the box genuinely got slower under the run (the r9 driver
+        # event was 1.66x — far above this threshold even after the
+        # warm-up deflation partially masks it).
+        degraded = (r_end - r_start) / r_start > 0.10
         full["control_ratio_start"] = compact["control_ratio_start"] = r_start
         full["control_ratio_end"] = compact["control_ratio_end"] = r_end
         full["control_ratio"] = compact["control_ratio"] = ratio
