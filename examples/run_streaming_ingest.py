@@ -176,7 +176,9 @@ def main() -> None:
 
 N_SCALE_BATCHES = 20
 FOLD_AFTER = 9  # inclusive fold watermark: batches 0..9 fold, 10.. are tail
+REFOLD_AFTER = 14  # generation rotation: gen1 = gen0 + tail(10..14)
 _GEN_TABLE = "sl_cur_gen"
+_GEN1_TABLE = "sl_cur_gen1"
 
 
 def scale_lifecycle(scale: int, fold: bool = True) -> None:
@@ -202,6 +204,7 @@ def scale_lifecycle(scale: int, fold: bool = True) -> None:
     from video_etl_spark.streaming.dedup import (
         compact_stream_index,
         prune_folded_partitions,
+        refold_stream_index,
     )
     from video_etl_spark.streaming.stats import current_totals
 
@@ -270,6 +273,25 @@ def scale_lifecycle(scale: int, fold: bool = True) -> None:
             print("  (--no-fold control: raw mode throughout)")
 
         for b in range(FOLD_AFTER + 1, N_SCALE_BATCHES):
+            if fold and b == REFOLD_AFTER + 1:
+                # generation rotation mid-stream: gen1 = gen0 + the
+                # regrown tail, handler switches, folded raw partitions
+                # prune — the periodic re-fold the 10x measurement says
+                # a long-running stream needs to keep the tail short
+                t0 = time.perf_counter()
+                refold_stream_index(
+                    spark, sig_dir, _GEN_TABLE, _GEN1_TABLE,
+                    f"{work}/gen1", upto_batch_id=REFOLD_AFTER,
+                )
+                sw = make_ingest_handler(
+                    *args, **kw, compacted_table=_GEN1_TABLE
+                )
+                pruned2 = prune_folded_partitions(
+                    spark, sig_dir, _GEN1_TABLE
+                )
+                print(f"  refold -> gen1 + switchover + "
+                      f"prune({len(pruned2)} partitions): "
+                      f"{time.perf_counter() - t0:.1f}s")
             batch = corpus.filter(F.col("doc_id") % N_SCALE_BATCHES == b)
             if b == 15:
                 # plant exact copies of PRE-FOLD (pruned, visible only
@@ -300,7 +322,10 @@ def scale_lifecycle(scale: int, fold: bool = True) -> None:
                         "doc_id long, text string, source string",
                     )
                 )
-            run(sw, batch, b, "compacted" if fold else "raw-ctl")
+            mode = "raw-ctl" if not fold else (
+                "gen1" if b > REFOLD_AFTER else "compacted"
+            )
+            run(sw, batch, b, mode)
 
         clean = spark.read.parquet(f"{work}/clean")
         rejected = spark.read.schema(
@@ -335,17 +360,27 @@ def scale_lifecycle(scale: int, fold: bool = True) -> None:
         stats = current_totals(spark, f"{work}/stats")
         assert stats.agg(F.sum("n_docs")).collect()[0][0] == clean.count()
 
-        raw_t = [t for b, m, t in timings if b <= FOLD_AFTER]
-        cmp_t = [t for b, m, t in timings if b > FOLD_AFTER]
         med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
-        mode = "compacted" if fold else "raw-ctl"
-        print(f"\nper-batch median: raw {med(raw_t):.1f}s "
-              f"(batches 0-{FOLD_AFTER}), {mode} {med(cmp_t):.1f}s "
-              f"(batches {FOLD_AFTER + 1}-{N_SCALE_BATCHES - 1}); "
-              f"fold cost {fold_s:.1f}s; "
+        groups = [("raw 0-9", [t for b, _, t in timings if b <= FOLD_AFTER])]
+        if fold:
+            groups += [
+                ("compacted 10-14",
+                 [t for b, _, t in timings if FOLD_AFTER < b <= REFOLD_AFTER]),
+                ("gen1 15-19",
+                 [t for b, _, t in timings if b > REFOLD_AFTER]),
+            ]
+        else:
+            groups += [
+                ("raw-ctl 10-19", [t for b, _, t in timings if b > FOLD_AFTER])
+            ]
+        summary = "; ".join(f"{n} median {med(ts):.1f}s" for n, ts in groups)
+        print(f"\nper-batch: {summary}; fold cost {fold_s:.1f}s; "
               f"clean {clean.count()} / rejected {rejected.count()}")
     finally:
-        for t in (_GEN_TABLE, f"{_GEN_TABLE}_watermark"):
+        for t in (
+            _GEN_TABLE, f"{_GEN_TABLE}_watermark",
+            _GEN1_TABLE, f"{_GEN1_TABLE}_watermark",
+        ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(work, ignore_errors=True)
 

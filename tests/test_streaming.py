@@ -2685,3 +2685,164 @@ def test_is_missing_source_branches(spark, tmp_path):
             return None
 
     assert not is_missing_source(_Fake())
+
+
+def test_refold_stream_index_generation_rotation(spark, tmp_path):
+    """Round-10: generation rotation for a LIVE stream's folded band
+    index.  The 10x rehearsal measured the two-leg probe drifting as
+    the raw tail regrew after the first fold — refold_stream_index
+    resets the tail by folding gen_n + tail into gen_{n+1}.  Contracts:
+    (a) gen1 == a one-shot compact_stream_index over the same unpruned
+    history BIT-FOR-BIT; (b) after switchover + prune, a dup of
+    first-generation history is still caught through gen1 alone;
+    (c) a non-advancing upto and a mismatched index_dir are refused."""
+    import pytest
+
+    from video_etl_spark.streaming.dedup import (
+        compact_stream_index,
+        make_batch_handler,
+        prune_folded_partitions,
+        refold_stream_index,
+    )
+
+    a = ("the quick brown fox jumps over the lazy dog while the sun "
+         "sets slowly behind the distant purple mountains tonight")
+    b = ("completely different legal boilerplate concerning maritime "
+         "insurance claims and arbitration procedure under section nine")
+    c = ("a third entirely unrelated paragraph about orbital mechanics "
+         "and the docking procedure for resupply missions in low orbit")
+    idx = str(tmp_path / "idx")
+    dups = str(tmp_path / "dups")
+    raw = make_batch_handler(index_dir=idx, dup_dir=dups)
+    raw(spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string"), 0)
+    raw(spark.createDataFrame([(3, c)], "doc_id long, text string"), 1)
+    try:
+        compact_stream_index(
+            spark, idx, "t_rf_gen0", str(tmp_path / "gen0"),
+            upto_batch_id=1, n_buckets=4,
+        )
+        sw0 = make_batch_handler(
+            index_dir=idx, dup_dir=dups, compacted_table="t_rf_gen0"
+        )
+        # compacted-mode batches keep appending raw sigs — the regrowing
+        # tail the refold exists to reset
+        sw0(spark.createDataFrame([(4, b)], "doc_id long, text string"), 2)
+        sw0(spark.createDataFrame([(5, c)], "doc_id long, text string"), 3)
+
+        # refusals BEFORE any rotation
+        with pytest.raises(ValueError, match="does not advance"):
+            refold_stream_index(
+                spark, idx, "t_rf_gen0", "t_rf_gen1",
+                str(tmp_path / "gen1"), upto_batch_id=1,
+            )
+        with pytest.raises(ValueError, match="refusing to act"):
+            refold_stream_index(
+                spark, str(tmp_path / "elsewhere"), "t_rf_gen0",
+                "t_rf_gen1", str(tmp_path / "gen1"), upto_batch_id=3,
+            )
+
+        refold_stream_index(
+            spark, idx, "t_rf_gen0", "t_rf_gen1", str(tmp_path / "gen1"),
+            upto_batch_id=3,
+        )
+        # (a) bit-for-bit vs the one-shot fold over the unpruned history
+        compact_stream_index(
+            spark, idx, "t_rf_oneshot", str(tmp_path / "oneshot"),
+            upto_batch_id=3, n_buckets=4,
+        )
+        rows = lambda t: sorted(  # noqa: E731
+            tuple(r) for r in spark.table(t).collect()
+        )
+        assert rows("t_rf_gen1") == rows("t_rf_oneshot")
+        wm = spark.table("t_rf_gen1_watermark").collect()[0]
+        assert wm["upto_batch_id"] == 3 and wm["index_dir"] == idx
+        # (b) switchover + prune: ALL raw partitions go; history still
+        # answers through gen1 alone
+        sw1 = make_batch_handler(
+            index_dir=idx, dup_dir=dups, compacted_table="t_rf_gen1"
+        )
+        assert prune_folded_partitions(spark, idx, "t_rf_gen1") == [0, 1, 2, 3]
+        sw1(spark.createDataFrame(
+            [(9, a), (10, c)], "doc_id long, text string"), 4)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(dups)
+            .where("batch_id = 4")
+            .select("new_doc", "dup_of", "n_candidates")
+            .collect()
+        )
+        # 9 dups gen0-era doc 1; 10 dups doc 3 (gen0-era) AND doc 5
+        # (tail-era, folded by the refold) — counted once each
+        assert got == [(9, 1, 1), (10, 3, 2)], got
+    finally:
+        for t in (
+            "t_rf_gen0", "t_rf_gen0_watermark",
+            "t_rf_gen1", "t_rf_gen1_watermark",
+            "t_rf_oneshot", "t_rf_oneshot_watermark",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_refold_stream_frame_index_matches_oneshot(spark, tmp_path):
+    """Frame twin of the band refold: gen1 == one-shot fold over the
+    unpruned history, and the switched handler still flags a dup of
+    first-generation history through gen1 after pruning."""
+    from video_etl_spark.streaming.dedup import prune_folded_partitions
+    from video_etl_spark.streaming.frame_dedup import (
+        compact_stream_frame_index,
+        make_frame_batch_handler,
+        refold_stream_frame_index,
+    )
+    from video_etl_spark.llm_ops.multimodal import attach_fake_payload
+
+    def frames_of(rows):
+        return attach_fake_payload(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+
+    idx = str(tmp_path / "ph_idx")
+    dups = str(tmp_path / "ph_dups")
+    h = make_frame_batch_handler(idx, dups)
+    h(frames_of([(1, "frame alpha"), (2, "frame beta")]), 0)
+    h(frames_of([(3, "frame gamma")]), 1)
+    try:
+        compact_stream_frame_index(
+            spark, idx, "t_rff_gen0", str(tmp_path / "g0"),
+            upto_batch_id=0, n_buckets=4,
+        )
+        sw0 = make_frame_batch_handler(
+            idx, dups, compacted_table="t_rff_gen0"
+        )
+        sw0(frames_of([(4, "frame delta")]), 2)
+        refold_stream_frame_index(
+            spark, idx, "t_rff_gen0", "t_rff_gen1", str(tmp_path / "g1"),
+            upto_batch_id=2,
+        )
+        compact_stream_frame_index(
+            spark, idx, "t_rff_oneshot", str(tmp_path / "os"),
+            upto_batch_id=2, n_buckets=4,
+        )
+        rows = lambda t: sorted(  # noqa: E731
+            tuple(r) for r in spark.table(t).collect()
+        )
+        assert rows("t_rff_gen1") == rows("t_rff_oneshot")
+        sw1 = make_frame_batch_handler(
+            idx, dups, compacted_table="t_rff_gen1"
+        )
+        assert prune_folded_partitions(spark, idx, "t_rff_gen1") == [0, 1, 2]
+        sw1(frames_of([(9, "frame alpha")]), 3)
+        got = [
+            tuple(r)
+            for r in spark.read.parquet(dups)
+            .where("batch_id = 3")
+            .select("new_doc", "dup_of")
+            .collect()
+        ]
+        assert got == [(9, 1)], got
+    finally:
+        for t in (
+            "t_rff_gen0", "t_rff_gen0_watermark",
+            "t_rff_gen1", "t_rff_gen1_watermark",
+            "t_rff_oneshot", "t_rff_oneshot_watermark",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -269,6 +269,130 @@ def compaction_watermark(spark, table: str, default: int | None = None) -> int:
         return default
 
 
+def _validated_watermark(spark, table: str, index_dir: str, action: str) -> int:
+    """Read ``{table}_watermark`` and refuse a (index_dir, table)
+    mismatch — the twin-stream copy-paste guard every destructive or
+    generation-rotating consumer shares.  Absent sidecar: raises (there
+    is no correct fallback for a delete or a refold boundary)."""
+    from video_etl_spark.operators.io import norm_storage_uri
+
+    row = spark.table(f"{table}_watermark").collect()[0]  # absent: raises
+    folded_dir = row["index_dir"]
+    if norm_storage_uri(folded_dir) != norm_storage_uri(index_dir):
+        raise ValueError(
+            f"{action}: {table!r} folded {folded_dir!r}, not "
+            f"{index_dir!r}; refusing to act on partitions the "
+            "generation does not cover"
+        )
+    return row["upto_batch_id"]
+
+
+def refold_stream_generation(
+    spark,
+    index_dir: str,
+    src_table: str,
+    dst_table: str,
+    dst_path: str,
+    upto_batch_id: int,
+    tail_rows_fn,
+    files_per_bucket: int = 1,
+) -> None:
+    """GENERATION ROTATION for a live stream's folded index — the shared
+    core of :func:`refold_stream_index` and
+    ``streaming.frame_dedup.refold_stream_frame_index``: fold the
+    CURRENT generation plus the raw tail it does not cover
+    (old watermark < batch_id <= ``upto_batch_id``) into a fresh
+    bucketed generation at a NEW path, with the same bucket spec.
+
+    This is what keeps a long-running stream's per-batch probe cost
+    bounded: the first fold converts the raw layout to a bucketed
+    generation, but the tail then REGROWS one partition per batch — the
+    round-10 10× rehearsal measured the two-leg probe drifting
+    15.2 → 22.9 s as the tail reached 9 partitions.  Re-folding
+    periodically resets the tail to zero at ledger cost (generation
+    read + tail read + one bucketed write), never a corpus re-sign.
+
+    Contracts inherited from the first fold: ``upto_batch_id`` must be
+    a COMPLETED batch; the destination must be a NEW path (overlapping
+    the raw dir or the current generation is refused — the overwrite
+    would delete files mid-read); the OLD generation is left untouched
+    (the live handler still reads it until the caller switches over).
+    Caller sequence: refold → re-create the handler with
+    ``compacted_table=dst_table`` → ``prune_folded_partitions(
+    index_dir, dst_table)`` → drop the old table and delete its path.
+    The old watermark is read from ``{src_table}_watermark`` and its
+    recorded source directory must match ``index_dir`` (refolding a
+    different stream's raw dir under this generation's boundary would
+    silently merge unrelated histories)."""
+    from video_etl_spark.operators.io import (
+        assert_new_generation,
+        bucket_spec,
+        write_bucketed,
+    )
+
+    old_upto = _validated_watermark(
+        spark, src_table, index_dir, "refold_stream_generation"
+    )
+    if upto_batch_id <= old_upto:
+        raise ValueError(
+            f"refold_stream_generation: upto_batch_id={upto_batch_id} "
+            f"does not advance the {src_table!r} watermark ({old_upto}) "
+            "— nothing new to fold (a same-boundary refold would only "
+            "rewrite the generation)"
+        )
+    n_buckets, cols, src_loc = bucket_spec(spark, src_table)
+    if not src_loc:
+        raise ValueError(
+            f"refold_stream_generation: DESCRIBE FORMATTED {src_table!r} "
+            "reports no Location — cannot read the generation as plain "
+            "parquet (a bucketed-table scan advertises hash partitioning "
+            "and the optimizer elides the file-count repartition)"
+        )
+    assert_new_generation(
+        dst_path,
+        [index_dir, src_loc],
+        "the raw signature directory and the current generation",
+    )
+    # plain-parquet read of the old generation (NOT the catalog table) —
+    # same optimizer-elision trap as compact_bucketed_index
+    gen = spark.read.parquet(src_loc)
+    tail = tail_rows_fn(
+        (F.col("batch_id") > F.lit(old_upto))
+        & (F.col("batch_id") <= F.lit(upto_batch_id))
+    )
+    write_bucketed(
+        gen.unionByName(tail), dst_table, dst_path, cols,
+        n_buckets, files_per_bucket,
+    )
+    _write_watermark(spark, dst_table, dst_path, upto_batch_id, index_dir)
+
+
+def refold_stream_index(
+    spark,
+    index_dir: str,
+    src_table: str,
+    dst_table: str,
+    dst_path: str,
+    upto_batch_id: int,
+    files_per_bucket: int = 1,
+) -> None:
+    """Band-index generation rotation (see
+    :func:`refold_stream_generation`): gen_{n+1} = gen_n ∪ raw tail up
+    to ``upto_batch_id``, bit-identical to a one-shot
+    :func:`compact_stream_index` over the same unpruned history
+    (tested) — so repeated folds never drift from the fold-once form."""
+    refold_stream_generation(
+        spark,
+        index_dir,
+        src_table,
+        dst_table,
+        dst_path,
+        upto_batch_id,
+        lambda pred: _stored_sig_rows(spark, index_dir, pred),
+        files_per_bucket,
+    )
+
+
 def prune_folded_partitions(spark, index_dir: str, table: str) -> list[int]:
     """Delete the raw ``batch_id=<n>`` partitions that
     :func:`compact_stream_index` (or the frame twin) has folded into the
@@ -286,20 +410,12 @@ def prune_folded_partitions(spark, index_dir: str, table: str) -> list[int]:
     Call AFTER re-creating the live handler with ``compacted_table`` —
     pruning first would leave a raw-mode handler reading a history hole.
     """
-    from video_etl_spark.operators.io import norm_storage_uri
-
-    row = spark.table(f"{table}_watermark").collect()[0]  # absent: raises
-    upto = row["upto_batch_id"]
     # the sidecar records which raw directory was folded: pruning a
     # DIFFERENT directory with this table's watermark (the twin-stream
     # copy-paste mistake) would delete never-folded history
-    folded_dir = row["index_dir"]
-    if norm_storage_uri(folded_dir) != norm_storage_uri(index_dir):
-        raise ValueError(
-            f"prune_folded_partitions: {table!r} folded {folded_dir!r}, "
-            f"not {index_dir!r}; refusing to delete partitions the "
-            "generation does not cover"
-        )
+    upto = _validated_watermark(
+        spark, table, index_dir, "prune_folded_partitions"
+    )
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(index_dir)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -224,6 +224,36 @@ def compact_stream_frame_index(
     _write_watermark(spark, table, path, upto_batch_id, index_dir)
 
 
+def refold_stream_frame_index(
+    spark,
+    index_dir: str,
+    src_table: str,
+    dst_table: str,
+    dst_path: str,
+    upto_batch_id: int,
+    files_per_bucket: int = 1,
+) -> None:
+    """Frame-index generation rotation — the multimodal twin of
+    ``streaming.dedup.refold_stream_index`` (shared core:
+    ``refold_stream_generation``): gen_{n+1} = gen_n ∪ raw chunk-row
+    tail up to ``upto_batch_id``, bit-identical to a one-shot
+    :func:`compact_stream_frame_index` over the same unpruned history
+    (tested).  Same caller sequence: refold → handler switchover →
+    ``prune_folded_partitions`` → drop the old generation."""
+    from video_etl_spark.streaming.dedup import refold_stream_generation
+
+    refold_stream_generation(
+        spark,
+        index_dir,
+        src_table,
+        dst_table,
+        dst_path,
+        upto_batch_id,
+        lambda pred: _stored_index_rows(spark, index_dir, pred),
+        files_per_bucket,
+    )
+
+
 def frame_tail_rows(
     spark, index_dir: str, after_batch_id: int
 ) -> DataFrame:
