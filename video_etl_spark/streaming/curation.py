@@ -111,7 +111,10 @@ def make_ingest_handler(
     from the generation's sidecar; ``compacted_upto`` is the
     replay/testing override), then ``prune_folded_partitions`` — the
     history leg of the near-dup gate switches to the exchange-free
-    bucketed generation plus the raw tail.
+    bucketed generation plus the raw tail.  As the tail regrows,
+    rotate generations with ``streaming.dedup.refold_stream_index``
+    (same switchover sequence; measured at 10× in
+    ``examples/run_streaming_ingest.py --scale``).
 
     Clean sink rows: (doc_id, text, ..., ttr_ppm, shard, batch_id).
     Rejected sink rows: (doc_id, reason, detail, batch_id) where reason ∈

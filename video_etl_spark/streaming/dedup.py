@@ -508,6 +508,11 @@ def compact_stream_index(
     table directory inside the raw dir would corrupt its batch_id
     partition discovery); ``n_bands`` is inferred from the stored
     signature columns — see :func:`_stored_sig_rows`.
+
+    This is the FIRST fold only (raw layout → bucketed generation).
+    The tail then regrows one partition per batch; subsequent folds go
+    through :func:`refold_stream_index`, which rotates gen_n + tail
+    into gen_{n+1} without re-reading pruned history.
     """
     from video_etl_spark.operators.io import (
         assert_new_generation,
