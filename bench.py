@@ -401,10 +401,18 @@ def main() -> None:
         # event was 1.66x — far above this threshold even after the
         # warm-up deflation partially masks it).
         degraded = (r_end - r_start) / r_start > 0.10
+        # The converse hazard: a TRANSIENT start-of-run slowdown (the
+        # previous job's tail sharing the box for the ~20s control
+        # window) inflates r_start and makes value_normalized flatter
+        # itself. Can't be corrected without per-query controls, but it
+        # CAN be flagged: a start pass >15% over pin is suspect — read
+        # the raw value alongside value_normalized when this is set.
+        start_elevated = r_start > 1.15
         full["control_ratio_start"] = compact["control_ratio_start"] = r_start
         full["control_ratio_end"] = compact["control_ratio_end"] = r_end
         full["control_ratio"] = compact["control_ratio"] = ratio
         full["degraded_during_run"] = compact["degraded_during_run"] = degraded
+        full["start_elevated"] = compact["start_elevated"] = start_elevated
         full["value_normalized"] = compact["value_normalized"] = round(
             total / ratio, 4
         )

@@ -214,9 +214,11 @@ def main() -> None:
             "econ_pq",
             "econ_pq_vecs",
             "econ_pq_books",
+            "econ_pq_params",
             "econ_pq_a",
             "econ_pq_a_vecs",
             "econ_pq_a_books",
+            "econ_pq_a_params",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 

@@ -51,13 +51,18 @@ def main() -> None:
             scale = int(sys.argv[sys.argv.index("--scale") + 1])
         except (IndexError, ValueError):
             raise SystemExit(
-                "usage: run_streaming_ingest.py --scale N [--no-fold]  "
-                "(N an integer corpus multiplier, e.g. 10 for the "
-                "500k-doc rehearsal; --no-fold is the control run that "
-                "stays raw-mode throughout, isolating what the fold "
-                "buys at this scale)"
+                "usage: run_streaming_ingest.py --scale N [--no-fold] "
+                "[--no-refold]  (N an integer corpus multiplier, e.g. 10 "
+                "for the 500k-doc rehearsal; --no-fold stays raw-mode "
+                "throughout; --no-refold folds once but skips the "
+                "generation rotation — the two control arms the PERF.md "
+                "round-10 tables compare against)"
             ) from None
-        scale_lifecycle(scale, fold="--no-fold" not in sys.argv)
+        scale_lifecycle(
+            scale,
+            fold="--no-fold" not in sys.argv,
+            refold="--no-refold" not in sys.argv,
+        )
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("ingest-demo")
@@ -181,7 +186,7 @@ _GEN_TABLE = "sl_cur_gen"
 _GEN1_TABLE = "sl_cur_gen1"
 
 
-def scale_lifecycle(scale: int, fold: bool = True) -> None:
+def scale_lifecycle(scale: int, fold: bool = True, refold: bool = True) -> None:
     """The curation lifecycle at ~sf{scale} driven per-batch: raw handler
     for batches 0..FOLD_AFTER, then fold → switchover → prune, then the
     compacted-mode handler for the rest.  Prints the per-batch latency
@@ -273,7 +278,7 @@ def scale_lifecycle(scale: int, fold: bool = True) -> None:
             print("  (--no-fold control: raw mode throughout)")
 
         for b in range(FOLD_AFTER + 1, N_SCALE_BATCHES):
-            if fold and b == REFOLD_AFTER + 1:
+            if fold and refold and b == REFOLD_AFTER + 1:
                 # generation rotation mid-stream: gen1 = gen0 + the
                 # regrown tail, handler switches, folded raw partitions
                 # prune — the periodic re-fold the 10x measurement says
@@ -323,7 +328,7 @@ def scale_lifecycle(scale: int, fold: bool = True) -> None:
                     )
                 )
             mode = "raw-ctl" if not fold else (
-                "gen1" if b > REFOLD_AFTER else "compacted"
+                "gen1" if refold and b > REFOLD_AFTER else "compacted"
             )
             run(sw, batch, b, mode)
 
@@ -354,15 +359,16 @@ def scale_lifecycle(scale: int, fold: bool = True) -> None:
             "contaminated"
         }, contam_rej
         # ledger conservation: every input row lands in exactly one sink
+        # (the sinks hold 500k rows at --scale 10 — count each ONCE)
+        n_clean, n_rej = clean.count(), rejected.count()
         n_in = corpus.count() + 50 + 20
-        n_out = clean.count() + rejected.count()
-        assert n_in == n_out, (n_in, n_out)
+        assert n_in == n_clean + n_rej, (n_in, n_clean + n_rej)
         stats = current_totals(spark, f"{work}/stats")
-        assert stats.agg(F.sum("n_docs")).collect()[0][0] == clean.count()
+        assert stats.agg(F.sum("n_docs")).collect()[0][0] == n_clean
 
         med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
         groups = [("raw 0-9", [t for b, _, t in timings if b <= FOLD_AFTER])]
-        if fold:
+        if fold and refold:
             groups += [
                 ("compacted 10-14",
                  [t for b, _, t in timings if FOLD_AFTER < b <= REFOLD_AFTER]),
@@ -370,12 +376,13 @@ def scale_lifecycle(scale: int, fold: bool = True) -> None:
                  [t for b, _, t in timings if b > REFOLD_AFTER]),
             ]
         else:
+            tag = "compacted 10-19" if fold else "raw-ctl 10-19"
             groups += [
-                ("raw-ctl 10-19", [t for b, _, t in timings if b > FOLD_AFTER])
+                (tag, [t for b, _, t in timings if b > FOLD_AFTER])
             ]
         summary = "; ".join(f"{n} median {med(ts):.1f}s" for n, ts in groups)
         print(f"\nper-batch: {summary}; fold cost {fold_s:.1f}s; "
-              f"clean {clean.count()} / rejected {rejected.count()}")
+              f"clean {n_clean} / rejected {n_rej}")
     finally:
         for t in (
             _GEN_TABLE, f"{_GEN_TABLE}_watermark",

@@ -522,31 +522,20 @@ def _eager_stats_lazy_forms():
     materialized local frame since round 10 (verdict #7: unpersist in
     finally), so their REGISTRY plan is a LocalTableScan — the golden
     must pin the underlying LAZY computation instead, which is what
-    actually executes (and what a corpus-scale caller runs)."""
-    from video_etl_spark.llm_ops.dedup import simhash_overlap_stats
-    from video_etl_spark.llm_ops.multimodal import (
-        attach_fake_payload,
-        phash_overlap_stats,
-        phash_signatures,
+    actually executes (and what a corpus-scale caller runs).  The lazy
+    form comes from the SAME ``*_build`` function the registry entry
+    wraps, so a parameter change in the query cannot silently diverge
+    from what this golden asserts."""
+    from video_etl_spark.queries.advanced import simhash_overlap_stats_build
+    from video_etl_spark.queries.text import (
+        phash_overlap_stats_build,
+        winnowing_overlap_stats_build,
     )
-    from video_etl_spark.queries.text import winnowing_overlap_stats_frame
-    from video_etl_spark.session import load_table
-
-    def docs(spark, sf_dir):
-        return load_table(spark, sf_dir, "documents")
 
     return {
-        "simhash_overlap_stats": lambda s, d: simhash_overlap_stats(
-            docs(s, d), max_hamming=3
-        ),
-        "phash_overlap_stats": lambda s, d: phash_overlap_stats(
-            phash_signatures(
-                attach_fake_payload(docs(s, d), collide_near_dups=True)
-            )
-        ),
-        "winnowing_overlap_stats": lambda s, d: winnowing_overlap_stats_frame(
-            docs(s, d)
-        ),
+        "simhash_overlap_stats": simhash_overlap_stats_build,
+        "phash_overlap_stats": phash_overlap_stats_build,
+        "winnowing_overlap_stats": winnowing_overlap_stats_build,
     }
 
 

@@ -1407,14 +1407,27 @@ def write_pq_index(
             "persisted as one byte per subspace"
         )
 
-    # validation before destruction: check the explicit books BEFORE
-    # dropping the old generation's params
+    # validation before destruction: check the explicit books — including
+    # dsub against the corpus dimension, or a wrong-width codebook would
+    # pass here, destroy the old params, and then die as an opaque
+    # reshape error inside the Arrow encode — BEFORE dropping the old
+    # generation's params
     if books is not None:
         books = np.asarray(books, dtype=np.float64)
         if books.ndim != 3 or books.shape[0] != m or books.shape[1] != ksub:
             raise ValueError(
                 f"write_pq_index: explicit books shape {books.shape} "
                 f"contradicts (m={m}, ksub={ksub}, dsub)"
+            )
+        head = corpus.select(vec_col).head()
+        if head is None:
+            raise ValueError("write_pq_index: empty corpus")
+        dim = len(head[0])
+        if m * books.shape[2] != dim:
+            raise ValueError(
+                f"write_pq_index: books dsub={books.shape[2]} × m={m} "
+                f"= {m * books.shape[2]} does not cover the corpus "
+                f"dimension {dim}"
             )
     spark.sql(f"DROP TABLE IF EXISTS {table}_params")
     if books is None:

@@ -166,10 +166,20 @@ def simhash_overlap_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-proves the analytic shortcut against the quadratic ground truth.
     ``eager=True``: sweeping callers (driver gate, bench) must not leave
     pinned frames behind (round-9 verdict #7)."""
+    return simhash_overlap_stats_build(spark, sf_dir, eager=True)
+
+
+def simhash_overlap_stats_build(
+    spark: SparkSession, sf_dir: str, eager: bool = False
+) -> DataFrame:
+    """The ONE construction the registry entry (eager=True) and the
+    plan-golden test (eager=False — the lazy plan is what executes)
+    share, so a parameter change here cannot silently diverge from what
+    the golden asserts."""
     from video_etl_spark.llm_ops.dedup import simhash_overlap_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_overlap_stats(docs, max_hamming=3, eager=True)
+    return simhash_overlap_stats(docs, max_hamming=3, eager=eager)
 
 
 @query(

@@ -3064,7 +3064,17 @@ def phash_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-grain twin of ``phash_near_dup_pairs`` (round 9): per-frame
     (n_partners, min_hamming), ≤ 1 row per frame at any dup density —
     the same analytic rep-grain shortcut as ``simhash_overlap_stats``,
-    re-proved by the exhaustive all-pairs DuckDB aggregate."""
+    re-proved by the exhaustive all-pairs DuckDB aggregate.  Eager:
+    sweeping callers must not leave pinned frames (r9 verdict #7)."""
+    return phash_overlap_stats_build(spark, sf_dir, eager=True)
+
+
+def phash_overlap_stats_build(
+    spark: SparkSession, sf_dir: str, eager: bool = False
+) -> DataFrame:
+    """The ONE construction the registry entry (eager=True) and the
+    plan-golden test (eager=False) share — see
+    ``advanced.simhash_overlap_stats_build``."""
     from video_etl_spark.llm_ops.multimodal import (
         attach_fake_payload,
         phash_overlap_stats as _stats,
@@ -3073,8 +3083,7 @@ def phash_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     frames = attach_fake_payload(docs, collide_near_dups=True)
-    # eager: sweeping callers must not leave pinned frames (r9 verdict #7)
-    return _stats(phash_signatures(frames), eager=True)
+    return _stats(phash_signatures(frames), eager=eager)
 
 
 # --------------------------------------------------------------------------
@@ -3753,9 +3762,20 @@ def winnowing_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     approaches one row per document — corpus-scale callers must use the
     LAZY :func:`winnowing_overlap_stats_frame` and write to a sink, not
     round-trip the result through the driver."""
+    return winnowing_overlap_stats_build(spark, sf_dir, eager=True)
+
+
+def winnowing_overlap_stats_build(
+    spark: SparkSession, sf_dir: str, eager: bool = False
+) -> DataFrame:
+    """The ONE construction the registry entry (eager=True) and the
+    plan-golden test (eager=False) share — see
+    ``advanced.simhash_overlap_stats_build``."""
     from video_etl_spark.llm_ops.dedup import collect_and_unpersist
 
     docs = load_table(spark, sf_dir, "documents")
+    if not eager:
+        return winnowing_overlap_stats_frame(docs)
     pinned: list = []
     out = winnowing_overlap_stats_frame(docs, pinned)
     return collect_and_unpersist(out, pinned)
