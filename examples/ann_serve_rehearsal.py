@@ -52,13 +52,7 @@ def main() -> None:
                 "usage: ann_serve_rehearsal.py [--scale N]"
             ) from None
 
-    from examples.scale_rehearsal import (
-        N_DOCS,
-        N_EVENTS,
-        N_VECS,
-        SF1_DIR,
-        generate,
-    )
+    from examples.scale_rehearsal import ensure_seeded_slice
     from video_etl_spark.llm_ops.similarity import (
         append_to_lsh_index,
         write_lsh_index,
@@ -68,16 +62,7 @@ def main() -> None:
 
     spark = get_spark("ann-serve-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
-    sf_dir = SF1_DIR if scale == 1 else f"/tmp/spark_graft_sf{scale}"
-    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
-        print(f"generating seeded ~sf{scale} slice under {sf_dir} ...")
-        generate(
-            spark,
-            out_dir=sf_dir,
-            n_docs=N_DOCS * scale,
-            n_events=N_EVENTS * scale,
-            n_vecs=N_VECS * scale,
-        )
+    sf_dir = ensure_seeded_slice(spark, scale)
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # roles: the indexed corpus, the streamed query feed (drawn FROM the
@@ -95,13 +80,12 @@ def main() -> None:
         # size the hash width to the corpus: ~500 vectors/bucket keeps
         # the per-query candidate set (n_tables × occupancy) flat as the
         # corpus grows — the scale dial the module docstring explains
-        n_corpus_est = corpus.count()
-        n_planes = max(4, math.ceil(math.log2(max(2, n_corpus_est // 500))))
+        n_corpus = corpus.count()
+        n_planes = max(4, math.ceil(math.log2(max(2, n_corpus // 500))))
         t0 = time.perf_counter()
         write_lsh_index(
             corpus, _TBL, f"{work}/idx", n_buckets=32, n_planes=n_planes
         )
-        n_corpus = spark.table(f"{_TBL}_vecs").count()
         print(f"index build over {n_corpus} vectors (n_planes={n_planes}, "
               f"~{n_corpus >> n_planes} per bucket): "
               f"{time.perf_counter() - t0:.1f}s")
@@ -137,11 +121,15 @@ def main() -> None:
             if b == N_SERVE_BATCHES // 2:
                 # mid-serve maintenance: append the held-out slice; the
                 # very next batch queries THOSE vectors and must get
-                # them back at rank 1 — append visibility end-to-end
+                # them back at rank 1 — append visibility end-to-end.
+                # The count runs BEFORE the timer (round-10 review: an
+                # f-string count job inside the timed window inflated
+                # the recorded append cost)
+                n_held = held_out.count()
                 t = time.perf_counter()
                 append_to_lsh_index(held_out, _TBL)
-                print(f"  append_to_lsh_index({held_out.count()} vecs): "
-                      f"{time.perf_counter() - t:.1f}s")
+                dt = time.perf_counter() - t
+                print(f"  append_to_lsh_index({n_held} vecs): {dt:.1f}s")
                 serve(held_out, b, "appended")
                 continue
             serve(

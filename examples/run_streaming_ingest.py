@@ -198,13 +198,7 @@ def scale_lifecycle(scale: int, fold: bool = True, refold: bool = True) -> None:
     import shutil
     import time
 
-    from examples.scale_rehearsal import (
-        N_DOCS,
-        N_EVENTS,
-        N_VECS,
-        SF1_DIR,
-        generate,
-    )
+    from examples.scale_rehearsal import ensure_seeded_slice
     from video_etl_spark.streaming.curation import make_ingest_handler
     from video_etl_spark.streaming.dedup import (
         compact_stream_index,
@@ -215,16 +209,7 @@ def scale_lifecycle(scale: int, fold: bool = True, refold: bool = True) -> None:
 
     spark = get_spark("ingest-lifecycle-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
-    sf_dir = SF1_DIR if scale == 1 else f"/tmp/spark_graft_sf{scale}"
-    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
-        print(f"generating seeded ~sf{scale} slice under {sf_dir} ...")
-        generate(
-            spark,
-            out_dir=sf_dir,
-            n_docs=N_DOCS * scale,
-            n_events=N_EVENTS * scale,
-            n_vecs=N_VECS * scale,
-        )
+    sf_dir = ensure_seeded_slice(spark, scale)
 
     work = tempfile.mkdtemp(prefix="ingest_lifecycle_")
     docs = load_table(spark, sf_dir, "documents")

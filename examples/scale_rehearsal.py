@@ -41,6 +41,30 @@ _VOCAB = (
 ).split()
 
 
+def ensure_seeded_slice(spark, scale: int) -> str:
+    """THE one seeded-slice resolver the --scale rehearsals share
+    (round-10 review: three verbatim copies, and the copies' sentinel
+    checked only documents.parquet while consuming embeddings — a
+    partially generated slice from a killed run permanently skipped
+    regeneration and crashed on load).  All three tables must exist or
+    the slice regenerates (generate() overwrites, so a partial dir
+    self-heals).  Returns the slice directory."""
+    sf_dir = SF1_DIR if scale == 1 else f"/tmp/spark_graft_sf{scale}"
+    if not all(
+        os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in ("documents", "embeddings", "events")
+    ):
+        print(f"generating seeded ~sf{scale} slice under {sf_dir} ...")
+        generate(
+            spark,
+            out_dir=sf_dir,
+            n_docs=N_DOCS * scale,
+            n_events=N_EVENTS * scale,
+            n_vecs=N_VECS * scale,
+        )
+    return sf_dir
+
+
 def generate(
     spark,
     out_dir: str = SF1_DIR,

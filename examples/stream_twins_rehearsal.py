@@ -67,13 +67,7 @@ def main() -> None:
                 "usage: stream_twins_rehearsal.py [--scale N]"
             ) from None
 
-    from examples.scale_rehearsal import (
-        N_DOCS,
-        N_EVENTS,
-        N_VECS,
-        SF1_DIR,
-        generate,
-    )
+    from examples.scale_rehearsal import ensure_seeded_slice
     from video_etl_spark.llm_ops.export import pack_sequences
     from video_etl_spark.llm_ops.multimodal import attach_fake_payload
     from video_etl_spark.session import get_spark, load_table
@@ -86,16 +80,7 @@ def main() -> None:
 
     spark = get_spark("stream-twins-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
-    sf_dir = SF1_DIR if scale == 1 else f"/tmp/spark_graft_sf{scale}"
-    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
-        print(f"generating seeded ~sf{scale} slice under {sf_dir} ...")
-        generate(
-            spark,
-            out_dir=sf_dir,
-            n_docs=N_DOCS * scale,
-            n_events=N_EVENTS * scale,
-            n_vecs=N_VECS * scale,
-        )
+    sf_dir = ensure_seeded_slice(spark, scale)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     work = tempfile.mkdtemp(prefix="stream_twins_")
     try:
