@@ -3386,6 +3386,11 @@ def test_planes_from_rows_bounds_corrupt_ids(spark):
         _planes_from_rows(corrupt)
     with pytest.raises(ValueError, match="out of range"):
         _planes_from_rows(good + [{"table_id": 0, "plane_id": -1, "plane": [0.1]}])
+    # round-10 ADVICE: a merely-INCOMPLETE grid (missing rows, ids all
+    # sane) must reach the diagnostic completeness error that lists the
+    # missing cells, not be hijacked by the out-of-range bound
+    with pytest.raises(ValueError, match="incomplete or duplicated"):
+        _planes_from_rows(good[:3])
     assert _planes_from_rows(good).shape == (2, 2, 2)
 
 
@@ -3459,6 +3464,65 @@ def test_pq_index_persisted_normalize_mode(spark, tmp_path):
             params_df=spark.table("t_pq_nm_params"),
         ).collect()
         assert {r["rn"] for r in got} == {1, 2, 3}
+        # (a2, round-10 ADVICE) the books rows carry the normalize marker,
+        # so the SAME probe without params_df reads the persisted mode
+        # from books (which it must collect anyway) instead of silently
+        # assuming normalize=True against raw-space codes
+        got_no_params = pq_topk_against_index(
+            emb.filter("vec_id % 10 = 0"),
+            spark.table("t_pq_nm"),
+            spark.table("t_pq_nm_vecs"),
+            spark.table("t_pq_nm_books"),
+            k=3,
+            refine=2,
+        ).collect()
+        assert sorted(map(tuple, got_no_params)) == sorted(map(tuple, got))
+        # a books marker contradicting params = mixed generations, raise
+        import pyspark.sql.functions as _F
+
+        flipped_books = spark.table("t_pq_nm_books").withColumn(
+            "normalize", _F.lit(True)
+        )
+        with pytest.raises(ValueError, match="mixed index generations"):
+            pq_topk_against_index(
+                emb.limit(2),
+                spark.table("t_pq_nm"),
+                spark.table("t_pq_nm_vecs"),
+                flipped_books,
+                params_df=spark.table("t_pq_nm_params"),
+            )
+        # an inconsistent marker WITHIN books raises too
+        half_flipped = spark.table("t_pq_nm_books").withColumn(
+            "normalize", _F.col("subspace") % 2 == 0
+        )
+        with pytest.raises(ValueError, match="inconsistent normalize"):
+            pq_topk_against_index(
+                emb.limit(2),
+                spark.table("t_pq_nm"),
+                spark.table("t_pq_nm_vecs"),
+                half_flipped,
+            )
+        # legacy pre-marker books (no normalize column, no params) fall
+        # back to normalize=True — the only mode that existed then
+        legacy_books = spark.table("t_pq_nm_n_books").drop("normalize")
+        got_legacy = pq_topk_against_index(
+            emb.filter("vec_id % 10 = 0"),
+            spark.table("t_pq_nm_n"),
+            spark.table("t_pq_nm_n_vecs"),
+            legacy_books,
+            k=3,
+            refine=2,
+        ).collect()
+        got_norm = pq_topk_against_index(
+            emb.filter("vec_id % 10 = 0"),
+            spark.table("t_pq_nm_n"),
+            spark.table("t_pq_nm_n_vecs"),
+            spark.table("t_pq_nm_n_books"),
+            k=3,
+            refine=2,
+            params_df=spark.table("t_pq_nm_n_params"),
+        ).collect()
+        assert sorted(map(tuple, got_legacy)) == sorted(map(tuple, got_norm))
         # (b) append == rebuild under the persisted normalize=False mode
         old = emb.filter("vec_id < 40")
         write_pq_index(

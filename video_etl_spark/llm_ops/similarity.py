@@ -58,9 +58,16 @@ def _planes_from_rows(rows) -> np.ndarray:
     # bound the ids BEFORE building the expected grid: a single corrupt
     # row with table_id=2**31 would otherwise make the validator itself
     # allocate a 2**31-element set — OOM/hang instead of the loud raise
-    # this function exists for.  A real grid never exceeds the row count
-    # (complete grids have exactly n_tables*n_planes rows).
-    if n_tables * n_planes > len(rows) or min(
+    # this function exists for.  Only raise here when an id is actually
+    # IMPLAUSIBLE (negative, or >= the row count — a real grid's max id
+    # is always < n_tables*n_planes <= len(rows) when complete); a
+    # merely-incomplete grid (missing rows, ids all sane) must fall
+    # through to the completeness check below, whose message lists the
+    # missing cells (round-10 ADVICE: the old size-based bound hijacked
+    # the common corrupt-sidecar case with a misleading out-of-range
+    # error).  With max ids < len(rows) the expected grid below is
+    # <= len(rows)^2 — bounded by what the caller already collected.
+    if n_tables > len(rows) or n_planes > len(rows) or min(
         min(r["table_id"], r["plane_id"]) for r in rows
     ) < 0:
         raise ValueError(
@@ -550,6 +557,31 @@ def _books_from_rows(book_rows) -> np.ndarray:
     for r in book_rows:
         books[r["subspace"], r["code"]] = r["center"]
     return books
+
+
+def _pq_mode_from_book_rows(book_rows) -> "bool | None":
+    """The encode mode carried ON the ``{table}_books`` rows (round-10
+    ADVICE): ``write_pq_index`` stamps every books row with the index's
+    ``normalize`` flag so a probe — which must already collect books to
+    build its LUTs — reads the persisted mode without depending on the
+    caller remembering ``params_df``.  Returns None for a LEGACY books
+    table (pre-marker schema); raises if the marker is present but
+    inconsistent or NULL — that's rows from mixed index generations, and
+    scoring with either mode could be silently wrong for the other half.
+    """
+    fields = getattr(book_rows[0], "__fields__", None)
+    if fields is None and hasattr(book_rows[0], "keys"):
+        fields = list(book_rows[0].keys())
+    if not fields or "normalize" not in fields:
+        return None
+    modes = {r["normalize"] for r in book_rows}
+    if len(modes) != 1 or None in modes:
+        raise ValueError(
+            "PQ books table carries inconsistent normalize markers "
+            f"({sorted(modes, key=str)}) — rows from mixed index "
+            "generations; rebuild the index"
+        )
+    return bool(modes.pop())
 
 
 def append_to_lsh_index(
@@ -1450,13 +1482,19 @@ def write_pq_index(
         n_buckets,
         files_per_bucket,
     )
+    # the encode mode rides ON the books rows too (not only in params):
+    # the probe must already collect books to build LUTs, so carrying
+    # `normalize` there means a probe called without params_df still
+    # reads the persisted mode instead of silently assuming True against
+    # a normalize=False index — the exact 'craters the shortlist' failure
+    # the params table was built to prevent (round-10 ADVICE medium)
     spark.createDataFrame(
         [
-            (j, c, books[j, c].tolist())
+            (j, c, books[j, c].tolist(), bool(normalize))
             for j in range(books.shape[0])
             for c in range(books.shape[1])
         ],
-        "subspace int, code int, center array<double>",
+        "subspace int, code int, center array<double>, normalize boolean",
     ).coalesce(1).write.mode("overwrite").option(
         "path", f"{path}/books"
     ).saveAsTable(f"{table}_books")
@@ -1495,31 +1533,43 @@ def pq_topk_against_index(
     driver collects (codebooks: m·ksub rows, queries: bounded) are
     control-plane reads.
 
-    ``params_df`` (the ``{table}_params`` table) carries the index's
-    persisted encode mode: a normalize=False index (inner-product PQ /
-    exact-integer vectors) must have its query LUTs built from RAW
-    vectors — normalized LUTs against raw codes silently crater the
-    shortlist.  Pass it for any index written since params exist; omit
-    only for legacy pre-params indexes (treated as normalize=True, the
-    only mode that existed).  A books/params shape mismatch raises — it
-    means the tables are from different generations.
+    The index's persisted encode mode is read from the ``normalize``
+    marker ``write_pq_index`` stamps on every ``{table}_books`` row —
+    a table this probe must already collect, so a caller who forgets
+    ``params_df`` still gets raw-space LUTs against a normalize=False
+    index instead of silently-cratered shortlists (round-10 ADVICE).
+    ``params_df`` (the ``{table}_params`` table) remains the
+    authoritative sidecar: when passed it is cross-checked against the
+    books marker and the books shape — any mismatch raises, it means the
+    tables are from different generations.  Only a LEGACY index (books
+    predating the marker, no params passed) falls back to
+    normalize=True, the only mode that existed then.
     """
     from video_etl_spark.session import ensure_executor_package
 
     ensure_executor_package(queries.sparkSession)
 
-    books = _books_from_rows(books_df.collect())
+    book_rows = books_df.collect()
+    books = _books_from_rows(book_rows)
     m, _, dsub = books.shape
-    normalize = True
+    normalize = _pq_mode_from_book_rows(book_rows)
     if params_df is not None:
         p = params_df.collect()[0]
-        normalize = bool(p["normalize"])
         if p["m"] != m or p["ksub"] != books.shape[1]:
             raise ValueError(
                 f"pq_topk_against_index: books shape {books.shape[:2]} "
                 f"contradicts the params sidecar ({p['m']}, {p['ksub']}) "
                 "— mixed index generations"
             )
+        if normalize is not None and normalize != bool(p["normalize"]):
+            raise ValueError(
+                "pq_topk_against_index: the books normalize marker "
+                f"({normalize}) contradicts the params sidecar "
+                f"({bool(p['normalize'])}) — mixed index generations"
+            )
+        normalize = bool(p["normalize"])
+    elif normalize is None:
+        normalize = True  # legacy pre-marker index, pre-params era
 
     # duplicate query ids collapse — probe-family convention (see
     # ivf_topk_against_index); the DEDUPED frame must feed both the LUT
@@ -1644,7 +1694,9 @@ def append_to_pq_index(
 
     spark = new.sparkSession
     ensure_executor_package(spark)
-    books = _books_from_rows(spark.table(f"{table}_books").collect())
+    book_rows = spark.table(f"{table}_books").collect()
+    books = _books_from_rows(book_rows)
+    book_mode = _pq_mode_from_book_rows(book_rows)
     # The encode mode lives IN the index (never caller-resupplied), and
     # a MISSING params table is a hard error, not a legacy default:
     # write_pq_index drops params FIRST and writes it LAST, so its
@@ -1662,6 +1714,12 @@ def append_to_pq_index(
             "encode mode would silently corrupt the codes table"
         )
     normalize = bool(spark.table(f"{table}_params").collect()[0]["normalize"])
+    if book_mode is not None and book_mode != normalize:
+        raise ValueError(
+            f"append_to_pq_index: the books normalize marker ({book_mode}) "
+            f"contradicts {table}_params ({normalize}) — mixed index "
+            "generations; rebuild the index before appending"
+        )
 
     # Same discipline as append_to_lsh_index: ONE materialized
     # dedup of the batch (both sinks must see the same survivor row),

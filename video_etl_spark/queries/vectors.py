@@ -1096,6 +1096,12 @@ def knn_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ranking.  Reference parity: src/offline/ann/* (the reference ships
 # brute-force + IVF only; PQ is a ⊕ scale-path addition).
 _PQ_Q_M = 8         # subspaces (dim 64 -> dsub 8)
+_PQ_Q_DSUB = 8      # dim / m — the oracle's slice arithmetic derives
+#                     from THIS constant (round-10 ADVICE: it was
+#                     hardcoded as literal 8s, so a dataset with a
+#                     different dim would fail the attestation with a
+#                     confusing hash mismatch instead of the loud
+#                     seed-shape assert in knn_pq_indexed below)
 _PQ_Q_KSUB = 8      # codes/book, derived from vec_id < 8
 _PQ_Q_MOD = 25      # query set: vec_id % 25 == 0 (bounded: corpus/25)
 _PQ_Q_TOPK = 5
@@ -1113,7 +1119,8 @@ _PQ_Q_INDEX_CACHE: dict[str, tuple[str, str]] = {}  # sf_dir -> (table, path)
     js AS (SELECT unnest(generate_series(0, {_PQ_Q_M - 1})) AS j),
     bk AS (
       SELECT js.j, vec_id AS code,
-             q[js.j * 8 + 1 : js.j * 8 + 8] AS center
+             q[js.j * {_PQ_Q_DSUB} + 1 : js.j * {_PQ_Q_DSUB} + {_PQ_Q_DSUB}]
+               AS center
       FROM q CROSS JOIN js WHERE vec_id < {_PQ_Q_KSUB}),
     enc AS (
       SELECT vec_id, j, code FROM (
@@ -1121,14 +1128,15 @@ _PQ_Q_INDEX_CACHE: dict[str, tuple[str, str]] = {}  # sf_dir -> (table, path)
                row_number() OVER (
                  PARTITION BY a.vec_id, b.j
                  ORDER BY list_sum(
-                   [(a.q[b.j * 8 + i] - b.center[i])
-                    * (a.q[b.j * 8 + i] - b.center[i])
-                    FOR i IN generate_series(1, 8)]), b.code) AS rn
+                   [(a.q[b.j * {_PQ_Q_DSUB} + i] - b.center[i])
+                    * (a.q[b.j * {_PQ_Q_DSUB} + i] - b.center[i])
+                    FOR i IN generate_series(1, {_PQ_Q_DSUB})]), b.code) AS rn
         FROM q a CROSS JOIN bk b) WHERE rn = 1),
     adc AS (
       SELECT x.vec_id AS query_id, e.vec_id AS neighbor_id,
-             SUM(list_sum([x.q[e.j * 8 + i] * b.center[i]
-                           FOR i IN generate_series(1, 8)])) AS approx
+             SUM(list_sum([x.q[e.j * {_PQ_Q_DSUB} + i] * b.center[i]
+                           FOR i IN generate_series(1, {_PQ_Q_DSUB})]))
+               AS approx
       FROM q x
       CROSS JOIN enc e
       JOIN bk b ON b.j = e.j AND b.code = e.code
@@ -1191,7 +1199,25 @@ def knn_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed = (
             qemb.filter(F.col("vec_id") < _PQ_Q_KSUB).orderBy("vec_id").collect()
         )
+        # the oracle assumes codebook code c IS the vector with vec_id c
+        # (positional index == id) and slices with _PQ_Q_DSUB-wide
+        # windows — assert both here so a dataset with a gap in the low
+        # ids or a different dim fails with THIS message, not a
+        # confusing downstream hash mismatch (round-10 ADVICE)
+        if [r["vec_id"] for r in seed] != list(range(_PQ_Q_KSUB)):
+            raise ValueError(
+                "knn_pq_indexed: seed vec_ids "
+                f"{[r['vec_id'] for r in seed]} != 0..{_PQ_Q_KSUB - 1} — "
+                "the DuckDB oracle's code=vec_id mapping needs the low "
+                "ids contiguous"
+            )
         dsub = len(seed[0]["embedding"]) // _PQ_Q_M
+        if dsub != _PQ_Q_DSUB or len(seed[0]["embedding"]) % _PQ_Q_M:
+            raise ValueError(
+                f"knn_pq_indexed: embedding dim {len(seed[0]['embedding'])} "
+                f"gives dsub {dsub}, but the oracle slices with "
+                f"_PQ_Q_DSUB={_PQ_Q_DSUB} — update the constant"
+            )
         books = [
             [
                 list(seed[c]["embedding"][j * dsub : (j + 1) * dsub])
