@@ -2783,6 +2783,145 @@ def test_refold_stream_index_generation_rotation(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_maybe_refold_policy_matches_manual_sequence(spark, tmp_path):
+    """Round-11 (verdict #4): the auto-refold policy closes the last
+    operational gap — a long replay crosses the tail threshold, the
+    policy fires EXACTLY once, and everything it produces (successor
+    generation rows, prune set, dup ledger) equals the manual four-step
+    sequence run over the identical batches.  Also: below-threshold
+    calls are no-ops, and a never-folded stream (no watermark sidecar)
+    raises instead of folding on a policy default."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from video_etl_spark.streaming.dedup import (
+        compact_stream_index,
+        make_batch_handler,
+        maybe_refold,
+        next_generation_name,
+        prune_folded_partitions,
+        refold_stream_index,
+    )
+
+    assert next_generation_name("t") == "t_g1"
+    assert next_generation_name("t_g1") == "t_g2"
+    assert next_generation_name("t_g9") == "t_g10"
+
+    texts = [
+        ("the quick brown fox jumps over the lazy dog while the sun "
+         "sets slowly behind the distant purple mountains tonight"),
+        ("completely different legal boilerplate concerning maritime "
+         "insurance claims and arbitration procedure under section nine"),
+        ("a third entirely unrelated paragraph about orbital mechanics "
+         "and the docking procedure for resupply missions in low orbit"),
+        ("yet another disjoint passage describing the annual migration "
+         "of shorebirds across the intertidal mudflats every autumn"),
+        ("a fifth standalone text on the metallurgy of bronze casting "
+         "and the lost wax technique used by ancient foundries"),
+        ("finally a sixth passage concerning the taxonomy of lichens "
+         "growing on exposed granite surfaces above the treeline"),
+    ]
+
+    def batch(b):
+        # one fresh text + one repeat of an earlier batch's text, so the
+        # dup ledger is non-trivial in every batch past the first
+        return spark.createDataFrame(
+            [(10 * b, texts[b % 6]), (10 * b + 1, texts[(b + 1) % 6])],
+            "doc_id long, text string",
+        )
+
+    N, FOLD_AT, THRESH = 8, 1, 4  # tail {2,3,4,5} hits THRESH after b=5
+
+    def replay(tag, auto: bool):
+        idx = str(tmp_path / f"{tag}_idx")
+        dups = str(tmp_path / f"{tag}_dups")
+        gen0 = f"t_mrf_{tag}_gen0"
+        handler = make_batch_handler(index_dir=idx, dup_dir=dups)
+        fired = []
+        for b in range(N):
+            handler(batch(b), b)
+            if b == FOLD_AT:
+                # the FIRST fold is an explicit capacity decision in
+                # both modes — maybe_refold only rotates generations
+                compact_stream_index(
+                    spark, idx, gen0, str(tmp_path / f"{tag}_gen0"),
+                    upto_batch_id=FOLD_AT, n_buckets=4,
+                )
+                handler = make_batch_handler(
+                    index_dir=idx, dup_dir=dups, compacted_table=gen0
+                )
+                prune_folded_partitions(spark, idx, gen0)
+            elif b > FOLD_AT:
+                if auto:
+                    cfg = maybe_refold(
+                        spark, idx, gen0, upto_batch_id=b,
+                        tail_threshold=THRESH,
+                    )
+                    if cfg is not None:
+                        fired.append((b, cfg))
+                        handler = make_batch_handler(
+                            index_dir=idx, dup_dir=dups,
+                            compacted_table=cfg["compacted_table"],
+                        )
+                elif b == FOLD_AT + THRESH:  # manual twin, same point
+                    refold_stream_index(
+                        spark, idx, gen0, f"t_mrf_{tag}_gen1",
+                        str(tmp_path / f"{tag}_gen1"), upto_batch_id=b,
+                    )
+                    handler = make_batch_handler(
+                        index_dir=idx, dup_dir=dups,
+                        compacted_table=f"t_mrf_{tag}_gen1",
+                    )
+                    prune_folded_partitions(
+                        spark, idx, f"t_mrf_{tag}_gen1"
+                    )
+        ledger = sorted(
+            tuple(r)
+            for r in spark.read.parquet(dups)
+            .select("new_doc", "dup_of", "n_candidates", "batch_id")
+            .collect()
+        )
+        return fired, ledger
+
+    try:
+        # a never-folded stream has no watermark sidecar: the policy
+        # must raise, not improvise a first fold
+        raw_idx = str(tmp_path / "rawonly_idx")
+        make_batch_handler(
+            index_dir=raw_idx, dup_dir=str(tmp_path / "rawonly_dups")
+        )(batch(0), 0)
+        with pytest.raises(AnalysisException):
+            maybe_refold(spark, raw_idx, "t_mrf_nogen", upto_batch_id=0)
+
+        fired, auto_ledger = replay("auto", auto=True)
+        _, man_ledger = replay("man", auto=False)
+
+        # fired exactly once, at the threshold crossing, with the full
+        # handler config and the exact prune set
+        assert len(fired) == 1, fired
+        b_fired, cfg = fired[0]
+        assert b_fired == FOLD_AT + THRESH
+        assert cfg["compacted_table"] == "t_mrf_auto_gen0_g1"
+        assert cfg["old_table"] == "t_mrf_auto_gen0"
+        assert cfg["tail_partitions"] == THRESH
+        assert cfg["pruned"] == list(range(FOLD_AT + 1, b_fired + 1))
+        # successor generation == the manual refold's, row for row
+        rows = lambda t: sorted(  # noqa: E731
+            tuple(r) for r in spark.table(t).collect()
+        )
+        assert rows("t_mrf_auto_gen0_g1") == rows("t_mrf_man_gen1")
+        # and the dup ledgers of the two replays are identical
+        assert auto_ledger == man_ledger and len(auto_ledger) > 0
+    finally:
+        for t in (
+            "t_mrf_auto_gen0", "t_mrf_auto_gen0_watermark",
+            "t_mrf_auto_gen0_g1", "t_mrf_auto_gen0_g1_watermark",
+            "t_mrf_man_gen0", "t_mrf_man_gen0_watermark",
+            "t_mrf_man_gen1", "t_mrf_man_gen1_watermark",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_refold_stream_frame_index_matches_oneshot(spark, tmp_path):
     """Frame twin of the band refold: gen1 == one-shot fold over the
     unpruned history, and the switched handler still flags a dup of

@@ -393,6 +393,132 @@ def refold_stream_index(
     )
 
 
+def _raw_partition_ids(spark, index_dir: str) -> list[int]:
+    """The numeric ``batch_id=<n>`` partition ids currently present in a
+    stream's raw signature directory (Hadoop FS listing, so it works on
+    whatever storage the directory lives on) — the ONE listing both
+    :func:`prune_folded_partitions` and :func:`maybe_refold` read, so
+    the pruner and the policy cannot disagree about what a partition is.
+    Non-directory entries and non-numeric names are ignored."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    ids = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("batch_id=")):
+            continue
+        try:
+            ids.append(int(name.split("=", 1)[1]))
+        except ValueError:
+            continue  # not a numeric partition — leave it alone
+    return sorted(ids)
+
+
+def next_generation_name(name: str) -> str:
+    """The successor in the ``maybe_refold`` generation-naming
+    convention: ``foo`` → ``foo_g1`` → ``foo_g2`` → … — applied to both
+    the table name and the storage path so unattended rotations never
+    collide with the generation they replace."""
+    import re
+
+    m = re.search(r"_g(\d+)$", name)
+    if m:
+        return f"{name[: m.start()]}_g{int(m.group(1)) + 1}"
+    return f"{name}_g1"
+
+
+def maybe_refold(
+    spark,
+    index_dir: str,
+    table: str,
+    upto_batch_id: int,
+    tail_threshold: int = 98,
+    refold_fn=None,
+    files_per_bucket: int = 1,
+    prune: bool = True,
+) -> "dict | None":
+    """AUTO-REFOLD POLICY (round-10 verdict #4): decide-and-run the
+    generation rotation that was previously a manual four-step caller
+    sequence, so a long-running stream keeps its probe tail bounded
+    UNATTENDED — callable from a scheduled job or between micro-batches.
+
+    Reads the raw directory's partition listing and compares the tail
+    the current generation does not cover (``watermark < batch_id <=
+    upto_batch_id``) against ``tail_threshold``.  Below threshold:
+    returns None, touches nothing.  At/above: runs ``refold_fn``
+    (default :func:`refold_stream_index`; pass
+    ``streaming.frame_dedup.refold_stream_frame_index`` for frame
+    streams) into an auto-named successor generation
+    (:func:`next_generation_name` on both the table and its storage
+    path), prunes the folded raw partitions, and returns the new handler
+    config::
+
+        {"compacted_table": ..., "path": ..., "upto_batch_id": ...,
+         "old_table": ..., "tail_partitions": ..., "pruned": [...]}
+
+    The default threshold is the measured break-even from
+    ``examples/stream_compaction_economics.py`` (~98 raw partitions at
+    ~sf1, where one fold repays itself in listing savings within the
+    next fold interval); latency-sensitive streams should set it lower —
+    the 10× rehearsal measured per-batch probe latency drifting
+    15.2 → 22.9 s by a 9-partition tail.
+
+    CONTRACT — same quiesced window as the manual sequence: call with no
+    batch in flight (between micro-batches, or ``upto_batch_id`` read
+    off the stopped query's ``lastProgress``), and when the result is
+    non-None, re-create the live handler with the returned
+    ``compacted_table`` BEFORE the next batch runs.  Pruning inside the
+    same window is safe precisely because the old handler never runs
+    again.  Only applies to an already-folded stream: the watermark
+    sidecar is required (its absence raises — the FIRST fold is
+    :func:`compact_stream_index`'s job, an explicit capacity decision,
+    not a policy default), and a mismatched (index_dir, table) pair is
+    refused before anything is written or deleted.
+
+    A crashed previous attempt self-heals: the successor name is
+    deterministic, ``write_bucketed`` overwrites the partial table, and
+    the watermark sidecar is written last — re-running the policy
+    re-runs the identical fold.
+    """
+    from video_etl_spark.operators.io import bucket_spec
+
+    if refold_fn is None:
+        refold_fn = refold_stream_index
+    old_upto = _validated_watermark(spark, table, index_dir, "maybe_refold")
+    tail = [
+        b for b in _raw_partition_ids(spark, index_dir)
+        if old_upto < b <= upto_batch_id
+    ]
+    if len(tail) < tail_threshold:
+        return None
+    dst_table = next_generation_name(table)
+    _, _, src_loc = bucket_spec(spark, table)
+    if not src_loc:
+        raise ValueError(
+            f"maybe_refold: DESCRIBE FORMATTED {table!r} reports no "
+            "Location — cannot derive the successor generation's path"
+        )
+    dst_path = next_generation_name(src_loc.rstrip("/"))
+    refold_fn(
+        spark, index_dir, table, dst_table, dst_path,
+        upto_batch_id, files_per_bucket,
+    )
+    pruned = (
+        prune_folded_partitions(spark, index_dir, dst_table) if prune else []
+    )
+    return {
+        "compacted_table": dst_table,
+        "path": dst_path,
+        "upto_batch_id": upto_batch_id,
+        "old_table": table,
+        "tail_partitions": len(tail),
+        "pruned": pruned,
+    }
+
+
 def prune_folded_partitions(spark, index_dir: str, table: str) -> list[int]:
     """Delete the raw ``batch_id=<n>`` partitions that
     :func:`compact_stream_index` (or the frame twin) has folded into the
@@ -419,24 +545,16 @@ def prune_folded_partitions(spark, index_dir: str, table: str) -> list[int]:
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(index_dir)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return []
     deleted = []
-    for status in fs.listStatus(jpath):
-        name = status.getPath().getName()
-        if not (status.isDirectory() and name.startswith("batch_id=")):
-            continue
-        try:
-            bid = int(name.split("=", 1)[1])
-        except ValueError:
-            continue  # not a numeric partition — leave it alone
+    for bid in _raw_partition_ids(spark, index_dir):
         if bid <= upto:
-            if not fs.delete(status.getPath(), True):
+            child = jvm.org.apache.hadoop.fs.Path(jpath, f"batch_id={bid}")
+            if not fs.delete(child, True):
                 # a swallowed false return would report space as
                 # reclaimed while the partition keeps paying listing cost
                 raise RuntimeError(
                     f"prune_folded_partitions: filesystem refused to "
-                    f"delete {name} under {index_dir!r}"
+                    f"delete batch_id={bid} under {index_dir!r}"
                 )
             deleted.append(bid)
     return sorted(deleted)
