@@ -94,3 +94,62 @@ def test_attestation_rotation_ordering(tmp_path, monkeypatch):
     # row at/after the target round
     assert mod._scan_artifacts(7, ok_only=True) == {"fresh_green"}
     assert "flaky" not in mod._scan_artifacts(7, ok_only=True)
+
+
+def test_rotation_counts_no_oracle_rows_as_attested(tmp_path, monkeypatch):
+    """Round-11 (verdict #7): the driver records rows-only queries as
+    ``err: "no_oracle"`` with null match fields and a spark_rows count —
+    this shape MUST count as a successful attestation, or every
+    rows-only query would look never-attested and hog the head of the
+    first-50 window every round.  A no_oracle row whose spark run FAILED
+    (the driver would record a real err string instead) must not."""
+    import json
+
+    import __spark_entry__ as mod
+
+    # the exact row shape CORRECTNESS_r10 records for knn_pq
+    no_oracle_row = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": 50, "oracle_rows": None, "err": "no_oracle",
+    }
+    arts = {
+        6: {
+            "rows_only_old": dict(no_oracle_row),
+            "green_old": {"rows_match": True, "schema_match": True,
+                          "hash_match": True, "err": None},
+        },
+        9: {"rows_only_fresh": dict(no_oracle_row)},
+    }
+    for rnd, rows in arts.items():
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps(rows)
+        )
+    monkeypatch.setattr(mod, "_REPO_DIR", str(tmp_path))
+
+    assert mod._row_ok(no_oracle_row)
+    # a hypothetical future shape that records a comparison failure
+    # alongside the marker must still read as NOT ok
+    assert not mod._row_ok({**no_oracle_row, "rows_match": False})
+    assert not mod._row_ok({**no_oracle_row, "err": "boom"})
+
+    last = mod._last_attested()
+    assert last == {
+        "rows_only_old": 6, "green_old": 6, "rows_only_fresh": 9,
+    }
+    seen = mod._already_attested()
+    assert seen == {"rows_only_old", "green_old", "rows_only_fresh"}
+
+    # rotation ordering: rows-only attested queries rotate by freshness
+    # exactly like oracle-green ones — they never jump the never-attested
+    # group, and the oldest attestation sorts first within the group
+    names = ["rows_only_fresh", "brand_new", "rows_only_old", "green_old"]
+    ordered = sorted(
+        names, key=lambda n: (True, n in seen, last.get(n, 0))
+    )
+    assert ordered[0] == "brand_new"
+    assert set(ordered[1:3]) == {"rows_only_old", "green_old"}
+    assert ordered[3] == "rows_only_fresh"
+
+    # retirement scan treats a no_oracle row at/after the target round
+    # as a successful attestation
+    assert mod._scan_artifacts(9, ok_only=True) == {"rows_only_fresh"}
