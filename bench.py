@@ -1,16 +1,24 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
-JSON lines: first the FULL artifact (per-query timings, both control
-passes, per-mode ratios, pinned-RDD readout), then — LAST, so a
-tail-capturing driver always parses it (round-9 verdict #1: the full
-line overflowed the driver's capture window and r9 recorded no headline
-number) — a COMPACT summary: always {"metric", "value", "unit", "sf",
-"n_queries"}, plus {"control_ratio", "control_ratio_start",
-"control_ratio_end", "degraded_during_run", "value_normalized"} ONLY at
-the pinned config (sf0.1, local[32], reps>=3 — elsewhere the controls
-still run but normalization against the pins would be meaningless, so
-consumers must treat those keys as optional).
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints,
+in order: (1) the FULL artifact line (per-query timings, all three
+control passes, per-mode ratios, pinned-RDD readout) — also written to
+a COMMITTED file (default BENCH_FULL_latest.json next to this script,
+override $SPARK_GRAFT_BENCH_OUT), since the driver's ~2000-char tail
+capture cannot hold it (round-10 verdict #2: per-query trend must not
+live only in /tmp logs); (2) the per-query map again as short
+{"queries_part": i, "n_parts": n, "queries": {...}} chunk lines of ~10
+queries each, so whatever fits the capture window survives; (3) LAST, a
+COMPACT summary the driver always parses: {"metric", "value", "unit",
+"sf", "n_queries", "full_artifact"}, plus {"control_ratio",
+"control_ratio_start/mid/end", "degraded_during_run", "start_elevated",
+"mid_elevated", "value_normalized"} ONLY at the pinned config (sf0.1,
+local[32], reps>=3 — elsewhere the controls still run but normalization
+against the pins would be meaningless, so consumers must treat those
+keys as optional).  Controls run at START, MID (after ~half the
+headline — round-10 verdict #3, with position-matched warm pins), and
+END; the normalization ratio is median(start, mid), the degradation
+flag stays one-sided end-vs-start.
 
 Each query runs one warm-up pass (JIT, code cache, file listing — NOT
 counted) and then $SPARK_GRAFT_BENCH_REPS timed passes (default 3); the
@@ -233,6 +241,19 @@ CONTROL_PINNED = {
     "ctl_shuffle_join": 0.8874,
     "ctl_pandas_udf": 0.3489,
 }
+# MID-RUN pins (round-10 verdict #3): the mid control pass runs after
+# ~half the headline on a JVM warmed by ~110 jobs, where every mode
+# measures well below its cold start pin (the same warm-end asymmetry
+# the r10 bracketing found at END) — so the mid ratio needs pins
+# measured AT THAT POSITION, not the start-of-session ones.  Medians of
+# three idle-box half-bench runs (SPARK_GRAFT_BENCH_MID_CONTROL_ONLY),
+# measured 2026-08-15 (round 11) at sf0.1 / local[32].  Same re-pin
+# discipline as CONTROL_PINNED.
+CONTROL_PINNED_MID = {
+    "ctl_scan_agg": 0.3339,
+    "ctl_shuffle_join": 0.8875,
+    "ctl_pandas_udf": 0.3145,
+}
 _PIN_CONFIG = {"sf": 0.1, "cpus": 32}
 
 
@@ -299,10 +320,10 @@ def main() -> None:
     # flags the artifact (one-sided: see the normalization comment).
     controls = _control_builders(spark, sf_dir)
 
-    def run_controls() -> dict[str, float]:
+    def run_controls(n_reps: int | None = None) -> dict[str, float]:
         out: dict[str, float] = {}
         for name, build in controls.items():
-            time_query(name, build, n_reps=max(7, reps))
+            time_query(name, build, n_reps=n_reps or max(7, reps))
             out[name] = timings.pop(name)
             pinned_after.pop(name, None)
         return out
@@ -313,7 +334,38 @@ def main() -> None:
         print(json.dumps({"control": control_start, "sf": sf}))
         return
 
-    for name in HEADLINE:
+    # mid-run control pass (round-10 verdict #3): start_elevated fired
+    # on EVERY r10 run — a transient start window (previous job's tail
+    # sharing the box for the ~20s control window) inflates the single
+    # start sample and deflates value_normalized by tens of percent.
+    # A second pass after ~half the headline samples the box state the
+    # run actually experienced; normalization takes the MEDIAN of the
+    # start and mid ratios (each against pins measured at its own
+    # position — the mid pass runs warm, see CONTROL_PINNED_MID).
+    half = len(HEADLINE) // 2
+    for name in HEADLINE[:half]:
+        fn = registry.QUERIES[name]
+        time_query(name, lambda fn=fn: fn(spark, sf_dir))
+
+    # the mid pass gets extra reps (median-of-11): its warm ~0.3s
+    # samples carry the highest relative noise of the three passes, and
+    # the mid ratio is half the normalization median — 4 extra ~0.5s
+    # reps buy the biggest variance reduction available per second
+    control_mid = run_controls(n_reps=max(11, reps))
+
+    if os.environ.get("SPARK_GRAFT_BENCH_MID_CONTROL_ONLY"):
+        # pin-measurement mode: the mid pins must be measured AT the
+        # mid-run position (after the first half's jobs), so this mode
+        # runs exactly that much and reports the raw mid medians
+        print(json.dumps({
+            "control_start": control_start,
+            "control_mid": control_mid,
+            "sf": sf,
+            "n_first_half": half,
+        }))
+        return
+
+    for name in HEADLINE[half:]:
         fn = registry.QUERIES[name]
         time_query(name, lambda fn=fn: fn(spark, sf_dir))
 
@@ -361,8 +413,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "control_start": control_start,
+        "control_mid": control_mid,
         "control_end": control_end,
         "control_pinned": CONTROL_PINNED,
+        "control_pinned_mid": CONTROL_PINNED_MID,
         "pinned_rdds_after": pinned_after,
     }
     compact = {
@@ -388,31 +442,52 @@ def main() -> None:
         pin_sum = sum(CONTROL_PINNED.values())
         r_start = round(sum(control_start.values()) / pin_sum, 4)
         r_end = round(sum(control_end.values()) / pin_sum, 4)
-        # NORMALIZE BY THE START PASS ONLY: the pins were measured at
-        # start-of-session, and the end pass runs on a fully warmed JVM
-        # (C2-compiled Spark internals, file-listing + page caches from
-        # ~220 headline jobs) — measured up to ~40% faster than pin on
-        # the scan mode with the box idle.  Mixing the warm pass into
-        # the ratio would deflate it and inflate value_normalized.
-        ratio = r_start
-        # The degradation flag is therefore ONE-SIDED: warm-up makes
-        # end <= start the expected shape, so end > start by 10% means
-        # the box genuinely got slower under the run (the r9 driver
-        # event was 1.66x — far above this threshold even after the
-        # warm-up deflation partially masks it).
+        # NORMALIZE BY median(start ratio, mid ratio) — round-10 verdict
+        # #3.  The end pass stays OUT of the ratio: it runs on a fully
+        # warmed JVM (C2-compiled Spark internals, file-listing + page
+        # caches from ~220 headline jobs) — measured up to ~40% faster
+        # than pin on the scan mode with the box idle — and has no
+        # position-matched pins; mixing it in would deflate the ratio
+        # and inflate value_normalized.  The MID pass is also warm, but
+        # it has its own pins measured at exactly that position
+        # (CONTROL_PINNED_MID), so its ratio is apples-to-apples; the
+        # median of the two position-correct samples absorbs the
+        # transient-start failure mode that made start_elevated fire on
+        # every r10 run and deflated value_normalized by tens of
+        # percent (driver 78.3s raw -> 54.2s "normalized").
+        mid_pinned = all(v is not None for v in CONTROL_PINNED_MID.values())
+        if mid_pinned:
+            r_mid = round(
+                sum(control_mid.values()) / sum(CONTROL_PINNED_MID.values()),
+                4,
+            )
+            # median of two samples == their mean; written as a sorted
+            # middle so a third control pass can join without a rewrite
+            rs = sorted([r_start, r_mid])
+            ratio = round((rs[0] + rs[-1]) / 2, 4)
+        else:
+            r_mid = None
+            ratio = r_start
+        # The degradation flag is ONE-SIDED (end vs start under the SAME
+        # pins): warm-up makes end <= start the expected shape, so
+        # end > start by 10% means the box genuinely got slower under
+        # the run (the r9 driver event was 1.66x — far above this
+        # threshold even after the warm-up deflation partially masks it).
         degraded = (r_end - r_start) / r_start > 0.10
-        # The converse hazard: a TRANSIENT start-of-run slowdown (the
-        # previous job's tail sharing the box for the ~20s control
-        # window) inflates r_start and makes value_normalized flatter
-        # itself. Can't be corrected without per-query controls, but it
-        # CAN be flagged: a start pass >15% over pin is suspect — read
-        # the raw value alongside value_normalized when this is set.
+        # A start pass >15% over pin is still flagged — with the mid
+        # sample in the median it no longer dominates the ratio, but the
+        # judge should know which runs started hot; mid_elevated is the
+        # same flag for the mid position (both firing = the box really
+        # is loaded, trust the raw value).
         start_elevated = r_start > 1.15
+        mid_elevated = bool(mid_pinned and r_mid > 1.15)
         full["control_ratio_start"] = compact["control_ratio_start"] = r_start
+        full["control_ratio_mid"] = compact["control_ratio_mid"] = r_mid
         full["control_ratio_end"] = compact["control_ratio_end"] = r_end
         full["control_ratio"] = compact["control_ratio"] = ratio
         full["degraded_during_run"] = compact["degraded_during_run"] = degraded
         full["start_elevated"] = compact["start_elevated"] = start_elevated
+        full["mid_elevated"] = compact["mid_elevated"] = mid_elevated
         full["value_normalized"] = compact["value_normalized"] = round(
             total / ratio, 4
         )
@@ -422,12 +497,52 @@ def main() -> None:
         full["control_mode_ratio"] = {
             k: {
                 "start": round(control_start[k] / CONTROL_PINNED[k], 4),
+                **(
+                    {"mid": round(control_mid[k] / CONTROL_PINNED_MID[k], 4)}
+                    if mid_pinned
+                    else {}
+                ),
                 "end": round(control_end[k] / CONTROL_PINNED[k], 4),
             }
             for k in control_start
         }
+
+    # The full artifact also lands in a COMMITTED file (round-10 verdict
+    # #2): the driver's tail capture is ~2000 chars, so even chunked
+    # per-query lines cannot all survive — per-query round-over-round
+    # trend (the judge's main regression tool) must not depend on /tmp
+    # logs that die with the box.  Overwritten per run; referenced from
+    # PERF.md.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_FULL_latest.json",
+        ),
+    )
+    tmp_path = out_path + ".tmp"
+    with open(tmp_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    os.replace(tmp_path, out_path)
+    compact["full_artifact"] = os.path.basename(out_path)
+
     print(json.dumps(full))
-    # the compact line goes LAST: ~250 chars, always inside a
+    # per-query map in SHORT chunks between the full line and the
+    # compact line (round-10 verdict #2): the full line overflows the
+    # driver's tail capture from the FRONT, so whatever fits of these
+    # ~10-query lines survives — the later (and typically newer) chunks
+    # plus the compact line; the committed file above is the complete
+    # record either way
+    names = list(timings)
+    n_parts = (len(names) + 9) // 10
+    for i in range(n_parts):
+        print(json.dumps({
+            "queries_part": i + 1,
+            "n_parts": n_parts,
+            "queries": {n: timings[n] for n in names[i * 10:(i + 1) * 10]},
+        }))
+    # the compact line goes LAST: ~350 chars, always inside a
     # tail-capture window (round-9 verdict #1 — BENCH_r09 was parsed:null
     # because the full line alone overflowed it)
     print(json.dumps(compact))
