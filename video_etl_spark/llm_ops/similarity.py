@@ -1285,7 +1285,7 @@ def pq_topk(
             ).sum(axis=3)  # (batch, m, ksub)
             codes = d2.argmin(axis=2)  # (batch, m)
             # ADC: approx ip = sum_j luts[q, j, codes[:, j]]
-            approx = luts[:, np.arange(m)[None, :], codes].sum(axis=2)
+            approx = _adc_scores(luts, codes)
             # (nq, batch) -> per-query partition-local top-r, with the
             # deterministic (approx desc, id asc) tie-break at
             # near-linear cost (see _det_topk_idx)
@@ -1344,6 +1344,23 @@ def pq_topk(
 # re-encode, no shuffle); only the bounded shortlist shuffles into the
 # exact re-rank, whose index side arrives exchange-free from the bucketed
 # sidecar (plan-asserted in tests).
+
+
+def _adc_scores(luts: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """ADC scoring ``sum_j luts[q, j, codes[:, j]]`` accumulated one
+    subspace at a time — the fancy-index form
+    ``luts[:, arange(m), codes].sum(axis=2)`` materializes an
+    (n_queries, n_codes, m) gather FIRST, which at serving scale is the
+    memory hog (4k queries × 200k codes × m=8 doubles = 1.6 GB per
+    Arrow chunk; the 10× PQ serve rehearsal measured 161 s on its
+    appended batch).  Peak here is one (n_queries, n_codes) plane.
+    Values differ from the gather form only in float summation order
+    (pairwise vs sequential, ≤ a few ulp); exact ties still tie, since
+    identical code tuples produce identical addends either way."""
+    out = luts[:, 0, codes[:, 0]].copy()
+    for j in range(1, luts.shape[1]):
+        out += luts[:, j, codes[:, j]]
+    return out
 
 
 def _pq_encode_frame(
@@ -1612,7 +1629,7 @@ def pq_topk_against_index(
             code_mat = np.stack(
                 [np.frombuffer(b, dtype=np.uint8) for b in pdf["code"]]
             ).astype(np.int64)
-            approx = luts[:, np.arange(m)[None, :], code_mat].sum(axis=2)
+            approx = _adc_scores(luts, code_mat)
             ids = pdf["neighbor_id"].to_numpy()
             rows = []
             keep = min(r_keep, approx.shape[1])
@@ -1858,7 +1875,7 @@ def pq_serve_stream(
                 continue
             q = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
             luts = np.einsum("qjd,jcd->qjc", q.reshape(len(q), m, dsub), books)
-            approx = luts[:, np.arange(m)[None, :], codes].sum(axis=2)
+            approx = _adc_scores(luts, codes)
             rows = []
             for qi in range(len(q)):
                 order = _det_topk_idx(approx[qi], ids, min(k, len(ids)))
