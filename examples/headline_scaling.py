@@ -31,6 +31,7 @@ Usage: python examples/headline_scaling.py [--reps 3]
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -41,7 +42,7 @@ from pyspark.sql import functions as F
 
 SMALL_DIR = "/tmp/spark_graft_sf0p1"
 
-# (query name, round-10 sf0.1 median) — the top of the cost ranking,
+# the top of the round-10 sf0.1 cost ranking (5.3 s down to 2.0 s),
 # documents/embeddings/events tables only (see module docstring)
 TOP_QUERIES = [
     "cluster_aware_split",
@@ -110,7 +111,7 @@ def main() -> None:
         print(f"{name:34s} {t_small:8.2f} {t_big:8.2f} {ratio:6.1f}{flag}")
     worst = max(rows, key=lambda r: r[3])
     print(f"\nworst exponent: {worst[0]} at {worst[3]:.1f}x "
-          f"(log10 ratio {__import__('math').log10(max(worst[3], 1e-9)):.2f} "
+          f"(log10 ratio {math.log10(max(worst[3], 1e-9)):.2f} "
           "per decade of data)")
     spark.stop()
 

@@ -2912,6 +2912,15 @@ def test_maybe_refold_policy_matches_manual_sequence(spark, tmp_path):
         assert rows("t_mrf_auto_gen0_g1") == rows("t_mrf_man_gen1")
         # and the dup ledgers of the two replays are identical
         assert auto_ledger == man_ledger and len(auto_ledger) > 0
+        # STALE-CALLER GUARD: once the successor's watermark committed
+        # (and its folded raw partitions were pruned), re-invoking the
+        # policy with the SUPERSEDED table must raise — re-folding from
+        # it would rebuild the successor without the pruned batches
+        with pytest.raises(ValueError, match="superseded"):
+            maybe_refold(
+                spark, str(tmp_path / "auto_idx"), "t_mrf_auto_gen0",
+                upto_batch_id=N - 1, tail_threshold=1,
+            )
     finally:
         for t in (
             "t_mrf_auto_gen0", "t_mrf_auto_gen0_watermark",

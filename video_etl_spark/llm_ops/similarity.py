@@ -1357,7 +1357,8 @@ def _adc_scores(luts: np.ndarray, codes: np.ndarray) -> np.ndarray:
     Values differ from the gather form only in float summation order
     (pairwise vs sequential, ≤ a few ulp); exact ties still tie, since
     identical code tuples produce identical addends either way."""
-    out = luts[:, 0, codes[:, 0]].copy()
+    # advanced indexing returns a fresh array, so += never aliases luts
+    out = luts[:, 0, codes[:, 0]]
     for j in range(1, luts.shape[1]):
         out += luts[:, j, codes[:, j]]
     return out

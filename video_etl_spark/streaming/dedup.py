@@ -495,6 +495,24 @@ def maybe_refold(
     if len(tail) < tail_threshold:
         return None
     dst_table = next_generation_name(table)
+    # STALE-CALLER GUARD: if the successor generation already has a
+    # watermark, a previous refold COMPLETED (and its raw partitions may
+    # already be pruned) — re-folding from the old generation would
+    # rebuild the successor WITHOUT the pruned batches and overwrite it:
+    # permanent recall loss.  The caller must carry the returned config
+    # forward; a crash AFTER the successor's watermark committed is
+    # recovered by pruning/swapping to the successor, not by re-folding.
+    # (A crash BEFORE the watermark write leaves no sidecar, so the
+    # overwrite retry below stays self-healing.)
+    if spark.catalog.tableExists(f"{dst_table}_watermark"):
+        raise ValueError(
+            f"maybe_refold: successor generation {dst_table!r} already "
+            f"has a committed watermark — {table!r} is a superseded "
+            f"generation.  Pass table={dst_table!r} (the compacted_table "
+            "from the previous refold's config); if recovering from a "
+            "crash after that refold, run prune_folded_partitions and "
+            "re-create the handler on the successor instead"
+        )
     _, _, src_loc = bucket_spec(spark, table)
     if not src_loc:
         raise ValueError(
