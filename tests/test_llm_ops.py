@@ -2938,6 +2938,44 @@ def test_det_topk_idx_matches_full_lexsort():
     check()
 
 
+def test_adc_scores_matches_gather_form():
+    """_adc_scores (per-subspace accumulation, the round-11 memory fix —
+    peak one (nq, nc) plane instead of the (nq, nc, m) gather that cost
+    1.6 GB/chunk at serving scale) must match the fancy-index form it
+    replaced to float-addend reordering (≤ a few ulp), keep exact ties
+    exactly tied (identical code rows ⇒ bit-identical scores — what the
+    deterministic id tie-break in _det_topk_idx relies on), and never
+    mutate the caller's LUTs (the += accumulation starts from an
+    advanced-indexing copy)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from video_etl_spark.llm_ops.similarity import _adc_scores
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        nq=st.integers(min_value=1, max_value=5),
+        m=st.integers(min_value=1, max_value=8),
+        ksub=st.integers(min_value=1, max_value=16),
+        nc=st.integers(min_value=2, max_value=60),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(nq, m, ksub, nc, seed):
+        rng = np.random.default_rng(seed)
+        luts = rng.normal(size=(nq, m, ksub))
+        codes = rng.integers(0, ksub, size=(nc, m))
+        codes[1] = codes[0]  # at least one exact-tie pair
+        luts_before = luts.copy()
+        got = _adc_scores(luts, codes)
+        want = luts[:, np.arange(m)[None, :], codes].sum(axis=2)
+        np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-13)
+        assert (got[:, 1] == got[:, 0]).all()  # ties stay bit-exact
+        assert (luts == luts_before).all()  # caller's LUTs untouched
+
+    check()
+
+
 def test_simhash_overlap_stats_analytic_matches_pair_aggregate(spark, sf_dir):
     """simhash_overlap_stats computes partner counts ANALYTICALLY at rep
     grain (never expanding member pairs); it must equal the brute
