@@ -23,6 +23,12 @@ the handler-driven twin of the readStream demo above, because the fold
 point and timings must be deterministic to be comparable.
 
 Usage: python examples/run_streaming_ingest.py --scale 10
+
+``--auto-refold`` (round-11): instead of the hardcoded rotation batch,
+the :func:`maybe_refold` policy is consulted between batches and fires
+when the regrown tail crosses its threshold — the unattended-operation
+proof that the policy rotates at the same batch, folds the same
+partitions, and keeps the same ledger as the manual sequence.
 """
 
 from __future__ import annotations
@@ -52,16 +58,19 @@ def main() -> None:
         except (IndexError, ValueError):
             raise SystemExit(
                 "usage: run_streaming_ingest.py --scale N [--no-fold] "
-                "[--no-refold]  (N an integer corpus multiplier, e.g. 10 "
-                "for the 500k-doc rehearsal; --no-fold stays raw-mode "
-                "throughout; --no-refold folds once but skips the "
-                "generation rotation — the two control arms the PERF.md "
-                "round-10 tables compare against)"
+                "[--no-refold | --auto-refold]  (N an integer corpus "
+                "multiplier, e.g. 10 for the 500k-doc rehearsal; "
+                "--no-fold stays raw-mode throughout; --no-refold folds "
+                "once but skips the generation rotation — the two "
+                "control arms the PERF.md round-10 tables compare "
+                "against; --auto-refold replaces the hardcoded rotation "
+                "batch with the maybe_refold policy deciding per batch)"
             ) from None
         scale_lifecycle(
             scale,
             fold="--no-fold" not in sys.argv,
             refold="--no-refold" not in sys.argv,
+            auto_refold="--auto-refold" in sys.argv,
         )
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -186,7 +195,12 @@ _GEN_TABLE = "sl_cur_gen"
 _GEN1_TABLE = "sl_cur_gen1"
 
 
-def scale_lifecycle(scale: int, fold: bool = True, refold: bool = True) -> None:
+def scale_lifecycle(
+    scale: int,
+    fold: bool = True,
+    refold: bool = True,
+    auto_refold: bool = False,
+) -> None:
     """The curation lifecycle at ~sf{scale} driven per-batch: raw handler
     for batches 0..FOLD_AFTER, then fold → switchover → prune, then the
     compacted-mode handler for the rest.  Prints the per-batch latency
@@ -194,7 +208,17 @@ def scale_lifecycle(scale: int, fold: bool = True, refold: bool = True) -> None:
     ``fold=False`` is the control: the raw handler runs all batches, so
     the per-batch delta between the two runs isolates what the fold
     buys from the semantic growth (later batches find more dups against
-    more history on a dup-dense corpus — work no layout can remove)."""
+    more history on a dup-dense corpus — work no layout can remove).
+
+    ``auto_refold=True`` (round-11) replaces the HARDCODED rotation at
+    ``REFOLD_AFTER`` with the :func:`maybe_refold` policy consulted
+    between batches — the unattended-operation shape a 100 TB stream
+    runs, where no human picks the rotation batch.  With the tail
+    threshold set to the same 5 partitions the manual run regrows, the
+    policy must fire exactly once at the same batch the manual sequence
+    rotated (asserted), so the two modes' per-batch tables stay
+    directly comparable and the planted pre-fold dups still reject
+    THROUGH the policy-created generation."""
     import shutil
     import time
 
@@ -202,6 +226,8 @@ def scale_lifecycle(scale: int, fold: bool = True, refold: bool = True) -> None:
     from video_etl_spark.streaming.curation import make_ingest_handler
     from video_etl_spark.streaming.dedup import (
         compact_stream_index,
+        maybe_refold,
+        next_generation_name,
         prune_folded_partitions,
         refold_stream_index,
     )
@@ -262,8 +288,30 @@ def scale_lifecycle(scale: int, fold: bool = True, refold: bool = True) -> None:
             sw, fold_s = raw, 0.0
             print("  (--no-fold control: raw mode throughout)")
 
+        cur_table, rotations = _GEN_TABLE, []
         for b in range(FOLD_AFTER + 1, N_SCALE_BATCHES):
-            if fold and refold and b == REFOLD_AFTER + 1:
+            if fold and auto_refold:
+                # UNATTENDED rotation: the policy reads the regrown tail
+                # between batches and decides — threshold 5 is exactly
+                # the tail the manual run regrows by REFOLD_AFTER, so
+                # the policy must fire once, at the same batch, with
+                # the same folded partitions (asserted below)
+                t0 = time.perf_counter()
+                cfg = maybe_refold(
+                    spark, sig_dir, cur_table, upto_batch_id=b - 1,
+                    tail_threshold=5,
+                )
+                if cfg is not None:
+                    cur_table = cfg["compacted_table"]
+                    sw = make_ingest_handler(
+                        *args, **kw, compacted_table=cur_table
+                    )
+                    rotations.append((b, cfg))
+                    print(f"  maybe_refold fired -> {cur_table} "
+                          f"(tail {cfg['tail_partitions']}, pruned "
+                          f"{len(cfg['pruned'])} partitions): "
+                          f"{time.perf_counter() - t0:.1f}s")
+            elif fold and refold and b == REFOLD_AFTER + 1:
                 # generation rotation mid-stream: gen1 = gen0 + the
                 # regrown tail, handler switches, folded raw partitions
                 # prune — the periodic re-fold the 10x measurement says
@@ -312,10 +360,29 @@ def scale_lifecycle(scale: int, fold: bool = True, refold: bool = True) -> None:
                         "doc_id long, text string, source string",
                     )
                 )
-            mode = "raw-ctl" if not fold else (
-                "gen1" if refold and b > REFOLD_AFTER else "compacted"
-            )
+            if not fold:
+                mode = "raw-ctl"
+            elif auto_refold:
+                mode = f"auto-g{len(rotations)}" if rotations else "compacted"
+            else:
+                mode = "gen1" if refold and b > REFOLD_AFTER else "compacted"
             run(sw, batch, b, mode)
+
+        if fold and auto_refold:
+            # the policy must have rotated exactly once, at the batch
+            # where the tail first reached the threshold — the same
+            # batch the manual sequence hardcodes — folding exactly the
+            # regrown tail partitions into the successor generation
+            assert [rb for rb, _ in rotations] == [REFOLD_AFTER + 1], (
+                rotations
+            )
+            auto_cfg = rotations[0][1]
+            assert auto_cfg["compacted_table"] == next_generation_name(
+                _GEN_TABLE
+            ), auto_cfg
+            assert auto_cfg["pruned"] == list(
+                range(FOLD_AFTER + 1, REFOLD_AFTER + 1)
+            ), auto_cfg
 
         clean = spark.read.parquet(f"{work}/clean")
         rejected = spark.read.schema(
@@ -353,7 +420,7 @@ def scale_lifecycle(scale: int, fold: bool = True, refold: bool = True) -> None:
 
         med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
         groups = [("raw 0-9", [t for b, _, t in timings if b <= FOLD_AFTER])]
-        if fold and refold:
+        if fold and (refold or auto_refold):
             groups += [
                 ("compacted 10-14",
                  [t for b, _, t in timings if FOLD_AFTER < b <= REFOLD_AFTER]),
@@ -369,9 +436,11 @@ def scale_lifecycle(scale: int, fold: bool = True, refold: bool = True) -> None:
         print(f"\nper-batch: {summary}; fold cost {fold_s:.1f}s; "
               f"clean {n_clean} / rejected {n_rej}")
     finally:
+        auto_gen = next_generation_name(_GEN_TABLE)
         for t in (
             _GEN_TABLE, f"{_GEN_TABLE}_watermark",
             _GEN1_TABLE, f"{_GEN1_TABLE}_watermark",
+            auto_gen, f"{auto_gen}_watermark",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(work, ignore_errors=True)
