@@ -534,18 +534,33 @@ def main() -> None:
     # ~10-query lines survives — the later (and typically newer) chunks
     # plus the compact line; the committed file above is the complete
     # record either way
-    names = list(timings)
-    n_parts = (len(names) + 9) // 10
-    for i in range(n_parts):
-        print(json.dumps({
-            "queries_part": i + 1,
-            "n_parts": n_parts,
-            "queries": {n: timings[n] for n in names[i * 10:(i + 1) * 10]},
-        }))
+    for line in query_map_lines(timings):
+        print(line)
     # the compact line goes LAST: ~350 chars, always inside a
     # tail-capture window (round-9 verdict #1 — BENCH_r09 was parsed:null
     # because the full line alone overflowed it)
     print(json.dumps(compact))
+
+
+def query_map_lines(timings: dict, per: int = 10) -> "list[str]":
+    """The per-query map as short ``{"queries_part": i, "n_parts": n,
+    "queries": {...}}`` JSON lines of ``per`` queries each.  Module-level
+    (not inline in main) so the size contract is testable: each line
+    must stay well under the driver's ~2000-char tail-capture window, or
+    a future query-name addition silently regrows the round-9/round-10
+    failure where per-query timings fell off the front of the capture.
+    ``tests/test_operators.py`` pins the bound against the real HEADLINE
+    names."""
+    names = list(timings)
+    n_parts = (len(names) + per - 1) // per
+    return [
+        json.dumps({
+            "queries_part": i + 1,
+            "n_parts": n_parts,
+            "queries": {n: timings[n] for n in names[i * per:(i + 1) * per]},
+        })
+        for i in range(n_parts)
+    ]
 
 
 if __name__ == "__main__":
