@@ -2994,3 +2994,79 @@ def test_refold_stream_frame_index_matches_oneshot(spark, tmp_path):
             "t_rff_oneshot", "t_rff_oneshot_watermark",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_maybe_refold_frame_twin(spark, tmp_path):
+    """The auto-refold policy drives the FRAME index rotation through
+    ``refold_fn=refold_stream_frame_index`` (the multimodal twin its
+    docstring advertises — the two refolds share a signature, and this
+    pins that): below threshold the policy is a no-op, at the crossing
+    it creates the auto-named successor generation and prunes the
+    folded tail, and the switched handler still flags a dup of PRUNED
+    first-generation history through the policy-created generation."""
+    from video_etl_spark.llm_ops.multimodal import attach_fake_payload
+    from video_etl_spark.streaming.dedup import (
+        maybe_refold,
+        prune_folded_partitions,
+    )
+    from video_etl_spark.streaming.frame_dedup import (
+        compact_stream_frame_index,
+        make_frame_batch_handler,
+        refold_stream_frame_index,
+    )
+
+    def frames_of(rows):
+        return attach_fake_payload(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+
+    idx = str(tmp_path / "mrf_ph_idx")
+    dups = str(tmp_path / "mrf_ph_dups")
+    h = make_frame_batch_handler(idx, dups)
+    h(frames_of([(1, "frame alpha"), (2, "frame beta")]), 0)
+    try:
+        compact_stream_frame_index(
+            spark, idx, "t_mrff_gen0", str(tmp_path / "g0"),
+            upto_batch_id=0, n_buckets=4,
+        )
+        sw = make_frame_batch_handler(
+            idx, dups, compacted_table="t_mrff_gen0"
+        )
+        assert prune_folded_partitions(spark, idx, "t_mrff_gen0") == [0]
+        sw(frames_of([(3, "frame gamma")]), 1)
+        # tail {1} below threshold: strict no-op, nothing written
+        assert maybe_refold(
+            spark, idx, "t_mrff_gen0", upto_batch_id=1, tail_threshold=2,
+            refold_fn=refold_stream_frame_index,
+        ) is None
+        assert not spark.catalog.tableExists("t_mrff_gen0_g1")
+        sw(frames_of([(4, "frame delta")]), 2)
+        cfg = maybe_refold(
+            spark, idx, "t_mrff_gen0", upto_batch_id=2, tail_threshold=2,
+            refold_fn=refold_stream_frame_index,
+        )
+        assert cfg is not None
+        assert cfg["compacted_table"] == "t_mrff_gen0_g1"
+        assert cfg["tail_partitions"] == 2
+        assert cfg["pruned"] == [1, 2]
+        # batch-0 history survives only inside the generation chain now
+        # (raw partition 0 pruned before the rotation, 1-2 by it): a dup
+        # of frame 1 must still be caught through the successor
+        sw1 = make_frame_batch_handler(
+            idx, dups, compacted_table=cfg["compacted_table"]
+        )
+        sw1(frames_of([(9, "frame alpha")]), 3)
+        got = [
+            tuple(r)
+            for r in spark.read.parquet(dups)
+            .where("batch_id = 3")
+            .select("new_doc", "dup_of")
+            .collect()
+        ]
+        assert got == [(9, 1)], got
+    finally:
+        for t in (
+            "t_mrff_gen0", "t_mrff_gen0_watermark",
+            "t_mrff_gen0_g1", "t_mrff_gen0_g1_watermark",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
