@@ -114,7 +114,12 @@ def make_ingest_handler(
     bucketed generation plus the raw tail.  As the tail regrows,
     rotate generations with ``streaming.dedup.refold_stream_index``
     (same switchover sequence; measured at 10× in
-    ``examples/run_streaming_ingest.py --scale``).
+    ``examples/run_streaming_ingest.py --scale``) — or let
+    ``streaming.dedup.maybe_refold`` decide UNATTENDED: call it between
+    batches (quiesced window) and, when it returns a config, re-create
+    this handler with the returned ``compacted_table``
+    (``examples/run_streaming_ingest.py --auto-refold`` is the measured
+    reference loop).
 
     Clean sink rows: (doc_id, text, ..., ttr_ppm, shard, batch_id).
     Rejected sink rows: (doc_id, reason, detail, batch_id) where reason ∈
