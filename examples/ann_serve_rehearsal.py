@@ -40,7 +40,23 @@ in ~2500 slipping to rank 2 — quantization physics, not a bug; self
 OUTSIDE top-k would mean broken encode/serve arithmetic and fails the
 run.
 
-Usage: python examples/ann_serve_rehearsal.py [--scale N] [--mode lsh|pq]
+``--mode ivf`` (round-11) completes the serving trio with the
+COARSE-PRUNED shape: the corpus is assigned once into an inverted file
+(``write_ivf_index`` — occupancy-sized quantizer, cells ≈ corpus/500,
+which at 10× crosses ``_LITERAL_CELL_RANK_MAX`` and exercises BOTH
+constant-plan forms: the Arrow write-side assignment and the broadcast
+probe-side cell ranking), and each query batch runs
+``ivf_topk_against_index`` — per-batch cost = queries × (n_probe ×
+occupancy), query-sized like LSH but with EXACT cosine inside the
+probed cells instead of hash-bucket candidates.  Mid-serve maintenance
+appends a held-out slice under the FROZEN centroids
+(``append_to_ivf_index`` — the drift-caveat workflow) whose vectors the
+very next batch must return.  Self-recall: the appended/indexed
+query's own cell is its query-time nearest cell, so with exact scoring
+self-in-top-k must hold every batch; rank-1 is reported (an exact-dup
+vector pair can tie at cos 1.0 and lose the id tie-break).
+
+Usage: python examples/ann_serve_rehearsal.py [--scale N] [--mode lsh|pq|ivf]
 """
 
 from __future__ import annotations
@@ -147,6 +163,77 @@ def serve_pq(spark, corpus, queries, held_out, work: str) -> None:
     print(f"answer log: {n_ans} rows across {N_SERVE_BATCHES} batches")
 
 
+def serve_ivf(spark, corpus, queries, held_out, work: str) -> None:
+    """The IVF-mode serve loop: occupancy-sized coarse quantizer built
+    once, per-batch cell-ranked probe against the persisted inverted
+    file, mid-serve frozen-centroid append, self-in-top-k gate every
+    batch with the rank-1 rate reported."""
+    from video_etl_spark.llm_ops.similarity import (
+        append_to_ivf_index,
+        ivf_topk_against_index,
+        write_ivf_index,
+    )
+
+    n_corpus = corpus.count()
+    # occupancy-sized quantizer: ~500 vectors/cell keeps the probed scan
+    # (n_probe × occupancy rows per query) flat as the corpus grows —
+    # the same dial as LSH planes; at 10× this crosses the literal
+    # threshold and the build runs the constant-plan Arrow assignment
+    n_cells = max(8, n_corpus // 500)
+    path = f"{work}/ivf"
+    t0 = time.perf_counter()
+    write_ivf_index(corpus, path, n_centroids=n_cells)
+    print(f"ivf build over {n_corpus} vectors (n_centroids={n_cells}, "
+          f"~{n_corpus // n_cells}/cell, "
+          f"{'arrow' if n_cells > 64 else 'literal'} assignment): "
+          f"{time.perf_counter() - t0:.1f}s")
+
+    def serve(batch_df, b: int, label: str) -> None:
+        n_q = batch_df.count()  # before the timer (round-10 review)
+        t = time.perf_counter()
+        out = ivf_topk_against_index(
+            spark, batch_df.withColumnRenamed("vec_id", "query_id"),
+            path, k=TOPK, n_probe=3, id_col="query_id",
+        ).withColumn("batch_id", F.lit(b))
+        out.write.mode("append").parquet(f"{work}/answers")
+        dt = time.perf_counter() - t
+        # the probe pins its probed-cells frame by design; release
+        # between batches so serve storage stays flat over a long run
+        spark.catalog.clearCache()
+        ans = spark.read.parquet(f"{work}/answers").where(f"batch_id = {b}")
+        in_topk = ans.where(
+            f"rn <= {TOPK} and neighbor_id = query_id"
+        ).count()
+        rank1 = ans.where("rn = 1 and neighbor_id = query_id").count()
+        # exact scoring within probed cells + own cell always probed:
+        # self OUTSIDE top-k means broken assignment/probe arithmetic
+        assert in_topk == n_q, (b, in_topk, n_q)
+        print(f"  batch {b} [{label:9s}] {n_q:5d} queries {dt:5.1f}s "
+              f"(self in top-{TOPK} {in_topk}/{n_q}, rank-1 {rank1})")
+
+    for b in range(N_SERVE_BATCHES):
+        if b == N_SERVE_BATCHES // 2:
+            # mid-serve maintenance: assign the held-out slice under the
+            # FROZEN centroids (append_to_ivf_index's drift-caveat
+            # workflow) — the very next batch queries those vectors
+            n_held = held_out.count()
+            t = time.perf_counter()
+            append_to_ivf_index(held_out, path)
+            print(f"  ivf append ({n_held} vecs, frozen centroids): "
+                  f"{time.perf_counter() - t:.1f}s")
+            serve(held_out, b, "appended")
+            continue
+        serve(
+            queries.filter(
+                F.col("vec_id") % (50 * N_SERVE_BATCHES) == 50 * b
+            ),
+            b,
+            "steady",
+        )
+    n_ans = spark.read.parquet(f"{work}/answers").count()
+    print(f"answer log: {n_ans} rows across {N_SERVE_BATCHES} batches")
+
+
 def main() -> None:
     scale, mode = 1, "lsh"
     if "--scale" in sys.argv:
@@ -154,13 +241,13 @@ def main() -> None:
             scale = int(sys.argv[sys.argv.index("--scale") + 1])
         except (IndexError, ValueError):
             raise SystemExit(
-                "usage: ann_serve_rehearsal.py [--scale N] [--mode lsh|pq]"
+                "usage: ann_serve_rehearsal.py [--scale N] [--mode lsh|pq|ivf]"
             ) from None
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
-        if mode not in ("lsh", "pq"):
+        if mode not in ("lsh", "pq", "ivf"):
             raise SystemExit(
-                "usage: ann_serve_rehearsal.py [--scale N] [--mode lsh|pq]"
+                "usage: ann_serve_rehearsal.py [--scale N] [--mode lsh|pq|ivf]"
             )
 
     from examples.scale_rehearsal import ensure_seeded_slice
@@ -184,10 +271,12 @@ def main() -> None:
     queries = emb.filter("vec_id % 50 = 0")
     held_out = emb.filter("vec_id % 50 = 25")
 
-    if mode == "pq":
-        work = tempfile.mkdtemp(prefix="ann_serve_rehearsal_pq_")
+    if mode in ("pq", "ivf"):
+        work = tempfile.mkdtemp(prefix=f"ann_serve_rehearsal_{mode}_")
         try:
-            serve_pq(spark, corpus, queries, held_out, work)
+            (serve_pq if mode == "pq" else serve_ivf)(
+                spark, corpus, queries, held_out, work
+            )
         finally:
             shutil.rmtree(work, ignore_errors=True)
             spark.stop()

@@ -1442,6 +1442,83 @@ def test_ivf_index_equivalence_and_pruning(spark, sf_dir, tmp_path):
     assert got_b == want
 
 
+def test_ivf_assignment_arrow_form_matches_literal(spark, tmp_path):
+    """The IVF write/append side's nearest-center assignment switches to
+    a constant-plan Arrow map beyond _LITERAL_CELL_RANK_MAX centers —
+    the write-side twin of the probe's broadcast cell ranking.  Before
+    _assign_cells, the literal plan's n_centroids × dim float literals
+    hit every index BUILD at production quantizer sizes (√N cells),
+    which the probe-side threshold existed to avoid.  On integer-valued
+    vectors (exact float64 arithmetic, so matmul-vs-fold summation
+    order cannot flip an argmin) the Arrow form must agree with
+    assign_categories row for row; a >64-cell index must round-trip
+    write → auto(broadcast)-probe → append with self-recall intact."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.control.categories import assign_categories
+    from video_etl_spark.llm_ops.similarity import (
+        _LITERAL_CELL_RANK_MAX,
+        _assign_cells,
+        append_to_ivf_index,
+        ivf_topk_against_index,
+        write_ivf_index,
+    )
+
+    k, dim = _LITERAL_CELL_RANK_MAX + 6, 8
+    rng = np.random.default_rng(11)
+    centers = rng.integers(-50, 50, size=(k, dim)).astype(float).tolist()
+    vecs = rng.integers(-50, 50, size=(120, dim)).astype(float).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "neighbor_id long, scores array<double>",
+    )
+    assigned = _assign_cells(df, centers)
+    got = {r["neighbor_id"]: r["category"] for r in assigned.collect()}
+    want = {
+        r["neighbor_id"]: r["category"]
+        for r in assign_categories(df, centers).collect()
+    }
+    assert got == want and len(got) == 120
+    # the Arrow form really is the constant-plan path: a Python map
+    # stage instead of k literal distance columns
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    # ...and below the threshold the zero-Python literal form still runs
+    small = _assign_cells(df, centers[: _LITERAL_CELL_RANK_MAX])
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_small, plan_small
+
+    # >64-cell index lifecycle: build (Arrow assignment), probe (auto
+    # picks the broadcast cell-rank form at this size), append, re-probe
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_many_cells")
+    write_ivf_index(corpus, path, n_centroids=k, centers=centers)
+    queries = corpus.filter(F.col("vec_id") % 10 == 0)
+    out = ivf_topk_against_index(spark, queries, path, k=3, n_probe=2)
+    top1 = {
+        r["query_id"]: r["neighbor_id"] for r in out.collect() if r["rn"] == 1
+    }
+    assert top1 == {q: q for q in top1} and len(top1) == 12
+    extra_vecs = rng.integers(-50, 50, size=(10, dim)).astype(float).tolist()
+    extra = spark.createDataFrame(
+        [(1000 + i, v) for i, v in enumerate(extra_vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_ivf_index(extra, path)
+    # n_probe=1 is the strict check: the appended vector's query-time
+    # nearest cell must BE its frozen-centroid assigned cell (both sides
+    # exact on integer vectors), or the append landed it unprobeable
+    out2 = ivf_topk_against_index(spark, extra, path, k=1, n_probe=1)
+    top1b = {
+        r["query_id"]: r["neighbor_id"] for r in out2.collect() if r["rn"] == 1
+    }
+    assert top1b == {1000 + i: 1000 + i for i in range(10)}, top1b
+
+
 def test_pq_index_equivalence_and_no_rerank_shuffle(spark, sf_dir, tmp_path):
     """Round-8 index symmetry for ANN, PQ leg: write_pq_index fits the
     codebooks and encodes the corpus ONCE; the probe must equal pq_topk

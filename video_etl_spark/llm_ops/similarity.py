@@ -776,6 +776,12 @@ def write_ivf_index(
     Vectors are stored as array<double> with their L2 norm precomputed
     (`nrm`) so query-time scoring never recomputes corpus norms; returns
     the fitted centers (also persisted under ``{path}/centers``).
+    Assignment switches form with the quantizer size exactly like the
+    probe's cell ranking does (:func:`_assign_cells`): literal JVM
+    distance columns up to ``_LITERAL_CELL_RANK_MAX`` centers, one
+    constant-plan Arrow map beyond — so a production-sized coarse
+    quantizer (hundreds-to-thousands of cells) builds without the
+    n_centroids × dim literal-plan blowup.
 
     ``centers``, if given, SKIPS the KMeans fit and uses the supplied
     coarse quantizer verbatim (list of ``n_centroids`` dim-length float
@@ -785,10 +791,7 @@ def write_ivf_index(
     Like the fitted form, the centers are persisted in the index so
     probes never re-supply them.
     """
-    from video_etl_spark.control.categories import (
-        assign_categories,
-        fit_categories,
-    )
+    from video_etl_spark.control.categories import fit_categories
     from video_etl_spark.session import ensure_executor_package
 
     spark = corpus.sparkSession
@@ -809,7 +812,7 @@ def write_ivf_index(
         "sqrt(aggregate(transform(scores, x -> x * x), 0D, (s, v) -> s + v))"
     )
     (
-        assign_categories(corpus_d, centers)
+        _assign_cells(corpus_d, centers)
         .select(
             "neighbor_id",
             F.col("scores").alias("neighbor_vec"),
@@ -834,6 +837,54 @@ def write_ivf_index(
 #: ~256k literals would be a driver/codegen problem), while the
 #: broadcast form is one tiny join whose plan size is constant.
 _LITERAL_CELL_RANK_MAX = 64
+
+
+def _assign_cells(df: DataFrame, centers, vec_col: str = "scores") -> DataFrame:
+    """Nearest-center assignment for the IVF WRITE/APPEND side, with the
+    same literal/constant-plan split the probe's cell ranking has: up to
+    ``_LITERAL_CELL_RANK_MAX`` centers, ``control.categories.
+    assign_categories`` inlines one JVM distance column per center (zero
+    Python, zero shuffle — the oracle-matched tens-of-cells form);
+    beyond it that plan carries n_centroids × dim float literals — the
+    write-side twin of the probe problem the broadcast cell-rank form
+    solved, previously unguarded, so a production-sized quantizer
+    (√N ≈ hundreds-to-thousands of cells) hit plan-compile blowup at
+    index build — and the assignment switches to one Arrow map with the
+    centers shipped as a numpy array: constant plan size, no shuffle,
+    vectorized ``argmin(‖c‖² − 2·v·c)`` (the ‖v‖² term is per-row
+    constant; the matmul form keeps peak memory at one (batch, k) plane
+    instead of the (batch, k, dim) explicit-difference cube — the
+    ``_adc_scores`` lesson applied to assignment).
+
+    Output contract matches ``assign_categories``: input columns plus an
+    int ``category``; ties take the lowest centroid id (``np.argmin``
+    first-index == ``array_position`` first-match).  Float summation
+    order differs from the JVM fold (pairwise/matmul vs sequential), so
+    a mathematically exact tie between two distinct centers can assign
+    either way at ulp scale — the same accepted encode-path semantics as
+    ``_pq_encode_frame``."""
+    if len(centers) <= _LITERAL_CELL_RANK_MAX:
+        from video_etl_spark.control.categories import assign_categories
+
+        return assign_categories(df, centers, vec_col=vec_col)
+
+    cmat = np.asarray(centers, dtype=np.float64)  # (k, dim)
+    cnorm2 = (cmat**2).sum(axis=1)  # (k,)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("category", T.IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = cnorm2[None, :] - 2.0 * (mat @ cmat.T)
+            pdf = pdf.copy()
+            pdf["category"] = d.argmin(axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(assign, schema=out_schema)
 
 
 def ivf_topk_against_index(
@@ -1040,7 +1091,6 @@ def append_to_ivf_index(
     accumulated vectors), which is exactly the dedup-index
     generation-rotation contract.
     """
-    from video_etl_spark.control.categories import assign_categories
     from video_etl_spark.session import ensure_executor_package
 
     spark = new.sparkSession
@@ -1058,12 +1108,13 @@ def append_to_ivf_index(
         "neighbor_id",
         assume_disjoint,
     ).localCheckpoint()  # reads {path}/vectors, sink below appends to it
-    # a dim-mismatched batch must fail LOUDLY: assign_categories'
+    # a dim-mismatched batch must fail LOUDLY: the literal assignment's
     # zip_with null-pads mismatched arrays, every distance goes NULL,
     # and the rows would land in the NULL default partition —
-    # permanently invisible to the probe's centroid.isin() pruning
+    # permanently invisible to the probe's centroid.isin() pruning —
+    # while the Arrow form's np.stack dies with an opaque executor error
     # (LSH and PQ fail on the same mistake with shape errors; this is
-    # IVF's equivalent guard)
+    # IVF's equivalent guard, shared by both assignment forms)
     dim = len(centers[0])
     # isNull/exists checked explicitly: under ANSI semantics size(null)
     # is null and (null != dim) filters the row OUT of the probe, and a
@@ -1086,7 +1137,7 @@ def append_to_ivf_index(
         "sqrt(aggregate(transform(scores, x -> x * x), 0D, (s, v) -> s + v))"
     )
     (
-        assign_categories(fresh, centers)
+        _assign_cells(fresh, centers)
         .select(
             "neighbor_id",
             F.col("scores").alias("neighbor_vec"),
