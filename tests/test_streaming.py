@@ -671,6 +671,28 @@ def test_streaming_pq_serving_matches_driver_reference(spark, sf_dir, tmp_path):
         assert got[key][0] == want[key][0]
         assert abs(got[key][1] - want[key][1]) < 1e-9
 
+    # query_block (the serving-memory bound: one (block, n_codes) ADC
+    # plane at a time instead of one for the whole Arrow chunk) must be
+    # invisible in the results — _adc_scores and the top-k tie-break are
+    # row-wise, so a block size that splits this 3-query batch in the
+    # middle returns bit-identical rows
+    batch_q = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+         for r in q_rows],
+        "query_id long, embedding array<double>",
+    )
+    unblocked = sorted(
+        tuple(r) for r in pq_serve_stream(
+            batch_q, books, ids, codes, k=5
+        ).collect()
+    )
+    blocked = sorted(
+        tuple(r) for r in pq_serve_stream(
+            batch_q, books, ids, codes, k=5, query_block=2
+        ).collect()
+    )
+    assert blocked == unblocked and len(blocked) == len(q_rows) * 5
+
 
 def test_streaming_sort_tracker_matches_batch(spark, tmp_path):
     """W2 streaming twin: a frame sequence split across TWO micro-batches

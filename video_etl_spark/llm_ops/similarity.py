@@ -1900,14 +1900,28 @@ def pq_serve_stream(
     k: int = 10,
     id_col: str = "query_id",
     vec_col: str = "embedding",
+    query_block: int = 512,
 ) -> DataFrame:
     """Score a (possibly streaming) DataFrame of query vectors against the
-    broadcast PQ codes; emits (query_id, neighbor_id, approx_ip, rn)."""
+    broadcast PQ codes; emits (query_id, neighbor_id, approx_ip, rn).
+
+    ``query_block`` bounds the serving memory: per-query top-k is
+    independent, so the ADC scores are computed and reduced one query
+    block at a time — peak is one (query_block, n_codes) float64 plane
+    (~400 MB at 512 × 100k codes) instead of one plane for the WHOLE
+    Arrow chunk, which at the 10× rehearsal's 4000-query maintenance
+    batch × 196k codes was a 6.3 GB intermediate per chunk (fine on a
+    128 GiB box, an OOM on right-sized cluster executors).  Results are
+    bit-identical at any block size — _adc_scores and the top-k
+    tie-break operate row-wise.  Size it as memory_budget /
+    (8 × n_codes); the einsum per block is tiny next to the ADC."""
     from pyspark.sql import types as T
 
     from video_etl_spark.session import ensure_executor_package
 
     ensure_executor_package(stream_queries.sparkSession)
+    if query_block < 1:
+        raise ValueError(f"query_block must be >= 1, got {query_block}")
     m = books.shape[0]
     dsub = books.shape[2]
     schema = T.StructType(
@@ -1925,17 +1939,24 @@ def pq_serve_stream(
         for pdf in batches:
             if not len(pdf):
                 continue
-            q = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-            luts = np.einsum("qjd,jcd->qjc", q.reshape(len(q), m, dsub), books)
-            approx = _adc_scores(luts, codes)
+            q_all = _normalize(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            )
+            qids = pdf[id_col].to_numpy()
             rows = []
-            for qi in range(len(q)):
-                order = _det_topk_idx(approx[qi], ids, min(k, len(ids)))
-                for rank, bi in enumerate(order, start=1):
-                    rows.append(
-                        (int(pdf[id_col].iloc[qi]), int(ids[bi]),
-                         float(approx[qi, bi]), rank)
-                    )
+            for s in range(0, len(q_all), query_block):
+                q = q_all[s:s + query_block]
+                luts = np.einsum(
+                    "qjd,jcd->qjc", q.reshape(len(q), m, dsub), books
+                )
+                approx = _adc_scores(luts, codes)
+                for qi in range(len(q)):
+                    order = _det_topk_idx(approx[qi], ids, min(k, len(ids)))
+                    for rank, bi in enumerate(order, start=1):
+                        rows.append(
+                            (int(qids[s + qi]), int(ids[bi]),
+                             float(approx[qi, bi]), rank)
+                        )
             yield pd.DataFrame(
                 rows, columns=["query_id", "neighbor_id", "approx_ip", "rn"]
             )
