@@ -66,6 +66,14 @@ def main() -> None:
                 "against; --auto-refold replaces the hardcoded rotation "
                 "batch with the maybe_refold policy deciding per batch)"
             ) from None
+        if "--no-refold" in sys.argv and "--auto-refold" in sys.argv:
+            # documented as mutually exclusive; silently running the
+            # auto arm under a --no-refold request would invert intent
+            raise SystemExit(
+                "run_streaming_ingest.py: --no-refold and --auto-refold "
+                "are mutually exclusive (skip the rotation vs let the "
+                "policy drive it) — pass at most one"
+            )
         scale_lifecycle(
             scale,
             fold="--no-fold" not in sys.argv,
@@ -259,6 +267,10 @@ def scale_lifecycle(
     args = (sig_dir, f"{work}/bench", f"{work}/clean", f"{work}/rejected")
     kw = dict(stats_dir=f"{work}/stats")
     timings: list[tuple[int, str, float]] = []
+    # declared OUTSIDE the try so the finally can drop every generation
+    # the policy actually created (not just one hardcoded successor —
+    # a multi-rotation run used to leak _g2+ tables into later runs)
+    rotations: list = []
 
     def run(handler, batch_df, b: int, mode: str) -> None:
         t0 = time.perf_counter()
@@ -288,7 +300,7 @@ def scale_lifecycle(
             sw, fold_s = raw, 0.0
             print("  (--no-fold control: raw mode throughout)")
 
-        cur_table, rotations = _GEN_TABLE, []
+        cur_table = _GEN_TABLE
         for b in range(FOLD_AFTER + 1, N_SCALE_BATCHES):
             if fold and auto_refold:
                 # UNATTENDED rotation: the policy reads the regrown tail
@@ -436,13 +448,15 @@ def scale_lifecycle(
         print(f"\nper-batch: {summary}; fold cost {fold_s:.1f}s; "
               f"clean {n_clean} / rejected {n_rej}")
     finally:
-        auto_gen = next_generation_name(_GEN_TABLE)
-        for t in (
-            _GEN_TABLE, f"{_GEN_TABLE}_watermark",
-            _GEN1_TABLE, f"{_GEN1_TABLE}_watermark",
-            auto_gen, f"{auto_gen}_watermark",
-        ):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # every generation this run could have created: the fixed names,
+        # each policy-created generation recorded in `rotations`, and the
+        # first auto successor as a belt-and-braces for a crash between
+        # refold_fn and the rotations.append
+        gens = {_GEN_TABLE, _GEN1_TABLE, next_generation_name(_GEN_TABLE)}
+        gens.update(cfg["compacted_table"] for _, cfg in rotations)
+        for g in sorted(gens):
+            for t in (g, f"{g}_watermark"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(work, ignore_errors=True)
 
 
