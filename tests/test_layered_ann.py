@@ -1,0 +1,295 @@
+"""Layered ANN serving (round-11 verdict #2): IVF coarse prune →
+broadcast-codes ADC → exact re-rank, composed and equivalence-tested.
+
+The composition compounds two lossy stages — a true neighbor outside
+the probed cells, or inside them but outside the ADC shortlist — so the
+tests here pin what IS exact (probe-all == full ADC bit-for-bit, block-
+size invariance, append == rebuild) and measure what is honestly lossy
+(recall vs brute force under a fixed seed, pinned with slack below the
+measured value rather than asserted perfect).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _toy_corpus(spark, n=240, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    # a few well-separated lobes so the coarse quantizer has structure
+    lobes = rng.normal(0, 10, size=(6, dim))
+    vecs = lobes[rng.integers(0, 6, size=n)] + rng.normal(0, 1, size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    return df, vecs
+
+
+def test_pq_ivf_probe_all_matches_corpus_adc(spark, tmp_path):
+    """With n_probe = n_cells the candidate set is the whole corpus, so
+    the layered shortlist must equal pq_serve_stream's corpus-sized ADC
+    answer BIT-FOR-BIT — same books, same per-subspace accumulation
+    addends, same (approx desc, id asc) tie-break.  This is the
+    composition-helper equivalence the round-11 verdict asked for: the
+    pruning can only ever REMOVE candidates, never rescore them."""
+    from video_etl_spark.llm_ops.similarity import (
+        pq_ivf_shortlist,
+        pq_serve_stream,
+        write_pq_ivf_index,
+    )
+
+    corpus, _ = _toy_corpus(spark)
+    idx = write_pq_ivf_index(
+        corpus, str(tmp_path / "lay"), m=4, ksub=8, n_centroids=5
+    )
+    queries = corpus.filter("vec_id % 20 = 0").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    k = 5
+    layered = pq_ivf_shortlist(
+        queries, idx, n_probe=len(idx.centers), shortlist=k
+    )
+    full = pq_serve_stream(queries, idx.books, idx.ids, idx.codes, k=k)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["approx_ip"], r["rn"])
+        for r in layered.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["approx_ip"], r["rn"])
+        for r in full.collect()
+    )
+    assert got == want and len(got) == 12 * k
+
+
+def test_pq_ivf_shortlist_block_size_invariance(spark, tmp_path):
+    """query_block is a pure memory dial: the shortlist must be
+    bit-identical at any block size, including the auto-sized default
+    (None -> default_query_block)."""
+    from video_etl_spark.llm_ops.similarity import (
+        pq_ivf_shortlist,
+        write_pq_ivf_index,
+    )
+
+    corpus, _ = _toy_corpus(spark)
+    idx = write_pq_ivf_index(
+        corpus, str(tmp_path / "lay"), m=4, ksub=8, n_centroids=5
+    )
+    queries = corpus.filter("vec_id % 16 = 0").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+
+    def rows(block):
+        return sorted(
+            tuple(r)
+            for r in pq_ivf_shortlist(
+                queries, idx, n_probe=2, shortlist=7, query_block=block
+            ).collect()
+        )
+
+    base = rows(None)
+    assert base and rows(1) == base and rows(3) == base and rows(512) == base
+
+
+def test_layered_topk_self_recall_and_bruteforce_recall(spark, tmp_path):
+    """End-to-end composition: every corpus-drawn query's own cell is
+    its nearest cell (same space, same tie-break as the build
+    assignment), exact re-rank restores cos 1.0 at rank 1; recall@5 vs
+    exact brute force is measured and pinned with slack — layering is
+    honestly lossy, the floor just catches regressions."""
+    from video_etl_spark.llm_ops.similarity import (
+        layered_topk_against_index,
+        write_pq_ivf_index,
+    )
+
+    corpus, vecs = _toy_corpus(spark, n=300)
+    path = str(tmp_path / "lay")
+    write_pq_ivf_index(corpus, path, m=4, ksub=16, n_centroids=6)
+    queries = corpus.filter("vec_id % 25 = 0")
+    k = 5
+    # shortlist depth is THE dial on dup-dense data: the lobes make ADC
+    # ties massive, so self must survive the (approx desc, id asc)
+    # shortlist cut before the exact pass can restore it — 48 deep
+    # measures 12/12 self-rank-1 / recall 0.967 at this seed; 24 deep
+    # drops self for a third of the queries (measured, not a bug)
+    out = layered_topk_against_index(
+        spark, queries, path, k=k, n_probe=2, shortlist=48
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 12
+    for q, rows in by_q.items():
+        top = min(rows, key=lambda r: r["rn"])
+        assert top["neighbor_id"] == q and top["cos_sim"] > 0.999999, (
+            q,
+            top,
+        )
+    # exact brute-force cosine top-k, driver-side
+    nrm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    hits = total = 0
+    for q in by_q:
+        cos = nrm @ nrm[q]
+        order = np.lexsort((np.arange(len(cos)), -cos))[:k]
+        got = {r["neighbor_id"] for r in by_q[q]}
+        hits += len(got & set(order.tolist()))
+        total += k
+    recall = hits / total
+    # measured 1.0 at this seed/shape; 0.8 is the regression floor
+    assert recall >= 0.8, recall
+
+
+def test_append_to_pq_ivf_matches_rebuild(spark, tmp_path):
+    """Frozen-quantizer append == one-shot rebuild over the union, both
+    for the driver artifacts (ids/cells/codes arrays) and for the
+    persisted parquet the re-rank scans (layered answers identical).
+    Explicit centers+books so the rebuild fits nothing new."""
+    from video_etl_spark.llm_ops.similarity import (
+        append_to_pq_ivf_index,
+        layered_topk_against_index,
+        write_pq_ivf_index,
+    )
+
+    corpus, vecs = _toy_corpus(spark, n=260)
+    m, ksub, n_cells, dim = 4, 8, 5, 16
+    rng = np.random.default_rng(9)
+    centers = rng.normal(0, 10, size=(n_cells, dim))
+    books = rng.normal(0, 1, size=(m, ksub, dim // m))
+    old = corpus.filter("vec_id % 10 != 7")
+    new = corpus.filter("vec_id % 10 = 7")
+
+    p_app = str(tmp_path / "appended")
+    idx0 = write_pq_ivf_index(
+        old, p_app, m=m, ksub=ksub, n_centroids=n_cells,
+        centers=centers, books=books,
+    )
+    idx_app = append_to_pq_ivf_index(new, p_app, idx0)
+
+    p_reb = str(tmp_path / "rebuilt")
+    idx_reb = write_pq_ivf_index(
+        corpus, p_reb, m=m, ksub=ksub, n_centroids=n_cells,
+        centers=centers, books=books,
+    )
+    # artifact equality up to within-cell order: compare as sorted rows
+    def triples(idx):
+        return sorted(
+            zip(idx.ids.tolist(), idx.cells.tolist(),
+                [c.tobytes() for c in idx.codes])
+        )
+
+    assert triples(idx_app) == triples(idx_reb)
+    assert idx_app.cell_ptr.tolist() == idx_reb.cell_ptr.tolist()
+
+    queries = corpus.filter("vec_id % 21 = 0")
+    a = sorted(
+        map(tuple, layered_topk_against_index(
+            spark, queries, p_app, index=idx_app, k=3, n_probe=2
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, layered_topk_against_index(
+            spark, queries, p_reb, index=idx_reb, k=3, n_probe=2
+        ).collect())
+    )
+    assert a == b and len(a) == queries.count() * 3
+
+    # re-ingesting already-indexed ids is a no-op (the _fresh_only
+    # idempotency contract every append shares)
+    idx_again = append_to_pq_ivf_index(new, p_app, idx_app)
+    assert triples(idx_again) == triples(idx_app)
+
+
+def test_default_query_block_formula_and_fallback(spark):
+    """block = mem_fraction × executor-memory / (8 × n_codes), clamped
+    to [floor, cap]; unset/unparseable memory falls back to the
+    measured-safe floor (plain local mode)."""
+    from video_etl_spark.llm_ops.similarity import (
+        _parse_jvm_mem,
+        default_query_block,
+    )
+
+    assert _parse_jvm_mem("4g") == 4 << 30
+    assert _parse_jvm_mem("512m") == 512 << 20
+    assert _parse_jvm_mem("2048") == 2048
+    assert _parse_jvm_mem("1gb") == 1 << 30
+    assert _parse_jvm_mem(None) is None
+    assert _parse_jvm_mem("weird") is None
+
+    class FakeConf:
+        def __init__(self, mem):
+            self.mem = mem
+
+        def get(self, key, default=None):
+            return self.mem if key == "spark.executor.memory" else default
+
+    class FakeSpark:
+        def __init__(self, mem):
+            self.conf = FakeConf(mem)
+
+    # 4 GiB × 0.25 / (8 × 196_000) ≈ 684 — the rehearsal-scale sanity
+    assert default_query_block(FakeSpark("4g"), 196_000) == int(
+        (4 << 30) * 0.25 / (8 * 196_000)
+    )
+    assert default_query_block(FakeSpark(None), 196_000) == 512  # floor
+    assert default_query_block(FakeSpark("1t"), 10) == 65_536  # cap
+    # the live local session has no executor memory conf -> floor
+    assert default_query_block(spark, 123_456) == 512
+
+
+def test_write_pq_ivf_validation(spark, tmp_path):
+    """Loud refusals before anything is written: oversized ksub, empty
+    corpus, contradicting explicit quantizer shapes, artifact size cap."""
+    from video_etl_spark.llm_ops.similarity import (
+        read_pq_ivf_index,
+        write_pq_ivf_index,
+    )
+
+    corpus, _ = _toy_corpus(spark, n=40)
+    with pytest.raises(ValueError, match="ksub <= 256"):
+        write_pq_ivf_index(corpus, str(tmp_path / "a"), ksub=300)
+    with pytest.raises(ValueError, match="empty corpus"):
+        write_pq_ivf_index(
+            corpus.filter("vec_id < 0"), str(tmp_path / "b")
+        )
+    with pytest.raises(ValueError, match="books shape"):
+        write_pq_ivf_index(
+            corpus, str(tmp_path / "c"), m=4, ksub=8,
+            books=np.zeros((4, 8, 3)),
+        )
+    with pytest.raises(ValueError, match="centers shape"):
+        write_pq_ivf_index(
+            corpus, str(tmp_path / "d"), n_centroids=5,
+            centers=np.zeros((5, 9)),
+        )
+    path = str(tmp_path / "ok")
+    write_pq_ivf_index(corpus, path, m=4, ksub=8, n_centroids=4)
+    with pytest.raises(ValueError, match="max_rows"):
+        read_pq_ivf_index(spark, path, max_rows=10)
+
+
+def test_pq_ivf_rerank_prunes_partitions(spark, tmp_path):
+    """Scale claim, plan-asserted: the exact re-rank's vector scan must
+    carry a centroid partition filter listing only the probed cells —
+    corpus IO proportional to the pruned fraction, not the corpus."""
+    from video_etl_spark.llm_ops.similarity import (
+        pq_ivf_rerank,
+        pq_ivf_shortlist,
+        write_pq_ivf_index,
+    )
+
+    corpus, _ = _toy_corpus(spark)
+    path = str(tmp_path / "lay")
+    idx = write_pq_ivf_index(corpus, path, m=4, ksub=8, n_centroids=5)
+    queries = corpus.filter("vec_id % 60 = 0").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    sl = pq_ivf_shortlist(queries, idx, n_probe=1, shortlist=5)
+    out = pq_ivf_rerank(spark, sl, queries, path, k=3, id_col="query_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan, plan
+    rows = out.collect()
+    assert rows and all(r["rn"] <= 3 for r in rows)
+    spark.catalog.clearCache()

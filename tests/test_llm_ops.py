@@ -1519,6 +1519,49 @@ def test_ivf_assignment_arrow_form_matches_literal(spark, tmp_path):
     assert top1b == {1000 + i: 1000 + i for i in range(10)}, top1b
 
 
+def test_ivf_build_rejects_bad_vectors_both_forms(spark, tmp_path):
+    """Round-11 ADVICE: the null/dim/null-element guard must hold at
+    BUILD time too (append already had an eager pre-check) — unguarded,
+    a bad corpus vector lands in the centroid=NULL partition at
+    write_ivf_index time and is never probed.  The guard now rides
+    _assign_cells' expression, so both the ≤64-center literal form and
+    the >64-center Arrow form fail loudly, with zero extra corpus
+    passes."""
+    import numpy as np
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from video_etl_spark.llm_ops.similarity import (
+        _LITERAL_CELL_RANK_MAX,
+        write_ivf_index,
+    )
+
+    dim = 8
+    rng = np.random.default_rng(5)
+    good = rng.integers(-50, 50, size=(20, dim)).astype(float).tolist()
+    bad_rows = {
+        "null_vector": (900, None),
+        "dim_mismatch": (901, [1.0] * (dim - 1)),
+        "null_element": (902, [1.0] * (dim - 1) + [None]),
+    }
+    for n_centroids in (4, _LITERAL_CELL_RANK_MAX + 6):
+        centers = (
+            rng.integers(-50, 50, size=(n_centroids, dim))
+            .astype(float)
+            .tolist()
+        )
+        for label, bad in bad_rows.items():
+            corpus = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(good)] + [bad],
+                "vec_id long, embedding array<double>",
+            )
+            path = str(tmp_path / f"ivf_guard_{n_centroids}_{label}")
+            with pytest.raises(SparkRuntimeException, match="never probed"):
+                write_ivf_index(
+                    corpus, path, n_centroids=n_centroids, centers=centers
+                )
+
+
 def test_pq_index_equivalence_and_no_rerank_shuffle(spark, sf_dir, tmp_path):
     """Round-8 index symmetry for ANN, PQ leg: write_pq_index fits the
     codebooks and encodes the corpus ONCE; the probe must equal pq_topk

@@ -21,6 +21,7 @@ planes (bucket size ↑).
 from __future__ import annotations
 
 import hashlib
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -790,6 +791,11 @@ def write_ivf_index(
     or deterministic seed centers for an oracle-reproducible index).
     Like the fitted form, the centers are persisted in the index so
     probes never re-supply them.
+
+    Null / null-element / dim-mismatched corpus vectors fail LOUDLY at
+    build time (the guard rides :func:`_assign_cells`'s expression, so
+    build and append share it): unguarded, such a row lands in the
+    centroid=NULL partition and is never probed.
     """
     from video_etl_spark.control.categories import fit_categories
     from video_etl_spark.session import ensure_executor_package
@@ -862,7 +868,34 @@ def _assign_cells(df: DataFrame, centers, vec_col: str = "scores") -> DataFrame:
     order differs from the JVM fold (pairwise/matmul vs sequential), so
     a mathematically exact tie between two distinct centers can assign
     either way at ulp scale — the same accepted encode-path semantics as
-    ``_pq_encode_frame``."""
+    ``_pq_encode_frame``.
+
+    BOTH forms refuse null vectors, null elements, and dim-mismatched
+    vectors INLINE (round-11 ADVICE): without the guard, the literal
+    form's zip_with null-pads and the row lands silently in the
+    centroid=NULL partition — permanently invisible to the probe's
+    ``centroid.isin()`` pruning.  The check rides the assignment
+    expression itself (no extra corpus pass — an eager pre-scan would
+    double the build's read at index scale), so write, append, and any
+    future caller share it by construction."""
+    dim = len(centers[0])
+    bad_msg = (
+        "_assign_cells: null vector, vector with null elements, or vector "
+        f"whose dimension differs from the centroids (dim={dim}) — it "
+        "would be assigned centroid NULL and never probed"
+    )
+    # when(ok, vec).otherwise(raise_error): NullType coerces under the
+    # array branch, and binding the guard INTO the vector column keeps
+    # column pruning from optimizing the check away (a standalone
+    # assert_true column would be dead-code-eliminated)
+    ok = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.exists(vec_col, lambda x: x.isNull())
+    )
+    df = df.withColumn(
+        vec_col, F.when(ok, F.col(vec_col)).otherwise(F.raise_error(bad_msg))
+    )
     if len(centers) <= _LITERAL_CELL_RANK_MAX:
         from video_etl_spark.control.categories import assign_categories
 
@@ -1892,6 +1925,54 @@ def pq_encode_corpus(
     return books, ids, codes
 
 
+def _parse_jvm_mem(size: "str | None") -> "int | None":
+    """``spark.executor.memory``-style size string → bytes (None when
+    unset/unparseable — the caller falls back to the floor)."""
+    if not size:
+        return None
+    s = size.strip().lower()
+    units = {"k": 10, "m": 20, "g": 30, "t": 40}
+    mult = 0
+    if s.endswith("b") and len(s) > 1 and s[-2] in units:
+        s = s[:-1]
+    if s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    try:
+        return int(float(s)) << mult
+    except ValueError:
+        return None
+
+
+def default_query_block(
+    spark,
+    n_codes: int,
+    floor: int = 512,
+    cap: int = 65_536,
+    mem_fraction: float = 0.25,
+) -> int:
+    """Size the ADC ``query_block`` from the executor memory budget
+    (round-11 verdict #6): the serving peak is one (query_block,
+    n_codes) float64 plane, so ``block = mem_fraction ×
+    spark.executor.memory / (8 × n_codes)`` — the docstring formula,
+    computed instead of hand-tuned, so a right-sized cluster executor
+    (say 4 GiB) doesn't OOM on its first oversized query batch.
+    Falls back to ``floor`` (the measured-safe 512 the rehearsals used)
+    when ``spark.executor.memory`` is unset — e.g. plain local mode,
+    where the driver JVM owns the memory and 512 is already the proven
+    dial.  Results are bit-identical at ANY block size (equivalence-
+    tested), so this only moves the memory/throughput trade-off."""
+    try:
+        mem = spark.conf.get("spark.executor.memory", None)
+    except Exception:  # noqa: BLE001 — conf access varies by deploy mode
+        mem = None
+    mem_bytes = _parse_jvm_mem(mem)
+    if mem_bytes is None:
+        return floor
+    block = int(mem_bytes * mem_fraction / (8 * max(1, n_codes)))
+    return max(floor, min(cap, block))
+
+
 def pq_serve_stream(
     stream_queries: DataFrame,
     books: np.ndarray,
@@ -1900,7 +1981,7 @@ def pq_serve_stream(
     k: int = 10,
     id_col: str = "query_id",
     vec_col: str = "embedding",
-    query_block: int = 512,
+    query_block: "int | None" = None,
 ) -> DataFrame:
     """Score a (possibly streaming) DataFrame of query vectors against the
     broadcast PQ codes; emits (query_id, neighbor_id, approx_ip, rn).
@@ -1913,13 +1994,19 @@ def pq_serve_stream(
     batch × 196k codes was a 6.3 GB intermediate per chunk (fine on a
     128 GiB box, an OOM on right-sized cluster executors).  Results are
     bit-identical at any block size — _adc_scores and the top-k
-    tie-break operate row-wise.  Size it as memory_budget /
-    (8 × n_codes); the einsum per block is tiny next to the ADC."""
+    tie-break operate row-wise.  None (the default) sizes it from the
+    executor memory budget via :func:`default_query_block`
+    (memory_budget / (8 × n_codes), floored at the measured-safe 512);
+    the einsum per block is tiny next to the ADC."""
     from pyspark.sql import types as T
 
     from video_etl_spark.session import ensure_executor_package
 
     ensure_executor_package(stream_queries.sparkSession)
+    if query_block is None:
+        query_block = default_query_block(
+            stream_queries.sparkSession, len(codes)
+        )
     if query_block < 1:
         raise ValueError(f"query_block must be >= 1, got {query_block}")
     m = books.shape[0]
@@ -1962,6 +2049,560 @@ def pq_serve_stream(
             )
 
     return stream_queries.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Layered ANN serving — IVF coarse prune → broadcast-codes ADC → exact
+# re-rank: the composition of the three individually-measured shapes that a
+# 100 TB deployment actually runs (round-11 verdict #2).  The corpus is
+# assigned ONCE into IVF cells and PQ-encoded ONCE in the same pass; a
+# query batch then (1) ranks cells against the broadcast coarse quantizer,
+# (2) ADC-scores ONLY the probed cells' codes — per-batch cost = queries ×
+# (n_probe × occupancy) codes instead of queries × corpus (the structural
+# fix for pq_serve_stream's corpus-sized scan), and (3) exact-re-ranks the
+# bounded shortlist against the partition-pruned vector parquet.  Layering
+# compounds two lossy stages (a true neighbor outside the probed cells, or
+# inside them but outside the ADC shortlist), so the rehearsal reports
+# recall against exact brute force honestly rather than asserting it.
+
+
+class PqIvfIndex(NamedTuple):
+    """Driver-side serving artifacts of a layered PQ-over-IVF index,
+    grouped by cell so each cell's codes are one contiguous slice:
+    ``ids[cell_ptr[c]:cell_ptr[c+1]]`` are cell ``c``'s members.  At m=8
+    this is ~13 bytes/vector (8 code + 4 id… codes uint8 (n, m), ids
+    int64, cells int32) — 13 MB per million vectors, broadcastable like
+    ``pq_encode_corpus``'s arrays; past ``max_rows`` the same composition
+    runs with the codes scanned from the index parquet instead of
+    broadcast (the cell-sharded form), which is why the build persists
+    codes alongside the vectors."""
+
+    books: np.ndarray     # (m, ksub, dsub) float64 PQ codebooks
+    centers: np.ndarray   # (n_cells, dim) float64 coarse quantizer
+    ids: np.ndarray       # (n,) int64, grouped by cell
+    codes: np.ndarray     # (n, m) uint8, same order as ids
+    cells: np.ndarray     # (n,) int32, ascending
+    cell_ptr: np.ndarray  # (n_cells + 1,) slice offsets into ids/codes
+    normalize: bool       # encode/assign space (cosine vs raw)
+
+
+def _group_by_cell(
+    ids: np.ndarray, cells: np.ndarray, codes: np.ndarray, n_cells: int
+):
+    """Stable-sort the (ids, cells, codes) triple by cell and build the
+    slice-offset array — the one grouping both the build and the append
+    use, so appended artifacts keep the contiguous-slice contract."""
+    order = np.argsort(cells, kind="stable")
+    ids, cells, codes = ids[order], cells[order], codes[order]
+    cell_ptr = np.searchsorted(cells, np.arange(n_cells + 1))
+    return ids, cells, codes, cell_ptr
+
+
+def write_pq_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    ksub: int = 16,
+    n_centroids: int = 8,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    centers: "list | np.ndarray | None" = None,
+    books: "np.ndarray | list | None" = None,
+    normalize: bool = True,
+    max_rows: int = 4_000_000,
+) -> PqIvfIndex:
+    """Build the layered index in ONE distributed pass: normalize (per
+    ``normalize``), assign each vector to its nearest coarse center, and
+    PQ-encode it; persist (neighbor_id, neighbor_vec, code) partitioned
+    by centroid under ``{path}/vectors`` plus the ``centers``/``books``/
+    ``params`` sidecars; return the driver-side serving artifacts
+    (re-read from the persisted index via :func:`read_pq_ivf_index`, so
+    build-then-serve and restart-then-serve run the same code path).
+
+    The coarse assignment and the PQ encode share the vector load and
+    the same numpy space (both post-``normalize``), so the cell a
+    vector's code is filed under is BY CONSTRUCTION the cell the serve
+    path's query-side ranking probes — there is no dual-assignment
+    drift for the re-rank's partition pruning to miss.  Ties take the
+    lowest centroid / code id (argmin first-match), matching the probe
+    and oracle tie-breaks.  Explicit ``centers``/``books`` skip the fits
+    (the externally-trained-quantizer workflow, symmetric with
+    ``write_ivf_index(centers=)`` / ``write_pq_index(books=)``).
+
+    Null / dim-mismatched vectors fail loudly inside the encode map
+    (np.stack / reshape refuse ragged input) — nothing can land in a
+    centroid=NULL partition.
+    """
+    from video_etl_spark.session import ensure_executor_package
+
+    spark = corpus.sparkSession
+    ensure_executor_package(spark)
+    if ksub > 256:
+        raise ValueError(
+            f"write_pq_ivf_index requires ksub <= 256 (got {ksub}): codes "
+            "are persisted as one byte per subspace"
+        )
+    head = corpus.select(vec_col).head()
+    if head is None:
+        raise ValueError("write_pq_ivf_index: empty corpus")
+    dim = len(head[0])
+    if dim % m:
+        raise ValueError(
+            f"write_pq_ivf_index: dim={dim} does not split into m={m} "
+            "subspaces"
+        )
+    if books is not None:
+        books = np.asarray(books, dtype=np.float64)
+        if books.shape != (m, ksub, dim // m):
+            raise ValueError(
+                f"write_pq_ivf_index: explicit books shape {books.shape} "
+                f"contradicts (m={m}, ksub={ksub}, dsub={dim // m})"
+            )
+    if centers is not None:
+        centers = np.asarray(centers, dtype=np.float64)
+        if centers.shape != (n_centroids, dim):
+            raise ValueError(
+                f"write_pq_ivf_index: explicit centers shape "
+                f"{centers.shape} contradicts (n_centroids={n_centroids}, "
+                f"dim={dim})"
+            )
+    if books is None or centers is None:
+        sample = _ordered_sample(corpus, id_col, vec_col, sample_size)
+        if normalize:
+            sample = _normalize(sample)
+        if books is None:
+            books = _fit_pq_codebooks(sample, m=m, ksub=ksub, seed=seed)
+        if centers is None:
+            # the coarse quantizer reuses the subspace-kmeans routine on
+            # the FULL vectors (m=1): same Lloyd arithmetic, same seed
+            # discipline as the codebooks — no Spark ML dependency in the
+            # layered path, so the build stays one distributed pass
+            centers = _fit_pq_codebooks(
+                sample, m=1, ksub=n_centroids, seed=seed
+            )[0]
+    dsub = dim // m
+    cmat = np.asarray(centers, dtype=np.float64)
+    cnorm2 = (cmat**2).sum(axis=1)
+    do_norm = bool(normalize)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("neighbor_vec", T.ArrayType(T.DoubleType())),
+            T.StructField("code", T.BinaryType()),
+            T.StructField("centroid", T.IntegerType()),
+        ]
+    )
+
+    def encode_assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if do_norm:
+                mat = _normalize(mat)
+            # assignment: argmin(‖c‖² − 2·v·c) — the ‖v‖² term is
+            # per-row constant (the _assign_cells matmul form)
+            cell = (cnorm2[None, :] - 2.0 * (mat @ cmat.T)).argmin(axis=1)
+            sub = mat.reshape(len(mat), m, dsub)
+            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+            code = d2.argmin(axis=2).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "neighbor_vec": [row.tolist() for row in mat],
+                    "code": [row.tobytes() for row in code],
+                    "centroid": cell.astype(np.int32),
+                }
+            )
+
+    (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(encode_assign, schema=out_schema)
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(f"{path}/vectors")
+    )
+    spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(cmat)],
+        "centroid int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+    spark.createDataFrame(
+        [
+            (j, c, books[j, c].tolist(), bool(normalize))
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "subspace int, code int, center array<double>, normalize boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    # params LAST: its presence vouches every table above is from this
+    # generation (the write_pq_index discipline)
+    spark.createDataFrame(
+        [(int(m), int(ksub), int(n_centroids), bool(normalize))],
+        "m int, ksub int, n_centroids int, normalize boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    return read_pq_ivf_index(spark, path, max_rows=max_rows)
+
+
+def read_pq_ivf_index(
+    spark, path: str, max_rows: int = 4_000_000
+) -> PqIvfIndex:
+    """Load the driver-side serving artifacts from a persisted layered
+    index — the restart path, and the tail of :func:`write_pq_ivf_index`.
+    Reads ONLY the narrow (neighbor_id, code, centroid) columns of the
+    vectors table (parquet column pruning — the raw vectors never reach
+    the driver); a corpus above ``max_rows`` raises like
+    ``pq_encode_corpus`` (past that size the codes belong in the scanned
+    cell-sharded form, not a broadcast array)."""
+    prow = spark.read.parquet(f"{path}/params").collect()[0]
+    books = _books_from_rows(spark.read.parquet(f"{path}/books").collect())
+    centers = np.asarray(
+        _centers_from_rows(spark.read.parquet(f"{path}/centers").collect()),
+        dtype=np.float64,
+    )
+    rows = (
+        spark.read.parquet(f"{path}/vectors")
+        .select("neighbor_id", "code", "centroid")
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"read_pq_ivf_index: index exceeds max_rows={max_rows}; serve "
+            "from the cell-sharded codes parquet instead of driver arrays "
+            "(raise max_rows only if the driver can broadcast them)"
+        )
+    ids = np.array([r["neighbor_id"] for r in rows], dtype=np.int64)
+    cells = np.array([r["centroid"] for r in rows], dtype=np.int32)
+    codes = (
+        np.stack([np.frombuffer(r["code"], dtype=np.uint8) for r in rows])
+        if rows
+        else np.empty((0, books.shape[0]), dtype=np.uint8)
+    )
+    ids, cells, codes, cell_ptr = _group_by_cell(
+        ids, cells, codes, len(centers)
+    )
+    return PqIvfIndex(
+        books, centers, ids, codes, cells, cell_ptr, bool(prow["normalize"])
+    )
+
+
+def pq_ivf_shortlist(
+    stream_queries: DataFrame,
+    index: PqIvfIndex,
+    n_probe: int = 8,
+    shortlist: int = 32,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+    query_block: "int | None" = None,
+) -> DataFrame:
+    """Stage 1+2 of the layered serve — coarse prune + ADC over the
+    surviving cells — in ONE narrow map (streaming-safe: no join, no
+    shuffle, no window).  Emits (query_id, neighbor_id, centroid,
+    approx_ip, rn) with rn the ADC shortlist rank; ``centroid`` is the
+    neighbor's cell, carried so :func:`pq_ivf_rerank`'s exact pass can
+    partition-prune its vector scan to the probed cells.
+
+    Per-batch cost is queries × (n_probe × mean occupancy) code lookups
+    — the pruned-fraction cost the corpus-sized ``pq_serve_stream`` scan
+    was measured to need at 10× (PERF.md round-11) — plus a queries ×
+    n_cells coarse matmul.  Cell ranking is a per-query stable argsort
+    over exact distances (ties → lowest cell id), so the probed set is
+    deterministic and matches the build-side assignment tie-break.
+    ``query_block`` bounds peak memory exactly like ``pq_serve_stream``
+    (None → :func:`default_query_block` sized from the executor memory
+    budget); results are bit-identical at any block size."""
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(stream_queries.sparkSession)
+    if query_block is None:
+        query_block = default_query_block(
+            stream_queries.sparkSession, len(index.ids)
+        )
+    if query_block < 1:
+        raise ValueError(f"query_block must be >= 1, got {query_block}")
+    if not (1 <= n_probe):
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    books, centers = index.books, index.centers
+    ids, codes, cells, cell_ptr = (
+        index.ids, index.codes, index.cells, index.cell_ptr,
+    )
+    m, _, dsub = books.shape
+    n_probe = min(n_probe, len(centers))
+    cnorm2 = (centers**2).sum(axis=1)
+    do_norm = index.normalize
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("centroid", T.IntegerType()),
+            T.StructField("approx_ip", T.DoubleType()),
+            T.StructField("rn", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q_all = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if do_norm:
+                q_all = _normalize(q_all)
+            qids = pdf[id_col].to_numpy()
+            rows = []
+            for s in range(0, len(q_all), query_block):
+                q = q_all[s : s + query_block]
+                luts = np.einsum(
+                    "qjd,jcd->qjc", q.reshape(len(q), m, dsub), books
+                )
+                # stable argsort (not argpartition): boundary ties break
+                # by lowest cell id, deterministically — the same
+                # (distance, centroid) ascending order the IVF probe and
+                # the build-side assignment use
+                d = cnorm2[None, :] - 2.0 * (q @ centers.T)
+                probed = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+                # per-cell batching: queries probing the same cell score
+                # against its contiguous code slice together
+                pair_q = np.repeat(np.arange(len(q)), n_probe)
+                pair_c = probed.ravel()
+                order = np.argsort(pair_c, kind="stable")
+                pair_q, pair_c = pair_q[order], pair_c[order]
+                cand_scores = [[] for _ in range(len(q))]
+                cand_idx = [[] for _ in range(len(q))]
+                for st in range(len(pair_c)):
+                    if st and pair_c[st] == pair_c[st - 1]:
+                        continue
+                    c = pair_c[st]
+                    en = st
+                    while en < len(pair_c) and pair_c[en] == c:
+                        en += 1
+                    lo, hi = cell_ptr[c], cell_ptr[c + 1]
+                    if lo == hi:
+                        continue
+                    qrows = pair_q[st:en]
+                    sc = _adc_scores(luts[qrows], codes[lo:hi])
+                    for row_i, qi in enumerate(qrows):
+                        cand_scores[qi].append(sc[row_i])
+                        cand_idx[qi].append(np.arange(lo, hi))
+                for qi in range(len(q)):
+                    if not cand_scores[qi]:
+                        continue
+                    scores = np.concatenate(cand_scores[qi])
+                    idx = np.concatenate(cand_idx[qi])
+                    keep = _det_topk_idx(
+                        scores, ids[idx], min(shortlist, len(idx))
+                    )
+                    for rank, ki in enumerate(keep, start=1):
+                        bi = idx[ki]
+                        rows.append(
+                            (
+                                int(qids[s + qi]),
+                                int(ids[bi]),
+                                int(cells[bi]),
+                                float(scores[ki]),
+                                rank,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "query_id", "neighbor_id", "centroid", "approx_ip", "rn",
+                ],
+            )
+
+    return stream_queries.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def pq_ivf_rerank(
+    spark,
+    shortlist_df: DataFrame,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stage 3 — exact cosine re-rank of a bounded ADC shortlist against
+    the layered index's vector parquet.  Emits (query_id, neighbor_id,
+    cos_sim, rn).
+
+    The vector scan carries a partition filter listing only the cells
+    the shortlist touches (≤ queries × n_probe distinct — the
+    ``ivf_topk_against_index`` pruning discipline), the shortlist and
+    query sides broadcast (both are batch-bounded), and the cosine is
+    pure JVM fold arithmetic — scale-invariant, so it is correct whether
+    the index stored normalized or raw vectors.  The shortlist frame is
+    persisted for the duration of the call (it feeds both the eager
+    cell-list collect and the returned plan); callers re-ranking in a
+    tight loop can ``spark.catalog.clearCache()`` between batches, the
+    same convention as the IVF probe."""
+    sl = shortlist_df.select("query_id", "neighbor_id", "centroid").persist()
+    probed = [r["centroid"] for r in sl.select("centroid").distinct().collect()]
+    inv = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("centroid").isin(probed))
+        .select("neighbor_id", "centroid", "neighbor_vec")
+    )
+    as_double = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    qd = queries.select(
+        F.col(id_col).alias("query_id"), as_double.alias("query_vec")
+    )
+    dot = (
+        "aggregate(zip_with(query_vec, neighbor_vec, (a, b) -> a * b), "
+        "0D, (s, v) -> s + v)"
+    )
+    nq = "sqrt(aggregate(transform(query_vec, x -> x * x), 0D, (s, v) -> s + v))"
+    nn = (
+        "sqrt(aggregate(transform(neighbor_vec, x -> x * x), 0D, "
+        "(s, v) -> s + v))"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        inv.join(F.broadcast(sl), ["neighbor_id", "centroid"])
+        .join(F.broadcast(qd), "query_id")
+        .withColumn("cos_sim", F.expr(f"{dot} / ({nq} * {nn})"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def layered_topk_against_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    index: "PqIvfIndex | None" = None,
+    k: int = 10,
+    n_probe: int = 8,
+    shortlist: "int | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_block: "int | None" = None,
+) -> DataFrame:
+    """THE layered composition: coarse prune → broadcast-codes ADC →
+    exact re-rank, against a persisted :func:`write_pq_ivf_index` index.
+    Batch form (the re-rank joins and window-ranks, so run it inside
+    ``foreachBatch`` for streams — the ``make_ann_serve_handler``
+    convention); :func:`pq_ivf_shortlist` alone is the streaming-safe
+    approximate answer.  ``shortlist`` defaults to ``max(4·k, 32)`` —
+    the re-rank can only repair ADC quantization error within the
+    shortlist, so it scales with k."""
+    if index is None:
+        index = read_pq_ivf_index(spark, path)
+    if shortlist is None:
+        shortlist = max(4 * k, 32)
+    sl = pq_ivf_shortlist(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+        ),
+        index,
+        n_probe=n_probe,
+        shortlist=shortlist,
+        id_col="query_id",
+        vec_col=vec_col,
+        query_block=query_block,
+    )
+    return pq_ivf_rerank(
+        spark, sl, queries, path, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def append_to_pq_ivf_index(
+    new: DataFrame,
+    path: str,
+    index: PqIvfIndex,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_disjoint: bool = False,
+) -> PqIvfIndex:
+    """Append a vector batch under the FROZEN coarse centers and
+    codebooks (the ``append_to_ivf_index`` / ``append_to_pq_index``
+    discipline — never refit, so every persisted assignment and code
+    stays valid) and return the EXTENDED driver artifacts, re-grouped so
+    the contiguous-slice contract holds.  Same IVF drift caveat: a
+    drifting distribution crowds new vectors into few cells; the remedy
+    is a fresh :func:`write_pq_ivf_index` generation."""
+    from video_etl_spark.session import ensure_executor_package
+
+    spark = new.sparkSession
+    ensure_executor_package(spark)
+    books, centers = index.books, index.centers
+    m, _, dsub = books.shape
+    cmat = centers
+    cnorm2 = (cmat**2).sum(axis=1)
+    do_norm = index.normalize
+    as_double = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    new_d = new.select(
+        F.col(id_col).alias("neighbor_id"), as_double.alias("scores")
+    )
+    fresh = _fresh_only(
+        new_d.dropDuplicates(["neighbor_id"]),
+        spark.read.parquet(f"{path}/vectors"),
+        "neighbor_id",
+        assume_disjoint,
+    ).localCheckpoint()  # reads {path}/vectors, sink below appends to it
+
+    out_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("neighbor_vec", T.ArrayType(T.DoubleType())),
+            T.StructField("code", T.BinaryType()),
+            T.StructField("centroid", T.IntegerType()),
+        ]
+    )
+
+    def encode_assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["scores"].to_numpy()).astype(np.float64)
+            if do_norm:
+                mat = _normalize(mat)
+            cell = (cnorm2[None, :] - 2.0 * (mat @ cmat.T)).argmin(axis=1)
+            sub = mat.reshape(len(mat), m, dsub)
+            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+            code = d2.argmin(axis=2).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "neighbor_vec": [row.tolist() for row in mat],
+                    "code": [row.tobytes() for row in code],
+                    "centroid": cell.astype(np.int32),
+                }
+            )
+
+    encoded = fresh.mapInPandas(encode_assign, schema=out_schema).persist()
+    try:
+        encoded.write.mode("append").partitionBy("centroid").parquet(
+            f"{path}/vectors"
+        )
+        new_rows = encoded.select("neighbor_id", "code", "centroid").collect()
+    finally:
+        encoded.unpersist()
+    if not new_rows:
+        return index
+    ids = np.concatenate(
+        [index.ids, np.array([r["neighbor_id"] for r in new_rows], np.int64)]
+    )
+    cells = np.concatenate(
+        [index.cells, np.array([r["centroid"] for r in new_rows], np.int32)]
+    )
+    codes = np.concatenate(
+        [
+            index.codes,
+            np.stack(
+                [np.frombuffer(r["code"], dtype=np.uint8) for r in new_rows]
+            ),
+        ]
+    )
+    ids, cells, codes, cell_ptr = _group_by_cell(
+        ids, cells, codes, len(centers)
+    )
+    return PqIvfIndex(
+        books, centers, ids, codes, cells, cell_ptr, index.normalize
+    )
 
 
 def cluster_blocked_pairs(
