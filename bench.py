@@ -256,15 +256,130 @@ CONTROL_PINNED_MID = {
 }
 _PIN_CONFIG = {"sf": 0.1, "cpus": 32}
 
+# Pin lifecycle (round-11 verdict #5): the constants above are BOX- and
+# SPARK-VERSION-dated — on a different box or after a Spark upgrade every
+# ratio silently shifts.  `bench.py --repin` re-measures both pin sets on
+# an idle box (the same three-runs-per-position protocol the constants
+# came from) and writes them WITH provenance to the committed sidecar
+# below, which takes precedence over the constants; every artifact
+# carries the provenance in `pin_provenance` and raises `pins_stale`
+# when the running Spark version differs from the pins'.
+_PIN_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_pins.json"
+)
+_DEFAULT_PIN_PROVENANCE = {
+    "measured": "2026-08-15",
+    "spark_version": "4.1.2",
+    "source": "in-code constants (rounds 9/11)",
+}
+
+
+def load_pins():
+    """(control_pinned, control_pinned_mid, provenance) — the sidecar
+    written by ``--repin`` when present, else the in-code constants with
+    their recorded provenance."""
+    try:
+        with open(_PIN_FILE) as fh:
+            d = json.load(fh)
+        prov = {
+            "measured": d["measured"],
+            "spark_version": d["spark_version"],
+            "source": os.path.basename(_PIN_FILE),
+        }
+        return d["control_pinned"], d["control_pinned_mid"], prov
+    except (OSError, ValueError, KeyError):
+        return CONTROL_PINNED, CONTROL_PINNED_MID, dict(_DEFAULT_PIN_PROVENANCE)
+
+
+def repin(n_runs: int = 3) -> None:
+    """Re-measure both pin sets and write the provenance-stamped sidecar.
+
+    Protocol — identical to how the in-code constants were measured:
+    ``n_runs`` fresh-process control-only runs (median-of-7 trio at the
+    START position) and ``n_runs`` fresh-process half-bench runs
+    (median-of-11 trio at the MID position, after the first-half jobs
+    warm the JVM), per-metric median across runs.  Fresh subprocesses
+    are the point: the start pins must see a cold JVM.  Run on an IDLE
+    box at the pinned config — anything else bakes the contention into
+    every future ratio.  The procedure is documented in PERF.md
+    (round-12 'bench pin lifecycle')."""
+    import datetime
+    import statistics
+    import subprocess
+    import sys
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if sf != _PIN_CONFIG["sf"] or cpus != _PIN_CONFIG["cpus"]:
+        raise SystemExit(
+            f"--repin must run at the pinned config (sf={_PIN_CONFIG['sf']}, "
+            f"cpus={_PIN_CONFIG['cpus']}); got sf={sf}, cpus={cpus}"
+        )
+
+    def measure(mode_env: str, key: str) -> dict:
+        runs = []
+        for i in range(n_runs):
+            env = dict(os.environ, **{mode_env: "1"})
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, env=env, check=True,
+            ).stdout
+            row = None
+            for line in out.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    d = json.loads(line)
+                    if key in d:
+                        row = d[key]
+            if row is None:
+                raise SystemExit(
+                    f"--repin: no {key!r} JSON line in {mode_env} run output"
+                )
+            runs.append(row)
+            print(f"  {mode_env} run {i + 1}/{n_runs}: "
+                  f"{json.dumps(row, sort_keys=True)}")
+        return {
+            k: round(statistics.median(r[k] for r in runs), 4)
+            for k in runs[0]
+        }
+
+    print(f"repin: {n_runs} fresh-process runs per position "
+          f"(idle box assumed) ...")
+    pinned = measure("SPARK_GRAFT_BENCH_CONTROL_ONLY", "control")
+    pinned_mid = measure("SPARK_GRAFT_BENCH_MID_CONTROL_ONLY", "control_mid")
+    import pyspark
+
+    sidecar = {
+        "control_pinned": pinned,
+        "control_pinned_mid": pinned_mid,
+        "measured": datetime.date.today().isoformat(),
+        "spark_version": pyspark.__version__,
+        "config": _PIN_CONFIG,
+        "n_runs": n_runs,
+    }
+    tmp = _PIN_FILE + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(sidecar, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    os.replace(tmp, _PIN_FILE)
+    print(f"wrote {_PIN_FILE}:")
+    print(json.dumps(sidecar, indent=1, sort_keys=True))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    pinned, pinned_mid, pin_prov = load_pins()
 
     registry.load_all()
     spark = get_spark("video-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # pins are Spark-version-dated: a version bump silently shifts every
+    # ratio, so the artifact must say so loudly until a --repin
+    pins_stale = spark.version != pin_prov["spark_version"]
 
     from pyspark.sql import functions as F
 
@@ -415,8 +530,9 @@ def main() -> None:
         "control_start": control_start,
         "control_mid": control_mid,
         "control_end": control_end,
-        "control_pinned": CONTROL_PINNED,
-        "control_pinned_mid": CONTROL_PINNED_MID,
+        "control_pinned": pinned,
+        "control_pinned_mid": pinned_mid,
+        "pin_provenance": pin_prov,
         "pinned_rdds_after": pinned_after,
     }
     compact = {
@@ -426,6 +542,16 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(HEADLINE),
     }
+    if pins_stale:
+        # verbose note in the committed full artifact; the compact line
+        # (size-contracted to the driver's tail capture) gets a boolean
+        full["pins_stale"] = (
+            f"pins measured on Spark {pin_prov['spark_version']} "
+            f"({pin_prov['measured']}) but running {spark.version} — "
+            "ratios are cross-version; run `bench.py --repin` on an "
+            "idle box"
+        )
+        compact["pins_stale"] = True
     # normalization is only meaningful at the pinned config with real pins
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # session.get_spark honors a SPARK_MASTER override, under which the
@@ -433,13 +559,13 @@ def main() -> None:
     # local[32], so any other master disables normalization
     master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if (
-        all(v is not None for v in CONTROL_PINNED.values())
+        all(v is not None for v in pinned.values())
         and sf == _PIN_CONFIG["sf"]
         and cpus == _PIN_CONFIG["cpus"]
         and master == f"local[{_PIN_CONFIG['cpus']}]"
         and reps >= 3
     ):
-        pin_sum = sum(CONTROL_PINNED.values())
+        pin_sum = sum(pinned.values())
         r_start = round(sum(control_start.values()) / pin_sum, 4)
         r_end = round(sum(control_end.values()) / pin_sum, 4)
         # NORMALIZE BY median(start ratio, mid ratio) — round-10 verdict
@@ -455,10 +581,10 @@ def main() -> None:
         # transient-start failure mode that made start_elevated fire on
         # every r10 run and deflated value_normalized by tens of
         # percent (driver 78.3s raw -> 54.2s "normalized").
-        mid_pinned = all(v is not None for v in CONTROL_PINNED_MID.values())
+        mid_pinned = all(v is not None for v in pinned_mid.values())
         if mid_pinned:
             r_mid = round(
-                sum(control_mid.values()) / sum(CONTROL_PINNED_MID.values()),
+                sum(control_mid.values()) / sum(pinned_mid.values()),
                 4,
             )
             # median of two samples == their mean; written as a sorted
@@ -496,13 +622,13 @@ def main() -> None:
         # judge can see WHICH mode drifted, not just that one did
         full["control_mode_ratio"] = {
             k: {
-                "start": round(control_start[k] / CONTROL_PINNED[k], 4),
+                "start": round(control_start[k] / pinned[k], 4),
                 **(
-                    {"mid": round(control_mid[k] / CONTROL_PINNED_MID[k], 4)}
+                    {"mid": round(control_mid[k] / pinned_mid[k], 4)}
                     if mid_pinned
                     else {}
                 ),
-                "end": round(control_end[k] / CONTROL_PINNED[k], 4),
+                "end": round(control_end[k] / pinned[k], 4),
             }
             for k in control_start
         }
@@ -564,4 +690,13 @@ def query_map_lines(timings: dict, per: int = 10) -> "list[str]":
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--repin" in sys.argv:
+        try:
+            n = int(sys.argv[sys.argv.index("--repin") + 1])
+        except (IndexError, ValueError):
+            n = 3
+        repin(n_runs=n)
+    else:
+        main()

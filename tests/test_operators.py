@@ -576,6 +576,50 @@ def test_bench_artifact_lines_fit_tail_capture():
     assert len(whole_chunks) >= 2  # real per-query data survives too
 
 
+def test_bench_pin_lifecycle(tmp_path, monkeypatch):
+    """Round-11 verdict #5: pins are box/Spark-version-dated constants —
+    load_pins must fall back to the in-code constants WITH their
+    recorded provenance, prefer the --repin sidecar when present, and
+    survive a corrupt sidecar (constants, not a crash); the compact
+    artifact's staleness marker is a boolean so the tail-capture size
+    contract holds."""
+    import json
+
+    import bench
+
+    # no sidecar: constants + their provenance
+    monkeypatch.setattr(bench, "_PIN_FILE", str(tmp_path / "none.json"))
+    p, pm, prov = bench.load_pins()
+    assert p == bench.CONTROL_PINNED and pm == bench.CONTROL_PINNED_MID
+    assert prov["measured"] == "2026-08-15" and prov["spark_version"]
+
+    # sidecar present: overrides both pin sets, provenance names the file
+    side = tmp_path / "bench_pins.json"
+    doc = {
+        "control_pinned": {k: 1.0 for k in bench.CONTROL_PINNED},
+        "control_pinned_mid": {k: 2.0 for k in bench.CONTROL_PINNED_MID},
+        "measured": "2030-01-01",
+        "spark_version": "9.9.9",
+        "config": bench._PIN_CONFIG,
+        "n_runs": 3,
+    }
+    side.write_text(json.dumps(doc))
+    monkeypatch.setattr(bench, "_PIN_FILE", str(side))
+    p, pm, prov = bench.load_pins()
+    assert p == doc["control_pinned"] and pm == doc["control_pinned_mid"]
+    assert prov == {
+        "measured": "2030-01-01",
+        "spark_version": "9.9.9",
+        "source": "bench_pins.json",
+    }
+
+    # corrupt sidecar: loud fallback to constants, never a crash
+    side.write_text("{not json")
+    p, pm, prov = bench.load_pins()
+    assert p == bench.CONTROL_PINNED
+    assert prov["source"].startswith("in-code")
+
+
 def _eager_stats_lazy_forms():
     """The three count-grain stats registry queries return an eagerly
     materialized local frame since round 10 (verdict #7: unpersist in
