@@ -234,7 +234,6 @@ def scale_lifecycle(
     from video_etl_spark.streaming.curation import make_ingest_handler
     from video_etl_spark.streaming.dedup import (
         compact_stream_index,
-        maybe_refold,
         next_generation_name,
         prune_folded_partitions,
         refold_stream_index,
@@ -300,26 +299,35 @@ def scale_lifecycle(
             sw, fold_s = raw, 0.0
             print("  (--no-fold control: raw mode throughout)")
 
-        cur_table = _GEN_TABLE
+        if fold and auto_refold:
+            # UNATTENDED rotation via the LIBRARY wrapper (round-12
+            # verdict #4 promoted this loop's carry discipline into
+            # streaming.curation.make_auto_refold_ingest_handler): the
+            # wrapper consults the policy between batches and rotates
+            # its inner handler itself — threshold 5 is exactly the
+            # tail the manual run regrows by REFOLD_AFTER, so it must
+            # fire once, at the same batch, with the same folded
+            # partitions (asserted below via .rotations)
+            from video_etl_spark.streaming.curation import (
+                make_auto_refold_ingest_handler,
+            )
+
+            auto = make_auto_refold_ingest_handler(
+                *args, **kw, compacted_table=_GEN_TABLE, tail_threshold=5
+            )
+            sw = auto
+            rotations = auto.rotations  # the wrapper's log IS the record
         for b in range(FOLD_AFTER + 1, N_SCALE_BATCHES):
             if fold and auto_refold:
-                # UNATTENDED rotation: the policy reads the regrown tail
-                # between batches and decides — threshold 5 is exactly
-                # the tail the manual run regrows by REFOLD_AFTER, so
-                # the policy must fire once, at the same batch, with
-                # the same folded partitions (asserted below)
+                # poll() separately so the rotation cost stays broken
+                # out of the per-batch latency table (the wrapper's
+                # __call__ would fold it into batch b's timing); the
+                # __call__-time re-poll is then a cheap no-op
                 t0 = time.perf_counter()
-                cfg = maybe_refold(
-                    spark, sig_dir, cur_table, upto_batch_id=b - 1,
-                    tail_threshold=5,
-                )
+                cfg = auto.poll(spark, b - 1)
                 if cfg is not None:
-                    cur_table = cfg["compacted_table"]
-                    sw = make_ingest_handler(
-                        *args, **kw, compacted_table=cur_table
-                    )
-                    rotations.append((b, cfg))
-                    print(f"  maybe_refold fired -> {cur_table} "
+                    print(f"  maybe_refold fired -> "
+                          f"{cfg['compacted_table']} "
                           f"(tail {cfg['tail_partitions']}, pruned "
                           f"{len(cfg['pruned'])} partitions): "
                           f"{time.perf_counter() - t0:.1f}s")

@@ -3092,3 +3092,124 @@ def test_maybe_refold_frame_twin(spark, tmp_path):
             "t_mrff_gen0_g1", "t_mrff_gen0_g1_watermark",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_auto_refold_handler_equals_manual_sequence(spark, tmp_path):
+    """Round-12 (verdict #4): the LIBRARY wrapper — AutoRefoldHandler /
+    make_auto_refold_ingest_handler — must reproduce the manual
+    quiesce → policy → carry-config → re-create sequence exactly: same
+    rotation batch, same successor generation rows, same clean/rejected
+    ledger, with the rotation recorded in .rotations.  This is the
+    example-loop equivalence promoted into a pinned contract (the
+    --auto-refold rehearsal now drives this wrapper)."""
+    from video_etl_spark.streaming.curation import (
+        make_auto_refold_ingest_handler,
+        make_ingest_handler,
+    )
+    from video_etl_spark.streaming.dedup import (
+        compact_stream_index,
+        maybe_refold,
+        prune_folded_partitions,
+    )
+
+    texts = [
+        ("the quick brown fox jumps over the lazy dog while the sun "
+         "sets slowly behind the distant purple mountains tonight"),
+        ("completely different legal boilerplate concerning maritime "
+         "insurance claims and arbitration procedure under section nine"),
+        ("a third entirely unrelated paragraph about orbital mechanics "
+         "and the docking procedure for resupply missions in low orbit"),
+        ("yet another disjoint passage describing the annual migration "
+         "of shorebirds across the intertidal mudflats every autumn"),
+        ("a fifth standalone text on the metallurgy of bronze casting "
+         "and the lost wax technique used by ancient foundries"),
+        ("finally a sixth passage concerning the taxonomy of lichens "
+         "growing on exposed granite surfaces above the treeline"),
+    ]
+
+    def batch(b):
+        # one fresh text + one repeat, so every post-first batch has a
+        # non-trivial near-dup rejection for the ledger compare
+        return spark.createDataFrame(
+            [
+                (10 * b, texts[b % 6], "src"),
+                (10 * b + 1, texts[(b + 1) % 6], "src"),
+            ],
+            "doc_id long, text string, source string",
+        )
+
+    N, FOLD_AT, THRESH = 7, 1, 3  # tail {2,3,4} crosses THRESH before b=5
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [("benchshingleonly benchtok benchtok benchtok benchtok",)],
+        "s string",
+    ).select("s").write.parquet(bench)
+
+    def replay(tag, auto: bool):
+        idx = str(tmp_path / f"{tag}_idx")
+        dirs = dict(
+            index_dir=idx,
+            bench_dir=bench,
+            clean_dir=str(tmp_path / f"{tag}_clean"),
+            rejected_dir=str(tmp_path / f"{tag}_rej"),
+        )
+        gen0 = f"t_arw_{tag}_gen0"
+        handler = make_ingest_handler(**dirs)
+        for b in range(FOLD_AT + 1):
+            handler(batch(b), b)
+        compact_stream_index(
+            spark, idx, gen0, str(tmp_path / f"{tag}_gen0"),
+            upto_batch_id=FOLD_AT, n_buckets=4,
+        )
+        prune_folded_partitions(spark, idx, gen0)
+        if auto:
+            handler = make_auto_refold_ingest_handler(
+                **dirs, compacted_table=gen0, tail_threshold=THRESH
+            )
+        else:
+            handler = make_ingest_handler(**dirs, compacted_table=gen0)
+        for b in range(FOLD_AT + 1, N):
+            if not auto:
+                cfg = maybe_refold(
+                    spark, idx, gen0, upto_batch_id=b - 1,
+                    tail_threshold=THRESH,
+                )
+                if cfg is not None:
+                    gen0 = cfg["compacted_table"]
+                    handler = make_ingest_handler(
+                        **dirs, compacted_table=gen0
+                    )
+            handler(batch(b), b)
+        ledger = sorted(
+            (r["doc_id"], r["reason"], r["detail"], r["batch_id"])
+            for r in spark.read.parquet(dirs["rejected_dir"]).collect()
+        )
+        clean = sorted(
+            (r["doc_id"], r["batch_id"], r["shard"])
+            for r in spark.read.parquet(dirs["clean_dir"]).collect()
+        )
+        return handler, ledger, clean
+
+    try:
+        wrapper, auto_led, auto_clean = replay("auto", auto=True)
+        _, man_led, man_clean = replay("man", auto=False)
+        # rotation fired exactly once, at the threshold crossing, and
+        # the wrapper carried the successor itself
+        assert len(wrapper.rotations) == 1, wrapper.rotations
+        b_fired, cfg = wrapper.rotations[0]
+        assert b_fired == FOLD_AT + THRESH + 1
+        assert cfg["compacted_table"] == "t_arw_auto_gen0_g1"
+        assert wrapper.compacted_table == cfg["compacted_table"]
+        # successor generation rows equal the manual run's, and both
+        # ledgers (rejections AND clean/shard assignments) match
+        rows = lambda t: sorted(  # noqa: E731
+            tuple(r) for r in spark.table(t).collect()
+        )
+        assert rows("t_arw_auto_gen0_g1") == rows("t_arw_man_gen0_g1")
+        assert auto_led == man_led and len(auto_led) > 0
+        assert auto_clean == man_clean and len(auto_clean) > 0
+    finally:
+        for base in ("t_arw_auto_gen0", "t_arw_man_gen0"):
+            for t in (base, f"{base}_g1"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+                spark.sql(f"DROP TABLE IF EXISTS {t}_watermark")

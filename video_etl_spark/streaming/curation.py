@@ -114,12 +114,12 @@ def make_ingest_handler(
     bucketed generation plus the raw tail.  As the tail regrows,
     rotate generations with ``streaming.dedup.refold_stream_index``
     (same switchover sequence; measured at 10× in
-    ``examples/run_streaming_ingest.py --scale``) — or let
-    ``streaming.dedup.maybe_refold`` decide UNATTENDED: call it between
-    batches (quiesced window) and, when it returns a config, re-create
-    this handler with the returned ``compacted_table``
-    (``examples/run_streaming_ingest.py --auto-refold`` is the measured
-    reference loop).
+    ``examples/run_streaming_ingest.py --scale``) — or run UNATTENDED
+    via :func:`make_auto_refold_ingest_handler` below: the library
+    wrapper that consults ``streaming.dedup.maybe_refold`` between
+    batches and carries the returned generation config itself
+    (``examples/run_streaming_ingest.py --auto-refold`` drives exactly
+    that wrapper at 10×).
 
     Clean sink rows: (doc_id, text, ..., ttr_ppm, shard, batch_id).
     Rejected sink rows: (doc_id, reason, detail, batch_id) where reason ∈
@@ -307,6 +307,55 @@ def make_ingest_handler(
                 sigs.unpersist()
 
     return handle
+
+
+def make_auto_refold_ingest_handler(
+    index_dir: str,
+    bench_dir: str,
+    clean_dir: str,
+    rejected_dir: str,
+    compacted_table: str,
+    tail_threshold: int = 98,
+    files_per_bucket: int = 1,
+    **handler_kwargs,
+):
+    """:func:`make_ingest_handler` under the UNATTENDED generation-
+    rotation policy — the library form of the quiesce → ``maybe_refold``
+    → carry config → re-create handler sequence (round-11 verdict #4;
+    previously only the measured reference loop in
+    ``examples/run_streaming_ingest.py --auto-refold``, which now drives
+    this helper).
+
+    ``compacted_table`` is the CURRENT generation: the stream must
+    already be folded once (``streaming.dedup.compact_stream_index`` —
+    an explicit capacity decision, not a policy default).  Returns a
+    ``streaming.dedup.AutoRefoldHandler``: call it per micro-batch (or
+    hand it to ``foreachBatch``); it consults the policy between
+    batches, rotates its inner ingest handler when the raw tail crosses
+    ``tail_threshold``, and logs fired configs in ``.rotations``.  See
+    ``AutoRefoldHandler`` for the retry and restart discipline.
+    ``handler_kwargs`` pass through to :func:`make_ingest_handler`
+    (min_ttr_ppm, n_shards, bands, stats/occupancy sinks, …).
+    """
+    from video_etl_spark.streaming.dedup import AutoRefoldHandler
+
+    def factory(table: str):
+        return make_ingest_handler(
+            index_dir,
+            bench_dir,
+            clean_dir,
+            rejected_dir,
+            compacted_table=table,
+            **handler_kwargs,
+        )
+
+    return AutoRefoldHandler(
+        factory,
+        index_dir,
+        compacted_table,
+        tail_threshold=tail_threshold,
+        files_per_bucket=files_per_bucket,
+    )
 
 
 def streaming_ingest_curation(

@@ -537,6 +537,87 @@ def maybe_refold(
     }
 
 
+class AutoRefoldHandler:
+    """The :func:`maybe_refold` carry discipline as LIBRARY code
+    (round-11 verdict #4): a config-carrying wrapper that owns the
+    current generation and the live inner handler, so production
+    callers stop re-implementing the quiesce → policy → carry returned
+    config → re-create handler sequence the stale-caller guard exists to
+    protect.
+
+    ``handler_factory(compacted_table)`` must return a fresh per-batch
+    handler bound to that generation — any of this package's handler
+    makers closes over it (``make_batch_handler``,
+    ``curation.make_ingest_handler``, the frame twin via
+    ``refold_fn=``).  Each call consults the policy in the BETWEEN-
+    batches quiesced window (at the top of batch ``b`` the previous
+    batch has committed and no batch is in flight — the exact window
+    :func:`maybe_refold`'s contract names) with ``upto_batch_id =
+    b − 1``, rotates the inner handler when it fires, then delegates.
+    Fired configs accumulate in ``.rotations`` (``[(batch_id, cfg),
+    …]``) — the operational log, and what a caller persists if it wants
+    restart continuity.
+
+    At-least-once retries are safe: a retried batch re-consults with the
+    ALREADY-ROTATED generation (the wrapper carries it), which is simply
+    below threshold again.  On PROCESS restart, re-create the wrapper
+    with the LATEST generation (the last logged rotation's
+    ``compacted_table``, or the newest ``*_watermark`` sidecar);
+    constructing it with a superseded generation fails loudly at the
+    first post-threshold batch via the policy's stale-caller guard
+    instead of silently losing history.
+
+    The first fold stays an explicit capacity decision
+    (:func:`compact_stream_index`) — this wrapper requires an
+    already-folded stream, same as the policy it drives.
+    """
+
+    def __init__(
+        self,
+        handler_factory,
+        index_dir: str,
+        compacted_table: str,
+        tail_threshold: int = 98,
+        refold_fn=None,
+        files_per_bucket: int = 1,
+    ):
+        self._factory = handler_factory
+        self.index_dir = index_dir
+        self.compacted_table = compacted_table
+        self.tail_threshold = tail_threshold
+        self._refold_fn = refold_fn
+        self._files_per_bucket = files_per_bucket
+        self.rotations: list = []
+        self._handler = handler_factory(compacted_table)
+
+    def poll(self, spark, upto_batch_id: int) -> "dict | None":
+        """Consult the policy and rotate the inner handler if it fires.
+        ``__call__`` does this automatically with ``batch_id − 1``;
+        exposed so a caller can time/log the rotation step separately
+        from the batch it precedes (the rehearsal's per-batch latency
+        table keeps the fold cost broken out) — a poll that just
+        rotated makes the next ``__call__``'s own poll a cheap no-op
+        (the fresh generation's tail is below threshold)."""
+        cfg = maybe_refold(
+            spark,
+            self.index_dir,
+            self.compacted_table,
+            upto_batch_id=upto_batch_id,
+            tail_threshold=self.tail_threshold,
+            refold_fn=self._refold_fn,
+            files_per_bucket=self._files_per_bucket,
+        )
+        if cfg is not None:
+            self.compacted_table = cfg["compacted_table"]
+            self._handler = self._factory(self.compacted_table)
+            self.rotations.append((upto_batch_id + 1, cfg))
+        return cfg
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        self.poll(batch_df.sparkSession, batch_id - 1)
+        self._handler(batch_df, batch_id)
+
+
 def prune_folded_partitions(spark, index_dir: str, table: str) -> list[int]:
     """Delete the raw ``batch_id=<n>`` partitions that
     :func:`compact_stream_index` (or the frame twin) has folded into the
