@@ -202,6 +202,64 @@ def test_append_to_pq_ivf_matches_rebuild(spark, tmp_path):
     assert triples(idx_again) == triples(idx_app)
 
 
+def test_scanned_shortlist_equals_broadcast_form(spark, tmp_path):
+    """The >max_rows serving form — codes SCANNED from the
+    cell-partitioned parquet instead of broadcast — must produce the
+    broadcast form's shortlist exactly (same LUT arithmetic, same ADC
+    addends, same tie-break; the per-chunk partial top-r prefilter is
+    sound under any partitioning), its codes scan must carry the
+    centroid partition filter, and the composed layered_topk_scanned
+    must equal layered_topk_against_index."""
+    from video_etl_spark.llm_ops.similarity import (
+        layered_topk_against_index,
+        layered_topk_scanned,
+        pq_ivf_shortlist,
+        pq_ivf_shortlist_scanned,
+        write_pq_ivf_index,
+    )
+
+    corpus, _ = _toy_corpus(spark)
+    path = str(tmp_path / "lay")
+    idx = write_pq_ivf_index(corpus, path, m=4, ksub=8, n_centroids=5)
+    queries = corpus.filter("vec_id % 16 = 0").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    for n_probe in (1, 2, 5):
+        b = sorted(
+            tuple(r)
+            for r in pq_ivf_shortlist(
+                queries, idx, n_probe=n_probe, shortlist=7
+            ).collect()
+        )
+        s = sorted(
+            tuple(r)
+            for r in pq_ivf_shortlist_scanned(
+                spark, queries, path, n_probe=n_probe, shortlist=7
+            ).collect()
+        )
+        assert s == b and len(s) > 0, n_probe
+
+    scanned = pq_ivf_shortlist_scanned(
+        spark, queries, path, n_probe=2, shortlist=7
+    )
+    plan = scanned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan, plan
+
+    q2 = corpus.filter("vec_id % 30 = 0")
+    a = sorted(
+        map(tuple, layered_topk_against_index(
+            spark, q2, path, index=idx, k=3, n_probe=2
+        ).collect())
+    )
+    c = sorted(
+        map(tuple, layered_topk_scanned(
+            spark, q2, path, k=3, n_probe=2
+        ).collect())
+    )
+    assert a == c and len(a) == q2.count() * 3
+    spark.catalog.clearCache()
+
+
 def test_default_query_block_formula_and_fallback(spark):
     """block = mem_fraction × executor-memory / (8 × n_codes), clamped
     to [floor, cap]; unset/unparseable memory falls back to the

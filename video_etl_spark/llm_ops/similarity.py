@@ -2605,6 +2605,187 @@ def append_to_pq_ivf_index(
     )
 
 
+def pq_ivf_shortlist_scanned(
+    spark,
+    queries: DataFrame,
+    path: str,
+    n_probe: int = 8,
+    shortlist: int = 32,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+    max_queries: int = 65_536,
+) -> DataFrame:
+    """The layered shortlist for corpora PAST the driver-array cap —
+    codes SCANNED from the cell-partitioned index parquet instead of
+    broadcast (the form ``read_pq_ivf_index``'s ``max_rows`` raise
+    points at; at 1B vectors the codes are 8 GB — shardable, not
+    broadcastable).  Identical output to :func:`pq_ivf_shortlist` on
+    the same index (equivalence-tested): same LUT arithmetic, same ADC
+    addends, same (approx desc, id asc) cut.
+
+    Shape inversion from the broadcast form: there the CODES ride to
+    the queries; here the small side — the query batch — rides to the
+    codes.  The query batch is validated, bounded (``max_queries``,
+    the ``pq_topk_against_index`` discipline — its vectors ship to
+    every executor), collected, coarse-assigned DRIVER-side against
+    the centers sidecar, and closed over; the codes scan carries a
+    partition filter listing only the probed cells (IO proportional to
+    the pruned fraction), and each Arrow chunk ADC-scores its rows
+    against exactly the queries probing that row's cell, emitting at
+    most ``shortlist`` candidates per (query, chunk) — the partial
+    top-r prefilter is sound under any partitioning because every
+    global top-r candidate is in its own chunk's top-r (the ``pq_topk``
+    argument).  One window per query merges partials to the global
+    shortlist.  Batch form (window + driver collect): run inside
+    ``foreachBatch`` for streams.  Feed the result to
+    :func:`pq_ivf_rerank` for the exact pass — same columns as the
+    broadcast shortlist."""
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(spark)
+    prow = spark.read.parquet(f"{path}/params").collect()[0]
+    do_norm = bool(prow["normalize"])
+    books = _books_from_rows(spark.read.parquet(f"{path}/books").collect())
+    centers = np.asarray(
+        _centers_from_rows(spark.read.parquet(f"{path}/centers").collect()),
+        dtype=np.float64,
+    )
+    m, _, dsub = books.shape
+    n_probe = min(n_probe, len(centers))
+
+    q = _dedup_queries_validated(
+        queries, id_col, vec_col, "pq_ivf_shortlist_scanned", max_queries
+    )
+    rows = q.select(id_col, vec_col).collect()
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, centroid int, "
+            "approx_ip double, rn long",
+        )
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qmat = np.stack([np.array(r[1]) for r in rows]).astype(np.float64)
+    if do_norm:
+        qmat = _normalize(qmat)
+    # driver-side coarse assignment in query chunks (the d plane is
+    # n_q × n_cells — chunking bounds it the query_block way); stable
+    # argsort ties → lowest cell id, the shared tie-break
+    cn2 = (centers**2).sum(axis=1)
+    probe_map: dict[int, list] = {}
+    for s in range(0, len(qmat), 8192):
+        d = cn2[None, :] - 2.0 * (qmat[s : s + 8192] @ centers.T)
+        probed = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        for qi_local, cells_row in enumerate(probed):
+            for c in cells_row:
+                probe_map.setdefault(int(c), []).append(s + qi_local)
+    probe_arr = {c: np.asarray(v, dtype=np.int64) for c, v in probe_map.items()}
+    probed_cells = sorted(probe_arr)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("centroid", T.IntegerType()),
+            T.StructField("approx_ip", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        lut_cache: dict[int, np.ndarray] = {}
+
+        def lut_for(qrow: int) -> np.ndarray:
+            lut = lut_cache.get(qrow)
+            if lut is None:
+                lut = np.einsum(
+                    "jd,jcd->jc", qmat[qrow].reshape(m, dsub), books
+                )
+                lut_cache[qrow] = lut
+            return lut
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            cell_vals = pdf["centroid"].to_numpy()
+            for c in np.unique(cell_vals):
+                qrows = probe_arr.get(int(c))
+                if qrows is None:
+                    continue
+                sub = pdf[cell_vals == c]
+                codes_c = np.stack(
+                    [np.frombuffer(b, dtype=np.uint8) for b in sub["code"]]
+                )
+                nids = sub["neighbor_id"].to_numpy()
+                luts = np.stack([lut_for(int(r)) for r in qrows])
+                sc = _adc_scores(luts, codes_c)
+                keep = min(shortlist, len(nids))
+                for row_i, qrow in enumerate(qrows):
+                    top = _det_topk_idx(sc[row_i], nids, keep)
+                    for bi in top:
+                        out.append(
+                            (
+                                int(qids[qrow]),
+                                int(nids[bi]),
+                                int(c),
+                                float(sc[row_i, bi]),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=["query_id", "neighbor_id", "centroid", "approx_ip"],
+            )
+
+    partials = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("centroid").isin(probed_cells))
+        .select("neighbor_id", "code", "centroid")
+        .mapInPandas(score, schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), "neighbor_id"
+    )
+    return (
+        partials.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id", "centroid", "approx_ip", "rn")
+    )
+
+
+def layered_topk_scanned(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 8,
+    shortlist: "int | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 65_536,
+) -> DataFrame:
+    """:func:`layered_topk_against_index` in the SCANNED-codes form —
+    the composition for corpora past the broadcast-array cap.  Same
+    output contract (equivalence-tested against the broadcast form);
+    cost per batch is one partition-pruned scan of the probed cells'
+    codes plus the bounded exact re-rank."""
+    if shortlist is None:
+        shortlist = max(4 * k, 32)
+    sl = pq_ivf_shortlist_scanned(
+        spark,
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+        ),
+        path,
+        n_probe=n_probe,
+        shortlist=shortlist,
+        id_col="query_id",
+        vec_col=vec_col,
+        max_queries=max_queries,
+    )
+    return pq_ivf_rerank(
+        spark, sl, queries, path, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
 def cluster_blocked_pairs(
     emb: DataFrame,
     n_centers: int = 8,
