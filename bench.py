@@ -112,7 +112,7 @@ HEADLINE = [
     "band_occupancy_histogram",
     # round-9 additions: the SimHash and phash count-grain readouts
     # (rep-grain analytic partners — the corpus-scale default the pair
-    # forms defer to; knn_{ivf,lsh}_indexed stay driver-only, their
+    # forms defer to; knn_{ivf,lsh,pq,layered}_indexed stay driver-only, their
     # per-call index writes belong to the @index-twin measurement
     # family, not the headline).
     "simhash_overlap_stats",

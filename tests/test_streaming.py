@@ -1820,6 +1820,95 @@ def test_streaming_ann_serve_matches_batch_probe(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_layered_serve_handler_equals_batch_probe(spark, sf_dir, tmp_path):
+    """The layered serving handler (round 12): per-batch answers over
+    the streamed query feed must equal the one-shot
+    layered_topk_against_index over the union, every query answered in
+    exactly one batch, and a handler retry idempotently rewrites its
+    own batch_id partition — the make_ann_serve_handler contract on the
+    composed shape."""
+    import json
+    import os
+
+    from video_etl_spark.llm_ops.similarity import (
+        layered_topk_against_index,
+        write_pq_ivf_index,
+    )
+    from video_etl_spark.streaming.ann_serve import (
+        make_layered_serve_handler,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "layered_idx")
+    idx = write_pq_ivf_index(emb, path, m=4, ksub=8, n_centroids=4)
+
+    q_rows = emb.filter(F.col("vec_id") % 97 == 0).collect()
+    assert len(q_rows) >= 4
+    half = len(q_rows) // 2
+    d = tmp_path / "queries_in"
+    d.mkdir()
+    for i, chunk in enumerate((q_rows[:half], q_rows[half:])):
+        p = d / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                )
+                for r in chunk
+            )
+            + "\n"
+        )
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+
+    out_dir = str(tmp_path / "answers")
+    handler = make_layered_serve_handler(
+        spark, path, out_dir, k=3, n_probe=2, index=idx
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "lay_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    all_queries = spark.read.schema(
+        "vec_id long, embedding array<double>"
+    ).json(str(d))
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in layered_topk_against_index(
+            spark, all_queries, path, index=idx, k=3, n_probe=2
+        ).collect()
+    )
+    assert got == want and got
+    per_q = spark.read.parquet(out_dir).groupBy("query_id").agg(
+        F.countDistinct("batch_id").alias("nb")
+    )
+    assert all(r["nb"] == 1 for r in per_q.collect())
+
+    # retry idempotence: re-run batch 0's handler directly
+    b0 = spark.createDataFrame(
+        [(r["vec_id"], list(r["embedding"])) for r in q_rows[:half]],
+        "vec_id long, embedding array<double>",
+    )
+    handler(b0, 0)
+    again = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert again == got
+
+
 def test_curation_null_and_empty_text_are_rejected_not_lost(spark, tmp_path):
     """Ledger contract: every input doc lands in exactly one sink.  NULL
     text must not vanish (NULL comparisons are false in both filter

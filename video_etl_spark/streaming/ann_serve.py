@@ -113,3 +113,60 @@ def streaming_ann_serve(
     return queries.writeStream.foreachBatch(
         make_ann_serve_handler(buckets, vectors, params, out_dir, **kwargs)
     )
+
+
+def make_layered_serve_handler(
+    spark,
+    path: str,
+    out_dir: str,
+    k: int = 10,
+    n_probe: int = 8,
+    shortlist: "int | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index=None,
+):
+    """The LAYERED twin of :func:`make_ann_serve_handler` (round 12):
+    per micro-batch, coarse prune → broadcast-codes ADC → exact
+    re-rank against the persisted :func:`~video_etl_spark.llm_ops.
+    similarity.write_pq_ivf_index` artifact, answers landed
+    batch_id-partitioned with the same dynamic-overwrite retry
+    idempotence and one-batch-per-query answer-log semantics.
+
+    The driver artifacts load ONCE at build time (``index=`` accepts
+    the build's return value to skip the re-read; after an
+    ``append_to_pq_ivf_index`` between batches, build a NEW handler
+    with the returned artifacts — the same carry discipline as the
+    dedup generation rotation).  Each batch's re-rank pins its
+    shortlist frame; the handler clears it after the write so serve
+    storage stays flat over a long run (the rehearsal convention)."""
+    from video_etl_spark.llm_ops.similarity import (
+        layered_topk_against_index,
+        read_pq_ivf_index,
+    )
+
+    if index is None:
+        index = read_pq_ivf_index(spark, path)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        hits = layered_topk_against_index(
+            spark,
+            batch_df,
+            path,
+            index=index,
+            k=k,
+            n_probe=n_probe,
+            shortlist=shortlist,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        (
+            hits.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        spark.catalog.clearCache()
+
+    return handle
