@@ -2134,6 +2134,11 @@ def write_pq_ivf_index(
     Null / dim-mismatched vectors fail loudly inside the encode map
     (np.stack / reshape refuse ragged input) — nothing can land in a
     centroid=NULL partition.
+
+    Drift monitoring: the vectors table shares the IVF layout
+    (centroid-partitioned), so :func:`ivf_cell_occupancy` works on this
+    index unchanged — the rotate-generations signal when appends crowd
+    few cells.
     """
     from video_etl_spark.session import ensure_executor_package
 
