@@ -260,6 +260,41 @@ def test_scanned_shortlist_equals_broadcast_form(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_encode_codes_matches_explicit_form():
+    """The shared matmul-form encoder must equal the explicit
+    (v−c)²-cube form it replaced: bit-identical on integer-valued
+    doubles (the oracle convention — every product/sum exact), and on
+    random floats identical wherever the explicit form's margin is
+    above ulp scale (ties are the documented either-way case; this
+    seed has none)."""
+    from video_etl_spark.llm_ops.similarity import _encode_codes
+
+    rng = np.random.default_rng(17)
+    m, ksub, dsub = 4, 8, 4
+
+    def explicit(mat, books):
+        sub = mat.reshape(len(mat), m, dsub)
+        d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+        return d2.argmin(axis=2)
+
+    ints = rng.integers(-1_000_000, 1_000_000, size=(200, m * dsub)).astype(
+        float
+    )
+    books_i = rng.integers(-1_000_000, 1_000_000, size=(m, ksub, dsub)).astype(
+        float
+    )
+    assert (_encode_codes(ints, books_i) == explicit(ints, books_i)).all()
+    # exact ties (duplicate centers) must take the LOWEST code in both
+    books_tie = books_i.copy()
+    books_tie[:, 5] = books_tie[:, 2]
+    a, b = _encode_codes(ints, books_tie), explicit(ints, books_tie)
+    assert (a == b).all() and (a != 5).all()  # 2 wins every 2-vs-5 tie
+
+    floats = rng.normal(size=(500, m * dsub))
+    books_f = rng.normal(size=(m, ksub, dsub))
+    assert (_encode_codes(floats, books_f) == explicit(floats, books_f)).all()
+
+
 def test_default_query_block_formula_and_fallback(spark):
     """block = mem_fraction × executor-memory / (8 × n_codes), clamped
     to [floor, cap]; unset/unparseable memory falls back to the

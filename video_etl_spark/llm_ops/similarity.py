@@ -1362,12 +1362,10 @@ def pq_topk(
             if not len(pdf):
                 continue
             mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-            sub = mat.reshape(len(pdf), m, dsub)
-            # encode: nearest centroid per subspace (PQ compression step)
-            d2 = (
-                (sub[:, :, None, :] - books[None, :, :, :]) ** 2
-            ).sum(axis=3)  # (batch, m, ksub)
-            codes = d2.argmin(axis=2)  # (batch, m)
+            # encode: nearest centroid per subspace (PQ compression
+            # step) — THE shared encoder, so direct and index probes
+            # cannot drift on an encode tie (see _encode_codes)
+            codes = _encode_codes(mat, books)  # (batch, m)
             # ADC: approx ip = sum_j luts[q, j, codes[:, j]]
             approx = _adc_scores(luts, codes)
             # (nq, batch) -> per-query partition-local top-r, with the
@@ -1448,6 +1446,32 @@ def _adc_scores(luts: np.ndarray, codes: np.ndarray) -> np.ndarray:
     return out
 
 
+def _encode_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) nearest-center codes per subspace — THE one encoder
+    arithmetic every PQ writer/appender shares, in the matmul distance
+    form ``argmin_c(‖c‖² − 2·v·c)`` (the per-row ‖v‖² term cannot move
+    the argmin): peak is one (n, ksub) plane per subspace instead of
+    the (n, m, ksub, dsub) explicit-difference cube the old form
+    materialized — at ksub=256 that cube was 32× the input and made
+    the encode THE build bottleneck (the ``_adc_scores`` /
+    ``_assign_cells`` lesson applied to the encoder).  Ties take the
+    lowest code (argmin first-index).  On integer-valued doubles (the
+    oracle convention) every product and sum is exact, so codes are
+    bit-identical to the explicit form; on float vectors a
+    mathematically exact tie can assign either way at ulp scale — the
+    same accepted encode-path semantics ``_assign_cells`` documents
+    (all probe/append paths share this one encoder, so nothing can
+    drift against itself)."""
+    m, _, dsub = books.shape
+    sub = mat.reshape(len(mat), m, dsub)
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for j in range(m):
+        bj = books[j]  # (ksub, dsub)
+        d = (bj**2).sum(axis=1)[None, :] - 2.0 * (sub[:, j] @ bj.T)
+        codes[:, j] = d.argmin(axis=1)
+    return codes
+
+
 def _pq_encode_frame(
     df: DataFrame,
     books: np.ndarray,
@@ -1462,7 +1486,6 @@ def _pq_encode_frame(
     would produce.  ``normalize`` must be the INDEX's persisted mode
     (``{table}_params``): encoding raw vectors against cosine-space
     codebooks (or vice versa) silently produces garbage codes."""
-    m, _, dsub = books.shape
     enc_schema = T.StructType(
         [
             T.StructField("neighbor_id", T.LongType()),
@@ -1477,9 +1500,7 @@ def _pq_encode_frame(
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if normalize:
                 mat = _normalize(mat)
-            sub = mat.reshape(len(mat), m, dsub)
-            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-            codes = d2.argmin(axis=2).astype(np.uint8)
+            codes = _encode_codes(mat, books).astype(np.uint8)
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf[id_col].to_numpy(),
@@ -1898,9 +1919,7 @@ def pq_encode_corpus(
             if not len(pdf):
                 continue
             mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-            sub = mat.reshape(len(mat), m, dsub)
-            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-            codes = d2.argmin(axis=2)
+            codes = _encode_codes(mat, books)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].to_numpy(),
@@ -2187,7 +2206,6 @@ def write_pq_ivf_index(
             centers = _fit_pq_codebooks(
                 sample, m=1, ksub=n_centroids, seed=seed
             )[0]
-    dsub = dim // m
     cmat = np.asarray(centers, dtype=np.float64)
     cnorm2 = (cmat**2).sum(axis=1)
     do_norm = bool(normalize)
@@ -2211,9 +2229,7 @@ def write_pq_ivf_index(
             # assignment: argmin(‖c‖² − 2·v·c) — the ‖v‖² term is
             # per-row constant (the _assign_cells matmul form)
             cell = (cnorm2[None, :] - 2.0 * (mat @ cmat.T)).argmin(axis=1)
-            sub = mat.reshape(len(mat), m, dsub)
-            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-            code = d2.argmin(axis=2).astype(np.uint8)
+            code = _encode_codes(mat, books).astype(np.uint8)
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf[id_col].to_numpy(),
@@ -2534,7 +2550,6 @@ def append_to_pq_ivf_index(
     spark = new.sparkSession
     ensure_executor_package(spark)
     books, centers = index.books, index.centers
-    m, _, dsub = books.shape
     cmat = centers
     cnorm2 = (cmat**2).sum(axis=1)
     do_norm = index.normalize
@@ -2566,9 +2581,7 @@ def append_to_pq_ivf_index(
             if do_norm:
                 mat = _normalize(mat)
             cell = (cnorm2[None, :] - 2.0 * (mat @ cmat.T)).argmin(axis=1)
-            sub = mat.reshape(len(mat), m, dsub)
-            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-            code = d2.argmin(axis=2).astype(np.uint8)
+            code = _encode_codes(mat, books).astype(np.uint8)
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf["neighbor_id"].to_numpy(),
