@@ -620,6 +620,60 @@ def test_bench_pin_lifecycle(tmp_path, monkeypatch):
     assert prov["source"].startswith("in-code")
 
 
+def test_bench_repin_medians_and_sidecar(tmp_path, monkeypatch):
+    """--repin's subprocess-parse / per-metric-median / sidecar-write
+    path, with the expensive fresh-process runs mocked: each run's LAST
+    matching JSON line wins (progress lines and stray prints must not
+    confuse the parser), medians are per metric across runs, and the
+    sidecar carries full provenance that load_pins then prefers."""
+    import json
+    import subprocess
+
+    import bench
+
+    trio = list(bench.CONTROL_PINNED)
+    calls = {"n": 0}
+    # three start-mode runs then three mid-mode runs; values chosen so
+    # the per-metric median differs from any single run
+    vals = [1.0, 3.0, 2.0, 10.0, 30.0, 20.0]
+
+    def fake_run(cmd, capture_output, text, env, check):
+        v = vals[calls["n"]]
+        calls["n"] += 1
+        key = (
+            "control"
+            if "SPARK_GRAFT_BENCH_CONTROL_ONLY" in env
+            else "control_mid"
+        )
+        assert key == "control" or "SPARK_GRAFT_BENCH_MID_CONTROL_ONLY" in env
+        payload = {key: {k: v for k in trio}, "sf": 0.1}
+        if key == "control_mid":
+            payload["control_start"] = {k: -1.0 for k in trio}  # decoy
+        out = "\n".join(
+            ["[Stage 1:> ] progress noise", json.dumps({"unrelated": 1}),
+             json.dumps(payload)]
+        )
+        return subprocess.CompletedProcess(cmd, 0, stdout=out, stderr="")
+
+    monkeypatch.setattr(bench.os, "environ", dict(
+        bench.os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+        SPARK_GRAFT_CPUS="32",
+    ))
+    monkeypatch.setattr(bench, "_PIN_FILE", str(tmp_path / "pins.json"))
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    bench.repin(n_runs=3)
+
+    side = json.load(open(tmp_path / "pins.json"))
+    assert side["control_pinned"] == {k: 2.0 for k in trio}  # median
+    assert side["control_pinned_mid"] == {k: 20.0 for k in trio}
+    assert side["n_runs"] == 3 and side["config"] == bench._PIN_CONFIG
+    import pyspark
+
+    assert side["spark_version"] == pyspark.__version__ and side["measured"]
+    p, pm, prov = bench.load_pins()
+    assert p == side["control_pinned"] and prov["source"] == "pins.json"
+
+
 def _eager_stats_lazy_forms():
     """The three count-grain stats registry queries return an eagerly
     materialized local frame since round 10 (verdict #7: unpersist in
