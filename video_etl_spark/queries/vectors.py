@@ -1280,9 +1280,12 @@ _LAY_Q_SHORT = 20   # ADC shortlist depth (k × 4, the pq refine dial)
 _LAY_Q_INDEX_CACHE: dict = {}  # sf_dir -> (path, PqIvfIndex)
 
 
-@query(
-    "knn_layered_indexed",
-    oracle=f"""
+# ONE oracle for BOTH layered probe forms: the broadcast-arrays form and
+# the scanned-codes form are different physical plans over identical
+# semantics (equivalence-tested in tests/test_layered_ann.py), so they
+# share this DuckDB replay verbatim — a hash mismatch on either is a
+# real defect in that form, not an oracle drift.
+_LAY_Q_ORACLE = f"""
     WITH q AS (
       SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings),
     n AS (
@@ -1352,22 +1355,19 @@ _LAY_Q_INDEX_CACHE: dict = {}  # sf_dir -> (path, PqIvfIndex)
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, neighbor_id) AS rn
       FROM cand) WHERE rn <= {_LAY_Q_TOPK}
-    """,
-)
-def knn_layered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probe a persisted LAYERED index (write_pq_ivf_index: one pass
-    assigns cells and PQ-encodes) with explicit data-derived coarse
-    centers and codebooks (U22⊕ composed driver-attestable instance).
-    Same scratch-reuse contract as the trio: re-entrant calls reuse the
-    index after the files check, atexit removes the dir."""
+    """
+
+
+def _layered_scratch(spark, sf_dir: str):
+    """(path, index, quantized embeddings) for the layered oracle pair —
+    built once per (process, sf_dir) with explicit data-derived coarse
+    centers and codebooks (the knn_{ivf,pq}_indexed recipe), reused by
+    both probe forms so they attest against the SAME index files."""
     import atexit
     import shutil
     import tempfile
 
-    from video_etl_spark.llm_ops.similarity import (
-        layered_topk_against_index,
-        write_pq_ivf_index,
-    )
+    from video_etl_spark.llm_ops.similarity import write_pq_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     qemb = emb.select(
@@ -1427,12 +1427,50 @@ def knn_layered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cached = (path, index)
         _LAY_Q_INDEX_CACHE[sf_dir] = cached
+    return cached[0], cached[1], qemb
+
+
+@query("knn_layered_indexed", oracle=_LAY_Q_ORACLE)
+def knn_layered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a persisted LAYERED index (write_pq_ivf_index: one pass
+    assigns cells and PQ-encodes) with explicit data-derived coarse
+    centers and codebooks (U22⊕ composed driver-attestable instance) —
+    the BROADCAST-arrays serve form.  Same scratch-reuse contract as
+    the trio: re-entrant calls reuse the index after the files check,
+    atexit removes the dir."""
+    from video_etl_spark.llm_ops.similarity import (
+        layered_topk_against_index,
+    )
+
+    path, index, qemb = _layered_scratch(spark, sf_dir)
     queries = qemb.filter(F.col("vec_id") % _LAY_Q_MOD == 0)
     return layered_topk_against_index(
         spark,
         queries,
-        cached[0],
-        index=cached[1],
+        path,
+        index=index,
+        k=_LAY_Q_TOPK,
+        n_probe=_LAY_Q_PROBE,
+        shortlist=_LAY_Q_SHORT,
+    )
+
+
+@query("knn_layered_scanned", oracle=_LAY_Q_ORACLE)
+def knn_layered_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCANNED-codes layered serve form over the SAME scratch index
+    and the SAME oracle as :func:`knn_layered_indexed` — the two forms
+    are different physical plans over identical semantics, so a green
+    row here driver-attests the >broadcast-cap composition (partial
+    per-chunk top-r + window merge + partition-pruned re-rank) against
+    the full DuckDB replay, not just against the twin."""
+    from video_etl_spark.llm_ops.similarity import layered_topk_scanned
+
+    path, _, qemb = _layered_scratch(spark, sf_dir)
+    queries = qemb.filter(F.col("vec_id") % _LAY_Q_MOD == 0)
+    return layered_topk_scanned(
+        spark,
+        queries,
+        path,
         k=_LAY_Q_TOPK,
         n_probe=_LAY_Q_PROBE,
         shortlist=_LAY_Q_SHORT,
