@@ -281,6 +281,20 @@ def load_pins():
     try:
         with open(_PIN_FILE) as fh:
             d = json.load(fh)
+        # keyset must match the CURRENT control trio: a control added or
+        # renamed after a --repin would otherwise KeyError at the very
+        # end of a full run (control_mode_ratio) or silently skew
+        # pin_sum — fall back to the constants and say so in provenance
+        if (
+            set(d["control_pinned"]) != set(CONTROL_PINNED)
+            or set(d["control_pinned_mid"]) != set(CONTROL_PINNED_MID)
+        ):
+            prov = dict(_DEFAULT_PIN_PROVENANCE)
+            prov["source"] = (
+                "in-code constants (sidecar pin keys do not match the "
+                "current control set — re-run bench.py --repin)"
+            )
+            return CONTROL_PINNED, CONTROL_PINNED_MID, prov
         prov = {
             "measured": d["measured"],
             "spark_version": d["spark_version"],

@@ -286,9 +286,8 @@ def serve_layered(spark, corpus, queries, held_out, work: str) -> None:
         ).withColumn("batch_id", F.lit(b))
         out.write.mode("append").parquet(f"{work}/answers")
         dt = time.perf_counter() - t
-        # the re-rank pins its shortlist frame by design; release between
-        # batches so serve storage stays flat over a long run
-        spark.catalog.clearCache()
+        # the re-rank localCheckpoints its bounded shortlist (released
+        # via GC) — nothing accumulates in the session cache per batch
         ans = spark.read.parquet(f"{work}/answers").where(f"batch_id = {b}")
         in_topk = ans.where(
             f"rn <= {TOPK} and neighbor_id = query_id"

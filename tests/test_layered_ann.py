@@ -306,7 +306,9 @@ def test_default_query_block_formula_and_fallback(spark):
 
     assert _parse_jvm_mem("4g") == 4 << 30
     assert _parse_jvm_mem("512m") == 512 << 20
-    assert _parse_jvm_mem("2048") == 2048
+    # a bare number is MiB — Spark's own getSizeAsMb reading of this
+    # conf ("4096" == 4096m); bytes would collapse sizing to the floor
+    assert _parse_jvm_mem("2048") == 2048 << 20
     assert _parse_jvm_mem("1gb") == 1 << 30
     assert _parse_jvm_mem(None) is None
     assert _parse_jvm_mem("weird") is None
@@ -361,6 +363,120 @@ def test_write_pq_ivf_validation(spark, tmp_path):
     write_pq_ivf_index(corpus, path, m=4, ksub=8, n_centroids=4)
     with pytest.raises(ValueError, match="max_rows"):
         read_pq_ivf_index(spark, path, max_rows=10)
+
+
+def test_write_pq_ivf_rejects_bad_vectors_and_builds_past_cap(
+    spark, tmp_path
+):
+    """Two review findings pinned: (a) a null ELEMENT inside
+    array<double> arrives in Arrow as NaN — np.stack accepts it, the
+    all-NaN distance row argmin-assigns to cell 0 with a garbage code,
+    and the NaN cosine would RANK FIRST at re-rank; the inline guard
+    must refuse it (and null vectors / wrong dims) loudly at build AND
+    append.  (b) return_artifacts=False is the build path for corpora
+    past the driver-array cap: nothing collected, on-disk index fully
+    servable by the scanned form."""
+    from pyspark.errors import SparkRuntimeException
+
+    from video_etl_spark.llm_ops.similarity import (
+        append_to_pq_ivf_index,
+        layered_topk_scanned,
+        write_pq_ivf_index,
+    )
+
+    corpus, _ = _toy_corpus(spark, n=60)
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 16))
+    books = rng.normal(size=(4, 8, 4))
+    bad_rows = {
+        "null_vector": (900, None),
+        "dim_mismatch": (901, [1.0] * 15),
+        "null_element": (902, [1.0] * 15 + [None]),
+    }
+    for label, bad in bad_rows.items():
+        poisoned = corpus.unionByName(
+            spark.createDataFrame(
+                [bad], "vec_id long, embedding array<double>"
+            )
+        )
+        # explicit quantizers exercise the DISTRIBUTED guard (the one
+        # that protects a real-size build)...
+        with pytest.raises(
+            SparkRuntimeException, match="re-rank time"
+        ):
+            write_pq_ivf_index(
+                poisoned, str(tmp_path / f"bad_{label}"),
+                m=4, ksub=8, n_centroids=4,
+                centers=centers, books=books,
+            )
+        # ...and the fitted path refuses at sample time with a clear
+        # message instead of numpy's opaque inhomogeneous-shape error
+        with pytest.raises(ValueError, match="quantizer-fit sample"):
+            write_pq_ivf_index(
+                poisoned, str(tmp_path / f"badfit_{label}"),
+                m=4, ksub=8, n_centroids=4,
+            )
+
+    path = str(tmp_path / "cap")
+    # builds fine with max_rows below the corpus when artifacts are
+    # not requested...
+    assert write_pq_ivf_index(
+        corpus, path, m=4, ksub=8, n_centroids=4,
+        max_rows=10, return_artifacts=False,
+    ) is None
+    # ...and the on-disk index serves through the scanned form
+    q = corpus.filter("vec_id % 20 = 0")
+    out = layered_topk_scanned(spark, q, path, k=3, n_probe=2).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rn"] == 1}
+    assert top1 == {qid: qid for qid in top1} and len(top1) == 3
+
+    # append refuses the same poison before anything lands
+    from video_etl_spark.llm_ops.similarity import read_pq_ivf_index
+
+    idx = read_pq_ivf_index(spark, path)
+    for label, bad in bad_rows.items():
+        with pytest.raises(SparkRuntimeException, match="re-rank time"):
+            append_to_pq_ivf_index(
+                spark.createDataFrame(
+                    [bad], "vec_id long, embedding array<double>"
+                ),
+                path,
+                idx,
+            )
+
+
+def test_layered_batch_form_validates_queries(spark, tmp_path):
+    """Contract parity between the two composed forms: an exactly
+    duplicated query row collapses (no neighbor appearing at two
+    consecutive ranks), conflicting vectors under one id raise — the
+    ivf_topk_against_index discipline on the layered composition."""
+    from video_etl_spark.llm_ops.similarity import (
+        layered_topk_against_index,
+        write_pq_ivf_index,
+    )
+
+    corpus, vecs = _toy_corpus(spark, n=80)
+    path = str(tmp_path / "lay")
+    idx = write_pq_ivf_index(corpus, path, m=4, ksub=8, n_centroids=4)
+    q_one = corpus.filter("vec_id = 40")
+    doubled = q_one.unionByName(q_one)
+    out = layered_topk_against_index(
+        spark, doubled, path, index=idx, k=3, n_probe=2
+    ).collect()
+    assert len(out) == 3
+    assert sorted(r["rn"] for r in out) == [1, 2, 3]
+    assert len({r["neighbor_id"] for r in out}) == 3
+
+    conflict = q_one.unionByName(
+        spark.createDataFrame(
+            [(40, [float(i) for i in range(16)])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    with pytest.raises(ValueError, match="conflicting vectors"):
+        layered_topk_against_index(
+            spark, conflict, path, index=idx, k=3, n_probe=2
+        )
 
 
 def test_pq_ivf_rerank_prunes_partitions(spark, tmp_path):

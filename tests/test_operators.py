@@ -619,6 +619,17 @@ def test_bench_pin_lifecycle(tmp_path, monkeypatch):
     assert p == bench.CONTROL_PINNED
     assert prov["source"].startswith("in-code")
 
+    # sidecar whose pin keys don't match the CURRENT control set (a
+    # control added/renamed after a --repin): constants, with the
+    # mismatch named in provenance — not a KeyError at the end of a
+    # full run, not a silently skewed pin_sum
+    stale = dict(doc)
+    stale["control_pinned"] = dict(doc["control_pinned"], ctl_gone=1.0)
+    side.write_text(json.dumps(stale))
+    p, pm, prov = bench.load_pins()
+    assert p == bench.CONTROL_PINNED
+    assert "do not match" in prov["source"]
+
 
 def test_bench_repin_medians_and_sidecar(tmp_path, monkeypatch):
     """--repin's subprocess-parse / per-metric-median / sidecar-write

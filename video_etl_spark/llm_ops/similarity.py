@@ -836,6 +836,23 @@ def write_ivf_index(
     return centers
 
 
+def _vector_guard(vec_col: str, dim: int, msg: str):
+    """``when(ok, vec).otherwise(raise_error(msg))`` — THE inline
+    bad-vector refusal every index writer/appender binds into its
+    vector column (null vector, null element, wrong dimension).
+    NullType coerces under the array branch, and binding the guard INTO
+    the column keeps pruning from optimizing it away (a standalone
+    assert_true column would be dead-code-eliminated).  Inline means
+    executor-side and zero extra corpus passes; a violation aborts the
+    job before any sink commits."""
+    ok = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.exists(vec_col, lambda x: x.isNull())
+    )
+    return F.when(ok, F.col(vec_col)).otherwise(F.raise_error(msg))
+
+
 #: above this many centroids the probe's cell ranking switches from
 #: per-centroid literal struct columns to a broadcast join against the
 #: persisted centers table: a literal plan carries n_centroids × dim
@@ -879,22 +896,15 @@ def _assign_cells(df: DataFrame, centers, vec_col: str = "scores") -> DataFrame:
     double the build's read at index scale), so write, append, and any
     future caller share it by construction."""
     dim = len(centers[0])
-    bad_msg = (
-        "_assign_cells: null vector, vector with null elements, or vector "
-        f"whose dimension differs from the centroids (dim={dim}) — it "
-        "would be assigned centroid NULL and never probed"
-    )
-    # when(ok, vec).otherwise(raise_error): NullType coerces under the
-    # array branch, and binding the guard INTO the vector column keeps
-    # column pruning from optimizing the check away (a standalone
-    # assert_true column would be dead-code-eliminated)
-    ok = (
-        F.col(vec_col).isNotNull()
-        & (F.size(vec_col) == dim)
-        & ~F.exists(vec_col, lambda x: x.isNull())
-    )
     df = df.withColumn(
-        vec_col, F.when(ok, F.col(vec_col)).otherwise(F.raise_error(bad_msg))
+        vec_col,
+        _vector_guard(
+            vec_col,
+            dim,
+            "_assign_cells: null vector, vector with null elements, or "
+            f"vector whose dimension differs from the centroids (dim={dim})"
+            " — it would be assigned centroid NULL and never probed",
+        ),
     )
     if len(centers) <= _LITERAL_CELL_RANK_MAX:
         from video_etl_spark.control.categories import assign_categories
@@ -1278,7 +1288,24 @@ def _ordered_sample(
     silently change the fitted codebooks and break the probe == direct
     equivalence the PQ index promises."""
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(n).collect()
-    return np.array([r[1] for r in rows], dtype=np.float64)
+    try:
+        sample = np.array([r[1] for r in rows], dtype=np.float64)
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            "the quantizer-fit sample contains null or ragged vectors — "
+            "clean the corpus before indexing (the distributed encode "
+            "refuses them too, via the inline vector guard)"
+        ) from exc
+    if np.isnan(sample).any():
+        # numpy converts a null ELEMENT to nan silently; a nan in the
+        # fit sample poisons every Lloyd mean it touches, i.e. the
+        # codebooks themselves, not just one row
+        raise ValueError(
+            "the quantizer-fit sample contains null elements (NaN) — "
+            "clean the corpus before indexing (a NaN row would poison "
+            "the fitted codebooks/centers, corrupting every encode)"
+        )
+    return sample
 
 
 def pq_topk(
@@ -1946,12 +1973,16 @@ def pq_encode_corpus(
 
 def _parse_jvm_mem(size: "str | None") -> "int | None":
     """``spark.executor.memory``-style size string → bytes (None when
-    unset/unparseable — the caller falls back to the floor)."""
+    unset/unparseable — the caller falls back to the floor).  A bare
+    number means MiB, matching Spark's own reading of this conf
+    (``getSizeAsMb``: "4096" == 4096m) — treating it as bytes would
+    silently collapse the executor-aware sizing to the floor on any
+    cluster configured with plain numbers."""
     if not size:
         return None
     s = size.strip().lower()
     units = {"k": 10, "m": 20, "g": 30, "t": 40}
-    mult = 0
+    mult = 20  # Spark's default unit for executor memory is MiB
     if s.endswith("b") and len(s) > 1 and s[-2] in units:
         s = s[:-1]
     if s and s[-1] in units:
@@ -2131,7 +2162,8 @@ def write_pq_ivf_index(
     books: "np.ndarray | list | None" = None,
     normalize: bool = True,
     max_rows: int = 4_000_000,
-) -> PqIvfIndex:
+    return_artifacts: bool = True,
+) -> "PqIvfIndex | None":
     """Build the layered index in ONE distributed pass: normalize (per
     ``normalize``), assign each vector to its nearest coarse center, and
     PQ-encode it; persist (neighbor_id, neighbor_vec, code) partitioned
@@ -2150,9 +2182,20 @@ def write_pq_ivf_index(
     (the externally-trained-quantizer workflow, symmetric with
     ``write_ivf_index(centers=)`` / ``write_pq_index(books=)``).
 
-    Null / dim-mismatched vectors fail loudly inside the encode map
-    (np.stack / reshape refuse ragged input) — nothing can land in a
-    centroid=NULL partition.
+    Null / null-element / dim-mismatched vectors fail LOUDLY via the
+    same inline when/raise_error guard :func:`_assign_cells` carries
+    (zero extra corpus passes).  The guard is not optional hygiene
+    here: Arrow converts a null element inside array<double> to NaN —
+    which np.stack happily accepts — and an all-NaN distance row
+    argmin-assigns to cell 0 with a garbage code, after which the
+    re-rank's NaN cosine sorts ABOVE every real score and the corrupt
+    vector wins rank 1.
+
+    ``return_artifacts=False`` skips the driver read-back and returns
+    None — the build path for corpora past ``max_rows``, whose serving
+    form is :func:`pq_ivf_shortlist_scanned` (codes scanned, never
+    collected); without it a >cap build would raise AFTER the full
+    distributed write succeeded.
 
     Drift monitoring: the vectors table shares the IVF layout
     (centroid-partitioned), so :func:`ivf_cell_occupancy` works on this
@@ -2214,6 +2257,7 @@ def write_pq_ivf_index(
         [
             T.StructField("neighbor_id", T.LongType()),
             T.StructField("neighbor_vec", T.ArrayType(T.DoubleType())),
+            T.StructField("nrm", T.DoubleType()),
             T.StructField("code", T.BinaryType()),
             T.StructField("centroid", T.IntegerType()),
         ]
@@ -2234,14 +2278,29 @@ def write_pq_ivf_index(
                 {
                     "neighbor_id": pdf[id_col].to_numpy(),
                     "neighbor_vec": [row.tolist() for row in mat],
+                    # persisted once so the re-rank never recomputes a
+                    # neighbor norm per (query, neighbor) pair — the
+                    # LSH/PQ vector-sidecar convention
+                    "nrm": np.sqrt((mat**2).sum(axis=1)),
                     "code": [row.tobytes() for row in code],
                     "centroid": cell.astype(np.int32),
                 }
             )
 
+    guarded = corpus.select(
+        F.col(id_col).alias(id_col),
+        _vector_guard(
+            vec_col,
+            dim,
+            "write_pq_ivf_index: null vector, vector with null elements, "
+            f"or vector whose dimension differs from dim={dim} — Arrow "
+            "turns null elements into NaN, which would argmin-assign to "
+            "cell 0 with a garbage code and rank ABOVE real scores at "
+            "re-rank time",
+        ).alias(vec_col),
+    )
     (
-        corpus.select(id_col, vec_col)
-        .mapInPandas(encode_assign, schema=out_schema)
+        guarded.mapInPandas(encode_assign, schema=out_schema)
         .write.mode("overwrite")
         .partitionBy("centroid")
         .parquet(f"{path}/vectors")
@@ -2264,6 +2323,8 @@ def write_pq_ivf_index(
         [(int(m), int(ksub), int(n_centroids), bool(normalize))],
         "m int, ksub int, n_centroids int, normalize boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    if not return_artifacts:
+        return None
     return read_pq_ivf_index(spark, path, max_rows=max_rows)
 
 
@@ -2334,7 +2395,13 @@ def pq_ivf_shortlist(
     deterministic and matches the build-side assignment tie-break.
     ``query_block`` bounds peak memory exactly like ``pq_serve_stream``
     (None → :func:`default_query_block` sized from the executor memory
-    budget); results are bit-identical at any block size."""
+    budget); results are bit-identical at any block size.
+
+    STREAMING-SAFE means NO validation pass: a duplicated query row
+    emits its shortlist twice (the raw ``pq_serve_stream`` semantics) —
+    an at-least-once feed must dedupe upstream, or use the batch
+    composition :func:`layered_topk_against_index`, which validates the
+    batch the way the IVF probe does before shortlisting."""
     from video_etl_spark.session import ensure_executor_package
 
     ensure_executor_package(stream_queries.sparkSession)
@@ -2453,18 +2520,23 @@ def pq_ivf_rerank(
     the shortlist touches (≤ queries × n_probe distinct — the
     ``ivf_topk_against_index`` pruning discipline), the shortlist and
     query sides broadcast (both are batch-bounded), and the cosine is
-    pure JVM fold arithmetic — scale-invariant, so it is correct whether
-    the index stored normalized or raw vectors.  The shortlist frame is
-    persisted for the duration of the call (it feeds both the eager
-    cell-list collect and the returned plan); callers re-ranking in a
-    tight loop can ``spark.catalog.clearCache()`` between batches, the
-    same convention as the IVF probe."""
-    sl = shortlist_df.select("query_id", "neighbor_id", "centroid").persist()
+    pure JVM fold arithmetic over the query plus the ``nrm`` the build
+    persisted per vector (a neighbor shortlisted by many queries never
+    has its norm recomputed per pair) — scale-invariant, so it is
+    correct whether the index stored normalized or raw vectors.  The
+    bounded shortlist is eagerly ``localCheckpoint``-ed (it feeds both
+    the cell-list collect and the returned plan); blocks release via
+    GC/ContextCleaner like the CC-chain convention — nothing stays in
+    the session cache, so a long-running serve loop never needs a
+    catalog-wide clearCache that would evict co-tenant caches."""
+    sl = shortlist_df.select(
+        "query_id", "neighbor_id", "centroid"
+    ).localCheckpoint()
     probed = [r["centroid"] for r in sl.select("centroid").distinct().collect()]
     inv = (
         spark.read.parquet(f"{path}/vectors")
         .filter(F.col("centroid").isin(probed))
-        .select("neighbor_id", "centroid", "neighbor_vec")
+        .select("neighbor_id", "centroid", "neighbor_vec", "nrm")
     )
     as_double = F.expr(f"transform({vec_col}, x -> cast(x as double))")
     qd = queries.select(
@@ -2475,15 +2547,11 @@ def pq_ivf_rerank(
         "0D, (s, v) -> s + v)"
     )
     nq = "sqrt(aggregate(transform(query_vec, x -> x * x), 0D, (s, v) -> s + v))"
-    nn = (
-        "sqrt(aggregate(transform(neighbor_vec, x -> x * x), 0D, "
-        "(s, v) -> s + v))"
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         inv.join(F.broadcast(sl), ["neighbor_id", "centroid"])
         .join(F.broadcast(qd), "query_id")
-        .withColumn("cos_sim", F.expr(f"{dot} / ({nq} * {nn})"))
+        .withColumn("cos_sim", F.expr(f"{dot} / ({nq} * nrm)"))
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
@@ -2501,6 +2569,7 @@ def layered_topk_against_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_block: "int | None" = None,
+    validate_queries: bool = True,
 ) -> DataFrame:
     """THE layered composition: coarse prune → broadcast-codes ADC →
     exact re-rank, against a persisted :func:`write_pq_ivf_index` index.
@@ -2509,11 +2578,21 @@ def layered_topk_against_index(
     convention); :func:`pq_ivf_shortlist` alone is the streaming-safe
     approximate answer.  ``shortlist`` defaults to ``max(4·k, 32)`` —
     the re-rank can only repair ADC quantization error within the
-    shortlist, so it scales with k."""
+    shortlist, so it scales with k.
+
+    ``validate_queries`` mirrors ``ivf_topk_against_index``: exact
+    duplicate query rows collapse (an at-least-once feed would
+    otherwise get each neighbor at two consecutive ranks), conflicting
+    vectors under one id raise; a caller that validates upstream can
+    pass False to keep the batch fully lazy before the shortlist map."""
     if index is None:
         index = read_pq_ivf_index(spark, path)
     if shortlist is None:
         shortlist = max(4 * k, 32)
+    if validate_queries:
+        queries = _dedup_queries_validated(
+            queries, id_col, vec_col, "layered_topk_against_index"
+        )
     sl = pq_ivf_shortlist(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
@@ -2554,9 +2633,22 @@ def append_to_pq_ivf_index(
     cnorm2 = (cmat**2).sum(axis=1)
     do_norm = index.normalize
     as_double = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    dim = centers.shape[1]
     new_d = new.select(
         F.col(id_col).alias("neighbor_id"), as_double.alias("scores")
+    ).withColumn(
+        "scores",
+        _vector_guard(
+            "scores",
+            dim,
+            "append_to_pq_ivf_index: null vector, vector with null "
+            f"elements, or vector whose dimension differs from dim={dim}"
+            " — it would be filed under a garbage cell and rank ABOVE "
+            "real scores at re-rank time",
+        ),
     )
+    # the guard fires at the eager localCheckpoint below — loudly,
+    # before anything is appended
     fresh = _fresh_only(
         new_d.dropDuplicates(["neighbor_id"]),
         spark.read.parquet(f"{path}/vectors"),
@@ -2568,6 +2660,7 @@ def append_to_pq_ivf_index(
         [
             T.StructField("neighbor_id", T.LongType()),
             T.StructField("neighbor_vec", T.ArrayType(T.DoubleType())),
+            T.StructField("nrm", T.DoubleType()),
             T.StructField("code", T.BinaryType()),
             T.StructField("centroid", T.IntegerType()),
         ]
@@ -2586,6 +2679,7 @@ def append_to_pq_ivf_index(
                 {
                     "neighbor_id": pdf["neighbor_id"].to_numpy(),
                     "neighbor_vec": [row.tolist() for row in mat],
+                    "nrm": np.sqrt((mat**2).sum(axis=1)),
                     "code": [row.tobytes() for row in code],
                     "centroid": cell.astype(np.int32),
                 }
@@ -2709,17 +2803,6 @@ def pq_ivf_shortlist_scanned(
     )
 
     def score(batches):
-        lut_cache: dict[int, np.ndarray] = {}
-
-        def lut_for(qrow: int) -> np.ndarray:
-            lut = lut_cache.get(qrow)
-            if lut is None:
-                lut = np.einsum(
-                    "jd,jcd->jc", qmat[qrow].reshape(m, dsub), books
-                )
-                lut_cache[qrow] = lut
-            return lut
-
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -2734,7 +2817,16 @@ def pq_ivf_shortlist_scanned(
                     [np.frombuffer(b, dtype=np.uint8) for b in sub["code"]]
                 )
                 nids = sub["neighbor_id"].to_numpy()
-                luts = np.stack([lut_for(int(r)) for r in qrows])
+                # LUTs per cell group, the broadcast form's batched
+                # einsum — recomputing a query's LUT once per probed
+                # cell (n_probe×, ksub·dsub flops each) is far cheaper
+                # than a per-task cache that could grow to one
+                # (m, ksub) plane per query per executor (unbounded at
+                # max_queries-scale batches)
+                q_g = qmat[qrows]
+                luts = np.einsum(
+                    "qjd,jcd->qjc", q_g.reshape(len(q_g), m, dsub), books
+                )
                 sc = _adc_scores(luts, codes_c)
                 keep = min(shortlist, len(nids))
                 for row_i, qrow in enumerate(qrows):

@@ -137,9 +137,11 @@ def make_layered_serve_handler(
     the build's return value to skip the re-read; after an
     ``append_to_pq_ivf_index`` between batches, build a NEW handler
     with the returned artifacts — the same carry discipline as the
-    dedup generation rotation).  Each batch's re-rank pins its
-    shortlist frame; the handler clears it after the write so serve
-    storage stays flat over a long run (the rehearsal convention)."""
+    dedup generation rotation).  Nothing is left in the session cache
+    per batch: the re-rank localCheckpoints its bounded shortlist
+    (blocks release via GC/ContextCleaner), so this handler never runs
+    a catalog-wide clearCache that would evict a co-tenant
+    application's cached frames."""
     from video_etl_spark.llm_ops.similarity import (
         layered_topk_against_index,
         read_pq_ivf_index,
@@ -167,6 +169,5 @@ def make_layered_serve_handler(
             .partitionBy("batch_id")
             .parquet(out_dir)
         )
-        spark.catalog.clearCache()
 
     return handle
