@@ -260,6 +260,78 @@ def test_scanned_shortlist_equals_broadcast_form(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_encode_codes_property_vs_explicit():
+    """Hypothesis twin of the fixed-seed differential below: for ANY
+    (m, ksub, dsub) split and integer-valued vectors (exact in both
+    forms — the oracle convention), the matmul-form encoder equals the
+    explicit (v−c)² cube, including boundary ties (values are drawn
+    from a tiny range so ties actually occur)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from video_etl_spark.llm_ops.similarity import _encode_codes
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(1, 4),       # m
+        st.integers(1, 6),       # ksub
+        st.integers(1, 4),       # dsub
+        st.integers(1, 24),      # n
+        st.integers(0, 2**31),   # seed
+    )
+    def check(m, ksub, dsub, n, seed):
+        rng = np.random.default_rng(seed)
+        mat = rng.integers(-3, 4, size=(n, m * dsub)).astype(float)
+        books = rng.integers(-3, 4, size=(m, ksub, dsub)).astype(float)
+        sub = mat.reshape(n, m, dsub)
+        d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+        assert (_encode_codes(mat, books) == d2.argmin(axis=2)).all()
+
+    check()
+
+
+def test_group_by_cell_property():
+    """_group_by_cell invariants for ANY cell assignment: slices
+    partition the rows exactly (ids[ptr[c]:ptr[c+1]] are precisely cell
+    c's members, codes stay paired with their ids), cells come back
+    ascending, and ptr is a monotone fence from 0 to n."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from video_etl_spark.llm_ops.similarity import _group_by_cell
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(1, 8),      # n_cells
+        st.integers(0, 40),     # n rows
+        st.integers(0, 2**31),  # seed
+    )
+    def check(n_cells, n, seed):
+        rng = np.random.default_rng(seed)
+        ids = rng.permutation(1000)[:n].astype(np.int64)
+        cells = rng.integers(0, n_cells, size=n).astype(np.int32)
+        codes = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
+        by_id = {
+            int(i): (int(c), k.tobytes())
+            for i, c, k in zip(ids, cells, codes)
+        }
+        g_ids, g_cells, g_codes, ptr = _group_by_cell(
+            ids, cells, codes, n_cells
+        )
+        assert ptr[0] == 0 and ptr[-1] == n and len(ptr) == n_cells + 1
+        assert (np.diff(ptr) >= 0).all()
+        assert (np.diff(g_cells) >= 0).all() if n else True
+        for c in range(n_cells):
+            members = g_ids[ptr[c] : ptr[c + 1]]
+            assert {int(i) for i in members} == {
+                i for i, (ci, _) in by_id.items() if ci == c
+            }
+            for i, k in zip(members, g_codes[ptr[c] : ptr[c + 1]]):
+                assert by_id[int(i)] == (c, k.tobytes())
+
+    check()
+
+
 def test_encode_codes_matches_explicit_form():
     """The shared matmul-form encoder must equal the explicit
     (v−c)²-cube form it replaced: bit-identical on integer-valued
