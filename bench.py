@@ -344,7 +344,14 @@ def repin(n_runs: int = 3) -> None:
             for line in out.splitlines():
                 line = line.strip()
                 if line.startswith("{"):
-                    d = json.loads(line)
+                    # a non-JSON diagnostic starting with '{' (printed
+                    # dict, Spark warning) must not abort the repin after
+                    # the expensive fresh-process runs already completed;
+                    # the 'no key' SystemExit below stays the real signal
+                    try:
+                        d = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
                     if key in d:
                         row = d[key]
             if row is None:

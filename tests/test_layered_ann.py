@@ -405,6 +405,41 @@ def test_default_query_block_formula_and_fallback(spark):
     # the live local session has no executor memory conf -> floor
     assert default_query_block(spark, 123_456) == 512
 
+    class FakeConfMap:
+        def __init__(self, confs):
+            self.confs = confs
+
+        def get(self, key, default=None):
+            return self.confs.get(key, default)
+
+    class FakeSparkMap:
+        def __init__(self, confs):
+            self.conf = FakeConfMap(confs)
+
+    # the plane is per concurrent TASK (one Python worker each), so the
+    # budget divides by spark.executor.cores — 4 slots × 25% would be
+    # 100% of the container in aggregate (round-12 ADVICE)
+    base = int((16 << 30) * 0.25 / (8 * 196_000))
+    assert default_query_block(
+        FakeSparkMap({"spark.executor.memory": "16g",
+                      "spark.executor.cores": "4"}),
+        196_000,
+    ) == base // 4
+    # spark.executor.pyspark.memory is the ACTUAL Python-worker limit
+    # when set — it wins over the JVM-heap proxy
+    assert default_query_block(
+        FakeSparkMap({"spark.executor.memory": "64g",
+                      "spark.executor.pyspark.memory": "16g",
+                      "spark.executor.cores": "4"}),
+        196_000,
+    ) == base // 4
+    # unparseable cores falls back to 1 slot, not a crash
+    assert default_query_block(
+        FakeSparkMap({"spark.executor.memory": "16g",
+                      "spark.executor.cores": "weird"}),
+        196_000,
+    ) == base
+
 
 def test_write_pq_ivf_validation(spark, tmp_path):
     """Loud refusals before anything is written: oversized ksub, empty
@@ -574,3 +609,72 @@ def test_pq_ivf_rerank_prunes_partitions(spark, tmp_path):
     rows = out.collect()
     assert rows and all(r["rn"] <= 3 for r in rows)
     spark.catalog.clearCache()
+
+
+def test_zero_norm_vectors_refused_and_rerank_nan_safe(spark, tmp_path):
+    """Round-12 ADVICE (medium): an all-zero corpus vector passes the
+    null/dim guard but persists nrm=0.0, so the exact re-rank computes
+    cos_sim = 0/0 = NaN — and Spark orders NaN ABOVE every double, so
+    the degenerate vector would take rank 1 for EVERY query.  Pinned
+    here: (a) build and append refuse all-zero vectors loudly, (b) a
+    zero-norm QUERY (which no build guard can see) yields -Infinity
+    cos_sim via nanvl, never NaN — the top-k stays deterministic and
+    NaN-free, (c) shortlist < 1 raises a clear driver-side ValueError
+    in both physical forms instead of a cryptic executor numpy error."""
+    from pyspark.errors import SparkRuntimeException
+
+    from video_etl_spark.llm_ops.similarity import (
+        append_to_pq_ivf_index,
+        layered_topk_against_index,
+        pq_ivf_shortlist,
+        pq_ivf_shortlist_scanned,
+        write_pq_ivf_index,
+    )
+
+    corpus, _ = _toy_corpus(spark, n=60)
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16))
+    books = rng.normal(size=(4, 8, 4))
+    zero_row = spark.createDataFrame(
+        [(900, [0.0] * 16)], "vec_id long, embedding array<double>"
+    )
+
+    # (a) build-time refusal, explicit quantizers = the distributed guard
+    with pytest.raises(SparkRuntimeException, match="all-zero"):
+        write_pq_ivf_index(
+            corpus.unionByName(zero_row), str(tmp_path / "bad"),
+            m=4, ksub=8, n_centroids=4, centers=centers, books=books,
+        )
+
+    path = str(tmp_path / "ok")
+    idx = write_pq_ivf_index(
+        corpus, path, m=4, ksub=8, n_centroids=4,
+        centers=centers, books=books,
+    )
+    # ...and append-time refusal
+    with pytest.raises(SparkRuntimeException, match="all-zero"):
+        append_to_pq_ivf_index(zero_row, path, idx)
+
+    # (b) a zero-norm query cannot be guarded at build; nanvl pins its
+    # cos_sim at -Infinity so ordering stays deterministic and the NaN
+    # never outranks real scores
+    zq = spark.createDataFrame(
+        [(7, [0.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    out = layered_topk_against_index(
+        spark, zq, path, index=idx, k=3, n_probe=2
+    ).collect()
+    assert len(out) == 3
+    assert all(r["cos_sim"] == float("-inf") for r in out)
+    assert not any(np.isnan(r["cos_sim"]) for r in out)
+
+    # (c) shortlist validation, both physical forms
+    q = corpus.filter("vec_id = 20")
+    with pytest.raises(ValueError, match="shortlist must be >= 1"):
+        pq_ivf_shortlist(
+            q.withColumnRenamed("vec_id", "query_id"), idx, shortlist=0
+        )
+    with pytest.raises(ValueError, match="shortlist must be >= 1"):
+        pq_ivf_shortlist_scanned(spark, q, path, shortlist=0)
+    with pytest.raises(ValueError, match="n_probe must be >= 1"):
+        pq_ivf_shortlist_scanned(spark, q, path, n_probe=0)

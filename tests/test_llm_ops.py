@@ -1543,6 +1543,9 @@ def test_ivf_build_rejects_bad_vectors_both_forms(spark, tmp_path):
         "null_vector": (900, None),
         "dim_mismatch": (901, [1.0] * (dim - 1)),
         "null_element": (902, [1.0] * (dim - 1) + [None]),
+        # nrm=0.0 at write -> cos_sim 0/0 = NaN at re-rank, and Spark
+        # sorts NaN above every double: rank-1 corruption (r12 ADVICE)
+        "zero_vector": (903, [0.0] * dim),
     }
     for n_centroids in (4, _LITERAL_CELL_RANK_MAX + 6):
         centers = (

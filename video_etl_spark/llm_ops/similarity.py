@@ -227,7 +227,12 @@ def lsh_topk(
     dot = f"aggregate(zip_with({qd}, {nd}, (a, b) -> a * b), 0D, (s, v) -> s + v)"
     nq = f"sqrt(aggregate(transform({qd}, x -> x * x), 0D, (s, v) -> s + v))"
     nn = f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, (s, v) -> s + v))"
-    scored = cand.withColumn("cos_sim", F.expr(f"{dot} / ({nq} * {nn})"))
+    scored = cand.withColumn("cos_sim", F.expr(
+        # zero-norm side: ANSI / raises DIVIDE_BY_ZERO, non-ANSI yields
+        # NaN which sorts first — try_divide+coalesce pins -Infinity
+        f"coalesce(nanvl(try_divide({dot}, {nq} * {nn}), "
+        "cast('-Infinity' as double)), cast('-Infinity' as double))"
+    ))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -462,7 +467,15 @@ def lsh_topk_against_index(
         "(s, v) -> s + v)"
     )
     nq = f"sqrt(aggregate(transform({qd}, x -> x * x), 0D, (s, v) -> s + v))"
-    scored = cand.withColumn("cos_sim", F.expr(f"{dot} / ({nq} * nrm)"))
+    scored = cand.withColumn("cos_sim", F.expr(
+        # a zero-norm side makes the divisor 0: under ANSI (Spark 4
+        # default) a plain / raises DIVIDE_BY_ZERO mid-job, under
+        # non-ANSI it yields NaN which Spark orders ABOVE every double
+        # (phantom rank 1).  try_divide -> NULL -> coalesce pins it at
+        # -Infinity in BOTH modes; nanvl covers any residual NaN.
+        f"coalesce(nanvl(try_divide({dot}, {nq} * nrm), "
+        "cast('-Infinity' as double)), cast('-Infinity' as double))"
+    ))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -739,7 +752,12 @@ def ivf_topk(
     )
     nq = "sqrt(aggregate(transform(query_vec, x -> x * x), 0D, (s, v) -> s + v))"
     nn = "sqrt(aggregate(transform(neighbor_vec, x -> x * x), 0D, (s, v) -> s + v))"
-    scored = cand.withColumn("cos_sim", F.expr(f"{dot} / ({nq} * {nn})"))
+    scored = cand.withColumn("cos_sim", F.expr(
+        # zero-norm side: ANSI / raises DIVIDE_BY_ZERO, non-ANSI yields
+        # NaN which sorts first — try_divide+coalesce pins -Infinity
+        f"coalesce(nanvl(try_divide({dot}, {nq} * {nn}), "
+        "cast('-Infinity' as double)), cast('-Infinity' as double))"
+    ))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -839,16 +857,28 @@ def write_ivf_index(
 def _vector_guard(vec_col: str, dim: int, msg: str):
     """``when(ok, vec).otherwise(raise_error(msg))`` — THE inline
     bad-vector refusal every index writer/appender binds into its
-    vector column (null vector, null element, wrong dimension).
-    NullType coerces under the array branch, and binding the guard INTO
-    the column keeps pruning from optimizing it away (a standalone
-    assert_true column would be dead-code-eliminated).  Inline means
-    executor-side and zero extra corpus passes; a violation aborts the
-    job before any sink commits."""
+    vector column (null vector, null element, wrong dimension,
+    all-zero vector).  NullType coerces under the array branch, and
+    binding the guard INTO the column keeps pruning from optimizing it
+    away (a standalone assert_true column would be dead-code-eliminated).
+    Inline means executor-side and zero extra corpus passes; a violation
+    aborts the job before any sink commits.
+
+    The all-zero refusal exists because every index persists
+    ``nrm = sqrt(Σx²)`` at write time and every re-rank divides by it:
+    a zero vector has nrm=0.0, cos_sim = 0/0 = NaN, and Spark orders NaN
+    ABOVE every double — so one degenerate all-zero corpus vector that
+    reaches a shortlist would take rank 1 for every query (under ANSI
+    mode, Spark 4's default, the division raises DIVIDE_BY_ZERO and
+    kills the serve job instead).  Refusing at build keeps the
+    corruption out of the index; the re-rank sites are additionally
+    ``try_divide``/``nanvl``-hardened (cos_sim pinned at -Infinity) for
+    zero-norm QUERY vectors, which no build guard can see."""
     ok = (
         F.col(vec_col).isNotNull()
         & (F.size(vec_col) == dim)
         & ~F.exists(vec_col, lambda x: x.isNull())
+        & F.exists(vec_col, lambda x: x != 0)
     )
     return F.when(ok, F.col(vec_col)).otherwise(F.raise_error(msg))
 
@@ -901,9 +931,11 @@ def _assign_cells(df: DataFrame, centers, vec_col: str = "scores") -> DataFrame:
         _vector_guard(
             vec_col,
             dim,
-            "_assign_cells: null vector, vector with null elements, or "
-            f"vector whose dimension differs from the centroids (dim={dim})"
-            " — it would be assigned centroid NULL and never probed",
+            "_assign_cells: null vector, vector with null elements, "
+            "all-zero vector, or vector whose dimension differs from the "
+            f"centroids (dim={dim}) — it would be assigned centroid NULL "
+            "and never probed, or persist nrm=0.0 and NaN-corrupt every "
+            "re-rank",
         ),
     )
     if len(centers) <= _LITERAL_CELL_RANK_MAX:
@@ -1102,7 +1134,15 @@ def ivf_topk_against_index(
         "0D, (s, v) -> s + v)"
     )
     nq = "sqrt(aggregate(transform(query_vec, x -> x * x), 0D, (s, v) -> s + v))"
-    scored = cand.withColumn("cos_sim", F.expr(f"{dot} / ({nq} * nrm)"))
+    scored = cand.withColumn("cos_sim", F.expr(
+        # a zero-norm side makes the divisor 0: under ANSI (Spark 4
+        # default) a plain / raises DIVIDE_BY_ZERO mid-job, under
+        # non-ANSI it yields NaN which Spark orders ABOVE every double
+        # (phantom rank 1).  try_divide -> NULL -> coalesce pins it at
+        # -Infinity in BOTH modes; nanvl covers any residual NaN.
+        f"coalesce(nanvl(try_divide({dot}, {nq} * nrm), "
+        "cast('-Infinity' as double)), cast('-Infinity' as double))"
+    ))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -1431,7 +1471,12 @@ def pq_topk(
     dot = f"aggregate(zip_with({qd}, {nd}, (a, b) -> a * b), 0D, (s, v) -> s + v)"
     nq = f"sqrt(aggregate(transform({qd}, x -> x * x), 0D, (s, v) -> s + v))"
     nn = f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, (s, v) -> s + v))"
-    scored = rer.withColumn("cos_sim", F.expr(f"{dot} / ({nq} * {nn})"))
+    scored = rer.withColumn("cos_sim", F.expr(
+        # zero-norm side: ANSI / raises DIVIDE_BY_ZERO, non-ANSI yields
+        # NaN which sorts first — try_divide+coalesce pins -Infinity
+        f"coalesce(nanvl(try_divide({dot}, {nq} * {nn}), "
+        "cast('-Infinity' as double)), cast('-Infinity' as double))"
+    ))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -1806,7 +1851,15 @@ def pq_topk_against_index(
         "(s, v) -> s + v)"
     )
     nq = f"sqrt(aggregate(transform({qd}, x -> x * x), 0D, (s, v) -> s + v))"
-    scored = rer.withColumn("cos_sim", F.expr(f"{dot} / ({nq} * nrm)"))
+    scored = rer.withColumn("cos_sim", F.expr(
+        # a zero-norm side makes the divisor 0: under ANSI (Spark 4
+        # default) a plain / raises DIVIDE_BY_ZERO mid-job, under
+        # non-ANSI it yields NaN which Spark orders ABOVE every double
+        # (phantom rank 1).  try_divide -> NULL -> coalesce pins it at
+        # -Infinity in BOTH modes; nanvl covers any residual NaN.
+        f"coalesce(nanvl(try_divide({dot}, {nq} * nrm), "
+        "cast('-Infinity' as double)), cast('-Infinity' as double))"
+    ))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -2003,23 +2056,45 @@ def default_query_block(
 ) -> int:
     """Size the ADC ``query_block`` from the executor memory budget
     (round-11 verdict #6): the serving peak is one (query_block,
-    n_codes) float64 plane, so ``block = mem_fraction ×
-    spark.executor.memory / (8 × n_codes)`` — the docstring formula,
-    computed instead of hand-tuned, so a right-sized cluster executor
-    (say 4 GiB) doesn't OOM on its first oversized query batch.
+    n_codes) float64 plane, so ``block = mem_fraction × budget /
+    (slots × 8 × n_codes)`` — computed instead of hand-tuned, so a
+    right-sized cluster executor (say 4 GiB) doesn't OOM on its first
+    oversized query batch.
+
+    Two corrections over the naive docstring formula (round-12 ADVICE):
+    the plane lives in PYTHON-WORKER memory, not the JVM heap, so when
+    ``spark.executor.pyspark.memory`` is set (the actual Python-worker
+    limit on a cluster) it IS the budget and ``spark.executor.memory``
+    is only the proxy fallback; and an executor runs
+    ``spark.executor.cores`` mapInPandas tasks CONCURRENTLY, each with
+    its own Python worker and its own plane — without dividing by the
+    task slots, 4 cores × 25 % = 100 % of the budget in aggregate,
+    re-creating exactly the container OOM the sizing was meant to
+    prevent.
+
     Falls back to ``floor`` (the measured-safe 512 the rehearsals used)
-    when ``spark.executor.memory`` is unset — e.g. plain local mode,
-    where the driver JVM owns the memory and 512 is already the proven
-    dial.  Results are bit-identical at ANY block size (equivalence-
-    tested), so this only moves the memory/throughput trade-off."""
-    try:
-        mem = spark.conf.get("spark.executor.memory", None)
-    except Exception:  # noqa: BLE001 — conf access varies by deploy mode
-        mem = None
-    mem_bytes = _parse_jvm_mem(mem)
+    when neither memory conf is set — e.g. plain local mode, where the
+    driver JVM owns the memory and 512 is already the proven dial.
+    Results are bit-identical at ANY block size (equivalence-tested),
+    so this only moves the memory/throughput trade-off."""
+    def _conf(key):
+        try:
+            return spark.conf.get(key, None)
+        except Exception:  # noqa: BLE001 — conf access varies by deploy mode
+            return None
+
+    # spark.executor.pyspark.memory is the real Python-worker cap when
+    # set; spark.executor.memory is a JVM-heap proxy otherwise.
+    mem_bytes = _parse_jvm_mem(_conf("spark.executor.pyspark.memory"))
+    if mem_bytes is None:
+        mem_bytes = _parse_jvm_mem(_conf("spark.executor.memory"))
     if mem_bytes is None:
         return floor
-    block = int(mem_bytes * mem_fraction / (8 * max(1, n_codes)))
+    try:
+        slots = int(_conf("spark.executor.cores") or 1)
+    except ValueError:
+        slots = 1
+    block = int(mem_bytes * mem_fraction / (max(1, slots) * 8 * max(1, n_codes)))
     return max(floor, min(cap, block))
 
 
@@ -2293,10 +2368,11 @@ def write_pq_ivf_index(
             vec_col,
             dim,
             "write_pq_ivf_index: null vector, vector with null elements, "
-            f"or vector whose dimension differs from dim={dim} — Arrow "
-            "turns null elements into NaN, which would argmin-assign to "
-            "cell 0 with a garbage code and rank ABOVE real scores at "
-            "re-rank time",
+            f"all-zero vector, or vector whose dimension differs from "
+            f"dim={dim} — Arrow turns null elements into NaN, which would "
+            "argmin-assign to cell 0 with a garbage code and rank ABOVE "
+            "real scores at re-rank time; an all-zero vector persists "
+            "nrm=0.0 whose 0/0 cosine NaN-ranks first",
         ).alias(vec_col),
     )
     (
@@ -2413,6 +2489,10 @@ def pq_ivf_shortlist(
         raise ValueError(f"query_block must be >= 1, got {query_block}")
     if not (1 <= n_probe):
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    if shortlist < 1:
+        # shortlist=0 would reach _det_topk_idx with keep=0 and die with
+        # a cryptic numpy error inside the executor (round-12 ADVICE)
+        raise ValueError(f"shortlist must be >= 1, got {shortlist}")
     books, centers = index.books, index.centers
     ids, codes, cells, cell_ptr = (
         index.ids, index.codes, index.cells, index.cell_ptr,
@@ -2551,7 +2631,15 @@ def pq_ivf_rerank(
     return (
         inv.join(F.broadcast(sl), ["neighbor_id", "centroid"])
         .join(F.broadcast(qd), "query_id")
-        .withColumn("cos_sim", F.expr(f"{dot} / ({nq} * nrm)"))
+        .withColumn("cos_sim", F.expr(
+        # a zero-norm side makes the divisor 0: under ANSI (Spark 4
+        # default) a plain / raises DIVIDE_BY_ZERO mid-job, under
+        # non-ANSI it yields NaN which Spark orders ABOVE every double
+        # (phantom rank 1).  try_divide -> NULL -> coalesce pins it at
+        # -Infinity in BOTH modes; nanvl covers any residual NaN.
+        f"coalesce(nanvl(try_divide({dot}, {nq} * nrm), "
+        "cast('-Infinity' as double)), cast('-Infinity' as double))"
+    ))
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
@@ -2642,9 +2730,9 @@ def append_to_pq_ivf_index(
             "scores",
             dim,
             "append_to_pq_ivf_index: null vector, vector with null "
-            f"elements, or vector whose dimension differs from dim={dim}"
-            " — it would be filed under a garbage cell and rank ABOVE "
-            "real scores at re-rank time",
+            f"elements, all-zero vector, or vector whose dimension "
+            f"differs from dim={dim} — it would be filed under a garbage "
+            "cell and rank ABOVE real scores at re-rank time",
         ),
     )
     # the guard fires at the eager localCheckpoint below — loudly,
@@ -2755,6 +2843,12 @@ def pq_ivf_shortlist_scanned(
     from video_etl_spark.session import ensure_executor_package
 
     ensure_executor_package(spark)
+    if not (1 <= n_probe):
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    if shortlist < 1:
+        # mirror of the broadcast form's check: shortlist=0 reaches
+        # _det_topk_idx with keep=0 → cryptic executor-side numpy error
+        raise ValueError(f"shortlist must be >= 1, got {shortlist}")
     prow = spark.read.parquet(f"{path}/params").collect()[0]
     do_norm = bool(prow["normalize"])
     books = _books_from_rows(spark.read.parquet(f"{path}/books").collect())
@@ -3003,10 +3097,24 @@ def cluster_blocked_pairs(
         F.col("q").alias("qb"),
         F.col("sq").alias("sqb"),
     )
-    cos = F.expr(
-        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
-        "(acc, v) -> acc + v)"
-    ).cast("double") / (F.sqrt("sqa") * F.sqrt("sqb"))
+    # Zero-norm hardening: under ANSI a plain / raises DIVIDE_BY_ZERO
+    # mid-job; under non-ANSI 0/0 = NaN, which Spark treats as GREATER
+    # than every double in both ordering and comparison predicates, so
+    # it would pass the >= threshold filter below as a phantom pair.
+    # try_divide -> NULL -> coalesce(-inf) fails the filter cleanly.
+    cos = F.coalesce(
+        F.nanvl(
+            F.try_divide(
+                F.expr(
+                    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
+                    "(acc, v) -> acc + v)"
+                ).cast("double"),
+                F.sqrt("sqa") * F.sqrt("sqb"),
+            ),
+            F.lit(float("-inf")),
+        ),
+        F.lit(float("-inf")),
+    )
     return (
         a.join(b, "center_id")
         .filter(F.col("vec_a") < F.col("vec_b"))

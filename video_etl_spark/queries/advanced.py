@@ -32,12 +32,16 @@ from video_etl_spark.session import load_table
 
 ROWS_ONLY_QUERIES = frozenset(
     {
-        "knn_lsh_bucketed",
         "sort_tracker_synthetic",
         "switch_log_replay",
         "approx_count_distinct",
-        "knn_ivf",
-        "knn_pq",
+        # knn_lsh_bucketed / knn_ivf / knn_pq RETIRED from the registry
+        # in round 13 (verdict #6 retirement policy, see COVERAGE.md):
+        # each is strictly dominated by its indexed successor
+        # (knn_lsh_indexed / knn_ivf_indexed / knn_pq_indexed, all
+        # FULL-oracle) that exercises the same library function through
+        # the persisted-index path.  The library functions (lsh_topk /
+        # ivf_topk / pq_topk) and their recall/equivalence tests remain.
         "lstm_user_states",
         "lflstm_fusion_users",
         # t-digest sketch (round 5): engines' quantile sketches differ by
@@ -247,11 +251,13 @@ def frame_preprocess_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preprocess_checksum(attach_fake_payload(docs))
 
 
-@query("knn_pq")
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U22 PQ ANN scale path: codes replace raw vectors for the scan; exact
     re-rank on a bounded shortlist.  Recall-tested vs the brute-force twin
-    in tests/test_llm_ops.py."""
+    in tests/test_llm_ops.py.
+
+    Registry-retired round 13 (superseded by the FULL-oracle
+    ``knn_pq_indexed``); kept as a library-level example wrapper."""
     from video_etl_spark.llm_ops.similarity import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -260,8 +266,9 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(corpus, queries_df, k=10)
 
 
-@query("knn_lsh_bucketed")
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-retired round 13 (superseded by the FULL-oracle
+    ``knn_lsh_indexed``); kept as a library-level example wrapper."""
     from video_etl_spark.llm_ops.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -439,11 +446,13 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_ivf")
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U22's IVF scale path (KMeans-partitioned ANN). Rows-only: the KMeans
     fit is iterative; recall is pytest-bounded against the oracle-verified
-    brute-force twin."""
+    brute-force twin.
+
+    Registry-retired round 13 (superseded by the FULL-oracle
+    ``knn_ivf_indexed``); kept as a library-level example wrapper."""
     from video_etl_spark.llm_ops.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

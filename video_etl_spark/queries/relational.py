@@ -1019,35 +1019,43 @@ def bracket_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sole_returning_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE pass over lineitem (round-12 verdict #5): the old shape ran
+    # TWO separate .distinct() scans (r_lines + all_lines) and then a
+    # semi- plus an anti-join back against lineitem-sized sides — the
+    # worst 10× exponent in the TPC-H family (6.6).  One
+    # groupBy(l_orderkey, l_suppkey).agg(max(returnflag='R')) derives
+    # both sides with a single lineitem shuffle; the EXISTS / NOT EXISTS
+    # pair then collapses to per-ORDER counts (suppliers ≥ 2, returning
+    # suppliers = 1) over the already-aggregated pair table, and the
+    # sole returning supplier is recovered in the same order-grain agg
+    # (max over the has_r branch — exactly one row feeds it when
+    # n_r = 1, so max is just "the" supplier).
     li = load_table(spark, sf_dir, "lineitem")
-    r_lines = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("l_returnflag") == "R").alias("has_r")
     )
-    all_lines = li.select("l_orderkey", "l_suppkey").distinct()
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
-    l1 = r_lines.join(supp, F.col("s_suppkey") == F.col("l_suppkey")).join(
-        F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+    orders = (
+        pairs.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.col("has_r").cast("int")).alias("n_r"),
+            F.max(F.when(F.col("has_r"), F.col("l_suppkey"))).alias("r_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r") == 1))
+        .select("l_orderkey", "r_supp")
     )
-    l2 = all_lines.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
     )
-    l3 = r_lines.select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
     )
-    with_other = l1.join(
-        l2,
-        (F.col("o2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
-        "left_semi",
+    return (
+        orders.join(supp, F.col("s_suppkey") == F.col("r_supp"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
-    sole_r = with_other.join(
-        l3,
-        (F.col("o3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
-        "left_anti",
-    )
-    return sole_r.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
 
 
 # --------------------------------------------------------------------------
@@ -1075,14 +1083,26 @@ def sole_returning_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_name")
+    # Push the part predicate THROUGH to the lineitem aggregation
+    # (round-12 verdict #5): the correlated-min is per part, and only
+    # filtered parts survive the final join, so a semi-join before the
+    # big groupBy shrinks its input by the part-filter selectivity —
+    # the old plan aggregated unit costs for EVERY part and threw most
+    # away (10× exponent 5.6).  AQE picks broadcast for the key side
+    # when it fits; the semantics are unchanged either way.
+    li_f = li.join(
+        part.select("p_partkey"),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_semi",
+    )
+    costs = li_f.groupBy("l_partkey", "l_suppkey").agg(
         F.min(
             F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
         ).alias("unit_c")
     )
-    part = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
-    ).select("p_partkey", "p_name")
     w = Window.partitionBy("l_partkey")
     best = (
         costs.withColumn("min_c", F.min("unit_c").over(w))
