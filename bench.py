@@ -274,6 +274,84 @@ _DEFAULT_PIN_PROVENANCE = {
 }
 
 
+def page_cache_resident_fraction(paths) -> "float | None":
+    """Fraction of the given files' pages resident in the OS page cache
+    (Linux ``mincore`` over a read-only map; never reads the data, so
+    the probe does not perturb the state it measures).
+
+    Round-12 forensics: page-cache eviction between runs re-reads the
+    parquet-heavy headline family cold (+15 % raw) while ALL control
+    ratios stay quiet — the ~1 s controls re-warm their own tiny inputs
+    within their 7 reps, so no ratio can see input-file cache state.
+    The driver takes ONE run, so its artifact needs a direct IO-state
+    readout (round-12 verdict #3).  Returns None when the probe is
+    unavailable (non-Linux, mmap/mincore failure, no readable files) —
+    callers must treat None as "unknown", not "warm"."""
+    import ctypes
+    import mmap as _mmap
+
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mmap.restype = ctypes.c_void_p
+        libc.mmap.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_long,
+        ]
+        libc.munmap.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+        libc.mincore.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_ubyte),
+        ]
+    except (OSError, AttributeError):
+        return None
+    page = _mmap.PAGESIZE
+    map_failed = ctypes.c_void_p(-1).value
+    resident = total = 0
+    for p in paths:
+        try:
+            size = os.path.getsize(p)
+        except OSError:
+            continue
+        if size == 0:
+            continue
+        try:
+            fd = os.open(p, os.O_RDONLY)
+        except OSError:
+            continue
+        try:
+            addr = libc.mmap(None, size, _mmap.PROT_READ, _mmap.MAP_SHARED, fd, 0)
+            if addr is None or addr == map_failed:
+                continue
+            try:
+                n_pages = (size + page - 1) // page
+                vec = (ctypes.c_ubyte * n_pages)()
+                if libc.mincore(addr, size, vec) == 0:
+                    resident += sum(b & 1 for b in vec)
+                    total += n_pages
+            finally:
+                libc.munmap(addr, size)
+        finally:
+            os.close(fd)
+    return resident / total if total else None
+
+
+#: io_cold fires below this resident fraction of the bench input bytes.
+#: 0.5 splits the two observed states cleanly: a purged cache reads ~0.0,
+#: any post-run state ~1.0 (the inputs are far smaller than RAM, so
+#: partial eviction is the transition band, not the steady state).
+_IO_COLD_THRESHOLD = 0.5
+
+
+def _bench_input_files(sf_dir: str) -> "list[str]":
+    import glob as _glob
+
+    return sorted(
+        f
+        for f in _glob.glob(os.path.join(sf_dir, "**", "*.parquet"),
+                            recursive=True)
+        if os.path.isfile(f)
+    )
+
+
 def load_pins():
     """(control_pinned, control_pinned_mid, provenance) — the sidecar
     written by ``--repin`` when present, else the in-code constants with
@@ -394,6 +472,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     pinned, pinned_mid, pin_prov = load_pins()
+
+    # IO-state probe BEFORE any Spark scan touches the inputs: the warm-up
+    # passes re-warm the cache, so only a pre-run readout can see the
+    # state the first timed family actually experienced (round-12 #3)
+    io_resident = page_cache_resident_fraction(_bench_input_files(sf_dir))
+    io_cold = None if io_resident is None else io_resident < _IO_COLD_THRESHOLD
 
     registry.load_all()
     spark = get_spark("video-etl-spark-bench")
@@ -555,6 +639,14 @@ def main() -> None:
         "control_pinned_mid": pinned_mid,
         "pin_provenance": pin_prov,
         "pinned_rdds_after": pinned_after,
+        # pre-run page-cache residency of the input parquet (None =
+        # probe unavailable); io_cold explains a single-run artifact
+        # whose parquet-heavy family reads elevated while every control
+        # ratio is quiet — the r12 phantom-regression mode
+        "io_cache_resident": (
+            None if io_resident is None else round(io_resident, 4)
+        ),
+        "io_cold": io_cold,
     }
     compact = {
         "metric": "headline_queries_total",
@@ -562,6 +654,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(HEADLINE),
+        "io_cold": io_cold,
     }
     if pins_stale:
         # verbose note in the committed full artifact; the compact line

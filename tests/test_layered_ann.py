@@ -678,3 +678,79 @@ def test_zero_norm_vectors_refused_and_rerank_nan_safe(spark, tmp_path):
         pq_ivf_shortlist_scanned(spark, q, path, shortlist=0)
     with pytest.raises(ValueError, match="n_probe must be >= 1"):
         pq_ivf_shortlist_scanned(spark, q, path, n_probe=0)
+
+
+def test_distributed_append_matches_rebuild_no_driver_codes(spark, tmp_path):
+    """Round-12 verdict #4: past the broadcast cap the append side must
+    not round-trip encoded rows through the driver (the broadcast-form
+    collect is batch-bounded, but in the scanned regime no driver
+    arrays exist at all).  Pinned: (a) index=None reads the frozen
+    quantizers from the sidecars and appends in ONE distributed write —
+    scanned serving over the appended index equals serving over a
+    one-shot rebuild, bit-for-bit; (b) during the distributed append NO
+    DataFrame carrying encoded codes is collected (probe wraps
+    DataFrame.collect — sidecar reads are allowed, code rows are not);
+    (c) re-ingest is still a no-op through the new path;
+    (d) return_artifacts=True without an index raises."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    from video_etl_spark.llm_ops.similarity import (
+        append_to_pq_ivf_index,
+        layered_topk_scanned,
+        write_pq_ivf_index,
+    )
+
+    corpus, _ = _toy_corpus(spark, n=260)
+    m, ksub, n_cells, dim = 4, 8, 5, 16
+    rng = np.random.default_rng(13)
+    centers = rng.normal(0, 10, size=(n_cells, dim))
+    books = rng.normal(0, 1, size=(m, ksub, dim // m))
+    old = corpus.filter("vec_id % 10 != 3")
+    new = corpus.filter("vec_id % 10 = 3")
+
+    p_app = str(tmp_path / "appended")
+    write_pq_ivf_index(
+        old, p_app, m=m, ksub=ksub, n_centroids=n_cells,
+        centers=centers, books=books, return_artifacts=False,
+    )
+
+    real_collect = SparkDataFrame.collect
+    collected_schemas = []
+
+    def probe_collect(self):
+        collected_schemas.append([f.name for f in self.schema.fields])
+        return real_collect(self)
+
+    SparkDataFrame.collect = probe_collect
+    try:
+        out = append_to_pq_ivf_index(new, p_app)  # index=None, distributed
+    finally:
+        SparkDataFrame.collect = real_collect
+    assert out is None
+    assert not any("code" in cols for cols in collected_schemas), (
+        collected_schemas
+    )
+
+    p_reb = str(tmp_path / "rebuilt")
+    write_pq_ivf_index(
+        corpus, p_reb, m=m, ksub=ksub, n_centroids=n_cells,
+        centers=centers, books=books, return_artifacts=False,
+    )
+    queries = corpus.filter("vec_id % 23 = 0")
+    a = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, p_app, k=3, n_probe=2
+    ).collect()))
+    b = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, p_reb, k=3, n_probe=2
+    ).collect()))
+    assert a == b and len(a) == queries.count() * 3
+
+    # idempotent re-ingest through the distributed path
+    assert append_to_pq_ivf_index(new, p_app) is None
+    a2 = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, p_app, k=3, n_probe=2
+    ).collect()))
+    assert a2 == a
+
+    with pytest.raises(ValueError, match="return_artifacts=True"):
+        append_to_pq_ivf_index(new, p_app, return_artifacts=True)

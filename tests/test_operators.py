@@ -517,6 +517,51 @@ def test_headline_plan_expectations_cover_bench():
     assert set(_HEADLINE_PLAN_EXPECTATIONS) == set(bench.HEADLINE)
 
 
+def test_io_cold_probe_detects_cache_state(tmp_path):
+    """Round-12 verdict #3: the driver's single-run bench booked a
+    phantom 1.9× on the parquet-heavy family because page-cache eviction
+    is invisible to every control ratio (the ~1 s controls re-warm their
+    own inputs).  The mincore probe must (a) read ~1.0 on just-written
+    files, (b) read ~0.0 after a targeted eviction
+    (posix_fadvise DONTNEED — the unit-test stand-in for the purged-box
+    replay), (c) return to ~1.0 after a plain read, and (d) return None
+    — unknown, never 'warm' — when no input files exist.  The io_cold
+    threshold must split states (a) and (b)."""
+    import os
+
+    import bench
+
+    p = tmp_path / "blob.parquet"
+    with open(p, "wb") as fh:
+        fh.write(b"\x37" * (4 << 20))
+        fh.flush()
+        os.fsync(fh.fileno())
+    files = bench._bench_input_files(str(tmp_path))
+    assert files == [str(p)]
+
+    warm = bench.page_cache_resident_fraction(files)
+    assert warm is not None and warm > bench._IO_COLD_THRESHOLD
+
+    fd = os.open(p, os.O_RDONLY)
+    try:
+        os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+    finally:
+        os.close(fd)
+    cold = bench.page_cache_resident_fraction(files)
+    assert cold is not None and cold < bench._IO_COLD_THRESHOLD
+
+    with open(p, "rb") as fh:
+        fh.read()
+    rewarmed = bench.page_cache_resident_fraction(files)
+    assert rewarmed is not None and rewarmed > bench._IO_COLD_THRESHOLD
+
+    assert bench.page_cache_resident_fraction([]) is None
+    assert (
+        bench.page_cache_resident_fraction([str(tmp_path / "missing")])
+        is None
+    )
+
+
 def test_bench_artifact_lines_fit_tail_capture():
     """The driver records bench output through a ~2000-char TAIL capture
     that truncates from the FRONT — the failure that cost round 9 its
@@ -555,6 +600,7 @@ def test_bench_artifact_lines_fit_tail_capture():
         "control_ratio_mid": 1.1234, "control_ratio_end": 1.1234,
         "degraded_during_run": False, "start_elevated": False,
         "mid_elevated": False, "value_normalized": 9999.1234,
+        "io_cold": False,
         "full_artifact": "BENCH_FULL_latest.json",
     }
     compact_line = json.dumps(compact)

@@ -2700,26 +2700,66 @@ def layered_topk_against_index(
 def append_to_pq_ivf_index(
     new: DataFrame,
     path: str,
-    index: PqIvfIndex,
+    index: "PqIvfIndex | None" = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assume_disjoint: bool = False,
-) -> PqIvfIndex:
+    return_artifacts: "bool | None" = None,
+) -> "PqIvfIndex | None":
     """Append a vector batch under the FROZEN coarse centers and
     codebooks (the ``append_to_ivf_index`` / ``append_to_pq_index``
     discipline — never refit, so every persisted assignment and code
-    stays valid) and return the EXTENDED driver artifacts, re-grouped so
-    the contiguous-slice contract holds.  Same IVF drift caveat: a
-    drifting distribution crowds new vectors into few cells; the remedy
-    is a fresh :func:`write_pq_ivf_index` generation."""
+    stays valid).  Same IVF drift caveat: a drifting distribution crowds
+    new vectors into few cells; the remedy is a fresh
+    :func:`write_pq_ivf_index` generation.
+
+    TWO physical forms, mirroring the serve side (round-12 verdict #4):
+
+    * ``index`` given (broadcast regime) — returns the EXTENDED driver
+      artifacts, re-grouped so the contiguous-slice contract holds.
+      The encoded batch round-trips through the driver, bounded by the
+      BATCH size (a 4k-vector batch is ~KBs), never the corpus.
+    * ``index=None`` (scanned regime, default ``return_artifacts=False``)
+      — the quantizers are read from the index's own ``params``/
+      ``books``/``centers`` sidecars (bounded: m×ksub + n_cells rows),
+      and the encoded rows are written STRAIGHT to the cell-partitioned
+      parquet in one distributed pass with NO driver materialization of
+      codes — the append shape a past-broadcast-cap corpus needs, where
+      the driver arrays the broadcast form extends cannot exist at all
+      (``read_pq_ivf_index`` raises past ``max_rows``).  Serve through
+      the scanned twins.  Returns None.
+
+    ``return_artifacts=False`` with an ``index`` skips the driver
+    round-trip too (write-only append); ``return_artifacts=True``
+    without an ``index`` raises — extended artifacts need base arrays
+    to extend (load them with :func:`read_pq_ivf_index` if the corpus
+    is still under the cap)."""
     from video_etl_spark.session import ensure_executor_package
 
     spark = new.sparkSession
     ensure_executor_package(spark)
-    books, centers = index.books, index.centers
+    if return_artifacts is None:
+        return_artifacts = index is not None
+    if return_artifacts and index is None:
+        raise ValueError(
+            "append_to_pq_ivf_index: return_artifacts=True needs the base "
+            "index arrays to extend — pass index= (read_pq_ivf_index) or "
+            "use the scanned serving twins, which need no driver arrays"
+        )
+    if index is not None:
+        books, centers, do_norm = index.books, index.centers, index.normalize
+    else:
+        prow = spark.read.parquet(f"{path}/params").collect()[0]
+        do_norm = bool(prow["normalize"])
+        books = _books_from_rows(spark.read.parquet(f"{path}/books").collect())
+        centers = np.asarray(
+            _centers_from_rows(
+                spark.read.parquet(f"{path}/centers").collect()
+            ),
+            dtype=np.float64,
+        )
     cmat = centers
     cnorm2 = (cmat**2).sum(axis=1)
-    do_norm = index.normalize
     as_double = F.expr(f"transform({vec_col}, x -> cast(x as double))")
     dim = centers.shape[1]
     new_d = new.select(
@@ -2772,6 +2812,16 @@ def append_to_pq_ivf_index(
                     "centroid": cell.astype(np.int32),
                 }
             )
+
+    if not return_artifacts:
+        # scanned-regime append: encoded rows flow straight from the
+        # Arrow encode stage into the cell-partitioned sink — one
+        # distributed job, nothing driver-side (the write-side twin of
+        # pq_ivf_shortlist_scanned's no-broadcast contract)
+        fresh.mapInPandas(encode_assign, schema=out_schema).write.mode(
+            "append"
+        ).partitionBy("centroid").parquet(f"{path}/vectors")
+        return None
 
     encoded = fresh.mapInPandas(encode_assign, schema=out_schema).persist()
     try:
