@@ -73,8 +73,24 @@ slice under the FROZEN coarse centers and codebooks
 (``append_to_pq_ivf_index``) — the very next batch must return those
 vectors.
 
+``--clustered [K]`` (round-12 verdict #2 / round-13) swaps the seeded
+slice's near-uniform embeddings — IVF's WORST case, where the measured
+10× recall ceiling was ~0.32 because true neighbors scatter over cells
+— for a seeded mixture of K Gaussians (default 128; centers spread 10,
+within-cluster sigma 1 at dim 64), generated DISTRIBUTED with per-id
+deterministic noise.  This is the regime the layered shape is actually
+deployed for (real embedding corpora cluster; that is IVF's premise),
+so the layered mode's achieved-vs-ceiling recall decomposition gets a
+measured point where the premise holds.  ``--n-probe N`` sets the
+layered probe width (default 3) so the ceiling can be read at several
+points; on clustered runs the build also prints
+``n_probe_for_target``'s measured sizing recommendation for a 0.9
+ceiling target.
+
 Usage: python examples/ann_serve_rehearsal.py [--scale N]
                                               [--mode lsh|pq|ivf|layered]
+                                              [--clustered [K]]
+                                              [--n-probe N]
 """
 
 from __future__ import annotations
@@ -181,7 +197,38 @@ def serve_pq(spark, corpus, queries, held_out, work: str) -> None:
     print(f"answer log: {n_ans} rows across {N_SERVE_BATCHES} batches")
 
 
-def serve_layered(spark, corpus, queries, held_out, work: str) -> None:
+def clustered_embeddings(spark, n: int, dim: int = 64, k: int = 128,
+                         seed: int = 17):
+    """Seeded mixture-of-Gaussians embedding table, generated in one
+    distributed pass: component centers ~N(0, 10) driver-side (k × dim —
+    tiny, closed over), each row's component and unit-sigma noise drawn
+    from a generator seeded by (seed, vec_id) so any executor produces
+    bit-identical rows for the same ids — reproducible without driver
+    materialization, re-runnable per batch."""
+    import numpy as np
+    import pandas as pd
+
+    centers = np.random.default_rng(seed).normal(0.0, 10.0, size=(k, dim))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                rng = np.random.default_rng([seed, int(i)])
+                c = int(rng.integers(0, k))
+                vecs.append((centers[c] + rng.normal(size=dim)).tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+    )
+
+
+def serve_layered(spark, corpus, queries, held_out, work: str,
+                  n_probe: int = 3, mix_k: "int | None" = None) -> None:
     """The composed serve loop: one build pass assigns cells + encodes,
     each batch runs coarse prune → ADC over probed cells → exact
     re-rank; mid-serve frozen-quantizer append; self-in-top-k gate with
@@ -205,8 +252,18 @@ def serve_layered(spark, corpus, queries, held_out, work: str) -> None:
     # loses almost nothing and the remaining loss is coarse pruning on
     # a near-uniform corpus (IVF's worst case), which n_probe controls.
     n_cells = max(8, n_corpus // 500)
-    n_probe = 3
-    shortlist = 10 * TOPK
+    # shortlist depth is THE dial on dup-dense/clustered data (the r12
+    # test measured this on the lobe corpus): within a tight cluster the
+    # PQ codes cannot separate members at the noise scale, so the ADC
+    # cut must be at least cluster-occupancy deep or self (and true
+    # neighbors) fall to the (approx desc, id asc) tie-break.  Clustered
+    # runs size it at 2× the mean component occupancy — still a tiny
+    # fraction of the corpus (the whole point vs corpus-sized ADC).
+    shortlist = (
+        10 * TOPK if mix_k is None
+        else max(10 * TOPK, 2 * n_corpus // mix_k)
+    )
+    clustered = mix_k is not None
     path = f"{work}/layered"
     t0 = time.perf_counter()
     state = {"idx": write_pq_ivf_index(
@@ -217,7 +274,26 @@ def serve_layered(spark, corpus, queries, held_out, work: str) -> None:
           f"~{n_corpus // n_cells}/cell, codes "
           f"{idx.codes.nbytes / 1e6:.1f} MB broadcast per batch, "
           f"n_probe={n_probe} -> ~{n_probe / n_cells:.1%} of codes "
-          f"ADC-scored per query): {time.perf_counter() - t0:.1f}s")
+          f"ADC-scored per query, shortlist={shortlist}): "
+          f"{time.perf_counter() - t0:.1f}s")
+    if clustered:
+        # the sizing helper's measured recommendation (round-12 #2):
+        # what n_probe a 0.9 coarse-prune ceiling actually needs here
+        from video_etl_spark.llm_ops.similarity import n_probe_for_target
+
+        t0 = time.perf_counter()
+        try:
+            rec, curve = n_probe_for_target(
+                spark, corpus.filter("vec_id % 400 = 0"), path,
+                target_recall=0.9, k=TOPK, max_queries=2048,
+            )
+            pts = {p: round(curve[p], 3)
+                   for p in (1, 2, 3, 4, 6, 8) if p in curve}
+            print(f"  n_probe_for_target(0.9): n_probe={rec} "
+                  f"(measured ceiling curve {pts}, "
+                  f"{time.perf_counter() - t0:.1f}s untimed)")
+        except ValueError as exc:
+            print(f"  n_probe_for_target(0.9): UNREACHABLE — {exc}")
 
     # exact-recall reference: the normalized corpus, driver-side, used
     # UNTIMED — at 10x this is ~100 MB; the reference exists for honest
@@ -419,8 +495,19 @@ def main() -> None:
         if mode not in ("lsh", "pq", "ivf", "layered"):
             raise SystemExit(
                 "usage: ann_serve_rehearsal.py [--scale N] "
-                "[--mode lsh|pq|ivf|layered]"
+                "[--mode lsh|pq|ivf|layered] [--clustered [K]] "
+                "[--n-probe N]"
             )
+    clustered, mix_k = False, 128
+    if "--clustered" in sys.argv:
+        clustered = True
+        try:
+            mix_k = int(sys.argv[sys.argv.index("--clustered") + 1])
+        except (IndexError, ValueError):
+            pass  # bare flag keeps the default component count
+    n_probe = 3
+    if "--n-probe" in sys.argv:
+        n_probe = int(sys.argv[sys.argv.index("--n-probe") + 1])
 
     from examples.scale_rehearsal import ensure_seeded_slice
     from video_etl_spark.llm_ops.similarity import (
@@ -435,6 +522,15 @@ def main() -> None:
     sf_dir = ensure_seeded_slice(spark, scale)
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if clustered:
+        # same ids/count as the seeded slice, clustered geometry: the
+        # regime the layered shape deploys into (see module docstring);
+        # localCheckpoint pins the generated rows so every consumer
+        # (build, queries, recall reference) sees ONE corpus
+        n_emb = emb.count()
+        emb = clustered_embeddings(spark, n_emb, k=mix_k).localCheckpoint()
+        print(f"clustered corpus: {n_emb} vectors, mixture of {mix_k} "
+              "Gaussians (spread 10, sigma 1, dim 64, seeded)")
     # roles: the indexed corpus, the streamed query feed (drawn FROM the
     # corpus so per-batch self-recall is assertable), and a held-out
     # slice appended MID-serve (excluded from the initial index so its
@@ -446,9 +542,14 @@ def main() -> None:
     if mode in ("pq", "ivf", "layered"):
         work = tempfile.mkdtemp(prefix=f"ann_serve_rehearsal_{mode}_")
         try:
-            {"pq": serve_pq, "ivf": serve_ivf, "layered": serve_layered}[
-                mode
-            ](spark, corpus, queries, held_out, work)
+            if mode == "layered":
+                serve_layered(spark, corpus, queries, held_out, work,
+                              n_probe=n_probe,
+                              mix_k=mix_k if clustered else None)
+            else:
+                {"pq": serve_pq, "ivf": serve_ivf}[mode](
+                    spark, corpus, queries, held_out, work
+                )
         finally:
             shutil.rmtree(work, ignore_errors=True)
             spark.stop()

@@ -754,3 +754,58 @@ def test_distributed_append_matches_rebuild_no_driver_codes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="return_artifacts=True"):
         append_to_pq_ivf_index(new, p_app, return_artifacts=True)
+
+
+def test_n_probe_for_target_measured_curve_and_loud_fallback(spark, tmp_path):
+    """Round-12 verdict #2's sizing helper: on a CLUSTERED corpus (the
+    regime IVF exists for) the measured cell-hit-rate curve reaches a
+    0.9 ceiling target at a small n_probe; the curve is monotone and
+    hits 1.0 at n_probe = n_cells (probing everything prunes nothing);
+    on a corpus that does NOT cluster at the cell count, a tight
+    max_n_probe raises the loud unreachable-target ValueError instead
+    of silently returning a probe-everything answer."""
+    from video_etl_spark.llm_ops.similarity import (
+        n_probe_for_target,
+        write_pq_ivf_index,
+    )
+
+    # clustered: the lobe corpus (6 tight Gaussians, spread 10, sigma 1)
+    corpus, _ = _toy_corpus(spark, n=300)
+    path = str(tmp_path / "clustered")
+    write_pq_ivf_index(corpus, path, m=4, ksub=16, n_centroids=6)
+    sample = corpus.filter("vec_id % 10 = 0")
+    p, curve = n_probe_for_target(
+        spark, sample, path, target_recall=0.9, k=5
+    )
+    assert 1 <= p <= 3, (p, curve)
+    assert curve[p] >= 0.9
+    vals = [curve[i] for i in sorted(curve)]
+    assert vals == sorted(vals)  # monotone
+    assert abs(vals[-1] - 1.0) < 1e-12  # probe-all covers everything
+
+    # stricter target still resolves (possibly larger p), and the
+    # returned p is minimal: p-1 misses the target
+    p99, curve99 = n_probe_for_target(
+        spark, sample, path, target_recall=0.99, k=5
+    )
+    assert curve99[p99] >= 0.99
+    if p99 > 1:
+        assert curve99[p99 - 1] < 0.99
+
+    # non-clustering corpus: uniform vectors, many cells — a 0.95
+    # ceiling at n_probe <= 2 is unreachable and must say so loudly
+    rng = np.random.default_rng(21)
+    uni = spark.createDataFrame(
+        [(i, rng.normal(size=16).tolist()) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    upath = str(tmp_path / "uniform")
+    write_pq_ivf_index(uni, upath, m=4, ksub=16, n_centroids=20)
+    with pytest.raises(ValueError, match="does not cluster"):
+        n_probe_for_target(
+            spark, uni.filter("vec_id % 10 = 0"), upath,
+            target_recall=0.95, k=5, max_n_probe=2,
+        )
+
+    with pytest.raises(ValueError, match="target_recall"):
+        n_probe_for_target(spark, sample, path, target_recall=0.0)

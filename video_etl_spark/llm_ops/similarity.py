@@ -3040,6 +3040,138 @@ def layered_topk_scanned(
     )
 
 
+def n_probe_for_target(
+    spark,
+    queries: DataFrame,
+    path: str,
+    target_recall: float,
+    k: int = 10,
+    max_n_probe: "int | None" = None,
+    max_queries: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> "tuple[int, dict[int, float]]":
+    """Size ``n_probe`` for a layered index from a MEASURED cell-hit-rate
+    readout (round-12 verdict #2): returns ``(n_probe, curve)`` where
+    ``curve[p]`` is the measured coarse-prune CEILING recall@k at p
+    probed cells — the fraction of the sample's TRUE top-k neighbors
+    whose cell ranks within each query's first p cells — and ``n_probe``
+    is the smallest p with ``curve[p] >= target_recall``.
+
+    The readout is exact, not modeled: one distributed brute-force pass
+    scores the bounded query sample against the index's own vector
+    parquet (broadcast sample × corpus scan — linear, one-off; run it on
+    a representative sample, it is a sizing procedure, not a serve
+    path), collects only sample×k (neighbor cell, query) pairs, and
+    ranks each true neighbor's cell inside its query's coarse ordering
+    driver-side.  The ceiling is the right dial target because the
+    composition's OTHER losses are measured ≤0.007 at production ksub
+    (PERF.md round-12) — what the prune keeps, ADC+re-rank deliver.
+
+    ``exclude_self``: corpus-drawn sample queries find themselves at
+    rank 1 in their own cell (hit rank 0 by construction), inflating the
+    curve — dropped by default.
+
+    LOUD FALLBACK: when the target needs more than ``max_n_probe``
+    cells (default: all of them — i.e. unreachable at any prune), raises
+    ValueError carrying the measured curve, because that is the signal
+    that the corpus does not cluster at this cell count (IVF's premise
+    fails) and the remedy is fewer/better cells or no coarse stage, not
+    a silently huge probe."""
+    if not (0.0 < target_recall <= 1.0):
+        raise ValueError(
+            f"target_recall must be in (0, 1], got {target_recall}"
+        )
+    from video_etl_spark.session import ensure_executor_package
+
+    ensure_executor_package(spark)
+    prow = spark.read.parquet(f"{path}/params").collect()[0]
+    do_norm = bool(prow["normalize"])
+    centers = np.asarray(
+        _centers_from_rows(spark.read.parquet(f"{path}/centers").collect()),
+        dtype=np.float64,
+    )
+    n_cells = len(centers)
+    cap = n_cells if max_n_probe is None else min(max_n_probe, n_cells)
+
+    q = _dedup_queries_validated(
+        queries, id_col, vec_col, "n_probe_for_target", max_queries
+    )
+    rows = q.select(id_col, vec_col).collect()
+    if not rows:
+        raise ValueError("n_probe_for_target: empty query sample")
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qmat = np.stack([np.array(r[1]) for r in rows]).astype(np.float64)
+    if do_norm:
+        qmat = _normalize(qmat)
+
+    # exact top-k of the sample vs the indexed corpus — the same
+    # broadcast-queries / scan-vectors brute force pq_ivf_rerank runs,
+    # minus the shortlist restriction; collects sample×k rows only
+    qdf = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in zip(qids, qmat)],
+        "query_id long, query_vec array<double>",
+    )
+    inv = spark.read.parquet(f"{path}/vectors").select(
+        "neighbor_id", "centroid", "neighbor_vec", "nrm"
+    )
+    dot = (
+        "aggregate(zip_with(query_vec, neighbor_vec, (a, b) -> a * b), "
+        "0D, (s, v) -> s + v)"
+    )
+    nq = "sqrt(aggregate(transform(query_vec, x -> x * x), 0D, (s, v) -> s + v))"
+    cand = inv.join(F.broadcast(qdf), how="cross")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    top = (
+        cand.withColumn(
+            "cos_sim",
+            F.expr(
+                f"coalesce(nanvl(try_divide({dot}, {nq} * nrm), "
+                "cast('-Infinity' as double)), cast('-Infinity' as double))"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "centroid")
+        .collect()
+    )
+
+    # driver-side coarse ordering per sample query (same stable
+    # tie-break as every probe/build site), then each true neighbor's
+    # cell rank -> cumulative hit-rate curve over ALL p at once
+    cn2 = (centers**2).sum(axis=1)
+    d = cn2[None, :] - 2.0 * (qmat @ centers.T)
+    order = np.argsort(d, axis=1, kind="stable")  # (n_q, n_cells)
+    cell_rank = np.empty_like(order)
+    np.put_along_axis(
+        cell_rank, order, np.arange(n_cells)[None, :].repeat(len(qmat), 0), 1
+    )
+    qpos = {int(i): j for j, i in enumerate(qids)}
+    ranks = np.array(
+        [cell_rank[qpos[r["query_id"]], r["centroid"]] for r in top],
+        dtype=np.int64,
+    )
+    hist = np.bincount(ranks, minlength=n_cells)
+    cum = np.cumsum(hist) / max(1, len(ranks))
+    curve = {p: float(cum[p - 1]) for p in range(1, n_cells + 1)}
+
+    needed = int(np.argmax(cum >= target_recall)) + 1
+    if cum[-1] < target_recall or needed > cap:
+        head = {p: round(curve[p], 3) for p in sorted(curve)[:8]}
+        raise ValueError(
+            f"n_probe_for_target: target_recall={target_recall} needs "
+            f"n_probe={needed if cum[-1] >= target_recall else '>'+str(n_cells)} "
+            f"> max_n_probe={cap} at n_cells={n_cells} — the corpus does "
+            "not cluster at this cell count (measured ceiling curve "
+            f"head: {head}, full max {cum[-1]:.3f}); re-cell the index "
+            "or drop the coarse stage"
+        )
+    return needed, curve
+
+
 def cluster_blocked_pairs(
     emb: DataFrame,
     n_centers: int = 8,
