@@ -87,10 +87,20 @@ points; on clustered runs the build also prints
 ``n_probe_for_target``'s measured sizing recommendation for a 0.9
 ceiling target.
 
+``--scanned`` (layered mode, round-12 verdict #4) rehearses the
+past-broadcast-cap lifecycle END TO END: build with
+``return_artifacts=False`` (no driver arrays), serve through
+``layered_topk_scanned`` (codes scanned from the cell-partitioned
+parquet), and append through the DISTRIBUTED ``append_to_pq_ivf_index``
+path (``index=None`` — quantizers read from the sidecars, encoded rows
+written straight to the partitioned parquet, with an in-run probe
+asserting no collected frame carries codes).  Nothing corpus-sized
+touches the driver at any lifecycle step.
+
 Usage: python examples/ann_serve_rehearsal.py [--scale N]
                                               [--mode lsh|pq|ivf|layered]
                                               [--clustered [K]]
-                                              [--n-probe N]
+                                              [--n-probe N] [--scanned]
 """
 
 from __future__ import annotations
@@ -228,7 +238,8 @@ def clustered_embeddings(spark, n: int, dim: int = 64, k: int = 128,
 
 
 def serve_layered(spark, corpus, queries, held_out, work: str,
-                  n_probe: int = 3, mix_k: "int | None" = None) -> None:
+                  n_probe: int = 3, mix_k: "int | None" = None,
+                  scanned: bool = False) -> None:
     """The composed serve loop: one build pass assigns cells + encodes,
     each batch runs coarse prune → ADC over probed cells → exact
     re-rank; mid-serve frozen-quantizer append; self-in-top-k gate with
@@ -266,13 +277,23 @@ def serve_layered(spark, corpus, queries, held_out, work: str,
     clustered = mix_k is not None
     path = f"{work}/layered"
     t0 = time.perf_counter()
+    # --scanned rehearses the past-broadcast-cap regime END TO END: the
+    # build returns no driver arrays, the serve scans the codes, and the
+    # append writes encoded rows straight to the cell-partitioned
+    # parquet (index=None) — nothing corpus-sized ever materializes on
+    # the driver at ANY lifecycle step (round-12 verdict #4)
     state = {"idx": write_pq_ivf_index(
         corpus, path, m=8, ksub=256, n_centroids=n_cells,
+        return_artifacts=not scanned,
     )}
-    idx = state["idx"]
+    codes_note = (
+        "codes stay on disk (scanned form, no driver arrays)"
+        if scanned
+        else f"codes {state['idx'].codes.nbytes / 1e6:.1f} MB broadcast "
+             "per batch"
+    )
     print(f"layered build over {n_corpus} vectors (n_centroids={n_cells}, "
-          f"~{n_corpus // n_cells}/cell, codes "
-          f"{idx.codes.nbytes / 1e6:.1f} MB broadcast per batch, "
+          f"~{n_corpus // n_cells}/cell, {codes_note}, "
           f"n_probe={n_probe} -> ~{n_probe / n_cells:.1%} of codes "
           f"ADC-scored per query, shortlist={shortlist}): "
           f"{time.perf_counter() - t0:.1f}s")
@@ -356,10 +377,20 @@ def serve_layered(spark, corpus, queries, held_out, work: str,
     def serve(batch_df, b: int, label: str, measure_recall: bool) -> None:
         n_q = batch_df.count()  # before the timer (round-10 review)
         t = time.perf_counter()
-        out = layered_topk_against_index(
-            spark, batch_df, path, index=state["idx"], k=TOPK,
-            n_probe=n_probe, shortlist=shortlist,
-        ).withColumn("batch_id", F.lit(b))
+        if scanned:
+            from video_etl_spark.llm_ops.similarity import (
+                layered_topk_scanned,
+            )
+
+            out = layered_topk_scanned(
+                spark, batch_df, path, k=TOPK,
+                n_probe=n_probe, shortlist=shortlist,
+            ).withColumn("batch_id", F.lit(b))
+        else:
+            out = layered_topk_against_index(
+                spark, batch_df, path, index=state["idx"], k=TOPK,
+                n_probe=n_probe, shortlist=shortlist,
+            ).withColumn("batch_id", F.lit(b))
         out.write.mode("append").parquet(f"{work}/answers")
         dt = time.perf_counter() - t
         # the re-rank localCheckpoints its bounded shortlist (released
@@ -391,12 +422,34 @@ def serve_layered(spark, corpus, queries, held_out, work: str,
             # to beat)
             n_held = held_out.count()
             t = time.perf_counter()
-            state["idx"] = append_to_pq_ivf_index(
-                held_out, path, state["idx"]
-            )
-            print(f"  layered append ({n_held} vecs, frozen quantizers): "
+            if scanned:
+                # distributed append: quantizers read from the sidecars,
+                # encoded rows written straight to the cell-partitioned
+                # parquet — confirm NO collected frame carries codes
+                # (the rehearsal-grade twin of the pytest probe)
+                from pyspark.sql import DataFrame as _SDF
+
+                real_collect, seen = _SDF.collect, []
+
+                def probe(self):
+                    seen.append([f.name for f in self.schema.fields])
+                    return real_collect(self)
+
+                _SDF.collect = probe
+                try:
+                    assert append_to_pq_ivf_index(held_out, path) is None
+                finally:
+                    _SDF.collect = real_collect
+                assert not any("code" in c for c in seen), seen
+                note = "distributed, no driver codes"
+            else:
+                state["idx"] = append_to_pq_ivf_index(
+                    held_out, path, state["idx"]
+                )
+                note = "frozen quantizers"
+            print(f"  layered append ({n_held} vecs, {note}): "
                   f"{time.perf_counter() - t:.1f}s")
-            serve(held_out, b, "appended", measure_recall=True)
+            serve(held_out, b, "appended", measure_recall=not scanned)
             continue
         serve(
             queries.filter(
@@ -404,7 +457,10 @@ def serve_layered(spark, corpus, queries, held_out, work: str,
             ),
             b,
             "steady",
-            measure_recall=(b == 1),
+            # recall needs the driver arrays; the scanned form is
+            # bit-identical to broadcast (test-pinned), so its recall
+            # IS the broadcast runs' number
+            measure_recall=(b == 1 and not scanned),
         )
     n_ans = spark.read.parquet(f"{work}/answers").count()
     print(f"answer log: {n_ans} rows across {N_SERVE_BATCHES} batches")
@@ -508,6 +564,7 @@ def main() -> None:
     n_probe = 3
     if "--n-probe" in sys.argv:
         n_probe = int(sys.argv[sys.argv.index("--n-probe") + 1])
+    scanned = "--scanned" in sys.argv
 
     from examples.scale_rehearsal import ensure_seeded_slice
     from video_etl_spark.llm_ops.similarity import (
@@ -545,7 +602,8 @@ def main() -> None:
             if mode == "layered":
                 serve_layered(spark, corpus, queries, held_out, work,
                               n_probe=n_probe,
-                              mix_k=mix_k if clustered else None)
+                              mix_k=mix_k if clustered else None,
+                              scanned=scanned)
             else:
                 {"pq": serve_pq, "ivf": serve_ivf}[mode](
                     spark, corpus, queries, held_out, work
