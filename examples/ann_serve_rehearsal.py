@@ -303,9 +303,13 @@ def serve_layered(spark, corpus, queries, held_out, work: str,
         from video_etl_spark.llm_ops.similarity import n_probe_for_target
 
         t0 = time.perf_counter()
+        # sample modulus scales with the corpus so the ~500-query sample
+        # stays under max_queries at ANY --scale (a fixed % 400 would
+        # overflow past ~40×)
+        mod = max(1, n_corpus // 500)
         try:
             rec, curve = n_probe_for_target(
-                spark, corpus.filter("vec_id % 400 = 0"), path,
+                spark, corpus.filter(f"vec_id % {mod} = 0"), path,
                 target_recall=0.9, k=TOPK, max_queries=2048,
             )
             pts = {p: round(curve[p], 3)
@@ -314,6 +318,12 @@ def serve_layered(spark, corpus, queries, held_out, work: str,
                   f"(measured ceiling curve {pts}, "
                   f"{time.perf_counter() - t0:.1f}s untimed)")
         except ValueError as exc:
+            # only the helper's unreachable-target signal is a measured
+            # result; validation errors (sample bound, bad args) are
+            # setup bugs and must crash the rehearsal, not masquerade
+            # as "the corpus does not cluster"
+            if "does not cluster" not in str(exc):
+                raise
             print(f"  n_probe_for_target(0.9): UNREACHABLE — {exc}")
 
     # exact-recall reference: the normalized corpus, driver-side, used
@@ -557,14 +567,32 @@ def main() -> None:
     clustered, mix_k = False, 128
     if "--clustered" in sys.argv:
         clustered = True
-        try:
-            mix_k = int(sys.argv[sys.argv.index("--clustered") + 1])
-        except (IndexError, ValueError):
-            pass  # bare flag keeps the default component count
+        nxt = sys.argv[sys.argv.index("--clustered") + 1:][:1]
+        # bare flag (end of argv or another --flag) keeps the default;
+        # a present-but-malformed value is a loud usage error, not a
+        # silent 128 (the user would benchmark the wrong mixture)
+        if nxt and not nxt[0].startswith("-"):
+            try:
+                mix_k = int(nxt[0])
+            except ValueError:
+                raise SystemExit(
+                    f"--clustered takes an integer component count, "
+                    f"got {nxt[0]!r}"
+                ) from None
     n_probe = 3
     if "--n-probe" in sys.argv:
-        n_probe = int(sys.argv[sys.argv.index("--n-probe") + 1])
+        try:
+            n_probe = int(sys.argv[sys.argv.index("--n-probe") + 1])
+        except (IndexError, ValueError):
+            raise SystemExit("--n-probe takes an integer") from None
     scanned = "--scanned" in sys.argv
+    if clustered and mode != "layered":
+        # only the layered serve sizes its shortlist for cluster
+        # occupancy; the single-leg modes' self-recall asserts would
+        # trip on within-cluster PQ/hash ties (physics, not a bug) and
+        # report it as a failure
+        raise SystemExit("--clustered is a layered-mode rehearsal "
+                         "(use --mode layered)")
 
     from examples.scale_rehearsal import ensure_seeded_slice
     from video_etl_spark.llm_ops.similarity import (

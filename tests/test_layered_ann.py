@@ -439,6 +439,14 @@ def test_default_query_block_formula_and_fallback(spark):
                       "spark.executor.cores": "weird"}),
         196_000,
     ) == base
+    # unset cores on a STANDALONE master: the executor owns every
+    # worker core, so the sizing assumes a conservative 8 slots instead
+    # of 1 (undersizing costs throughput; oversizing OOMs the container)
+    assert default_query_block(
+        FakeSparkMap({"spark.executor.memory": "64g",
+                      "spark.master": "spark://host:7077"}),
+        196_000,
+    ) == int((64 << 30) * 0.25 / (8 * 8 * 196_000))
 
 
 def test_write_pq_ivf_validation(spark, tmp_path):

@@ -89,6 +89,24 @@ def _planes_from_rows(rows) -> np.ndarray:
     return out
 
 
+def _cos_expr(dot: str, denom: str) -> str:
+    """THE zero-norm-safe cosine SQL expression every re-rank/score site
+    binds (one definition, so a future change to the sentinel cannot
+    leave some sites drifting): a zero-norm side makes ``denom`` 0 —
+    under ANSI (Spark 4's default) a plain ``/`` raises DIVIDE_BY_ZERO
+    mid-job, under non-ANSI it yields NaN, which Spark orders ABOVE
+    every double in both sorts and comparison predicates (phantom
+    rank-1 / phantom threshold pass).  ``try_divide`` → NULL →
+    ``coalesce`` pins -Infinity in BOTH modes; ``nanvl`` covers any
+    residual NaN.  Build-side guards refuse all-zero CORPUS vectors
+    outright (:func:`_vector_guard`); this covers zero-norm QUERY
+    vectors, which no build guard can see."""
+    return (
+        f"coalesce(nanvl(try_divide({dot}, {denom}), "
+        "cast('-Infinity' as double)), cast('-Infinity' as double))"
+    )
+
+
 def _dedup_queries_validated(
     queries: DataFrame,
     id_col: str,
@@ -227,12 +245,7 @@ def lsh_topk(
     dot = f"aggregate(zip_with({qd}, {nd}, (a, b) -> a * b), 0D, (s, v) -> s + v)"
     nq = f"sqrt(aggregate(transform({qd}, x -> x * x), 0D, (s, v) -> s + v))"
     nn = f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, (s, v) -> s + v))"
-    scored = cand.withColumn("cos_sim", F.expr(
-        # zero-norm side: ANSI / raises DIVIDE_BY_ZERO, non-ANSI yields
-        # NaN which sorts first — try_divide+coalesce pins -Infinity
-        f"coalesce(nanvl(try_divide({dot}, {nq} * {nn}), "
-        "cast('-Infinity' as double)), cast('-Infinity' as double))"
-    ))
+    scored = cand.withColumn("cos_sim", F.expr(_cos_expr(dot, f"{nq} * {nn}")))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -467,15 +480,7 @@ def lsh_topk_against_index(
         "(s, v) -> s + v)"
     )
     nq = f"sqrt(aggregate(transform({qd}, x -> x * x), 0D, (s, v) -> s + v))"
-    scored = cand.withColumn("cos_sim", F.expr(
-        # a zero-norm side makes the divisor 0: under ANSI (Spark 4
-        # default) a plain / raises DIVIDE_BY_ZERO mid-job, under
-        # non-ANSI it yields NaN which Spark orders ABOVE every double
-        # (phantom rank 1).  try_divide -> NULL -> coalesce pins it at
-        # -Infinity in BOTH modes; nanvl covers any residual NaN.
-        f"coalesce(nanvl(try_divide({dot}, {nq} * nrm), "
-        "cast('-Infinity' as double)), cast('-Infinity' as double))"
-    ))
+    scored = cand.withColumn("cos_sim", F.expr(_cos_expr(dot, f"{nq} * nrm")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -752,12 +757,7 @@ def ivf_topk(
     )
     nq = "sqrt(aggregate(transform(query_vec, x -> x * x), 0D, (s, v) -> s + v))"
     nn = "sqrt(aggregate(transform(neighbor_vec, x -> x * x), 0D, (s, v) -> s + v))"
-    scored = cand.withColumn("cos_sim", F.expr(
-        # zero-norm side: ANSI / raises DIVIDE_BY_ZERO, non-ANSI yields
-        # NaN which sorts first — try_divide+coalesce pins -Infinity
-        f"coalesce(nanvl(try_divide({dot}, {nq} * {nn}), "
-        "cast('-Infinity' as double)), cast('-Infinity' as double))"
-    ))
+    scored = cand.withColumn("cos_sim", F.expr(_cos_expr(dot, f"{nq} * {nn}")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -1134,15 +1134,7 @@ def ivf_topk_against_index(
         "0D, (s, v) -> s + v)"
     )
     nq = "sqrt(aggregate(transform(query_vec, x -> x * x), 0D, (s, v) -> s + v))"
-    scored = cand.withColumn("cos_sim", F.expr(
-        # a zero-norm side makes the divisor 0: under ANSI (Spark 4
-        # default) a plain / raises DIVIDE_BY_ZERO mid-job, under
-        # non-ANSI it yields NaN which Spark orders ABOVE every double
-        # (phantom rank 1).  try_divide -> NULL -> coalesce pins it at
-        # -Infinity in BOTH modes; nanvl covers any residual NaN.
-        f"coalesce(nanvl(try_divide({dot}, {nq} * nrm), "
-        "cast('-Infinity' as double)), cast('-Infinity' as double))"
-    ))
+    scored = cand.withColumn("cos_sim", F.expr(_cos_expr(dot, f"{nq} * nrm")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -1471,12 +1463,7 @@ def pq_topk(
     dot = f"aggregate(zip_with({qd}, {nd}, (a, b) -> a * b), 0D, (s, v) -> s + v)"
     nq = f"sqrt(aggregate(transform({qd}, x -> x * x), 0D, (s, v) -> s + v))"
     nn = f"sqrt(aggregate(transform({nd}, x -> x * x), 0D, (s, v) -> s + v))"
-    scored = rer.withColumn("cos_sim", F.expr(
-        # zero-norm side: ANSI / raises DIVIDE_BY_ZERO, non-ANSI yields
-        # NaN which sorts first — try_divide+coalesce pins -Infinity
-        f"coalesce(nanvl(try_divide({dot}, {nq} * {nn}), "
-        "cast('-Infinity' as double)), cast('-Infinity' as double))"
-    ))
+    scored = rer.withColumn("cos_sim", F.expr(_cos_expr(dot, f"{nq} * {nn}")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -1851,15 +1838,7 @@ def pq_topk_against_index(
         "(s, v) -> s + v)"
     )
     nq = f"sqrt(aggregate(transform({qd}, x -> x * x), 0D, (s, v) -> s + v))"
-    scored = rer.withColumn("cos_sim", F.expr(
-        # a zero-norm side makes the divisor 0: under ANSI (Spark 4
-        # default) a plain / raises DIVIDE_BY_ZERO mid-job, under
-        # non-ANSI it yields NaN which Spark orders ABOVE every double
-        # (phantom rank 1).  try_divide -> NULL -> coalesce pins it at
-        # -Infinity in BOTH modes; nanvl covers any residual NaN.
-        f"coalesce(nanvl(try_divide({dot}, {nq} * nrm), "
-        "cast('-Infinity' as double)), cast('-Infinity' as double))"
-    ))
+    scored = rer.withColumn("cos_sim", F.expr(_cos_expr(dot, f"{nq} * nrm")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -2070,7 +2049,10 @@ def default_query_block(
     its own Python worker and its own plane — without dividing by the
     task slots, 4 cores × 25 % = 100 % of the budget in aggregate,
     re-creating exactly the container OOM the sizing was meant to
-    prevent.
+    prevent.  When the cores conf is unset the slot count is deploy-
+    mode-dependent (YARN/k8s default 1; STANDALONE gives the executor
+    every worker core), so an unset-cores standalone master assumes a
+    conservative 8 slots — see the inline comment.
 
     Falls back to ``floor`` (the measured-safe 512 the rehearsals used)
     when neither memory conf is set — e.g. plain local mode, where the
@@ -2091,10 +2073,19 @@ def default_query_block(
     if mem_bytes is None:
         return floor
     try:
-        slots = int(_conf("spark.executor.cores") or 1)
+        slots = int(_conf("spark.executor.cores") or 0)
     except ValueError:
-        slots = 1
-    block = int(mem_bytes * mem_fraction / (max(1, slots) * 8 * max(1, n_codes)))
+        slots = 0
+    if slots < 1:
+        # spark.executor.cores unset: YARN/k8s default to 1 slot, but
+        # STANDALONE gives the executor every worker core — unknowable
+        # from the driver conf, so assume a conservative 8 slots there.
+        # Undersizing only costs throughput (the floor guarantees
+        # progress); oversizing re-creates the aggregate container OOM
+        # this division exists to prevent.
+        master = (_conf("spark.master") or "").lower()
+        slots = 8 if master.startswith("spark://") else 1
+    block = int(mem_bytes * mem_fraction / (slots * 8 * max(1, n_codes)))
     return max(floor, min(cap, block))
 
 
@@ -2404,6 +2395,23 @@ def write_pq_ivf_index(
     return read_pq_ivf_index(spark, path, max_rows=max_rows)
 
 
+def _read_pq_ivf_sidecars(spark, path: str):
+    """(books, centers, normalize) from a layered index's sidecar
+    tables — THE one loader every consumer shares (restart read, scanned
+    shortlist, distributed append, n_probe sizing), so a params/books/
+    centers schema change has exactly one read site and the quantizers a
+    probe scores with cannot drift from the ones an append encodes with.
+    All three collects are bounded by construction: one params row,
+    m×ksub book rows, n_cells center rows."""
+    prow = spark.read.parquet(f"{path}/params").collect()[0]
+    books = _books_from_rows(spark.read.parquet(f"{path}/books").collect())
+    centers = np.asarray(
+        _centers_from_rows(spark.read.parquet(f"{path}/centers").collect()),
+        dtype=np.float64,
+    )
+    return books, centers, bool(prow["normalize"])
+
+
 def read_pq_ivf_index(
     spark, path: str, max_rows: int = 4_000_000
 ) -> PqIvfIndex:
@@ -2414,12 +2422,7 @@ def read_pq_ivf_index(
     the driver); a corpus above ``max_rows`` raises like
     ``pq_encode_corpus`` (past that size the codes belong in the scanned
     cell-sharded form, not a broadcast array)."""
-    prow = spark.read.parquet(f"{path}/params").collect()[0]
-    books = _books_from_rows(spark.read.parquet(f"{path}/books").collect())
-    centers = np.asarray(
-        _centers_from_rows(spark.read.parquet(f"{path}/centers").collect()),
-        dtype=np.float64,
-    )
+    books, centers, do_norm = _read_pq_ivf_sidecars(spark, path)
     rows = (
         spark.read.parquet(f"{path}/vectors")
         .select("neighbor_id", "code", "centroid")
@@ -2443,7 +2446,7 @@ def read_pq_ivf_index(
         ids, cells, codes, len(centers)
     )
     return PqIvfIndex(
-        books, centers, ids, codes, cells, cell_ptr, bool(prow["normalize"])
+        books, centers, ids, codes, cells, cell_ptr, do_norm
     )
 
 
@@ -2631,15 +2634,7 @@ def pq_ivf_rerank(
     return (
         inv.join(F.broadcast(sl), ["neighbor_id", "centroid"])
         .join(F.broadcast(qd), "query_id")
-        .withColumn("cos_sim", F.expr(
-        # a zero-norm side makes the divisor 0: under ANSI (Spark 4
-        # default) a plain / raises DIVIDE_BY_ZERO mid-job, under
-        # non-ANSI it yields NaN which Spark orders ABOVE every double
-        # (phantom rank 1).  try_divide -> NULL -> coalesce pins it at
-        # -Infinity in BOTH modes; nanvl covers any residual NaN.
-        f"coalesce(nanvl(try_divide({dot}, {nq} * nrm), "
-        "cast('-Infinity' as double)), cast('-Infinity' as double))"
-    ))
+        .withColumn("cos_sim", F.expr(_cos_expr(dot, f"{nq} * nrm")))
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
@@ -2749,15 +2744,7 @@ def append_to_pq_ivf_index(
     if index is not None:
         books, centers, do_norm = index.books, index.centers, index.normalize
     else:
-        prow = spark.read.parquet(f"{path}/params").collect()[0]
-        do_norm = bool(prow["normalize"])
-        books = _books_from_rows(spark.read.parquet(f"{path}/books").collect())
-        centers = np.asarray(
-            _centers_from_rows(
-                spark.read.parquet(f"{path}/centers").collect()
-            ),
-            dtype=np.float64,
-        )
+        books, centers, do_norm = _read_pq_ivf_sidecars(spark, path)
     cmat = centers
     cnorm2 = (cmat**2).sum(axis=1)
     as_double = F.expr(f"transform({vec_col}, x -> cast(x as double))")
@@ -2899,13 +2886,7 @@ def pq_ivf_shortlist_scanned(
         # mirror of the broadcast form's check: shortlist=0 reaches
         # _det_topk_idx with keep=0 → cryptic executor-side numpy error
         raise ValueError(f"shortlist must be >= 1, got {shortlist}")
-    prow = spark.read.parquet(f"{path}/params").collect()[0]
-    do_norm = bool(prow["normalize"])
-    books = _books_from_rows(spark.read.parquet(f"{path}/books").collect())
-    centers = np.asarray(
-        _centers_from_rows(spark.read.parquet(f"{path}/centers").collect()),
-        dtype=np.float64,
-    )
+    books, centers, do_norm = _read_pq_ivf_sidecars(spark, path)
     m, _, dsub = books.shape
     n_probe = min(n_probe, len(centers))
 
@@ -3083,15 +3064,15 @@ def n_probe_for_target(
         raise ValueError(
             f"target_recall must be in (0, 1], got {target_recall}"
         )
+    if k < 1:
+        # k=0 would measure an empty top-k set and misreport the caller
+        # bug as "the corpus does not cluster" (the sibling shortlist/
+        # n_probe guards exist for the same cryptic-failure reason)
+        raise ValueError(f"k must be >= 1, got {k}")
     from video_etl_spark.session import ensure_executor_package
 
     ensure_executor_package(spark)
-    prow = spark.read.parquet(f"{path}/params").collect()[0]
-    do_norm = bool(prow["normalize"])
-    centers = np.asarray(
-        _centers_from_rows(spark.read.parquet(f"{path}/centers").collect()),
-        dtype=np.float64,
-    )
+    _, centers, do_norm = _read_pq_ivf_sidecars(spark, path)
     n_cells = len(centers)
     cap = n_cells if max_n_probe is None else min(max_n_probe, n_cells)
 
@@ -3126,13 +3107,7 @@ def n_probe_for_target(
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     top = (
-        cand.withColumn(
-            "cos_sim",
-            F.expr(
-                f"coalesce(nanvl(try_divide({dot}, {nq} * nrm), "
-                "cast('-Infinity' as double)), cast('-Infinity' as double))"
-            ),
-        )
+        cand.withColumn("cos_sim", F.expr(_cos_expr(dot, f"{nq} * nrm")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "centroid")
@@ -3279,24 +3254,13 @@ def cluster_blocked_pairs(
         F.col("q").alias("qb"),
         F.col("sq").alias("sqb"),
     )
-    # Zero-norm hardening: under ANSI a plain / raises DIVIDE_BY_ZERO
-    # mid-job; under non-ANSI 0/0 = NaN, which Spark treats as GREATER
-    # than every double in both ordering and comparison predicates, so
-    # it would pass the >= threshold filter below as a phantom pair.
-    # try_divide -> NULL -> coalesce(-inf) fails the filter cleanly.
-    cos = F.coalesce(
-        F.nanvl(
-            F.try_divide(
-                F.expr(
-                    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
-                    "(acc, v) -> acc + v)"
-                ).cast("double"),
-                F.sqrt("sqa") * F.sqrt("sqb"),
-            ),
-            F.lit(float("-inf")),
-        ),
-        F.lit(float("-inf")),
-    )
+    # zero-norm hardening (see _cos_expr: a NaN/raise here would pass
+    # the >= threshold filter below as a phantom pair)
+    cos = F.expr(_cos_expr(
+        "cast(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
+        "(acc, v) -> acc + v) as double)",
+        "sqrt(sqa) * sqrt(sqb)",
+    ))
     return (
         a.join(b, "center_id")
         .filter(F.col("vec_a") < F.col("vec_b"))
