@@ -817,3 +817,73 @@ def test_n_probe_for_target_measured_curve_and_loud_fallback(spark, tmp_path):
 
     with pytest.raises(ValueError, match="target_recall"):
         n_probe_for_target(spark, sample, path, target_recall=0.0)
+
+
+def test_compact_pq_ivf_index_defragments_bit_identically(spark, tmp_path):
+    """The layered index's file-count compaction leg (write → append →
+    compact → swap): repeated distributed appends fragment the cell
+    partitions (one-plus files per touched cell per append — the
+    listing cost a 1000-executor probe pays), and the fold must (a)
+    leave exactly one file per cell, (b) change NO row — scanned and
+    broadcast probes of the new generation are bit-identical to the
+    old, (c) copy the quantizer sidecars verbatim, (d) refuse an
+    overlapping destination loudly."""
+    from video_etl_spark.llm_ops.similarity import (
+        append_to_pq_ivf_index,
+        compact_pq_ivf_index,
+        layered_topk_scanned,
+        pq_ivf_file_stats,
+        read_pq_ivf_index,
+        write_pq_ivf_index,
+    )
+
+    corpus, _ = _toy_corpus(spark, n=260)
+    m, ksub, n_cells, dim = 4, 8, 5, 16
+    rng = np.random.default_rng(17)
+    centers = rng.normal(0, 10, size=(n_cells, dim))
+    books = rng.normal(0, 1, size=(m, ksub, dim // m))
+
+    src = str(tmp_path / "gen0")
+    write_pq_ivf_index(
+        corpus.filter("vec_id % 10 < 6"), src, m=m, ksub=ksub,
+        n_centroids=n_cells, centers=centers, books=books,
+        return_artifacts=False,
+    )
+    append_to_pq_ivf_index(corpus.filter("vec_id % 10 = 6"), src)
+    append_to_pq_ivf_index(corpus.filter("vec_id % 10 = 7"), src)
+    frag = {r["centroid"]: r["n_files"] for r in
+            pq_ivf_file_stats(spark, src).collect()}
+    assert max(frag.values()) >= 2, frag  # appends fragmented the cells
+
+    dst = str(tmp_path / "gen1")
+    compact_pq_ivf_index(spark, src, dst)
+    stats = pq_ivf_file_stats(spark, dst).collect()
+    assert all(r["n_files"] == 1 for r in stats), stats
+    # row counts per cell preserved
+    src_rows = {r["centroid"]: r["n_rows"] for r in
+                pq_ivf_file_stats(spark, src).collect()}
+    assert {r["centroid"]: r["n_rows"] for r in stats} == src_rows
+
+    queries = corpus.filter("vec_id % 17 = 0")
+    a = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, src, k=3, n_probe=2
+    ).collect()))
+    b = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, dst, k=3, n_probe=2
+    ).collect()))
+    assert a == b and a
+
+    # broadcast-artifact read is identical up to within-cell order
+    def triples(idx):
+        return sorted(zip(idx.ids.tolist(), idx.cells.tolist(),
+                          [c.tobytes() for c in idx.codes]))
+
+    i_src = read_pq_ivf_index(spark, src)
+    i_dst = read_pq_ivf_index(spark, dst)
+    assert triples(i_src) == triples(i_dst)
+    assert (i_src.books == i_dst.books).all()
+    assert (i_src.centers == i_dst.centers).all()
+    assert i_src.normalize == i_dst.normalize
+
+    with pytest.raises(ValueError, match="overlaps"):
+        compact_pq_ivf_index(spark, src, src + "/nested")

@@ -3147,6 +3147,64 @@ def n_probe_for_target(
     return needed, curve
 
 
+def pq_ivf_file_stats(spark, path: str) -> DataFrame:
+    """(centroid, n_files, n_rows) fragmentation readout of a layered
+    index's cell-partitioned vectors table — the when-to-compact signal
+    for :func:`compact_pq_ivf_index` (the layered twin of
+    ``ivf_cell_occupancy``'s when-to-rotate readout).  Every
+    :func:`append_to_pq_ivf_index` call adds at least one file per
+    touched cell, so after k appends a probe's partition-pruned scan
+    lists ~k files per probed cell; at 1000-executor scale that listing
+    cost — not the data — is what compaction removes."""
+    return (
+        spark.read.parquet(f"{path}/vectors")
+        .select("centroid", F.input_file_name().alias("f"))
+        .groupBy("centroid")
+        .agg(
+            F.count_distinct("f").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("centroid")
+    )
+
+
+def compact_pq_ivf_index(spark, src_path: str, dst_path: str) -> None:
+    """Fold an append-fragmented layered index into a FRESH generation
+    with exactly ONE file per cell — the file-count compaction leg of
+    the index lifecycle (write → append → compact → swap readers → drop
+    old generation), completing for the layered index what
+    ``compact_bucketed_index`` / ``compact_component_index`` provide for
+    the bucketed dedup indexes.
+
+    Rows land unchanged: ``repartition(col)`` puts each cell's rows
+    into one task, so the partitioned write emits one file per cell,
+    and every consumer — scanned shortlist, partition-pruned re-rank,
+    ``read_pq_ivf_index`` — is layout-independent by contract (per-chunk
+    partial top-r, sorted grouping), so probes of the new generation are
+    bit-identical (tested).  The quantizer sidecars are copied verbatim
+    — never refit, the frozen-quantizer append discipline.  The
+    destination must be a NEW path (``assert_new_generation``):
+    overwriting the source would delete files mid-read.  The caller
+    swaps readers to ``dst_path`` and drops the old generation after."""
+    from video_etl_spark.operators.io import assert_new_generation
+
+    assert_new_generation(
+        dst_path, [src_path], "the current layered-index generation"
+    )
+    (
+        spark.read.parquet(f"{src_path}/vectors")
+        .repartition(F.col("centroid"))
+        .write.partitionBy("centroid")
+        .parquet(f"{dst_path}/vectors")
+    )
+    for side in ("params", "books", "centers"):
+        (
+            spark.read.parquet(f"{src_path}/{side}")
+            .coalesce(1)
+            .write.parquet(f"{dst_path}/{side}")
+        )
+
+
 def cluster_blocked_pairs(
     emb: DataFrame,
     n_centers: int = 8,
