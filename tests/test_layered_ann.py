@@ -887,3 +887,81 @@ def test_compact_pq_ivf_index_defragments_bit_identically(spark, tmp_path):
 
     with pytest.raises(ValueError, match="overlaps"):
         compact_pq_ivf_index(spark, src, src + "/nested")
+
+
+def test_maybe_compact_pq_ivf_policy(spark, tmp_path):
+    """The auto-compaction policy (the maybe_refold discipline on
+    file-count fragmentation): below threshold → None and NOTHING
+    touched; at/above → fold into the auto-named _g1 successor and
+    return its path, probes identical; a committed successor makes a
+    re-run on the superseded path raise (fork-history guard); a crash
+    BEFORE the params commit marker self-heals on retry; generations
+    chain _g1 → _g2."""
+    import shutil
+
+    from video_etl_spark.llm_ops.similarity import (
+        append_to_pq_ivf_index,
+        layered_topk_scanned,
+        maybe_compact_pq_ivf,
+        pq_ivf_file_stats,
+        write_pq_ivf_index,
+    )
+
+    corpus, _ = _toy_corpus(spark, n=260)
+    m, ksub, n_cells, dim = 4, 8, 5, 16
+    rng = np.random.default_rng(19)
+    centers = rng.normal(0, 10, size=(n_cells, dim))
+    books = rng.normal(0, 1, size=(m, ksub, dim // m))
+    path = str(tmp_path / "idx")
+    write_pq_ivf_index(
+        corpus.filter("vec_id % 10 < 6"), path, m=m, ksub=ksub,
+        n_centroids=n_cells, centers=centers, books=books,
+        return_artifacts=False,
+    )
+    append_to_pq_ivf_index(corpus.filter("vec_id % 10 = 6"), path)
+    frag = max(r["n_files"] for r in pq_ivf_file_stats(spark, path).collect())
+    assert frag >= 2
+
+    # below threshold: no-op, nothing written
+    assert maybe_compact_pq_ivf(spark, path, max_files_per_cell=frag + 1) is None
+    assert not (tmp_path / "idx_g1").exists()
+
+    queries = corpus.filter("vec_id % 19 = 0")
+    before = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, path, k=3, n_probe=2
+    ).collect()))
+
+    # at threshold: folds into the auto-named successor
+    g1 = maybe_compact_pq_ivf(spark, path, max_files_per_cell=frag)
+    assert g1 == str(tmp_path / "idx_g1")
+    stats = pq_ivf_file_stats(spark, g1).collect()
+    assert all(r["n_files"] == 1 for r in stats)
+    after = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, g1, k=3, n_probe=2
+    ).collect()))
+    assert after == before
+
+    # superseded-generation guard: the successor's params committed, so
+    # re-compacting the OLD path must refuse (appends landed on g1
+    # would be lost from a re-fold of the pre-g1 state)
+    with pytest.raises(ValueError, match="superseded"):
+        maybe_compact_pq_ivf(spark, path, max_files_per_cell=1)
+
+    # crash-before-commit self-heals: simulate by removing g2's params
+    # after a partial write — a retry overwrites the partial fold
+    append_to_pq_ivf_index(corpus.filter("vec_id % 10 = 7"), g1)
+    g2 = maybe_compact_pq_ivf(spark, g1, max_files_per_cell=2)
+    assert g2 == str(tmp_path / "idx_g2")
+    shutil.rmtree(f"{g2}/params")  # "crashed" before the commit marker
+    g2_retry = maybe_compact_pq_ivf(spark, g1, max_files_per_cell=2)
+    assert g2_retry == g2
+    g2_rows = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, g2, k=3, n_probe=2
+    ).collect()))
+    g1_rows = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, g1, k=3, n_probe=2
+    ).collect()))
+    assert g2_rows == g1_rows
+
+    with pytest.raises(ValueError, match="max_files_per_cell"):
+        maybe_compact_pq_ivf(spark, path, max_files_per_cell=0)

@@ -3185,7 +3185,14 @@ def compact_pq_ivf_index(spark, src_path: str, dst_path: str) -> None:
     — never refit, the frozen-quantizer append discipline.  The
     destination must be a NEW path (``assert_new_generation``):
     overwriting the source would delete files mid-read.  The caller
-    swaps readers to ``dst_path`` and drops the old generation after."""
+    swaps readers to ``dst_path`` and drops the old generation after.
+
+    Crash discipline (the ``maybe_refold`` convention): every write is
+    ``overwrite`` and the ``params`` sidecar lands LAST, so it doubles
+    as the generation's commit marker — a crash mid-compaction leaves a
+    destination without readable params, and a retry overwrites the
+    partial output with the identical fold (rows are a pure reshuffle
+    of the source; nothing accumulates)."""
     from video_etl_spark.operators.io import assert_new_generation
 
     assert_new_generation(
@@ -3194,15 +3201,86 @@ def compact_pq_ivf_index(spark, src_path: str, dst_path: str) -> None:
     (
         spark.read.parquet(f"{src_path}/vectors")
         .repartition(F.col("centroid"))
-        .write.partitionBy("centroid")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
         .parquet(f"{dst_path}/vectors")
     )
-    for side in ("params", "books", "centers"):
+    for side in ("books", "centers", "params"):  # params last = committed
         (
             spark.read.parquet(f"{src_path}/{side}")
             .coalesce(1)
-            .write.parquet(f"{dst_path}/{side}")
+            .write.mode("overwrite")
+            .parquet(f"{dst_path}/{side}")
         )
+
+
+def maybe_compact_pq_ivf(
+    spark, path: str, max_files_per_cell: int = 16
+) -> "str | None":
+    """AUTO-COMPACTION POLICY for the layered index — the
+    ``maybe_refold`` discipline applied to file-count fragmentation:
+    decide-and-run the generation fold so a long-running append/serve
+    loop keeps its per-cell file count bounded UNATTENDED.
+
+    Reads :func:`pq_ivf_file_stats`; below ``max_files_per_cell``
+    (worst cell) it returns None and touches nothing.  At/above, it
+    compacts into the auto-named successor generation
+    (``next_generation_name`` on the path: ``…/idx`` → ``…/idx_g1`` →
+    ``…/idx_g2``) and returns the new path.  CONTRACT — same quiesced
+    window as every generation rotation: call with no batch in flight,
+    and when the result is non-None, point every reader (serve
+    handlers, append jobs) at the returned path BEFORE the next batch,
+    then drop the old generation.
+
+    The default threshold is conservative against the measured 10×
+    economics (PERF.md round-13): at 36 files/cell a 490-query scanned
+    batch paid 14.1 s vs 5.1 s compacted, and the 8.8 s fold repaid
+    itself within ONE batch — 16 triggers well before that regime on a
+    steady append cadence while never firing on a freshly-built index
+    (a few files per cell from the build's task parallelism).
+
+    STALE-CALLER GUARD: a successor with readable ``params`` (the
+    commit marker — see :func:`compact_pq_ivf_index`) means a previous
+    compaction COMPLETED and the caller failed to carry the returned
+    path forward; re-compacting the superseded generation would fork
+    history (appends landed on the successor would be missing), so it
+    raises.  A crash BEFORE the marker self-heals: the successor name
+    is deterministic and every write overwrites."""
+    if max_files_per_cell < 1:
+        raise ValueError(
+            f"max_files_per_cell must be >= 1, got {max_files_per_cell}"
+        )
+    worst = pq_ivf_file_stats(spark, path).agg(
+        F.max("n_files").alias("w")
+    ).collect()[0]["w"]
+    if worst is None or worst < max_files_per_cell:
+        return None
+    dst = next_generation_name(path.rstrip("/"))
+    try:
+        spark.read.parquet(f"{dst}/params").collect()
+        committed = True
+    except Exception:  # noqa: BLE001 — absent path raises AnalysisException
+        committed = False
+    if committed:
+        raise ValueError(
+            f"maybe_compact_pq_ivf: successor generation {dst!r} already "
+            f"has committed params — {path!r} is a superseded generation. "
+            f"Point readers/appenders at {dst!r} (the path a previous "
+            "compaction returned) instead of re-compacting the old one"
+        )
+    compact_pq_ivf_index(spark, path, dst)
+    return dst
+
+
+def next_generation_name(name: str) -> str:
+    """Re-export of the generation-naming convention shared with the
+    dedup index rotations (``…`` → ``…_g1`` → ``…_g2``), so layered
+    compaction and stream refolds name successors identically."""
+    from video_etl_spark.streaming.dedup import (
+        next_generation_name as _impl,
+    )
+
+    return _impl(name)
 
 
 def cluster_blocked_pairs(
