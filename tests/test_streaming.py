@@ -3302,3 +3302,91 @@ def test_auto_refold_handler_equals_manual_sequence(spark, tmp_path):
             for t in (base, f"{base}_g1"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
                 spark.sql(f"DROP TABLE IF EXISTS {t}_watermark")
+
+
+def test_layered_scanned_serve_handler_past_cap_lifecycle(
+    spark, sf_dir, tmp_path
+):
+    """The past-broadcast-cap serving handler (round 13): answers equal
+    the one-shot scanned probe; a mid-serve DISTRIBUTED append
+    (index=None — no driver arrays anywhere) is visible to the very
+    next batch with NO handler rebuild, because the handler captures
+    only the path; a retry idempotently rewrites its own batch_id
+    partition; and after a maybe_compact_pq_ivf generation fold, a
+    handler re-created on the successor path answers identically."""
+    from video_etl_spark.llm_ops.similarity import (
+        append_to_pq_ivf_index,
+        layered_topk_scanned,
+        maybe_compact_pq_ivf,
+        write_pq_ivf_index,
+    )
+    from video_etl_spark.streaming.ann_serve import (
+        make_layered_scanned_serve_handler,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 50 != 25)
+    held = emb.filter(F.col("vec_id") % 50 == 25)
+    path = str(tmp_path / "scanned_idx")
+    write_pq_ivf_index(
+        corpus, path, m=4, ksub=8, n_centroids=4, return_artifacts=False
+    )
+
+    out_dir = str(tmp_path / "answers")
+    handler = make_layered_scanned_serve_handler(
+        spark, path, out_dir, k=3, n_probe=2
+    )
+    b0 = corpus.filter(F.col("vec_id") % 97 == 0)
+    handler(b0, 0)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in layered_topk_scanned(
+            spark, b0, path, k=3, n_probe=2
+        ).collect()
+    )
+    assert got == want and got
+
+    # retry idempotence: batch 0 rewrites only its own partition (the
+    # index is unchanged between attempt and retry — a scanned retry
+    # AFTER an append legitimately re-answers on the grown index, which
+    # is the handler's each-batch-scans-the-current-generation contract)
+    handler(b0, 0)
+    again = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in spark.read.parquet(out_dir).where("batch_id = 0").collect()
+    )
+    assert again == got
+
+    # mid-serve distributed append: the very next batch queries the
+    # appended vectors and must get them back at rank 1 — no handler
+    # rebuild (nothing index-sized was captured at build time)
+    assert append_to_pq_ivf_index(held, path) is None
+    handler(held, 1)
+    ans1 = spark.read.parquet(out_dir).where("batch_id = 1")
+    n_held = held.count()
+    self_rank1 = ans1.where("rn = 1 and neighbor_id = query_id").count()
+    assert self_rank1 == n_held and n_held > 0
+
+    # generation fold in a quiesced window -> re-create the handler on
+    # the successor; answers equal the post-append state of the source
+    want_post = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in layered_topk_scanned(
+            spark, b0, path, k=3, n_probe=2
+        ).collect()
+    )
+    g1 = maybe_compact_pq_ivf(spark, path, max_files_per_cell=1)
+    assert g1 is not None
+    handler2 = make_layered_scanned_serve_handler(
+        spark, g1, out_dir, k=3, n_probe=2
+    )
+    handler2(b0, 0)
+    after_fold = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in spark.read.parquet(out_dir).where("batch_id = 0").collect()
+    )
+    assert after_fold == want_post

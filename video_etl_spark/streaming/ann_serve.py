@@ -171,3 +171,57 @@ def make_layered_serve_handler(
         )
 
     return handle
+
+
+def make_layered_scanned_serve_handler(
+    spark,
+    path: str,
+    out_dir: str,
+    k: int = 10,
+    n_probe: int = 8,
+    shortlist: "int | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 65_536,
+):
+    """The PAST-BROADCAST-CAP twin of :func:`make_layered_serve_handler`
+    (round 13): per micro-batch, the same coarse prune → ADC → exact
+    re-rank composition, but with the codes SCANNED from the
+    cell-partitioned index parquet (``layered_topk_scanned``) instead of
+    broadcast driver arrays — the serving form for corpora past
+    ``read_pq_ivf_index``'s ``max_rows`` cap, where no driver artifacts
+    can exist.  Completes the lifecycle symmetry of the scanned regime:
+    build ``return_artifacts=False`` → serve through this handler →
+    maintain with the distributed ``append_to_pq_ivf_index(new, path)``
+    (appended vectors are visible to the very next batch with NO handler
+    rebuild, because nothing index-sized is captured at build time —
+    each batch scans the current generation) → fold with
+    ``maybe_compact_pq_ivf`` in a quiesced window, then re-create the
+    handler on the returned successor path.
+
+    Same answer-log contract as every serve handler: batch_id-
+    partitioned dynamic overwrite, so a foreachBatch retry replaces its
+    own partition (idempotent), and one batch answers one query set."""
+    from video_etl_spark.llm_ops.similarity import layered_topk_scanned
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        hits = layered_topk_scanned(
+            spark,
+            batch_df,
+            path,
+            k=k,
+            n_probe=n_probe,
+            shortlist=shortlist,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_queries=max_queries,
+        )
+        (
+            hits.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return handle
