@@ -918,6 +918,11 @@ def test_maybe_compact_pq_ivf_policy(spark, tmp_path):
         n_centroids=n_cells, centers=centers, books=books,
         return_artifacts=False,
     )
+    # the repartitioned build writes exactly ONE file per cell — the
+    # compaction cadence counts appends, not build tasks
+    assert all(
+        r["n_files"] == 1 for r in pq_ivf_file_stats(spark, path).collect()
+    )
     append_to_pq_ivf_index(corpus.filter("vec_id % 10 = 6"), path)
     frag = max(r["n_files"] for r in pq_ivf_file_stats(spark, path).collect())
     assert frag >= 2
@@ -943,9 +948,14 @@ def test_maybe_compact_pq_ivf_policy(spark, tmp_path):
 
     # superseded-generation guard: the successor's params committed, so
     # re-compacting the OLD path must refuse (appends landed on g1
-    # would be lost from a re-fold of the pre-g1 state)
+    # would be lost from a re-fold of the pre-g1 state) — and the guard
+    # runs BEFORE the threshold, so even a sky-high threshold (under
+    # which a freshly-folded source would read below-threshold and
+    # return the all-good None) catches the stale caller immediately
     with pytest.raises(ValueError, match="superseded"):
         maybe_compact_pq_ivf(spark, path, max_files_per_cell=1)
+    with pytest.raises(ValueError, match="superseded"):
+        maybe_compact_pq_ivf(spark, path, max_files_per_cell=10**6)
 
     # crash-before-commit self-heals: simulate by removing g2's params
     # after a partial write — a retry overwrites the partial fold
@@ -962,6 +972,13 @@ def test_maybe_compact_pq_ivf_policy(spark, tmp_path):
         spark, queries, g1, k=3, n_probe=2
     ).collect()))
     assert g2_rows == g1_rows
+
+    # the superseded message names the NEWEST committed generation
+    # (g2), not the immediate successor — directing a stale caller at
+    # g1 while readers live on g2 would instruct the very fork the
+    # guard refuses
+    with pytest.raises(ValueError, match="idx_g2"):
+        maybe_compact_pq_ivf(spark, path, max_files_per_cell=1)
 
     with pytest.raises(ValueError, match="max_files_per_cell"):
         maybe_compact_pq_ivf(spark, path, max_files_per_cell=0)

@@ -2368,6 +2368,14 @@ def write_pq_ivf_index(
     )
     (
         guarded.mapInPandas(encode_assign, schema=out_schema)
+        # repartition by the partition column before the partitioned
+        # write (standard small-files discipline): without it every
+        # encode task emits one file per cell it touches, so a fresh
+        # build starts at n_input_partitions files per cell — the probe
+        # then pays that listing/open count on every batch (the
+        # round-13 compaction rehearsal measured 2.8× on a 36-file/cell
+        # layout).  One extra shuffle at build buys 1 file per cell.
+        .repartition(F.col("centroid"))
         .write.mode("overwrite")
         .partitionBy("centroid")
         .parquet(f"{path}/vectors")
@@ -2804,17 +2812,23 @@ def append_to_pq_ivf_index(
         # scanned-regime append: encoded rows flow straight from the
         # Arrow encode stage into the cell-partitioned sink — one
         # distributed job, nothing driver-side (the write-side twin of
-        # pq_ivf_shortlist_scanned's no-broadcast contract)
-        fresh.mapInPandas(encode_assign, schema=out_schema).write.mode(
-            "append"
-        ).partitionBy("centroid").parquet(f"{path}/vectors")
+        # pq_ivf_shortlist_scanned's no-broadcast contract).  The
+        # repartition caps fragmentation at ONE file per touched cell
+        # per append (without it: one per encode task per cell), so the
+        # compaction cadence is appends-counted, not task-counted
+        fresh.mapInPandas(encode_assign, schema=out_schema).repartition(
+            F.col("centroid")
+        ).write.mode("append").partitionBy("centroid").parquet(
+            f"{path}/vectors"
+        )
         return None
 
     encoded = fresh.mapInPandas(encode_assign, schema=out_schema).persist()
     try:
-        encoded.write.mode("append").partitionBy("centroid").parquet(
-            f"{path}/vectors"
-        )
+        # same one-file-per-touched-cell discipline as the scanned form
+        encoded.repartition(F.col("centroid")).write.mode(
+            "append"
+        ).partitionBy("centroid").parquet(f"{path}/vectors")
         new_rows = encoded.select("neighbor_id", "code", "centroid").collect()
     finally:
         encoded.unpersist()
@@ -3235,39 +3249,67 @@ def maybe_compact_pq_ivf(
     The default threshold is conservative against the measured 10×
     economics (PERF.md round-13): at 36 files/cell a 490-query scanned
     batch paid 14.1 s vs 5.1 s compacted, and the 8.8 s fold repaid
-    itself within ONE batch — 16 triggers well before that regime on a
-    steady append cadence while never firing on a freshly-built index
-    (a few files per cell from the build's task parallelism).
+    itself within ONE batch.  With the repartitioned writes a fresh
+    build is exactly 1 file per cell and each append adds at most 1 per
+    touched cell, so 16 ≈ a fold every ~15 appends — well before the
+    measured-pain regime, never on a fresh index.
 
-    STALE-CALLER GUARD: a successor with readable ``params`` (the
-    commit marker — see :func:`compact_pq_ivf_index`) means a previous
-    compaction COMPLETED and the caller failed to carry the returned
-    path forward; re-compacting the superseded generation would fork
-    history (appends landed on the successor would be missing), so it
-    raises.  A crash BEFORE the marker self-heals: the successor name
-    is deterministic and every write overwrites."""
+    STALE-CALLER GUARD (checked FIRST, before the threshold, so a stale
+    caller is caught on its first policy call instead of silently
+    appending to a dead generation until it happens to re-fragment): a
+    successor with readable ``params`` (the commit marker — see
+    :func:`compact_pq_ivf_index`) means a previous compaction COMPLETED
+    and the caller failed to carry the returned path forward;
+    re-compacting the superseded generation would fork history (appends
+    landed on the successor would be missing), so it raises, naming the
+    NEWEST committed generation in the chain.  Only path ABSENCE counts
+    as not-committed (transient read errors propagate — misreading one
+    as absence would overwrite a live successor).  A crash BEFORE the
+    marker self-heals: the successor name is deterministic and every
+    write overwrites."""
+    from pyspark.errors import AnalysisException
+
     if max_files_per_cell < 1:
         raise ValueError(
             f"max_files_per_cell must be >= 1, got {max_files_per_cell}"
+        )
+
+    def committed(p: str) -> bool:
+        # ONLY path-absence counts as "not committed": a transient read
+        # failure (throttling, expired credentials, corrupt footer)
+        # misread as absence would let the overwrite below destroy a
+        # committed successor — the exact fork the guard exists to
+        # prevent — so anything but AnalysisException propagates
+        try:
+            spark.read.parquet(f"{p}/params").collect()
+            return True
+        except AnalysisException:
+            return False
+
+    # Stale-caller check FIRST, before the threshold early-return: a
+    # freshly-superseded generation is usually BELOW threshold (it was
+    # just folded), so a threshold-first order would hand the stale
+    # caller None — the all-good signal — and let it append to the dead
+    # generation for an arbitrarily long quiet window.
+    dst = next_generation_name(path.rstrip("/"))
+    if committed(dst):
+        # walk to the LAST committed generation so the message names a
+        # current path — directing the caller at _g1 when _g2 is live
+        # would instruct the very fork the guard refuses
+        live = dst
+        while committed(next_generation_name(live)):
+            live = next_generation_name(live)
+        raise ValueError(
+            f"maybe_compact_pq_ivf: successor generation {dst!r} already "
+            f"has committed params — {path!r} is a superseded generation. "
+            f"Point readers/appenders at {live!r} (the newest committed "
+            "generation) instead of re-compacting the old one"
         )
     worst = pq_ivf_file_stats(spark, path).agg(
         F.max("n_files").alias("w")
     ).collect()[0]["w"]
     if worst is None or worst < max_files_per_cell:
         return None
-    dst = next_generation_name(path.rstrip("/"))
-    try:
-        spark.read.parquet(f"{dst}/params").collect()
-        committed = True
-    except Exception:  # noqa: BLE001 — absent path raises AnalysisException
-        committed = False
-    if committed:
-        raise ValueError(
-            f"maybe_compact_pq_ivf: successor generation {dst!r} already "
-            f"has committed params — {path!r} is a superseded generation. "
-            f"Point readers/appenders at {dst!r} (the path a previous "
-            "compaction returned) instead of re-compacting the old one"
-        )
     compact_pq_ivf_index(spark, path, dst)
     return dst
 

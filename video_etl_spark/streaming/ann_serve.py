@@ -34,6 +34,22 @@ from pyspark.sql import functions as F
 from video_etl_spark.llm_ops.similarity import lsh_topk_against_index
 
 
+def _write_answer_log(hits: DataFrame, batch_id: int, out_dir: str) -> None:
+    """THE answer-log sink every serve handler shares: batch_id-
+    partitioned dynamic overwrite, so a foreachBatch retry replaces
+    exactly its own partition (idempotent) and a query re-sent in a
+    later batch re-emits under the new batch_id (at-least-once answer
+    log).  One definition so a contract change cannot silently diverge
+    between the LSH, layered-broadcast, and layered-scanned handlers."""
+    (
+        hits.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+
+
 def make_ann_serve_handler(
     buckets: DataFrame,
     vectors: DataFrame,
@@ -88,13 +104,7 @@ def make_ann_serve_handler(
             vec_col=vec_col,
             planes_df=planes_df,
         )
-        (
-            hits.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
-        )
+        _write_answer_log(hits, batch_id, out_dir)
 
     return handle
 
@@ -162,13 +172,7 @@ def make_layered_serve_handler(
             id_col=id_col,
             vec_col=vec_col,
         )
-        (
-            hits.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
-        )
+        _write_answer_log(hits, batch_id, out_dir)
 
     return handle
 
@@ -202,7 +206,19 @@ def make_layered_scanned_serve_handler(
     Same answer-log contract as every serve handler: batch_id-
     partitioned dynamic overwrite, so a foreachBatch retry replaces its
     own partition (idempotent), and one batch answers one query set."""
-    from video_etl_spark.llm_ops.similarity import layered_topk_scanned
+    from video_etl_spark.llm_ops.similarity import (
+        _read_pq_ivf_sidecars,
+        layered_topk_scanned,
+    )
+
+    # Fail at BUILD time on a typo'd/missing/incoherent index path (the
+    # module's make_ann_serve_handler contract: validate before the
+    # stream starts, not inside the first micro-batch).  The sidecars
+    # are read and DISCARDED — bounded (1 params row, m×ksub books,
+    # n_cells centers), and deliberately not captured: each batch
+    # re-reads the current generation, which is what makes distributed
+    # appends visible with no handler rebuild.
+    _read_pq_ivf_sidecars(spark, path)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         hits = layered_topk_scanned(
@@ -216,12 +232,6 @@ def make_layered_scanned_serve_handler(
             vec_col=vec_col,
             max_queries=max_queries,
         )
-        (
-            hits.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
-        )
+        _write_answer_log(hits, batch_id, out_dir)
 
     return handle
