@@ -576,6 +576,43 @@ def test_io_cold_probe_detects_cache_state(tmp_path):
     )
 
 
+def test_jitter_flags_fire_on_replayed_case_quiet_on_stable():
+    """Round-13 verdict #5: the in-run jitter class (a sub-1.5s query's
+    median landing >2x its own cross-rep min) must be flagged IN the
+    artifact so it stops costing a manual code-unchanged +
+    standalone-re-time defense per occurrence.  Replay the two
+    historical cases (vocab_growth_curve r13 in-run samples ~0.30 /
+    1.2 / 1.43s; semantic_dedup_pairs r12, same shape) -> flagged;
+    the stable family (spread well under 2x), a genuinely-slow-but-
+    steady query, and sub-floor scheduler wobble on a tiny query ->
+    quiet."""
+    import bench
+
+    def disp(samples):
+        s = sorted(samples)
+        return {"min": round(s[0], 4), "median": round(s[len(s) // 2], 4)}
+
+    dispersion = {
+        # replayed r13 jitter case: min unchanged, median 4x min
+        "vocab_growth_curve": disp([0.30, 1.20, 1.43]),
+        # replayed r12 case, same class
+        "semantic_dedup_pairs": disp([0.35, 0.95, 1.10]),
+        # stable family: tight spread
+        "dedup_exact_documents": disp([1.01, 1.05, 1.08]),
+        # slow but steady: big absolute times, spread < 2x
+        "dedup_connected_clusters": disp([4.10, 4.50, 4.70]),
+        # sub-floor wobble: 2.5x ratio but only 50ms of delta — the
+        # floor keeps scheduler noise on tiny queries from firing
+        "region_count": disp([0.020, 0.050, 0.055]),
+    }
+    assert bench.jitter_flags(dispersion) == [
+        "semantic_dedup_pairs",
+        "vocab_growth_curve",
+    ]
+    # a min of zero (clock resolution) must not divide-by-zero
+    assert bench.jitter_flags({"q": {"min": 0.0, "median": 1.0}}) == []
+
+
 def test_bench_artifact_lines_fit_tail_capture():
     """The driver records bench output through a ~2000-char TAIL capture
     that truncates from the FRONT — the failure that cost round 9 its
@@ -615,10 +652,19 @@ def test_bench_artifact_lines_fit_tail_capture():
         "degraded_during_run": False, "start_elevated": False,
         "mid_elevated": False, "value_normalized": 9999.1234,
         "io_cold": False,
+        # worst case the compact line carries: the cap in main() is 5
+        # names; these are among the longest registered query names
+        "jitter_flagged": [
+            "incremental_semantic_dedup_pairs",
+            "range_join_clicks_before_purchase",
+            "min_cost_supplier_per_part",
+            "benchmark_decontamination",
+            "cross_source_contamination",
+        ],
         "full_artifact": "BENCH_FULL_latest.json",
     }
     compact_line = json.dumps(compact)
-    assert len(compact_line) < 500
+    assert len(compact_line) < 700
 
     # the driver's capture: last 2000 chars of the printed sequence
     # (full line first, then chunks, then compact) — the first surviving
