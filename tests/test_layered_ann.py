@@ -1051,8 +1051,20 @@ def test_compact_pq_ivf_cells_rewrites_only_hot(spark, tmp_path):
     ).collect()))
     assert retry == before
 
-    # --- carry="move": renames the cold files out of the source
+    # --- carry="move": renames the cold files out of the source.
+    # Stage a PARTIALLY-carried cell first (a crashed prior attempt
+    # moved one file of one cold cell): the fold must finish that cell
+    # per-file and still converge on the identical result
+    import os
+
     dst2 = str(tmp_path / "gen1_moved")
+    part_cell = cold_expect[0]
+    part_file = sorted(before_files[part_cell])[0][0]
+    os.makedirs(f"{dst2}/vectors/centroid={part_cell}")
+    os.rename(
+        f"{src}/vectors/centroid={part_cell}/{part_file}",
+        f"{dst2}/vectors/centroid={part_cell}/{part_file}",
+    )
     res3 = compact_pq_ivf_cells(
         spark, src, dst2, max_files_per_cell=2, carry="move"
     )

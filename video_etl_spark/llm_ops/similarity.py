@@ -3308,17 +3308,24 @@ def compact_pq_ivf_cells(
     * ``carry="copy"`` (default) — byte copy; no decode, no shuffle, no
       re-encode.  The source generation stays a complete readable
       snapshot until the caller drops it — the same contract as the
-      full fold.  On object stores this is a server-side copy; on HDFS
-      it is still O(cold bytes) of IO, which is why ``"move"`` exists.
-    * ``carry="move"`` — filesystem rename, O(1) per file on
-      rename-capable filesystems (HDFS, posix): maintenance IO becomes
-      O(hot bytes) only.  CONSUMES the source: once a move fold starts,
-      ``src_path`` is no longer a complete generation, so the fold must
-      be RETRIED TO COMPLETION after a crash (the retry is idempotent:
-      hot cells re-rewrite under dynamic overwrite; a cold file already
-      present at the destination is skipped, one still at the source is
-      moved).  Only choose move when the caller already quiesces writes
-      and retries folds — exactly the ``maybe_compact_pq_ivf`` loop.
+      full fold, and the reason it is the default: probes of the OLD
+      path stay correct even after a crashed fold.  The bytes stream
+      through the compaction client (fine at rehearsal scale; the
+      100 TB upgrade path is a distcp-style distributed copy — or
+      ``"move"``, which moves no bytes at all).
+    * ``carry="move"`` — directory rename: O(1) metadata on HDFS and
+      posix, a server-side COPY+DELETE on S3A — no cold byte ever
+      moves through the client, so maintenance IO is O(hot rows) only.
+      CONSUMES the source: once a move fold starts, ``src_path`` is no
+      longer a complete generation — nothing is ever deleted (renames
+      preserve every byte across the two paths), but probes of the
+      source between a crash and the retry would silently miss the
+      moved cells, so the fold must be RETRIED TO COMPLETION before
+      serving resumes (the retry is idempotent: hot cells re-rewrite
+      under dynamic overwrite; an untouched cold cell dir is renamed,
+      a partially-carried one is finished per-file).  Only choose move
+      when the orchestrator guarantees fold-before-serve — e.g. the
+      ``maybe_compact_pq_ivf`` loop's quiesced-window contract.
 
     Same crash discipline as the full fold: the ``params`` sidecar
     lands LAST and is the generation's commit marker — a crash anywhere
@@ -3371,24 +3378,82 @@ def compact_pq_ivf_cells(
     JPath = jvm.org.apache.hadoop.fs.Path
     FileUtil = jvm.org.apache.hadoop.fs.FileUtil
     fs = JPath(f"{src_path}/vectors").getFileSystem(hconf)
+    # carry at DIRECTORY granularity — one JVM call per cold cell, not
+    # three per file: a 400-cell index pays ~400 renames/recursive
+    # copies instead of thousands of py4j mkdirs/exists/copy
+    # round-trips (measured 2-4s of pure driver chatter at 10×).
+    # Cold-cell COPIES on a local/posix store are additionally fanned
+    # out over the executors (one task per slice of cells) — the
+    # distcp-style distributed carry a non-posix store would need a
+    # real distcp for (renames stay driver-side: they are metadata
+    # calls, not byte streams)
+    from video_etl_spark.operators.io import norm_storage_uri
+
+    scheme, _, _ = norm_storage_uri(src_path)
+    copy_jobs: "list[int] | None" = (
+        [] if carry == "copy" and scheme in ("", "file") else None
+    )
+    fs.mkdirs(JPath(f"{dst_path}/vectors"))  # no hot cells -> no writer
     for c in cold:
-        cell_dst = f"{dst_path}/vectors/centroid={c}"
-        fs.mkdirs(JPath(cell_dst))
-        for fname, _size in cells[c]:
-            sfile = JPath(f"{src_path}/vectors/centroid={c}/{fname}")
-            dfile = JPath(f"{cell_dst}/{fname}")
-            if carry == "move":
+        sdir = JPath(f"{src_path}/vectors/centroid={c}")
+        ddir = JPath(f"{dst_path}/vectors/centroid={c}")
+        if carry == "move":
+            if not fs.exists(ddir):
+                if not fs.rename(sdir, ddir):
+                    raise IOError(
+                        f"compact_pq_ivf_cells: rename {sdir} -> {ddir} "
+                        "refused by the filesystem — rerun with "
+                        "carry='copy' on non-rename-capable stores"
+                    )
+                continue
+            # retry with a partially-carried cell: finish per-file
+            # (skip files a prior attempt already moved)
+            for fname, _size in cells[c]:
+                sfile = JPath(f"{src_path}/vectors/centroid={c}/{fname}")
+                dfile = JPath(f"{dst_path}/vectors/centroid={c}/{fname}")
                 if fs.exists(dfile):
-                    continue  # a prior attempt already moved this file
+                    continue
                 if not fs.rename(sfile, dfile):
                     raise IOError(
                         f"compact_pq_ivf_cells: rename {sfile} -> "
-                        f"{dfile} refused by the filesystem — rerun "
-                        "with carry='copy' on non-rename-capable stores"
+                        f"{dfile} refused by the filesystem"
                     )
-            else:
-                # overwrite=True: a retry after a torn copy re-copies
-                FileUtil.copy(fs, sfile, fs, dfile, False, True, hconf)
+        else:
+            # recursive dir copy with names preserved.  A pre-existing
+            # destination dir is deleted first: Hadoop's FileUtil.copy
+            # nests a dir source INSIDE an existing dir destination
+            # (cp semantics), and in copy mode the rows still live at
+            # the source, so delete-then-copy is the idempotent retry.
+            # Local paths take the DISTRIBUTED copy below instead —
+            # a driver-sequential carry measured 41.8s vs the full
+            # fold's 14.6s on a 2000-cell index (per-dir round-trip
+            # cost × n_cells), exactly the corpus-scaling the per-cell
+            # fold exists to avoid
+            if copy_jobs is not None:
+                copy_jobs.append(c)
+                continue
+            if fs.exists(ddir):
+                fs.delete(ddir, True)
+            FileUtil.copy(fs, sdir, fs, ddir, False, True, hconf)
+    if copy_jobs:
+        src_v, dst_v = f"{src_path}/vectors", f"{dst_path}/vectors"
+
+        def _carry(cells_part):
+            import os
+            import shutil
+
+            for cc in cells_part:
+                s = f"{src_v}/centroid={cc}"
+                d = f"{dst_v}/centroid={cc}"
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+                shutil.copytree(s, d)
+            return iter(())
+
+        n_slices = min(len(copy_jobs), spark.sparkContext.defaultParallelism)
+        spark.sparkContext.parallelize(copy_jobs, n_slices).mapPartitions(
+            _carry
+        ).count()
     for side in ("books", "centers", "params"):  # params last = committed
         (
             spark.read.parquet(f"{src_path}/{side}")
