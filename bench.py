@@ -840,14 +840,20 @@ def jitter_flags(
     flag lets a judge discount the class from one artifact.  The
     ``floor_sec`` absolute gate keeps microsecond-scale noise on
     sub-0.1s queries (where 2x is 50ms of scheduler wobble) from
-    firing; the real class shows ~1s deltas.  Module-level and pure so
-    the trigger is testable against replayed sample sets."""
+    firing; the real class shows ~1s deltas.  Ordered WORST-FIRST
+    (median/min ratio descending) so the compact line's 5-name cap
+    keeps the biggest offenders, never alphabetically-late ones.
+    Module-level and pure so the trigger is testable against replayed
+    sample sets."""
     return sorted(
-        name
-        for name, d in dispersion.items()
-        if d["min"] > 0
-        and d["median"] / d["min"] > ratio
-        and d["median"] - d["min"] > floor_sec
+        (
+            name
+            for name, d in dispersion.items()
+            if d["min"] > 0
+            and d["median"] / d["min"] > ratio
+            and d["median"] - d["min"] > floor_sec
+        ),
+        key=lambda n: -dispersion[n]["median"] / dispersion[n]["min"],
     )
 
 

@@ -101,6 +101,11 @@ def main() -> None:
             .limit(n_hot)
             .collect()
         )
+        if len(reps) < n_hot:
+            raise SystemExit(
+                f"--hot {n_hot} exceeds the index's {len(reps)} occupied "
+                "cells; pass a smaller --hot"
+            )
         hot_cells = sorted(int(r["centroid"]) for r in reps)
         bases = [np.array(r["vec"]) for r in reps]
         print(f"hot cells (append targets): {hot_cells}")

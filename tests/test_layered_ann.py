@@ -1081,6 +1081,34 @@ def test_compact_pq_ivf_cells_rewrites_only_hot(spark, tmp_path):
     ).collect()))
     assert moved == before
 
+    # --- copy fold into a PARTIALLY-MOVED destination must MERGE, not
+    # delete-and-recopy: a dst-only file (moved out by a crashed
+    # carry="move" attempt, source side gone) is the ONLY copy of its
+    # rows — the review-found data-loss path.  Staged from the moved
+    # generation: dst2 is complete, one cold file is renamed out of it
+    # into dst4, then carry="copy" folds dst2 -> dst4; the merge must
+    # restore the full cell (and with dst2's hot cell already at one
+    # file there are NO hot cells — the carry-only path)
+    dst2_files = _list_cell_files(spark, dst2)
+    dst4 = str(tmp_path / "gen2_copy_retry")
+    stage_cell = cold_expect[1]
+    stage_file = sorted(dst2_files[stage_cell])[0][0]
+    os.makedirs(f"{dst4}/vectors/centroid={stage_cell}")
+    os.rename(
+        f"{dst2}/vectors/centroid={stage_cell}/{stage_file}",
+        f"{dst4}/vectors/centroid={stage_cell}/{stage_file}",
+    )
+    res4 = compact_pq_ivf_cells(
+        spark, dst2, dst4, max_files_per_cell=2, carry="copy"
+    )
+    assert res4["hot_cells"] == []  # nothing fragmented in dst2
+    dst4_files = _list_cell_files(spark, dst4)
+    assert dst4_files == dst2_files  # merged: staged file NOT lost
+    merged = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, dst4, k=3, n_probe=2
+    ).collect()))
+    assert merged == before
+
     with pytest.raises(ValueError, match="carry"):
         compact_pq_ivf_cells(
             spark, dst, str(tmp_path / "x"), carry="sideways"

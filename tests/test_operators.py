@@ -605,9 +605,11 @@ def test_jitter_flags_fire_on_replayed_case_quiet_on_stable():
         # floor keeps scheduler noise on tiny queries from firing
         "region_count": disp([0.020, 0.050, 0.055]),
     }
+    # worst-first ordering (vocab at 4.0x ratio outranks semantic at
+    # 2.7x) so the compact line's cap keeps the biggest offenders
     assert bench.jitter_flags(dispersion) == [
-        "semantic_dedup_pairs",
         "vocab_growth_curve",
+        "semantic_dedup_pairs",
     ]
     # a min of zero (clock resolution) must not divide-by-zero
     assert bench.jitter_flags({"q": {"min": 0.0, "median": 1.0}}) == []
