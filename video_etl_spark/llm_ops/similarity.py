@@ -490,14 +490,19 @@ def lsh_topk_against_index(
 
 
 def _fresh_only(
-    new: DataFrame, indexed_ids: DataFrame, id_col: str, assume_disjoint: bool
+    new: DataFrame, indexed_ids_thunk, id_col: str, assume_disjoint: bool
 ) -> DataFrame:
     """Drop batch vectors whose id is already in the index — a probe
     re-rank joining duplicate neighbor rows would emit duplicate scored
     rows and pollute the top-k ranks.  The anti-join's index side is an
     id-only column-pruned scan; at full corpus scale a caller whose ids
     are disjoint by construction (monotonic ingest cursors) skips it
-    with ``assume_disjoint=True``.  An id re-ingested with a DIFFERENT
+    with ``assume_disjoint=True``.  The index side is a THUNK so the
+    disjoint fast path never RESOLVES the relation: a bare
+    ``spark.read.parquet`` on a many-partition table runs a parallel
+    partition-discovery job at resolution time — measured ~3 s per
+    append on a 2000-cell index, paid for a DataFrame the fast path
+    then threw away.  An id re-ingested with a DIFFERENT
     vector is intentionally dropped too: the id is the identity, and
     updating a vector means writing a new index generation.
 
@@ -511,7 +516,7 @@ def _fresh_only(
     if assume_disjoint:
         return new
     return new.join(
-        indexed_ids.select(F.col("neighbor_id").alias(id_col)),
+        indexed_ids_thunk().select(F.col("neighbor_id").alias(id_col)),
         id_col,
         "left_anti",
     )
@@ -531,7 +536,7 @@ def _fresh_checkpointed(
     if assume_disjoint:
         return batch
     return _fresh_only(
-        batch, indexed_ids_thunk(), id_col, False
+        batch, indexed_ids_thunk, id_col, False
     ).localCheckpoint()
 
 
@@ -1176,10 +1181,11 @@ def append_to_ivf_index(
         F.col(id_col).alias("neighbor_id"), as_double.alias("scores")
     )
     # single sink: the intra-batch dedup can ride the same plan (no
-    # cross-sink divergence risk — see _fresh_only)
+    # cross-sink divergence risk — see _fresh_only); the corpus reader
+    # is a thunk so a disjoint append never pays partition discovery
     fresh = _fresh_only(
         new_d.dropDuplicates(["neighbor_id"]),
-        spark.read.parquet(f"{path}/vectors"),
+        lambda: spark.read.parquet(f"{path}/vectors"),
         "neighbor_id",
         assume_disjoint,
     ).localCheckpoint()  # reads {path}/vectors, sink below appends to it
@@ -2771,10 +2777,11 @@ def append_to_pq_ivf_index(
         ),
     )
     # the guard fires at the eager localCheckpoint below — loudly,
-    # before anything is appended
+    # before anything is appended; the corpus reader is a thunk so a
+    # disjoint append never pays the cell-partition discovery job
     fresh = _fresh_only(
         new_d.dropDuplicates(["neighbor_id"]),
-        spark.read.parquet(f"{path}/vectors"),
+        lambda: spark.read.parquet(f"{path}/vectors"),
         "neighbor_id",
         assume_disjoint,
     ).localCheckpoint()  # reads {path}/vectors, sink below appends to it
