@@ -3390,3 +3390,34 @@ def test_layered_scanned_serve_handler_past_cap_lifecycle(
         for r in spark.read.parquet(out_dir).where("batch_id = 0").collect()
     )
     assert after_fold == want_post
+
+    # round 14: the per-cell MOVE fold in the same quiesced-window
+    # discipline — the O(hot-rows) production maintenance shape.  A
+    # disjoint-id append (the thunk fast path: no partition-discovery
+    # job) fragments g1, the policy folds per-cell with carry="move"
+    # (consuming g1), and a handler re-created on g2 must serve the
+    # post-append answers identically — serving continuity across a
+    # generation swap whose source is no longer a complete snapshot
+    refresh = held.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    assert append_to_pq_ivf_index(refresh, g1, assume_disjoint=True) is None
+    want_g1 = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in layered_topk_scanned(
+            spark, b0, g1, k=3, n_probe=2
+        ).collect()
+    )
+    g2 = maybe_compact_pq_ivf(
+        spark, g1, max_files_per_cell=2, carry="move"
+    )
+    assert g2 == str(tmp_path / "scanned_idx_g2")
+    handler3 = make_layered_scanned_serve_handler(
+        spark, g2, out_dir, k=3, n_probe=2
+    )
+    handler3(b0, 0)
+    after_move = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in spark.read.parquet(out_dir).where("batch_id = 0").collect()
+    )
+    assert after_move == want_g1
