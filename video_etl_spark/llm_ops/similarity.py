@@ -3188,6 +3188,27 @@ def _list_cell_files(spark, path: str) -> "dict[int, list[tuple[str, int]]]":
             "not a layered index path (write_pq_ivf_index creates it)"
         )
     out: "dict[int, list[tuple[str, int]]]" = {}
+    if fs.getUri().getScheme() == "file":
+        # local/posix fast path: the Hadoop walk below costs one py4j
+        # round-trip per cell dir plus several per file — measured 4 s
+        # for a 2000-cell index vs 24 ms with os.scandir (170×), and
+        # the poll runs after EVERY append.  Same readout, asserted
+        # equal in the defragmentation test.
+        import os
+
+        from video_etl_spark.operators.io import norm_storage_uri
+
+        _, _, local = norm_storage_uri(path)
+        with os.scandir(f"{local}/vectors") as it:
+            for e in it:
+                if not (e.is_dir() and e.name.startswith("centroid=")):
+                    continue
+                out[int(e.name.split("=", 1)[1])] = [
+                    (f.name, f.stat().st_size)
+                    for f in os.scandir(e.path)
+                    if f.is_file() and not f.name.startswith(("_", "."))
+                ]
+        return out
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith("centroid=")):
