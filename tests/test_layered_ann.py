@@ -1117,6 +1117,52 @@ def test_compact_pq_ivf_cells_rewrites_only_hot(spark, tmp_path):
         compact_pq_ivf_cells(spark, dst, dst + "/nested")
 
 
+def test_list_cell_files_fast_path_matches_hadoop_walk(spark, tmp_path):
+    """On a local filesystem every in-suite caller of _list_cell_files
+    takes the os.scandir fast path, so the remote-scheme Hadoop walk
+    would be test-dead without this parity pin: both branches must
+    return the identical readout on the same (appended, fragmented)
+    index, and the broadcast-regime append must refuse a nonexistent
+    destination (the eager corpus reader used to catch that as a side
+    effect before it became a lazy thunk)."""
+    from video_etl_spark.llm_ops.similarity import (
+        _list_cell_files,
+        _list_cell_files_hadoop,
+        append_to_pq_ivf_index,
+        read_pq_ivf_index,
+        write_pq_ivf_index,
+    )
+
+    corpus, _ = _toy_corpus(spark, n=260)
+    path = str(tmp_path / "parity_idx")
+    write_pq_ivf_index(
+        corpus.filter("vec_id % 10 < 8"), path, m=4, ksub=8,
+        n_centroids=5, return_artifacts=False,
+    )
+    append_to_pq_ivf_index(corpus.filter("vec_id % 10 = 8"), path)
+
+    fast = _list_cell_files(spark, path)
+    root = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/vectors")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    walk = _list_cell_files_hadoop(fs, root)
+    assert {k: sorted(v) for k, v in fast.items()} == {
+        k: sorted(v) for k, v in walk.items()
+    }
+    assert fast and any(len(v) >= 2 for v in fast.values())
+
+    # broadcast-regime destination guard: index= carries the quantizers
+    # and assume_disjoint skips the dedup read, so nothing else touches
+    # the path before the write — the guard must
+    idx = read_pq_ivf_index(spark, path)
+    with pytest.raises(ValueError, match="no vectors table"):
+        append_to_pq_ivf_index(
+            corpus.filter("vec_id % 10 = 9"),
+            str(tmp_path / "typo_idx"),
+            index=idx,
+            assume_disjoint=True,
+        )
+
+
 def test_maybe_compact_pq_ivf_policy(spark, tmp_path):
     """The auto-compaction policy (the maybe_refold discipline on
     file-count fragmentation): below threshold → None and NOTHING

@@ -2757,6 +2757,22 @@ def append_to_pq_ivf_index(
         )
     if index is not None:
         books, centers, do_norm = index.books, index.centers, index.normalize
+        # The eagerly-built corpus reader used to validate the
+        # destination as a side effect; with the dedup reader now a
+        # lazy thunk, this regime (quantizers from the driver object,
+        # dedup possibly skipped via assume_disjoint) must check the
+        # path itself — or a typo'd/stale generation path silently
+        # grows an orphan vectors/ dir with no sidecars while the real
+        # index misses the batch.  One metadata call.
+        root = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/vectors")
+        if not root.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        ).exists(root):
+            raise ValueError(
+                f"append_to_pq_ivf_index: no vectors table at "
+                f"{path!r}/vectors — not an existing layered-index "
+                "generation (typo'd or superseded path?)"
+            )
     else:
         books, centers, do_norm = _read_pq_ivf_sidecars(spark, path)
     cmat = centers
@@ -3187,28 +3203,46 @@ def _list_cell_files(spark, path: str) -> "dict[int, list[tuple[str, int]]]":
             f"_list_cell_files: no vectors table at {path!r}/vectors — "
             "not a layered index path (write_pq_ivf_index creates it)"
         )
-    out: "dict[int, list[tuple[str, int]]]" = {}
     if fs.getUri().getScheme() == "file":
-        # local/posix fast path: the Hadoop walk below costs one py4j
+        # local/posix fast path: the Hadoop walk costs one py4j
         # round-trip per cell dir plus several per file — measured 4 s
         # for a 2000-cell index vs 24 ms with os.scandir (170×), and
-        # the poll runs after EVERY append.  Same readout, asserted
-        # equal in the defragmentation test.
+        # the poll runs after EVERY append.  The local path comes from
+        # Hadoop's OWN resolution of the root (toUri().getPath()) so
+        # both branches list the identical directory — a urlparse-based
+        # normalization would truncate at '#' or decode %XX sequences
+        # Hadoop Path keeps literal.  Parity with the Hadoop walk is
+        # test-pinned on the same index.
         import os
 
-        from video_etl_spark.operators.io import norm_storage_uri
-
-        _, _, local = norm_storage_uri(path)
-        with os.scandir(f"{local}/vectors") as it:
+        out: "dict[int, list[tuple[str, int]]]" = {}
+        with os.scandir(root.toUri().getPath()) as it:
             for e in it:
                 if not (e.is_dir() and e.name.startswith("centroid=")):
                     continue
-                out[int(e.name.split("=", 1)[1])] = [
-                    (f.name, f.stat().st_size)
-                    for f in os.scandir(e.path)
-                    if f.is_file() and not f.name.startswith(("_", "."))
-                ]
+                files = []
+                for f in os.scandir(e.path):
+                    if not f.is_file() or f.name.startswith(("_", ".")):
+                        continue
+                    try:
+                        files.append((f.name, f.stat().st_size))
+                    except FileNotFoundError:
+                        # vanished between scan and stat (concurrent
+                        # retention/fold) — a stale readout, exactly
+                        # what the one-shot Hadoop listStatus would
+                        # have returned, not a crash
+                        continue
+                out[int(e.name.split("=", 1)[1])] = files
         return out
+    return _list_cell_files_hadoop(fs, root)
+
+
+def _list_cell_files_hadoop(fs, root) -> "dict[int, list[tuple[str, int]]]":
+    """The remote-scheme walk behind :func:`_list_cell_files` — separate
+    so the local-path parity test can run it directly (on a local
+    filesystem every in-suite caller takes the scandir fast path, which
+    would otherwise leave this branch test-dead)."""
+    out: "dict[int, list[tuple[str, int]]]" = {}
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith("centroid=")):
@@ -3420,15 +3454,15 @@ def compact_pq_ivf_cells(
     # distcp-style distributed carry a non-posix store would need a
     # real distcp for (renames stay driver-side: they are metadata
     # calls, not byte streams)
-    from video_etl_spark.operators.io import norm_storage_uri
-
     # gate the executor-fanned copy on the RESOLVED Hadoop filesystem's
     # scheme (a bare path on a cluster whose fs.defaultFS is hdfs://
     # lives on HDFS no matter what the string looks like), and hand the
-    # executors the NORMALIZED local path (shutil treats a raw
-    # "file:///x" string as a relative path and crashes)
-    _, _, src_local = norm_storage_uri(src_path)
-    _, _, dst_local = norm_storage_uri(dst_path)
+    # executors Hadoop's OWN resolution of the local path
+    # (toUri().getPath()): a raw "file:///x" string is a relative path
+    # to shutil, and urlparse-style normalization would truncate '#' or
+    # decode %XX sequences Hadoop keeps literal
+    src_local = JPath(src_path).toUri().getPath()
+    dst_local = JPath(dst_path).toUri().getPath()
     copy_jobs: "list[int] | None" = (
         []
         if carry == "copy" and fs.getUri().getScheme() == "file"
