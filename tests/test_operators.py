@@ -648,6 +648,7 @@ def test_bench_artifact_lines_fit_tail_capture():
     # compact line with EVERY optional key at worst-case width
     compact = {
         "metric": "headline_queries_total", "value": 9999.1234,
+        "value_min": 9999.1234,
         "unit": "sec", "sf": 0.1, "n_queries": len(timings),
         "control_ratio": 1.1234, "control_ratio_start": 1.1234,
         "control_ratio_mid": 1.1234, "control_ratio_end": 1.1234,
