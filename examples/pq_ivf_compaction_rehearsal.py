@@ -267,11 +267,16 @@ def main() -> None:
                 samples[name].append(round(runner(i), 2))
 
         # bench.py-style dispersion: {min, median, samples} per mode —
-        # the PERF table records medians, the artifact keeps the reps
+        # the PERF table records medians, the artifact keeps the reps.
+        # statistics.median averages the middle pair at even n: the
+        # upper-middle shortcut would report the MAX of two samples,
+        # reproducing exactly the single-position outlier this change
+        # exists to suppress
         import json
+        import statistics
 
         def med(xs: list) -> float:
-            return round(sorted(xs)[len(xs) // 2], 2)
+            return round(statistics.median(xs), 2)
 
         dispersion = {
             name: {"min": min(xs), "median": med(xs), "samples": xs}

@@ -1285,13 +1285,27 @@ def test_list_cell_files_skips_foreign_dirs_and_vanished_cells(
     clean = _list_cell_files(spark, path)
     assert clean
 
-    # foreign partition dirs: a null-partition dir and a non-integer one
-    for foreign in ("__HIVE_DEFAULT_PARTITION__", "junk"):
+    # foreign partition dirs: a null-partition dir, a non-integer one,
+    # and int()-parseable ALIASES of real cell ids ('+N', 'N_0') that a
+    # bare int() would accept and last-wins-overwrite the real listing
+    first = sorted(clean)[0]
+    for foreign in (
+        "__HIVE_DEFAULT_PARTITION__", "junk", f"+{first}", f"{first}_0"
+    ):
         d = f"{path}/vectors/centroid={foreign}"
         os.makedirs(d)
         with open(f"{d}/part-0.parquet", "w") as fh:
             fh.write("x")
     assert _list_cell_files(spark, path) == clean  # local branch skips
+
+    from video_etl_spark.llm_ops.similarity import _centroid_dir_cell
+
+    assert _centroid_dir_cell("centroid=12") == 12
+    assert _centroid_dir_cell("centroid=-3") == -3
+    for bad in ("centroid=+7", "centroid= 7", "centroid=7_0",
+                "centroid=", "centroid=-",
+                "centroid=__HIVE_DEFAULT_PARTITION__"):
+        assert _centroid_dir_cell(bad) is None, bad
 
     root = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/vectors")
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -1314,9 +1328,9 @@ def test_list_cell_files_skips_foreign_dirs_and_vanished_cells(
     monkeypatch.setattr(os, "scandir", racy_scandir)
     racy = _list_cell_files(spark, path)
     monkeypatch.undo()
-    assert sorted(clean[c] for c in racy) and sorted(racy) == sorted(
-        c for c in clean if c != sorted(clean)[0]
-    )
+    assert sorted(racy) == sorted(c for c in clean if c != sorted(clean)[0])
+    for c in racy:  # surviving cells keep their full, correct listings
+        assert sorted(racy[c]) == sorted(clean[c]), c
 
     # vanished cell dir, Hadoop branch: duck-typed py4j fakes so the
     # remote-scheme walk's tolerance is not test-dead on a local suite

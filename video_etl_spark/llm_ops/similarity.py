@@ -3257,11 +3257,16 @@ def _centroid_dir_cell(name: str) -> "int | None":
     discovery treats values it cannot cast to the partition type,
     instead of crashing the whole poll (round-14 verdict finding #4).
     Unreachable from this repo's writers (assignment always emits an
-    int); purely defensive against foreign dirs."""
-    try:
-        return int(name.split("=", 1)[1])
-    except ValueError:
+    int); purely defensive against foreign dirs.  The value must be
+    ASCII digits (optional leading minus) — bare ``int()`` also accepts
+    ``'+7'``, ``' 7'`` and ``'7_0'`` (== 70), any of which would ALIAS
+    a foreign dir onto a real cell id and silently replace that cell's
+    listing via last-wins dict assignment instead of being skipped."""
+    val = name.split("=", 1)[1]
+    core = val[1:] if val.startswith("-") else val
+    if not core or not all("0" <= c <= "9" for c in core):
         return None
+    return int(val)
 
 
 def _vanished_fs_entry(exc: Exception) -> bool:
@@ -3494,6 +3499,31 @@ def compact_pq_ivf_cells(
             finish_only = sorted(_list_cell_files(spark, dst_path))
         except ValueError:
             finish_only = []
+        if finish_only:
+            # only an UNCOMMITTED destination may be finished: readable
+            # params at dst means it is a complete generation — possibly
+            # an UNRELATED index a typo'd call points at, whose sidecars
+            # the copy below would overwrite with src's quantizers (a
+            # frankenstein index silently serving wrong neighbors).
+            # Same absence-only test as maybe_compact_pq_ivf's commit
+            # check: transient read errors propagate rather than being
+            # misread as "uncommitted".
+            from pyspark.errors import AnalysisException
+
+            try:
+                spark.read.parquet(f"{dst_path}/params").collect()
+                committed_dst = True
+            except AnalysisException:
+                committed_dst = False
+            if committed_dst:
+                raise ValueError(
+                    f"compact_pq_ivf_cells: {src_path!r}/vectors has no "
+                    f"cell partitions but {dst_path!r} is already a "
+                    "COMMITTED generation (readable params) — refusing "
+                    "to overwrite its sidecars; a finish-the-commit "
+                    "retry only applies to an uncommitted destination "
+                    "left by a crashed all-cold carry='move' fold"
+                )
         if not finish_only:
             raise ValueError(
                 f"compact_pq_ivf_cells: no cell partitions under "

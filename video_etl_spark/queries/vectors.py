@@ -1280,6 +1280,58 @@ _LAY_Q_SHORT = 20   # ADC shortlist depth (k × 4, the pq refine dial)
 _LAY_Q_INDEX_CACHE: dict = {}  # sf_dir -> (path, PqIvfIndex)
 
 
+def _lay_qemb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized embeddings (×1e6, stored as doubles) — the
+    cross-engine-exact value domain every layered scratch builder and
+    the DuckDB oracle share."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(cast(round(cast(x as double) * 1000000) as bigint) "
+            "as double))"
+        ).alias("embedding"),
+    )
+
+
+def _lay_seed_quantizers(qemb: DataFrame, caller: str):
+    """(centers, books) derived from the seed rows ``vec_id <
+    _LAY_Q_KSUB`` with the loud mapping asserts (the knn_pq_indexed
+    discipline, round-10 ADVICE): the oracle maps centroid/code c to
+    the vector with vec_id c and slices ``_LAY_Q_DSUB``-wide windows.
+    ONE shared derivation for the build-time and folded scratch
+    builders, so a future change to the seed contract cannot reach one
+    twin and silently break the other's oracle parity."""
+    seed = (
+        qemb.filter(F.col("vec_id") < _LAY_Q_KSUB)
+        .orderBy("vec_id")
+        .collect()
+    )
+    if [r["vec_id"] for r in seed] != list(range(_LAY_Q_KSUB)):
+        raise ValueError(
+            f"{caller}: seed vec_ids "
+            f"{[r['vec_id'] for r in seed]} != 0..{_LAY_Q_KSUB - 1} — "
+            "the DuckDB oracle's centroid/code = vec_id mapping needs "
+            "the low ids contiguous"
+        )
+    dim = len(seed[0]["embedding"])
+    if dim // _LAY_Q_M != _LAY_Q_DSUB or dim % _LAY_Q_M:
+        raise ValueError(
+            f"{caller}: embedding dim {dim} gives dsub "
+            f"{dim // _LAY_Q_M}, but the oracle slices with "
+            f"_LAY_Q_DSUB={_LAY_Q_DSUB} — update the constant"
+        )
+    centers = [list(r["embedding"]) for r in seed]
+    books = [
+        [
+            list(seed[c]["embedding"][j * _LAY_Q_DSUB:(j + 1) * _LAY_Q_DSUB])
+            for c in range(_LAY_Q_KSUB)
+        ]
+        for j in range(_LAY_Q_M)
+    ]
+    return centers, books
+
+
 # ONE oracle for BOTH layered probe forms: the broadcast-arrays form and
 # the scanned-codes form are different physical plans over identical
 # semantics (equivalence-tested in tests/test_layered_ann.py), so they
@@ -1369,50 +1421,13 @@ def _layered_scratch(spark, sf_dir: str):
 
     from video_etl_spark.llm_ops.similarity import write_pq_ivf_index
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    qemb = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> "
-            "cast(cast(round(cast(x as double) * 1000000) as bigint) "
-            "as double))"
-        ).alias("embedding"),
-    )
+    qemb = _lay_qemb(spark, sf_dir)
     cached = _LAY_Q_INDEX_CACHE.get(sf_dir)
     if cached is None or not all(
         os.path.isdir(os.path.join(cached[0], sub))
         for sub in ("vectors", "centers", "books", "params")
     ):
-        seed = (
-            qemb.filter(F.col("vec_id") < _LAY_Q_KSUB)
-            .orderBy("vec_id")
-            .collect()
-        )
-        # the oracle maps centroid/code c to the vector with vec_id c and
-        # slices with _LAY_Q_DSUB-wide windows — assert both loudly (the
-        # knn_pq_indexed discipline, round-10 ADVICE)
-        if [r["vec_id"] for r in seed] != list(range(_LAY_Q_KSUB)):
-            raise ValueError(
-                "knn_layered_indexed: seed vec_ids "
-                f"{[r['vec_id'] for r in seed]} != 0..{_LAY_Q_KSUB - 1} — "
-                "the DuckDB oracle's centroid/code = vec_id mapping needs "
-                "the low ids contiguous"
-            )
-        dim = len(seed[0]["embedding"])
-        if dim // _LAY_Q_M != _LAY_Q_DSUB or dim % _LAY_Q_M:
-            raise ValueError(
-                f"knn_layered_indexed: embedding dim {dim} gives dsub "
-                f"{dim // _LAY_Q_M}, but the oracle slices with "
-                f"_LAY_Q_DSUB={_LAY_Q_DSUB} — update the constant"
-            )
-        centers = [list(r["embedding"]) for r in seed]
-        books = [
-            [
-                list(seed[c]["embedding"][j * _LAY_Q_DSUB:(j + 1) * _LAY_Q_DSUB])
-                for c in range(_LAY_Q_KSUB)
-            ]
-            for j in range(_LAY_Q_M)
-        ]
+        centers, books = _lay_seed_quantizers(qemb, "knn_layered_indexed")
         path = tempfile.mkdtemp(prefix="knn_layered_indexed_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         index = write_pq_ivf_index(
@@ -1505,15 +1520,7 @@ def _layered_folded_scratch(spark, sf_dir: str):
         write_pq_ivf_index,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    qemb = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> "
-            "cast(cast(round(cast(x as double) * 1000000) as bigint) "
-            "as double))"
-        ).alias("embedding"),
-    )
+    qemb = _lay_qemb(spark, sf_dir)
     cached = _LAY_F_CACHE.get(sf_dir)
     if cached is not None and all(
         os.path.isdir(os.path.join(cached, sub))
@@ -1521,32 +1528,7 @@ def _layered_folded_scratch(spark, sf_dir: str):
     ):
         return cached, qemb
 
-    # same seed-mapping asserts as _layered_scratch: the oracle's
-    # centroid/code c IS the vector with vec_id c
-    seed = (
-        qemb.filter(F.col("vec_id") < _LAY_Q_KSUB)
-        .orderBy("vec_id")
-        .collect()
-    )
-    if [r["vec_id"] for r in seed] != list(range(_LAY_Q_KSUB)):
-        raise ValueError(
-            "knn_layered_folded: seed vec_ids "
-            f"{[r['vec_id'] for r in seed]} != 0..{_LAY_Q_KSUB - 1}"
-        )
-    dim = len(seed[0]["embedding"])
-    if dim // _LAY_Q_M != _LAY_Q_DSUB or dim % _LAY_Q_M:
-        raise ValueError(
-            f"knn_layered_folded: embedding dim {dim} gives dsub "
-            f"{dim // _LAY_Q_M}, oracle slices with {_LAY_Q_DSUB}"
-        )
-    centers = [list(r["embedding"]) for r in seed]
-    books = [
-        [
-            list(seed[c]["embedding"][j * _LAY_Q_DSUB:(j + 1) * _LAY_Q_DSUB])
-            for c in range(_LAY_Q_KSUB)
-        ]
-        for j in range(_LAY_Q_M)
-    ]
+    centers, books = _lay_seed_quantizers(qemb, "knn_layered_folded")
     root = tempfile.mkdtemp(prefix="knn_layered_folded_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     base_path = os.path.join(root, "gen")
