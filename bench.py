@@ -15,7 +15,9 @@ round-over-round axis: a moved min is a real change, a moved median
 over a flat min is contention), "unit",
 "sf", "n_queries", "full_artifact"}, plus {"control_ratio",
 "control_ratio_start/mid/end", "degraded_during_run", "start_elevated",
-"mid_elevated", "value_normalized"} ONLY at the pinned config (sf0.1,
+"mid_elevated", "repin_recommended" (|1-ratio| > 0.1 — re-pin when a
+majority of a same-code family fires it), "value_normalized"} ONLY at
+the pinned config (sf0.1,
 local[32], reps>=3 — elsewhere the controls still run but normalization
 against the pins would be meaningless, so consumers must treat those
 keys as optional).  Controls run at START, MID (after ~half the
@@ -768,6 +770,18 @@ def main() -> None:
         full["degraded_during_run"] = compact["degraded_during_run"] = degraded
         full["start_elevated"] = compact["start_elevated"] = start_elevated
         full["mid_elevated"] = compact["mid_elevated"] = mid_elevated
+        # THE re-pin decision rule (round-14 verdict #2b: the old
+        # "re-pin if the next driver run shows sub-0.9" trigger could
+        # never fire because the driver's own box drift masked it).  A
+        # normalization ratio more than 10% from 1.0 means the pins no
+        # longer describe this box state; one run firing can be a
+        # transient, so the rule is: re-pin when a MAJORITY of a
+        # same-code family carries this flag (the r14 family was 3/3 at
+        # 0.82-0.87 — it would have fired; the healthy post-re-pin
+        # family at 0.92-1.00 stays quiet).
+        full["repin_recommended"] = compact["repin_recommended"] = (
+            abs(1.0 - ratio) > 0.10
+        )
         full["value_normalized"] = compact["value_normalized"] = round(
             total / ratio, 4
         )

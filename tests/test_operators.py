@@ -653,7 +653,8 @@ def test_bench_artifact_lines_fit_tail_capture():
         "control_ratio": 1.1234, "control_ratio_start": 1.1234,
         "control_ratio_mid": 1.1234, "control_ratio_end": 1.1234,
         "degraded_during_run": False, "start_elevated": False,
-        "mid_elevated": False, "value_normalized": 9999.1234,
+        "mid_elevated": False, "repin_recommended": False,
+        "value_normalized": 9999.1234,
         "io_cold": False,
         # worst case the compact line carries: the cap in main() is 5
         # names; these are among the longest registered query names
