@@ -1290,7 +1290,8 @@ def test_list_cell_files_skips_foreign_dirs_and_vanished_cells(
     # bare int() would accept and last-wins-overwrite the real listing
     first = sorted(clean)[0]
     for foreign in (
-        "__HIVE_DEFAULT_PARTITION__", "junk", f"+{first}", f"{first}_0"
+        "__HIVE_DEFAULT_PARTITION__", "junk", f"+{first}", f"{first}_0",
+        f"0{first}",  # leading-zero alias: int('07') == 7
     ):
         d = f"{path}/vectors/centroid={foreign}"
         os.makedirs(d)
@@ -1302,8 +1303,11 @@ def test_list_cell_files_skips_foreign_dirs_and_vanished_cells(
 
     assert _centroid_dir_cell("centroid=12") == 12
     assert _centroid_dir_cell("centroid=-3") == -3
+    assert _centroid_dir_cell("centroid=0") == 0
     for bad in ("centroid=+7", "centroid= 7", "centroid=7_0",
                 "centroid=", "centroid=-",
+                "centroid=07", "centroid=007", "centroid=-0",
+                "centroid=00",
                 "centroid=__HIVE_DEFAULT_PARTITION__"):
         assert _centroid_dir_cell(bad) is None, bad
 
@@ -1438,6 +1442,36 @@ def test_all_cold_move_crash_retry_finishes_commit(spark, tmp_path):
         spark, queries, dst, k=3, n_probe=2
     ).collect()))
     assert after == before
+
+    # a retry AFTER the commit landed converges idempotently instead of
+    # raising: dst is committed but its quantizer fingerprint equals
+    # src's (the sidecars were copied from src verbatim), so the
+    # committed-destination guard lets the re-copy through
+    res2 = compact_pq_ivf_cells(
+        spark, src, dst, max_files_per_cell=2, carry="move"
+    )
+    assert res2 == res
+    assert sorted(map(tuple, layered_topk_scanned(
+        spark, queries, dst, k=3, n_probe=2
+    ).collect())) == before
+
+    # a COMMITTED destination with DIFFERENT quantizers is refused on
+    # BOTH paths — overwriting it would break its codes-vs-codebooks
+    # consistency (round-15 review)
+    corpus2, _ = _toy_corpus(spark, n=140, seed=11)
+    foreign = str(tmp_path / "foreign_committed")
+    write_pq_ivf_index(
+        corpus2, foreign, m=4, ksub=8, n_centroids=4,
+        return_artifacts=False,
+    )
+    with pytest.raises(ValueError, match="COMMITTED"):
+        # empty-src (finish-the-commit) path
+        compact_pq_ivf_cells(
+            spark, src, foreign, max_files_per_cell=2, carry="move"
+        )
+    with pytest.raises(ValueError, match="COMMITTED"):
+        # normal non-empty-src path
+        compact_pq_ivf_cells(spark, dst, foreign, max_files_per_cell=2)
 
     # a source that is empty with NO carried destination still raises
     empty = str(tmp_path / "empty_idx")

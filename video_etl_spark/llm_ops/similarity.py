@@ -3266,7 +3266,13 @@ def _centroid_dir_cell(name: str) -> "int | None":
     core = val[1:] if val.startswith("-") else val
     if not core or not all("0" <= c <= "9" for c in core):
         return None
-    return int(val)
+    cell = int(val)
+    if str(cell) != val:
+        # non-canonical digits ('07', '007', '-0', '00') parse to the
+        # same int as a canonical dir that may sit beside them — the
+        # alias-overwrite class again, so skip rather than collide
+        return None
+    return cell
 
 
 def _vanished_fs_entry(exc: Exception) -> bool:
@@ -3392,6 +3398,28 @@ def compact_pq_ivf_index(spark, src_path: str, dst_path: str) -> None:
         )
 
 
+def _pq_ivf_sidecar_fingerprint(spark, path: str):
+    """Order-insensitive value readout of a generation's quantizer
+    sidecars (params + centers + books) — bounded driver-side work
+    (1 + n_cells + m×ksub rows, the same bound ``read_pq_ivf_index``'s
+    artifact load documents).  Two generations with identical
+    fingerprints assign and encode identically, so data from one can be
+    committed under the other's path without creating a
+    codes-vs-codebooks mismatch — the identity test behind
+    :func:`compact_pq_ivf_cells`'s committed-destination guard."""
+    out = []
+    for side in ("params", "centers", "books"):
+        rows = spark.read.parquet(f"{path}/{side}").collect()
+        out.append(sorted(
+            tuple(
+                (k, tuple(v) if isinstance(v, list) else v)
+                for k, v in sorted(r.asDict().items())
+            )
+            for r in rows
+        ))
+    return out
+
+
 def _fan_copy_eligible(scheme: str, master: str) -> bool:
     """Whether the shutil-based executor fan-out of cold-cell copies is
     SAFE: it hands executors plain local paths, so it needs both a
@@ -3499,36 +3527,41 @@ def compact_pq_ivf_cells(
             finish_only = sorted(_list_cell_files(spark, dst_path))
         except ValueError:
             finish_only = []
-        if finish_only:
-            # only an UNCOMMITTED destination may be finished: readable
-            # params at dst means it is a complete generation — possibly
-            # an UNRELATED index a typo'd call points at, whose sidecars
-            # the copy below would overwrite with src's quantizers (a
-            # frankenstein index silently serving wrong neighbors).
-            # Same absence-only test as maybe_compact_pq_ivf's commit
-            # check: transient read errors propagate rather than being
-            # misread as "uncommitted".
-            from pyspark.errors import AnalysisException
-
-            try:
-                spark.read.parquet(f"{dst_path}/params").collect()
-                committed_dst = True
-            except AnalysisException:
-                committed_dst = False
-            if committed_dst:
-                raise ValueError(
-                    f"compact_pq_ivf_cells: {src_path!r}/vectors has no "
-                    f"cell partitions but {dst_path!r} is already a "
-                    "COMMITTED generation (readable params) — refusing "
-                    "to overwrite its sidecars; a finish-the-commit "
-                    "retry only applies to an uncommitted destination "
-                    "left by a crashed all-cold carry='move' fold"
-                )
         if not finish_only:
             raise ValueError(
                 f"compact_pq_ivf_cells: no cell partitions under "
                 f"{src_path!r}/vectors"
             )
+    # COMMITTED-destination guard, BOTH paths (round-15 review): a
+    # typo'd call pointing dst at an unrelated COMMITTED generation
+    # would dynamic-overwrite partitions inside it and then replace its
+    # quantizer sidecars with src's — an index whose stored codes no
+    # longer match its codebooks, silently serving wrong neighbors.  A
+    # committed dst is only touchable when its quantizer fingerprint
+    # equals src's (same index chain — then every write below is an
+    # idempotent convergence, which is what keeps the documented
+    # retry-to-completion contract alive even for a retry AFTER the
+    # commit landed).  Legitimate crash-retry destinations are
+    # uncommitted by construction: params lands last.
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(f"{dst_path}/params").collect()
+        dst_committed = True
+    except AnalysisException:
+        dst_committed = False
+    if dst_committed and (
+        _pq_ivf_sidecar_fingerprint(spark, src_path)
+        != _pq_ivf_sidecar_fingerprint(spark, dst_path)
+    ):
+        raise ValueError(
+            f"compact_pq_ivf_cells: {dst_path!r} is a COMMITTED "
+            "generation whose quantizer sidecars (params/centers/books) "
+            f"differ from {src_path!r}'s — writing into it would break "
+            "its codes-vs-codebooks consistency.  Pass a fresh or "
+            "crash-retry destination (those are uncommitted: params "
+            "lands last)"
+        )
     hot = sorted(
         c for c, files in cells.items() if len(files) >= max_files_per_cell
     )

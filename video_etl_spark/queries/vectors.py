@@ -905,16 +905,7 @@ def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    # quantized micro-unit vectors carried as exact-integer doubles
-    qemb = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> "
-            "cast(cast(round(cast(x as double) * 1000000) as bigint) "
-            "as double))"
-        ).alias("embedding"),
-    )
+    qemb = _scratch_qemb(spark, sf_dir)
     path = _IVF_Q_INDEX_CACHE.get(sf_dir)
     if path is None or not os.path.isdir(path):
         centers = [
@@ -1024,15 +1015,7 @@ def knn_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_lsh_index,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    qemb = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> "
-            "cast(cast(round(cast(x as double) * 1000000) as bigint) "
-            "as double))"
-        ).alias("embedding"),
-    )
+    qemb = _scratch_qemb(spark, sf_dir)
     cached = _LSH_Q_INDEX_CACHE.get(sf_dir)
     tbl = cached[0] if cached else None
     if not _scratch_index_whole(
@@ -1179,15 +1162,7 @@ def knn_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_pq_index,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    qemb = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> "
-            "cast(cast(round(cast(x as double) * 1000000) as bigint) "
-            "as double))"
-        ).alias("embedding"),
-    )
+    qemb = _scratch_qemb(spark, sf_dir)
     cached = _PQ_Q_INDEX_CACHE.get(sf_dir)
     tbl = cached[0] if cached else None
     if not _scratch_index_whole(
@@ -1280,10 +1255,12 @@ _LAY_Q_SHORT = 20   # ADC shortlist depth (k × 4, the pq refine dial)
 _LAY_Q_INDEX_CACHE: dict = {}  # sf_dir -> (path, PqIvfIndex)
 
 
-def _lay_qemb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scratch_qemb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized embeddings (×1e6, stored as doubles) — the
-    cross-engine-exact value domain every layered scratch builder and
-    the DuckDB oracle share."""
+    cross-engine-exact value domain EVERY ANN scratch builder (IVF /
+    LSH / PQ / layered / folded) and their DuckDB oracles share; one
+    definition so a precision or cast change cannot reach some
+    builders and silently break the others' oracle parity."""
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr(
@@ -1421,7 +1398,7 @@ def _layered_scratch(spark, sf_dir: str):
 
     from video_etl_spark.llm_ops.similarity import write_pq_ivf_index
 
-    qemb = _lay_qemb(spark, sf_dir)
+    qemb = _scratch_qemb(spark, sf_dir)
     cached = _LAY_Q_INDEX_CACHE.get(sf_dir)
     if cached is None or not all(
         os.path.isdir(os.path.join(cached[0], sub))
@@ -1520,7 +1497,7 @@ def _layered_folded_scratch(spark, sf_dir: str):
         write_pq_ivf_index,
     )
 
-    qemb = _lay_qemb(spark, sf_dir)
+    qemb = _scratch_qemb(spark, sf_dir)
     cached = _LAY_F_CACHE.get(sf_dir)
     if cached is not None and all(
         os.path.isdir(os.path.join(cached, sub))
