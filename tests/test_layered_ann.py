@@ -1472,6 +1472,11 @@ def test_all_cold_move_crash_retry_finishes_commit(spark, tmp_path):
     with pytest.raises(ValueError, match="COMMITTED"):
         # normal non-empty-src path
         compact_pq_ivf_cells(spark, dst, foreign, max_files_per_cell=2)
+    from video_etl_spark.llm_ops.similarity import compact_pq_ivf_index
+
+    with pytest.raises(ValueError, match="COMMITTED"):
+        # the FULL fold would destroy the foreign index wholesale
+        compact_pq_ivf_index(spark, dst, foreign)
 
     # a source that is empty with NO carried destination still raises
     empty = str(tmp_path / "empty_idx")

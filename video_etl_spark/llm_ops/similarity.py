@@ -3382,6 +3382,12 @@ def compact_pq_ivf_index(spark, src_path: str, dst_path: str) -> None:
     assert_new_generation(
         dst_path, [src_path], "the current layered-index generation"
     )
+    # same committed-destination guard as the per-cell fold: a typo'd
+    # dst naming an unrelated committed index would be DESTROYED by the
+    # static overwrite below (round-15 review)
+    _refuse_foreign_committed_dst(
+        spark, src_path, dst_path, "compact_pq_ivf_index"
+    )
     (
         spark.read.parquet(f"{src_path}/vectors")
         .repartition(F.col("centroid"))
@@ -3418,6 +3424,41 @@ def _pq_ivf_sidecar_fingerprint(spark, path: str):
             for r in rows
         ))
     return out
+
+
+def _refuse_foreign_committed_dst(
+    spark, src_path: str, dst_path: str, caller: str
+) -> None:
+    """Refuse a fold whose destination is a COMMITTED generation with a
+    DIFFERENT quantizer fingerprint from the source's — i.e. an
+    unrelated index a typo'd call points at, which the fold would
+    destroy (full fold: static overwrite) or corrupt (per-cell fold:
+    dynamic overwrite + sidecar replacement → stored codes no longer
+    match codebooks).  A committed destination with an IDENTICAL
+    fingerprint is the same index chain: every fold write is then an
+    idempotent convergence, which keeps the retry-to-completion
+    contract alive even for a retry AFTER the commit landed.
+    Legitimate crash-retry destinations are uncommitted by
+    construction — params lands last.  Absence-only commit test, same
+    as ``maybe_compact_pq_ivf``: only ``AnalysisException`` (no
+    readable params) counts as uncommitted; transient errors
+    propagate."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(f"{dst_path}/params").collect()
+    except AnalysisException:
+        return  # uncommitted destination — fresh or crash-retry
+    if _pq_ivf_sidecar_fingerprint(spark, src_path) != (
+        _pq_ivf_sidecar_fingerprint(spark, dst_path)
+    ):
+        raise ValueError(
+            f"{caller}: {dst_path!r} is a COMMITTED generation whose "
+            "quantizer sidecars (params/centers/books) differ from "
+            f"{src_path!r}'s — writing into it would destroy or corrupt "
+            "an unrelated index.  Pass a fresh or crash-retry "
+            "destination (those are uncommitted: params lands last)"
+        )
 
 
 def _fan_copy_eligible(scheme: str, master: str) -> bool:
@@ -3536,32 +3577,10 @@ def compact_pq_ivf_cells(
     # typo'd call pointing dst at an unrelated COMMITTED generation
     # would dynamic-overwrite partitions inside it and then replace its
     # quantizer sidecars with src's — an index whose stored codes no
-    # longer match its codebooks, silently serving wrong neighbors.  A
-    # committed dst is only touchable when its quantizer fingerprint
-    # equals src's (same index chain — then every write below is an
-    # idempotent convergence, which is what keeps the documented
-    # retry-to-completion contract alive even for a retry AFTER the
-    # commit landed).  Legitimate crash-retry destinations are
-    # uncommitted by construction: params lands last.
-    from pyspark.errors import AnalysisException
-
-    try:
-        spark.read.parquet(f"{dst_path}/params").collect()
-        dst_committed = True
-    except AnalysisException:
-        dst_committed = False
-    if dst_committed and (
-        _pq_ivf_sidecar_fingerprint(spark, src_path)
-        != _pq_ivf_sidecar_fingerprint(spark, dst_path)
-    ):
-        raise ValueError(
-            f"compact_pq_ivf_cells: {dst_path!r} is a COMMITTED "
-            "generation whose quantizer sidecars (params/centers/books) "
-            f"differ from {src_path!r}'s — writing into it would break "
-            "its codes-vs-codebooks consistency.  Pass a fresh or "
-            "crash-retry destination (those are uncommitted: params "
-            "lands last)"
-        )
+    # longer match its codebooks, silently serving wrong neighbors.
+    _refuse_foreign_committed_dst(
+        spark, src_path, dst_path, "compact_pq_ivf_cells"
+    )
     hot = sorted(
         c for c, files in cells.items() if len(files) >= max_files_per_cell
     )
