@@ -136,6 +136,15 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Docs with no tokens keep the empty signature -2^63 via the left join
     (the Arrow path's behavior for empty strings).
     """
+    # Round-15 NOTE: the below-parallelism scan spread applied to the
+    # minhash/span roots was benched HERE too and REVERTED — simhash's
+    # expensive per-doc bit-spread sits directly under the persisted
+    # signature frame (no intervening exchange for ReuseExchange to
+    # dedup), so when consumers fan out under AQE and race to populate
+    # the cache, the spread turned each overlapping single-task
+    # duplicate into a 32-task stage contending for the same cores
+    # (profiled: 4 concurrent ~1 s 32-task stages; +0.7–1.8 s on the
+    # simhash pair/stats queries in two independent interleaved A/Bs).
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -306,6 +315,11 @@ def _simhash_rep_structures(
     caller that materializes (``eager=True`` stats) passes ``pinned`` to
     collect them for an explicit unpersist-in-finally (round-9 verdict
     #7: dozens of LRU-orphaned frames pressured late bench queries)."""
+    # NOT eagerly materialized: an explicit count() to pre-populate the
+    # cache before consumers fan out was benched (round-15) and LOST —
+    # the racing consumers' duplicate computations overlap in wall time
+    # on idle cores, while the count() is pure serial latency ahead of
+    # them (B=23.2s vs C=21.4s over the 5 affected queries).
     sig = simhash_signatures(docs, text_col).persist()
     sig_cols = ["simhash", "chunk0", "chunk1", "chunk2", "chunk3"]
     grp = sig.groupBy(*sig_cols).agg(F.min("doc_id").alias("doc_id"))
@@ -1526,6 +1540,11 @@ def corpus_components(
     # are thin (id + n short strings); sweeping callers (driver gate,
     # bench) clear caches between queries.
     sigs = minhash_band_signatures(docs, n_bands, rows_per_band, id_col)
+    # Plain persist, NOT an eager count() pre-materialization: the
+    # racing-consumer duplicate computation seen in the round-15 profile
+    # was benched against an explicit materialize-first variant and the
+    # race WON (duplicates overlap on idle cores; the count() is serial
+    # latency) — see OPTIMIZATION_r15.md "materialize_cache".
     sigs = sigs.persist()
     rep_sigs, members = collapse_exact_sigs(sigs, n_bands, id_col)
     rep_sigs = rep_sigs.persist()  # both sides of every band self-join

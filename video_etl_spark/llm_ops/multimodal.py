@@ -315,6 +315,14 @@ def phash_signatures(
     identical in Spark and DuckDB.  One narrow projection fused with the
     scan — no shuffle, no Python.
     """
+    # Round-15 NOTE: the below-parallelism scan spread used at the
+    # minhash/span roots was benched HERE and REVERTED (+0.9–1.2 s on
+    # both phash queries in a counterbalanced A/B): like simhash, the
+    # expensive per-row math sits DIRECTLY under the persisted signature
+    # frame with no intervening exchange, so AQE's racing consumers of
+    # the unpopulated cache each re-run it — and the spread turns those
+    # overlapping single-task duplicates into concurrent 32-task stages
+    # contending for the whole machine.
     payload_str = F.col(payload_col).cast("string")
     hexes = frames.select(
         F.col("doc_id"),

@@ -22,6 +22,41 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_small_scan(
+    df: DataFrame, key: str | None = None, target: int | None = None
+) -> DataFrame:
+    """Repartition a frame whose physical plan yields FEWER partitions
+    than the session parallelism, ahead of a compute-heavy narrow
+    transform (shingle/span/token hashing).
+
+    Guide §2.5 "input skew": one unsplittable input (locally, a parquet
+    file with a single row group; in the wild, one gzip part) serializes
+    every downstream narrow map on one core — round-15 profiling
+    measured the minhash-signature stage as a single 1.35 s task on 32
+    idle cores.  The probe is plan-side only; when the scan already has
+    >= parallelism natural splits (any production-scale table) this is a
+    no-op, so no extra exchange is ever paid at scale.  With ``key`` the
+    exchange is a deterministic hash partitioning (no round-robin
+    sort-before-repartition pass); without it, round-robin (Spark's
+    sort-before-repartition keeps retries deterministic).
+
+    Streaming frames and probe failures pass through untouched.
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    t = int(target or spark.sparkContext.defaultParallelism)
+    if t <= 1:
+        return df
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — diagnostics-only probe
+        return df
+    if n >= t:
+        return df
+    return df.repartition(t, F.col(key)) if key else df.repartition(t)
+
+
 def salted_sum(
     df: DataFrame,
     key: str,

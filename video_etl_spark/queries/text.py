@@ -158,6 +158,14 @@ def _spark_minhash_cols():
 
 
 def _spark_shingles(df: DataFrame) -> DataFrame:
+    # Round-15: a single-row-group local scan serializes the 4-salt md5
+    # minhash over the shingle arrays on one core (measured 1.35 s of a
+    # 4.5 s CC-chain query); spread it when (and only when) the scan's
+    # natural splits are below the session parallelism — a no-op at
+    # production scale (guide §2.5 input skew).
+    from video_etl_spark.operators.skew import spread_small_scan
+
+    df = spread_small_scan(df)
     return (
         df.withColumn("toks", _tokens_col())
         .filter(F.size("toks") >= 3)
@@ -1634,6 +1642,12 @@ def _spark_spans(df: DataFrame, span_len: int) -> DataFrame:
     bit-identical to ``_spark_shingles``'s shingle column)."""
     if span_len < 2:
         raise ValueError(f"span_len must be >= 2, got {span_len}")
+    # Same single-task-scan spread as _spark_shingles (round-15): the
+    # span md5s of the repeated-span/winnowing family all evaluate in
+    # the narrow stage rooted here.
+    from video_etl_spark.operators.skew import spread_small_scan
+
+    df = spread_small_scan(df)
     parts = ", ".join(f"element_at(toks, i + {k})" for k in range(span_len))
     return (
         df.withColumn("toks", _tokens_col())
@@ -4057,12 +4071,21 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("x").alias("s"), F.col("y").alias("t"))
         )
         closing = oriented.select("s", "t")
-        n_tri = wedges_df.join(closing, ["s", "t"]).count()
+        # Round-15 action reorder (results identical — the three actions
+        # are independent): run the two CHEAP actions first, because they
+        # scan-and-populate the `edges` and `deg` caches sequentially, so
+        # the expensive triangle count's five concurrent AQE subtree jobs
+        # (o1/o2/dx/dy/closing) read warm caches instead of racing to
+        # compute the unpopulated signature pipeline several times over
+        # (the measured 4×2.25 s concurrent-duplicate pattern).  Unlike a
+        # dedicated count()-to-materialize (benched, rejected), these
+        # actions are needed anyway — the populate is free.
         n_edges = edges.count()
         stats = deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
             F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
         ).collect()[0]
+        n_tri = wedges_df.join(closing, ["s", "t"]).count()
     finally:
         # a failed count between persist and here must not leave
         # corpus-scale caches pinned (same discipline as
