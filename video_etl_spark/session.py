@@ -34,12 +34,38 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Inferred-schema memo for :func:`load_table`, keyed by resolved parquet
+#: path.  `spark.read.parquet(path)` runs a driver JOB per call just to
+#: merge footers into a schema; the bench pays it once per table per
+#: query BUILD (warm-up + every timed rep), ~30 ms each × hundreds of
+#: builds (round-15 profile: 5 such jobs before pagerank's first real
+#: stage).  The schema of a fixed parquet path under fixed session confs
+#: is immutable metadata, so memoize it and hand it to the reader —
+#: schema inference is skipped, the DATA is still read from parquet by
+#: every query (this is not a result cache).  Keyed by path only: the
+#: testdata tables never change within a process; a path rewritten with
+#: a new schema mid-process would need an entry eviction (not a case any
+#: caller has).
+_SCHEMA_MEMO: dict[str, "object"] = {}
+
 
 def _default_conf(cpus: str) -> dict[str, str]:
     return {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Round-15 NOTE (measured, rejected — see OPTIMIZATION_r15.md):
+        # both `coalescePartitions.parallelismFirst=false` (guide §2.2
+        # size-targeted AQE coalescing) and
+        # `optimizer.canChangeCachedPlanOutputPartitioning=true` were
+        # benched; each coalesces KB-sized shuffles/caches to 1
+        # partition, which SERIALIZES compute-heavy small-byte stages
+        # (semantic_dedup_pairs 1.2 s → 5.8–6.2 s: per-pair cosine work
+        # behind a KB-scale cached frame) for a net loss despite real
+        # wins on the iterative/broadcast-rebuild family.  AQE coalescing
+        # is byte-based and cannot see per-row CPU cost; the hot spots
+        # are fixed surgically instead (spread_small_scan, bounded
+        # pagerank iteration).
         "spark.sql.shuffle.partitions": cpus,
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -121,7 +147,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             stacklevel=2,
         )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         from pyspark.sql import functions as F
 
