@@ -760,6 +760,44 @@ def test_pagerank_deep_iterations_bounded_plan_and_equal_values(spark):
     assert got == want and len(got) == n
 
 
+def test_pagerank_bounded_iterate_matches_distributed(spark):
+    """Round-15 optimization: the single-task bounded-graph iterator must
+    return EXACTLY the distributed loop's ranks — including edge-less
+    nodes (rank = BASE after round 1), edges from sources outside the
+    node set (dropped by the inner ranks join), and asymmetric weights —
+    since pagerank_trade_flow now runs the bounded form and the same
+    DuckDB oracle pins both."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.queries.advanced import (
+        pagerank_iterate,
+        pagerank_iterate_bounded,
+    )
+
+    edges = spark.createDataFrame(
+        # 0..4 cyclic with skewed weights; node 5 edge-less (marker-only
+        # path); src 99 not in the node set (must be ignored)
+        [(i, (i + 1) % 5, i + 1) for i in range(5)]
+        + [(0, 3, 7), (99, 0, 5)],
+        "src long, dst long, w long",
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    edges_n = edges.join(outw, "src")
+    nodes = spark.range(6).select(F.col("id").alias("node"))
+
+    for iters in (1, 5):
+        want = sorted(
+            map(tuple, pagerank_iterate(nodes, edges_n, iters).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                pagerank_iterate_bounded(nodes, edges_n, iters).collect(),
+            )
+        )
+        assert got == want and len(got) == 6
+
+
 def test_incremental_dedup_no_history_pairs_and_detects_new_dups(spark):
     """Parameterized incremental_dedup (round-5 verdict ask #1): (a) a new
     doc duplicating history is flagged with dup_of = min matching history

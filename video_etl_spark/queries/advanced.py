@@ -1131,6 +1131,71 @@ def pagerank_iterate(
     return ranks
 
 
+def pagerank_iterate_bounded(
+    nodes: DataFrame, edges_n: DataFrame, iters: int = _PR_ITERS
+) -> DataFrame:
+    """``pagerank_iterate`` for a graph KNOWN to be bounded (the
+    nation-level trade graph: ≤ 25 nodes / ≤ 650 edges at ANY corpus
+    scale — the scaling work is the flows aggregation upstream, never
+    the iteration).  Runs the identical integer program in ONE
+    single-partition Arrow task instead of ``iters`` × (join + groupBy +
+    join) distributed rounds: round-15 profiling measured the
+    distributed loop at ~40 jobs / 2.2–3.4 s of almost pure scheduling
+    overhead for 18 KB of data (guide §8: use what you know that the
+    optimizer does not — here, that the iteration state is constant-size).
+    Differential-tested against ``pagerank_iterate`` and pinned by the
+    same DuckDB oracle; per-term exact integer arithmetic makes the sum
+    order-independent, so results are bit-identical.
+
+    Contract: real edges carry ``w >= 1`` (node markers are injected
+    internally as zero-weight self-loops so rank rows exist for
+    edge-less nodes, exactly like the distributed form's left join).
+    """
+    marked = edges_n.select("src", "dst", "w", "ow").unionByName(
+        nodes.select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0).cast("long").alias("w"),
+            F.lit(1).cast("long").alias("ow"),
+        )
+    )
+
+    # close over plain ints (pickled by value) so the worker-side
+    # function needs no import of this module
+    scale, base, n_iters = _PR_SCALE, _PR_BASE, iters
+
+    def run(batches):
+        import pandas as pd
+
+        srcs, dsts, ws, ows = [], [], [], []
+        for b in batches:
+            srcs.extend(int(x) for x in b["src"])
+            dsts.extend(int(x) for x in b["dst"])
+            ws.extend(int(x) for x in b["w"])
+            ows.extend(int(x) for x in b["ow"])
+        # node set = marker rows (w == 0); matches the distributed
+        # form's ranks/nodes frame exactly
+        node_set = sorted(s for s, w in zip(srcs, ws) if w == 0)
+        rank = {n: scale for n in node_set}
+        edges = [
+            (s, d, w, ow)
+            for s, d, w, ow in zip(srcs, dsts, ws, ows)
+            if w > 0 and s in rank
+        ]
+        for _ in range(n_iters):
+            flow: dict[int, int] = {}
+            for s, d, w, ow in edges:
+                flow[d] = flow.get(d, 0) + (rank[s] * w) // ow
+            rank = {
+                n: base + (flow.get(n, 0) * 85) // 100 for n in node_set
+            }
+        yield pd.DataFrame(
+            {"node": node_set, "rank": [rank[n] for n in node_set]}
+        )
+
+    return marked.coalesce(1).mapInPandas(run, schema="node long, rank long")
+
+
 @query("pagerank_trade_flow", oracle=_pr_oracle_sql())
 def pagerank_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1164,7 +1229,12 @@ def pagerank_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_n = edges.join(outw, "src")
     nodes = nation.select(F.col("n_nationkey").alias("node"))
 
-    ranks = pagerank_iterate(nodes, edges_n, _PR_ITERS)
+    # Round-15: the nation graph is constant-size (≤ 25 nodes) at any
+    # corpus scale, so iterate it in one Arrow task instead of 5
+    # distributed rounds (~40 jobs of scheduling overhead — see
+    # pagerank_iterate_bounded; pagerank_iterate remains the general
+    # unbounded-graph form and its differential test pins equality).
+    ranks = pagerank_iterate_bounded(nodes, edges_n, _PR_ITERS)
     # One node per nation (25 rows): materializing via localCheckpoint is
     # ~free and lets us unpersist ``edges`` deterministically instead of
     # leaning on LRU eviction across a long session (round-5 advice).
