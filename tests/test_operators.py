@@ -908,6 +908,34 @@ def test_shingle_explodes_filter_not_quadratic(spark, sf_dir, name):
         )
 
 
+def test_benchmark_decontamination_shingles_unspread(spark, sf_dir):
+    """Round-15 pin: benchmark_decontamination opts OUT of the
+    small-scan spread (``_spark_shingles(.., spread=False)``).  Its plan
+    forks the un-persisted shingle frame into a tiny broadcast-build
+    branch (1/97 of docs) and the corpus branch, so the spread made each
+    fork re-pay a round-robin shuffle of the raw text scan
+    (counterbalanced A/B: every spread sample ≥ +0.24 s over every
+    unspread one).  Pins (a) no RoundRobinPartitioning exchange in the
+    plan, (b) the opt-out changes no rows (repartition-only delta)."""
+    from video_etl_spark import registry
+    from video_etl_spark.queries.text import _spark_shingles
+    from video_etl_spark.session import load_table
+
+    registry.load_all()
+    df = registry.QUERIES["benchmark_decontamination"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = lambda d: sorted(  # noqa: E731 — local shorthand
+        (r.doc_id, tuple(r.shingles))
+        for r in d.select("doc_id", "shingles").collect()
+    )
+    assert rows(_spark_shingles(docs, spread=False)) == rows(
+        _spark_shingles(docs, spread=True)
+    )
+
+
 @_pytest.mark.parametrize(
     "name,expect",
     [

@@ -157,15 +157,22 @@ def _spark_minhash_cols():
     return cols
 
 
-def _spark_shingles(df: DataFrame) -> DataFrame:
+def _spark_shingles(df: DataFrame, spread: bool = True) -> DataFrame:
     # Round-15: a single-row-group local scan serializes the 4-salt md5
     # minhash over the shingle arrays on one core (measured 1.35 s of a
     # 4.5 s CC-chain query); spread it when (and only when) the scan's
     # natural splits are below the session parallelism — a no-op at
-    # production scale (guide §2.5 input skew).
-    from video_etl_spark.operators.skew import spread_small_scan
+    # production scale (guide §2.5 input skew).  ``spread=False`` is for
+    # consumers whose plan forks the UN-persisted shingle frame into
+    # multiple branches that would each re-pay the repartition shuffle of
+    # the raw text scan (benchmark_decontamination: counterbalanced A/B
+    # measured +0.42 s with the spread, every spread sample slower than
+    # every unspread one — the broadcast-build branch is 1/97 of docs and
+    # never needs parallelising).
+    if spread:
+        from video_etl_spark.operators.skew import spread_small_scan
 
-    df = spread_small_scan(df)
+        df = spread_small_scan(df)
     return (
         df.withColumn("toks", _tokens_col())
         .filter(F.size("toks") >= 3)
@@ -409,7 +416,13 @@ def incremental_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = _spark_shingles(docs).select("doc_id", "shingles")
+    # spread=False: this plan forks the un-persisted shingle frame into a
+    # tiny bench branch (doc_id % 97 = 0, broadcast build) and the corpus
+    # branch — with the round-15 spread each fork re-paid its own
+    # round-robin shuffle of the raw text scan, and the broadcast build
+    # stalled behind a 32-task exchange for a 1/97 slice (counterbalanced
+    # AEEA-EAAE: 1.09–1.27 s unspread vs 1.51–1.75 s spread, REPS=3).
+    sh = _spark_shingles(docs, spread=False).select("doc_id", "shingles")
     # explode(array_distinct(..)) — array_distinct is a no-op before the
     # DISTINCT, but a bare explode(attribute) makes Catalyst infer
     # size(..)>0 / isnotnull(..) predicates on the generator input and
