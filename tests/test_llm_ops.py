@@ -2606,7 +2606,48 @@ def test_exact_dup_hot_key_collapse_linear_pairs(spark):
     assert all(rows[d] == d for d in range(n_uniq))
 
 
-def test_incremental_components_reingest_uniform(spark):
+def test_band_pairs_melt_join_matches_per_band_reference(spark):
+    """Round-15 pin: ``band_pairs_from_sigs`` now runs ONE self-join over
+    the long-format (id, band_key) melt instead of a per-band self-join +
+    union.  The pair SET must be identical to the per-band reference —
+    including cases built to break a sloppy melt: (a) doc_x.band0 ==
+    doc_y.band1 with band0 != band1 per doc (same VALUE in different
+    bands must NOT pair — the "<b>|" key prefix keeps bands disjoint);
+    (b) a pair colliding in BOTH bands must come out once (distinct);
+    (c) singletons pair with nothing."""
+    from pyspark.sql import functions as F
+
+    from video_etl_spark.llm_ops.dedup import band_pairs_from_sigs
+
+    sigs = spark.createDataFrame(
+        [
+            # 1-2 collide in band0 only; 2-3 in band1 only
+            (1, "k0", "x1"),
+            (2, "k0", "k2"),
+            (3, "y3", "k2"),
+            # 4's band1 equals 1's band0 value — must NOT pair with 1
+            (4, "z4", "k0"),
+            # 5-6 collide in BOTH bands — exactly one output pair
+            (5, "b5", "b6"),
+            (6, "b5", "b6"),
+            # 7 collides with nothing
+            (7, "s7", "s8"),
+        ],
+        "doc_id long, band0 string, band1 string",
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in band_pairs_from_sigs(sigs, n_bands=2).collect()
+    )
+    # per-band reference, inline (the pre-round-15 shape)
+    ref = set()
+    rows = sigs.collect()
+    for b in ("band0", "band1"):
+        for x in rows:
+            for y in rows:
+                if x.doc_id < y.doc_id and x[b] == y[b]:
+                    ref.add((x.doc_id, y.doc_id))
+    assert got == sorted(ref) == [(1, 2), (2, 3), (5, 6)]
     """Re-ingesting already-indexed docs (round-7 advice): label rows are
     emitted ONLY for genuinely new doc_ids — a re-ingested doc never
     appends a duplicate index row, including the former edge case where a

@@ -1282,22 +1282,25 @@ def band_pairs_from_sigs(
     ``collapse_exact_sigs`` representatives (corpus_components and
     incremental_components do): pairing raw signatures emits quadratic
     output on exact-duplicate hot keys.  Pair-grain callers that truly
-    need every member pair own that output size by definition."""
-    pairs = None
-    for b in range(n_bands):
-        a = sigs.select(
-            F.col(id_col).alias("doc_a"), F.col(f"band{b}").alias("b")
-        )
-        o = sigs.select(
-            F.col(id_col).alias("doc_b"), F.col(f"band{b}").alias("b")
-        )
-        p = (
-            a.join(o, "b")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    need every member pair own that output size by definition.
+
+    Round-15 (guide §2.1, §1.2): ONE self-join over the long-format
+    (id, band_key) melt instead of a per-band self-join + union — the
+    band index in ``band_key`` ("<b>|<value>") keeps bands disjoint, so
+    the pair SET is identical (pinned by a differential test and the
+    unchanged CC-family oracles), while the n_bands joins (2·n_bands
+    plan legs, each its own exchange/broadcast) collapse to one join
+    whose two sides canonicalize identically — Spark plans the second
+    side as a ReusedExchange/reused broadcast instead of re-shuffling."""
+    rows = band_index_rows_from_sigs(sigs, n_bands, id_col)
+    a = rows.select(F.col(id_col).alias("doc_a"), "band_key")
+    o = rows.select(F.col(id_col).alias("doc_b"), "band_key")
+    return (
+        a.join(o, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def band_index_rows(
