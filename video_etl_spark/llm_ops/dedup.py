@@ -121,75 +121,78 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Pure relational formulation of SimHash, bit-identical to the scalar
     reference ``_simhash64`` (differential-tested) and SQL-expressible on
-    DuckDB too, which is what lets the simhash queries carry real oracles:
+    DuckDB too, which is what lets the simhash queries carry real oracles.
 
-    * per-(doc, token) occurrence weights — one shuffle;
-    * the token's 64-bit md5 prefix assembled from two 32-bit conv()
+    Round-15 (guide §2.4 "remove shuffles outright" + §2.5 "input
+    skew"): ZERO-shuffle fused form.  The former pipeline exploded
+    tokens, counted per-(doc, token) occurrences (shuffle 1), and summed
+    ``w * (2·bit−1)`` per doc (shuffle 2) — but a weighted sum over
+    DISTINCT tokens is identical to a plain sum over token OCCURRENCES
+    (exact integer arithmetic commutes), so the whole signature now
+    computes per ROW as one higher-order ``aggregate`` over the token
+    array, fused with the scan:
+
+    * per token, the 64-bit md5 prefix assembled from two 32-bit conv()
       halves (conv of 16 hex chars would overflow BIGINT);
-    * 64 weighted bit-balance sums in ONE aggregate — bit i of the
-      signature is sign(sum_i); arithmetic shiftright extracts bits of
-      the signed long correctly (two's-complement bit pattern);
-    * the signature is recomposed with the top bit folded in as
-      -2^63 so every term stays in BIGINT range (the scalar reference's
-      `sig - 2^63` unsigned→signed shift).
+    * the 64 bit-balance sums accumulate in one array fold
+      (``zip_with`` over a 64-long accumulator — bit i of the signature
+      is sign(sum_i); arithmetic shiftright extracts bits of the signed
+      long correctly, two's-complement bit pattern);
+    * the signature recomposes with the top bit folded in as −2^63 so
+      every term stays in BIGINT range (the scalar reference's
+      ``sig − 2^63`` unsigned→signed shift).
 
-    Docs with no tokens keep the empty signature -2^63 via the left join
-    (the Arrow path's behavior for empty strings).
+    Profiled before/after at sf0.1: the old form ran as three
+    SINGLE-task stages (0.40 + 0.38 + 0.14 s — the 1.6 MB shuffle
+    coalesces to one partition, so the per-token md5 + 64-sum work
+    serialized on one core); the fused form is one narrow 32-task map
+    under :func:`~video_etl_spark.operators.skew.spread_small_scan`
+    (no-op at production scale where the scan has natural splits).
+    Docs with no tokens (or NULL text) keep the empty signature −2^63
+    via the final coalesce (the Arrow path's behavior for empty
+    strings); every doc emits exactly one row with no join.
     """
-    # Round-15 NOTE: the below-parallelism scan spread applied to the
-    # minhash/span roots was benched HERE too and REVERTED — simhash's
-    # expensive per-doc bit-spread sits directly under the persisted
-    # signature frame (no intervening exchange for ReuseExchange to
-    # dedup), so when consumers fan out under AQE and race to populate
-    # the cache, the spread turned each overlapping single-task
-    # duplicate into a 32-task stage contending for the same cores
-    # (profiled: 4 concurrent ~1 s 32-task stages; +0.7–1.8 s on the
-    # simhash pair/stats queries in two independent interleaved A/Bs).
-    toks = docs.select(
+    from video_etl_spark.operators.skew import spread_small_scan
+
+    docs = spread_small_scan(docs)
+    toks = rf"filter(split(trim(lower({text_col})), '\\s+'), x -> x != '')"
+    h_of = (
+        "shiftleft(cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint), 32)"
+        " | cast(conv(substr(md5(x), 9, 8), 16, 10) as bigint)"
+    )
+    # accumulate RAW bit counts (cnt_i = Σ bit_i(h)); sign(s_i) with
+    # s_i = 2·cnt_i − n is then `2·cnt_i > n`.  `__idx` is projected once
+    # per ROW (not re-built per token — the first cut's inline
+    # sequence(0,63) inside the fold tripled the per-token cost).
+    base = docs.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                rf"filter(split(trim(lower({text_col})), '\\s+'), "
-                "x -> x != '')"
-            )
-        ).alias("tok"),
+        F.expr(f"transform({toks}, x -> {h_of})").alias("__hs"),
+        F.expr("sequence(0, 63)").alias("__idx"),
     )
-    w = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("w"))
-    h = (
-        "shiftleft(cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint), 32)"
-        " | cast(conv(substr(md5(tok), 9, 8), 16, 10) as bigint)"
+    cnts = (
+        "aggregate(__hs, array_repeat(cast(0 as bigint), 64), "
+        "(acc, h) -> zip_with(acc, __idx, "
+        "(a, i) -> a + (shiftright(h, i) & 1)))"
     )
-    sums = (
-        w.withColumn("h", F.expr(h))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.expr(
-                    f"sum(w * (2 * (shiftright(h, {i}) & 1) - 1))"
-                ).alias(f"s{i}")
-                for i in range(64)
-            ]
-        )
+    sig_expr = (
+        "aggregate(zip_with(__cnts, __idx, (c, i) -> "
+        "if(i < 63, "
+        "if(2 * c > __n, shiftleft(cast(1 as bigint), i), "
+        "cast(0 as bigint)), "
+        "if(2 * c > __n, cast(0 as bigint), "
+        "cast(-9223372036854775808 as bigint)))), "
+        "cast(0 as bigint), (p, q) -> p + q)"
     )
-    sig_terms = " + ".join(
-        f"(case when s{i} > 0 then cast({1 << i} as bigint) "
-        "else cast(0 as bigint) end)"
-        for i in range(63)
-    )
-    sig = sums.select(
+    out = base.select(
         "doc_id",
-        F.expr(
-            f"{sig_terms} + (case when s63 > 0 then cast(0 as bigint) "
-            "else cast(-9223372036854775808 as bigint) end)"
+        F.expr(cnts).alias("__cnts"),
+        F.expr("size(__hs)").cast("bigint").alias("__n"),
+        "__idx",
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.expr(sig_expr), F.lit(-(1 << 63)).cast("long")
         ).alias("simhash"),
-    )
-    out = (
-        docs.select("doc_id")
-        .join(sig, "doc_id", "left")
-        .withColumn(
-            "simhash",
-            F.coalesce("simhash", F.lit(-(1 << 63)).cast("long")),
-        )
     )
     for c in range(4):
         out = out.withColumn(
@@ -315,12 +318,17 @@ def _simhash_rep_structures(
     caller that materializes (``eager=True`` stats) passes ``pinned`` to
     collect them for an explicit unpersist-in-finally (round-9 verdict
     #7: dozens of LRU-orphaned frames pressured late bench queries)."""
-    # NOT eagerly materialized: an explicit count() to pre-populate the
-    # cache before consumers fan out was benched (round-15) and LOST —
-    # the racing consumers' duplicate computations overlap in wall time
-    # on idle cores, while the count() is pure serial latency ahead of
-    # them (B=23.2s vs C=21.4s over the 5 affected queries).
+    # EAGERLY materialized (round-15, revisited): with the old 3-stage
+    # signature pipeline an explicit count() lost (B=23.2s vs C=21.4s
+    # over 5 queries) because the populate was a ~0.9 s SINGLE-task
+    # serial chain ahead of the consumer fan-out.  The fused form turned
+    # the populate into one cheap 32-task narrow map — profiled at
+    # sf0.1, the unpopulated cache's racing AQE consumers re-ran that
+    # map SEVEN times (7 × ~0.3 s 32-task stages, ~2 s of duplicated
+    # CPU); one eager populate removes all of them for a single ~0.3 s
+    # up-front job.
     sig = simhash_signatures(docs, text_col).persist()
+    sig.count()
     sig_cols = ["simhash", "chunk0", "chunk1", "chunk2", "chunk3"]
     grp = sig.groupBy(*sig_cols).agg(F.min("doc_id").alias("doc_id"))
     reps = grp.select("doc_id", *sig_cols).persist()

@@ -315,14 +315,16 @@ def phash_signatures(
     identical in Spark and DuckDB.  One narrow projection fused with the
     scan — no shuffle, no Python.
     """
-    # Round-15 NOTE: the below-parallelism scan spread used at the
-    # minhash/span roots was benched HERE and REVERTED (+0.9–1.2 s on
-    # both phash queries in a counterbalanced A/B): like simhash, the
-    # expensive per-row math sits DIRECTLY under the persisted signature
-    # frame with no intervening exchange, so AQE's racing consumers of
-    # the unpopulated cache each re-run it — and the spread turns those
-    # overlapping single-task duplicates into concurrent 32-task stages
-    # contending for the whole machine.
+    # Round-15 NOTE (re-measured in the optimization round): the
+    # below-parallelism scan spread was benched here TWICE and reverted
+    # both times — alone (+0.9–1.2 s: racing consumers re-ran the spread
+    # scan as 32-task stages) AND together with an eager cache populate
+    # (rep-interleaved A/B: phash_overlap_stats 2.32 → 2.82 s min,
+    # phash_near_dup_pairs 1.27 → 2.05 s min — every E sample above
+    # every A sample).  Unlike simhash, the per-row hash math here is
+    # NOT the family's bottleneck (4 md5s over short payloads); the
+    # spread's round-robin exchange (plus its sort-before-repartition
+    # pass over the payload strings) costs more than it parallelizes.
     payload_str = F.col(payload_col).cast("string")
     hexes = frames.select(
         F.col("doc_id"),
