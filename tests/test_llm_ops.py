@@ -697,6 +697,32 @@ def test_connected_components_shuffled_ids_escape_hatch(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_ignores_out_of_node_set_endpoints(spark):
+    """Edge endpoints absent from ``nodes`` must not fabricate output
+    rows — the round-15 fused round (self-row/message union groupBy)
+    would emit a row for a message-only target without its
+    prev-IS-NULL filter, where the old left join dropped it; this pins
+    the contract for both shapes.  Labels must still propagate THROUGH
+    the present endpoints of such edges."""
+    from video_etl_spark.llm_ops.dedup import connected_components
+
+    # nodes 1,2,5; edges 1-2 (both present), 2-9 and 9-5 (9 absent)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 9), (9, 5)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (5,)], "doc_id long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, nodes).collect()}
+    # exactly the declared nodes appear — no fabricated node 9
+    assert set(got) == {1, 2, 5}
+    assert got[1] == 1 and got[2] == 1
+    # 5's only path to 1 runs through the ABSENT node 9, whose label
+    # never participates, so 5 reaches only what its present neighbors
+    # offer: 9 is not a node, so 5 stays where propagation leaves it
+    # (5's neighbor 9 contributes nothing; 5 keeps its own label)
+    assert got[5] == 5
+
+
 def test_approx_percentiles_bounded_error(spark, sf_dir):
     """t-digest sketch vs the exact distribution: the sketch's guarantee is
     on RANK error (the value it returns sits at nearly the requested

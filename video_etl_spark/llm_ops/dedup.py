@@ -552,22 +552,41 @@ def connected_components(
     # tiny-diameter dedup case.
     rounds = max(1, max_iter)
 
+    # Round-15 (guide §2.4): each round formerly ran join → groupBy →
+    # LEFT JOIN back to labels → pointer-jump join (three joins + one
+    # aggregation).  The neighbor-min + join-back pair fuses into ONE
+    # groupBy over the union of self rows and neighbor messages: the
+    # self row carries the old label twice, so min(l) is the stepped
+    # label and min(sl) (null on messages) recovers ``prev`` for the
+    # convergence probe — one shuffle less per round, identical labels
+    # (differential-pinned).  A message target absent from ``nodes``
+    # would fabricate a row where the old left join dropped it, so
+    # groups without a self row (prev IS NULL) are filtered out.
+    label_t = dict(labels.dtypes)["label"]
     converged = False
     for rnd in range(rounds):
         round_t0 = time.perf_counter()
-        neighbor_min = (
-            bidir.join(labels, bidir["u"] == labels["node"])
-            .groupBy("v")
-            .agg(F.min("label").alias("nmin"))
-        )
-        stepped = labels.join(
-            neighbor_min, labels["node"] == neighbor_min["v"], "left"
+        messages = bidir.join(
+            labels, bidir["u"] == labels["node"]
         ).select(
+            F.col("v").alias("node"),
+            F.col("label").alias("l"),
+            F.lit(None).cast(label_t).alias("sl"),
+        )
+        self_rows = labels.select(
             "node",
-            F.col("label").alias("prev"),
-            F.least(
-                F.col("label"), F.coalesce("nmin", F.col("label"))
-            ).alias("label"),
+            F.col("label").alias("l"),
+            F.col("label").alias("sl"),
+        )
+        stepped = (
+            self_rows.unionByName(messages)
+            .groupBy("node")
+            .agg(
+                F.min("l").alias("label"),
+                F.min("sl").alias("prev"),
+            )
+            .filter(F.col("prev").isNotNull())
+            .select("node", "prev", "label")
         )
         # pointer jumping: label <- label(label) — halves tree depth
         parents = stepped.select(
