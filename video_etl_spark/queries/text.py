@@ -301,19 +301,17 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-15 (guide §2.1/§1.2): ONE self-join over the long-format
+    # (id, band_key) melt instead of one self-join per band + union —
+    # the same rewrite `llm_ops.dedup.band_pairs_from_sigs` carries
+    # (band index in the key keeps bands disjoint, so the distinct pair
+    # SET is identical — this query's own oracle re-proves it); the two
+    # join legs' exchanges/broadcast builds collapse to one pair that
+    # Spark reuses across the canonically-identical sides.
+    from video_etl_spark.llm_ops.dedup import band_pairs_from_sigs
+
     docs = load_table(spark, sf_dir, "documents")
-    banded = _banded_sigs(docs)
-    pairs = None
-    for band in ("band0", "band1"):
-        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("b"))
-        b = banded.select(F.col("doc_id").alias("doc_b"), F.col(band).alias("b"))
-        p = (
-            a.join(b, "b")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    return band_pairs_from_sigs(_banded_sigs(docs), n_bands=2)
 
 
 # --------------------------------------------------------------------------
