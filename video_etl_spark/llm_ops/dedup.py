@@ -603,7 +603,14 @@ def connected_components(
                     F.col("label"), F.coalesce("p_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()  # truncate lineage each round
+            # Truncate lineage each round.  EAGER on purpose — a lazy
+            # checkpoint (folding each round's materialization into the
+            # probe / output action) was benched in the round-15
+            # optimization pass and LOST (rep-interleaved trio sum of
+            # mins 7.46 eager vs 7.72 lazy: the probe's incremental
+            # limit execution computes partial partitions that the
+            # checkpoint's fill job then re-runs).
+            .localCheckpoint()
         )
         labels = new_labels.select("node", "label")
         if on_round is not None:
@@ -728,6 +735,13 @@ def band_candidates(
     # so each branch re-runs only a cheap map-side-combined groupBy
     # over the cached signatures.
     new_reps, new_members = collapse_exact_sigs(new_sigs, n_bands, id_col)
+    # Round-15 NOTE: the long-format melt that replaced the per-band
+    # SELF-joins (band_pairs_from_sigs, band_candidates_within) was
+    # benched HERE too and REVERTED (rep-interleaved: 1.19 → 1.35 s min
+    # on incremental_band_dedup).  This join is ASYMMETRIC — new_reps vs
+    # history — so the melt gets no exchange/broadcast reuse between its
+    # two (different) sides, while the per-band legs run as CONCURRENT
+    # independent joins under AQE; melting only serialized them.
     hits = None
     for b in range(n_bands):
         n_side = new_reps.select(
@@ -782,20 +796,17 @@ def band_candidates_within(
     repeated page should be pre-collapsed by the caller (the streaming
     ingest path's content-addressed ids already do this).
     """
-    hits = None
-    for b in range(n_bands):
-        n_side = sigs.select(
-            F.col(id_col).alias("new_doc"), F.col(f"band{b}").alias("b")
-        )
-        o_side = sigs.select(
-            F.col(id_col).alias("old_doc"), F.col(f"band{b}").alias("b")
-        )
-        p = (
-            n_side.join(o_side, "b")
-            .where(F.col("old_doc") < F.col("new_doc"))
-            .select("new_doc", "old_doc")
-        )
-        hits = p if hits is None else hits.unionByName(p)
+    # Round-15: same long-format melt as band_candidates — one
+    # self-join over (id, band_key) instead of one per band; identical
+    # hit set (disjoint band keys), half the join/exchange legs.
+    rows = band_index_rows_from_sigs(sigs, n_bands, id_col)
+    n_side = rows.select(F.col(id_col).alias("new_doc"), "band_key")
+    o_side = rows.select(F.col(id_col).alias("old_doc"), "band_key")
+    hits = (
+        n_side.join(o_side, "band_key")
+        .where(F.col("old_doc") < F.col("new_doc"))
+        .select("new_doc", "old_doc")
+    )
     return (
         hits.distinct()
         .groupBy("new_doc")
