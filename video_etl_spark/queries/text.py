@@ -2377,7 +2377,14 @@ def remove_repeated_spans_frame(
         .groupBy("doc_id")
         .agg(F.collect_set("p").alias("ps"))
     )
-    toks = docs.select("doc_id", _tokens_col().alias("toks"))
+    # Round-15: spread the REBUILD side too — the final keep-filter
+    # (exists() per token + concat_ws over every document) ran as one
+    # 0.57 s single task on the raw single-split scan (profiled at
+    # sf0.1), while everything upstream was already 32-way.  One
+    # consumer, no cache, so no racing-duplicate risk.
+    from video_etl_spark.operators.skew import spread_small_scan
+
+    toks = spread_small_scan(docs).select("doc_id", _tokens_col().alias("toks"))
     kept = (
         toks.join(starts, "doc_id", "left")
         .withColumn(
