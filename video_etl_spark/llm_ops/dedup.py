@@ -330,10 +330,19 @@ def _simhash_rep_structures(
     sig = simhash_signatures(docs, text_col).persist()
     sig.count()
     sig_cols = ["simhash", "chunk0", "chunk1", "chunk2", "chunk3"]
-    grp = sig.groupBy(*sig_cols).agg(F.min("doc_id").alias("doc_id"))
-    reps = grp.select("doc_id", *sig_cols).persist()
+    # Round-15: persist the groupBy itself, not a projection of it —
+    # ``mem`` below joins ``grp`` directly, and with only the projected
+    # ``reps`` cached every mem consumer re-ran the signature groupBy
+    # (plan: 12 HashAggregate / 14 Exchange → 4 / 10 on the pairs query;
+    # join strategies unchanged).  Lazy on purpose: an eager grp.count()
+    # re-measured as serial latency ahead of the consumer fan-out (the
+    # same trade as the rejected materialize_cache), while the phash twin
+    # showed caching an UNPOPULATED groupBy can flip its broadcast joins
+    # to SMJ on unknown stats — here the mem join is SMJ either way.
+    grp = sig.groupBy(*sig_cols).agg(F.min("doc_id").alias("doc_id")).persist()
+    reps = grp.select("doc_id", *sig_cols)
     if pinned is not None:
-        pinned.extend([sig, reps])
+        pinned.extend([sig, grp])
     # membership map includes the representative itself (rep → rep)
     mem = sig.select("doc_id", "simhash").join(
         grp.select(F.col("doc_id").alias("rep"), "simhash"), "simhash"

@@ -401,7 +401,20 @@ def _phash_rep_structures(
     ``dedup._simhash_rep_structures``: ``(mem, rep_pairs)`` with one
     representative per distinct 64-bit hash.  Signature and rep frames
     persisted; left to LRU eviction for lazy-plan builders, collected
-    into ``pinned`` for eager callers that unpersist in ``finally``."""
+    into ``pinned`` for eager callers that unpersist in ``finally``.
+
+    Round-15 NOTE: the simhash twin now persists the groupBy (``grp``)
+    instead of the ``reps`` projection so ``mem`` shares the cache; the
+    SAME change was benched here three ways and REJECTED every time —
+    lazy grp-persist flips the mem joins from broadcast to SMJ on the
+    unpopulated cache's unknown stats (pairs 1.36→1.86 min, every E
+    sample above every A); eager grp.count() restores the broadcasts but
+    its serial populate is bounded by the single-task signature math
+    (pairs +0.15); spreading the post-md5 hex rows to parallelize that
+    populate lost outright (stats 1.51→1.76, pairs 0.99→1.59 — the
+    round-robin exchange costs more than the racing duplicates it
+    removes).  The duplicated groupBy subtrees here are thin (sig is
+    id + 4 small ints) and overlap on idle cores."""
     sig = sigs.persist()
     grp = sig.groupBy(*_PHASH_CHUNKS).agg(F.min("doc_id").alias("doc_id"))
     reps = grp.select("doc_id", *_PHASH_CHUNKS).persist()
