@@ -21,6 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from video_etl_spark.operators.skew import spread_small_scan
 from video_etl_spark.registry import query
 from video_etl_spark.session import load_table
 
@@ -217,7 +218,14 @@ def vector_norms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def incremental_embedding_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    # Round-15 (guide §2.5 input skew): spread the below-parallelism scan
+    # BEFORE the quantize/sq math — the single-split embeddings parquet
+    # otherwise runs the whole per-vector arithmetic as one task.
+    # Interleaved A/B: 0.67 → 0.45 s min (every E sample below every A).
+    # No-op at production split counts (plan-side probe).
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings")
+    ).withColumn(
         "q", F.expr(_SPARK_QUANT)
     ).withColumn("sq", F.expr(_SPARK_SQ).cast("double"))
     new = emb.filter(F.col("vec_id") % 10 == 0).select(
@@ -317,15 +325,20 @@ def _duck_lloyd_round(qcte: str, centers: str, out: str) -> str:
 )
 def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> "
-            f"cast(round(cast(x as double) * 1000000) as bigint) + {_KM_OFF})"
-        ).alias("q"),
+    quant = F.expr(
+        "transform(embedding, x -> "
+        f"cast(round(cast(x as double) * 1000000) as bigint) + {_KM_OFF})"
     )
-    centers = q.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("center_id"), F.col("q").alias("c")
+    # Round-15 (guide §2.5): spread ONLY the probe side — the Lloyd
+    # assign/update math over the single-split embeddings parquet ran as
+    # three ~0.3 s single tasks.  The tiny seed-center fork stays on the
+    # raw scan so its broadcast build never stalls behind the exchange
+    # (the benchmark_decontamination lesson; a blanket spread of both
+    # forks measured SLOWER, 1.43 vs 1.64 min).  Probe-side-only:
+    # 1.435 → 1.287 s min, results hash-identical.
+    q = spread_small_scan(emb).select("vec_id", quant.alias("q"))
+    centers = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("center_id"), quant.alias("c")
     )
 
     dist = F.expr(
@@ -480,7 +493,11 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    # Round-15 scan spread (see incremental_embedding_dedup_exact):
+    # 0.79 → 0.62 s min, every E sample below every A sample.
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings")
+    ).withColumn(
         "q", F.expr(_SPARK_QUANT)
     ).withColumn("sq", F.expr(_SPARK_SQ).cast("double"))
     queries = emb.filter(F.col("vec_id") < 20).select(
@@ -555,7 +572,11 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    # Round-15 scan spread (see incremental_embedding_dedup_exact):
+    # 0.58 → 0.42 s min, every E sample below every A sample.
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings")
+    ).withColumn(
         "q", F.expr(_SPARK_QUANT)
     ).withColumn("sq", F.expr(_SPARK_SQ).cast("double"))
     queries = emb.filter(F.col("vec_id") < 20).select(
