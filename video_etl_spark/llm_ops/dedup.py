@@ -373,13 +373,17 @@ def collect_and_unpersist(df: DataFrame, pinned: list) -> DataFrame:
     Only for outputs known to be small (the count-grain stats queries
     emit ≤ 1 row per document WITH a near-dup partner); corpus-scale
     callers keep the lazy form and write to a sink instead."""
+    from video_etl_spark.session import local_frame
+
     spark = df.sparkSession
     try:
         rows = df.collect()
     finally:
         for p in pinned:
             p.unpersist()
-    return spark.createDataFrame(rows, df.schema)
+    # one partition: bounded rows, and every consumer action re-ships
+    # them driver→JVM — parallelism-many tasks only add round-trips
+    return local_frame(spark, rows, df.schema)
 
 
 def simhash_overlap_stats(

@@ -426,7 +426,10 @@ def switch_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d.chunk_id, r["window_start"], d.config, d.placement,
              d.cloud_cost, d.runtime, score)
         )
-    return spark.createDataFrame(
+    from video_etl_spark.session import local_frame
+
+    return local_frame(
+        spark,
         rows,
         "chunk_id long, window_start timestamp, config int, placement int, "
         "cloud_cost double, runtime double, score double",

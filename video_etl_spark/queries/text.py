@@ -3346,7 +3346,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges, _ = bpe_train(docs, _BPE_TRAIN_ROUNDS)
-    return spark.createDataFrame(
+    from video_etl_spark.session import local_frame
+
+    return local_frame(
+        spark,
         [
             (
                 m["rnd"],
@@ -4119,7 +4122,10 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (both exact) and only diverges on the doubly-huge branch 3, which
     # needs 9e12 TRIANGLES — beyond any gate or rehearsal scale.
     trans = 0 if n_wedges == 0 else (3 * n_tri * 1_000_000) // n_wedges
-    return spark.createDataFrame(
+    from video_etl_spark.session import local_frame
+
+    return local_frame(
+        spark,
         [
             (
                 int(stats["n_nodes"]),

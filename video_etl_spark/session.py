@@ -110,6 +110,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-local rows → a ONE-partition DataFrame.
+
+    ``spark.createDataFrame(list, schema)`` defaults to one partition per
+    core, so every downstream action pays parallelism-many Python-worker
+    round-trips to ship a bounded result that fits in one task (measured
+    0.50 → 0.33 s per action on a 746-row frame at local[32]).  Bounded
+    driver-side results (eager stats, census rows, trained merges) have
+    no parallelism to lose — rows stay in collect order, values
+    identical.  Corpus-scale data must never come through here."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table.
 
