@@ -1885,9 +1885,25 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("source")).alias("ss"))
         .persist()
     )
-    totals = by_span.select(F.explode("ss").alias("source")).groupBy(
-        "source"
-    ).agg(F.count(F.lit(1)).alias("n_spans"))
+    # Round-15: per-source totals are BOUNDED (one row per source —
+    # domains, in the tens at any corpus size), so collect them once —
+    # the action also populates by_span — and broadcast a local
+    # one-partition frame.  Lazily, this plan had THREE racing consumers
+    # of the unpopulated by_span cache (the pair branch plus one
+    # broadcast build per ta/tb alias), each re-running the full
+    # shingle+md5 pipeline (profiled: 3 × ~0.7 s duplicate stages).
+    # Interleaved A/B: sum 15.08 → 12.74 s over 6 reps, hash-identical.
+    from video_etl_spark.session import local_frame
+
+    totals_rows = (
+        by_span.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+        .collect()
+    )
+    totals = local_frame(
+        spark, totals_rows, "source string, n_spans bigint"
+    )
     pairs = (
         by_span.filter(F.size("ss") >= 2)
         .select(
