@@ -1273,3 +1273,23 @@ def test_write_bucketed_files_per_bucket_dial(spark, tmp_path):
         assert "Exchange hashpartitioning" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_fpb")
+
+
+def test_local_frame_one_partition_and_values(spark):
+    """session.local_frame: bounded driver rows come back as a ONE-
+    partition frame (parallelism-many tasks only add Python round-trips
+    per consumer action) with rows and schema identical to the default
+    createDataFrame path, including empty input."""
+    from video_etl_spark.session import local_frame
+
+    rows = [(i, f"s{i}", float(i) / 7) for i in range(257)]
+    schema = "a long, b string, c double"
+    lf = local_frame(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    assert lf.rdd.getNumPartitions() == 1
+    assert lf.schema == ref.schema
+    assert lf.collect() == ref.collect()  # collect order preserved too
+    empty = local_frame(spark, [], schema)
+    assert empty.rdd.getNumPartitions() <= 1
+    assert empty.count() == 0
+    assert empty.schema == ref.schema
