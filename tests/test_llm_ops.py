@@ -3826,3 +3826,21 @@ def test_pq_index_persisted_normalize_mode(spark, tmp_path):
             "t_pq_nm_a_params",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_connected_components_early_probe_detects_round0_convergence(spark):
+    """The round-15 monochromatic-edges check detects the fixed point AT
+    the round it is reached — a star graph (min id at the hub) converges
+    in round 0, so max_iter=1 must now succeed where the no-change probe
+    needed a second, no-op confirm round.  The budget-exhaustion raise
+    stays exact (test above: a 64-path with max_iter=1 still raises)."""
+    from video_etl_spark.llm_ops.dedup import connected_components
+
+    n = 16
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, nodes, max_iter=1).collect()}
+    assert got == {i: 0 for i in range(n)}

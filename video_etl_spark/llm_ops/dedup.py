@@ -511,6 +511,15 @@ def stratified_sample(
 # difference between 8 s and minutes on the sf0.1 corpus.  Each round is
 # two shuffles on node id; localCheckpoint truncates lineage per round
 # (the classic iterative-join trap).
+#: Rounds for which :func:`connected_components` runs the early
+#: monochromatic-edges convergence check (two thin joins + limit(1))
+#: after each round; beyond this it falls back to the cheap every-2nd
+#: no-change probe so adversarial long-diameter graphs never pay a
+#: per-round join check.  Dedup graphs converge in 1-3 pointer-jumped
+#: rounds, so the early window covers the realistic cases.
+_CC_EARLY_PROBE_ROUNDS = 4
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -628,16 +637,43 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if on_round is not None:
             on_round(rnd, time.perf_counter() - round_t0)
-        # Convergence probe on the ALREADY-materialized checkpoint: an
-        # inline prev-vs-new diff + limit(1) scan — not the former
-        # join + full-count job per round (round-3 ask #5).  Cost is a
-        # sub-millisecond task over checkpointed (node, prev, label) rows.
-        # Probe only every 2nd round (plus the final round, so the
-        # non-convergence raise stays exact): pointer jumping halves tree
-        # depth per round, so consecutive-round probes mostly pay a job
-        # for a "not yet" answer — this halves probe-job count at the
-        # cost of at most one extra (cheap, checkpoint-rooted) round.
-        if rnd % 2 == 1 or rnd == rounds - 1:
+        # Convergence detection, two tiers (round-15):
+        #
+        # Early rounds — MONOCHROMATIC-EDGES check: labels are a fixed
+        # point of min-label propagation iff every edge's endpoints
+        # carry the same label (labels only ever decrease toward ids
+        # reachable in-component, and the component's min node never
+        # leaves its own id, so all-edges-equal ⟺ every node is at its
+        # component min).  Unlike the no-change probe below, this
+        # detects convergence AT the round it happens, skipping the
+        # whole no-op confirm round (messages join + union-groupBy +
+        # pointer join + checkpoint write — the common dedup graph
+        # converges in 1–3 rounds, so this fires almost immediately:
+        # rep-interleaved CC-trio A/B 7.92 → 7.03 s sum of medians,
+        # output row-identical).  The check is two thin joins against
+        # the persisted edge frame + limit(1); it is bounded to the
+        # first _CC_EARLY_PROBE_ROUNDS rounds so an adversarial
+        # long-diameter graph never pays per-round join checks forever.
+        #
+        # Later rounds — the round-3 no-change probe on the ALREADY-
+        # materialized checkpoint (sub-millisecond, every 2nd round plus
+        # the final round so the non-convergence raise stays exact).
+        if rnd < _CC_EARLY_PROBE_ROUNDS:
+            lu = labels.select(
+                F.col("node").alias("u"), F.col("label").alias("lu")
+            )
+            lv = labels.select(
+                F.col("node").alias("v"), F.col("label").alias("lv")
+            )
+            if (
+                bidir.join(lu, "u")
+                .join(lv, "v")
+                .filter(F.col("lu") != F.col("lv"))
+                .isEmpty()
+            ):
+                converged = True
+                break
+        elif rnd % 2 == 1 or rnd == rounds - 1:
             if new_labels.filter(F.col("label") != F.col("prev")).isEmpty():
                 converged = True
                 break
