@@ -1,12 +1,12 @@
 #!/usr/bin/env python
-"""Capture `.explain('formatted')` for bench queries into plans/r15/.
+"""Capture `.explain('formatted')` for bench queries into plans/<round>/.
 
 Usage: python examples/capture_plans.py <suffix> [query ...]
 
-Writes plans/r15/<query>_<suffix>.txt for each named query (default: the
-full bench HEADLINE list).  The suffix is 'before' / 'after' per the
-round-15 deliverable contract; the judge checks plan claims against
-these files.
+Writes plans/$PLANS_ROUND/<query>_<suffix>.txt (default round: r16) for
+each named query (default: the full bench HEADLINE list).  The suffix is
+'before' / 'after' per the optimization-round deliverable contract; the
+judge checks plan claims against these files.
 """
 
 from __future__ import annotations
@@ -37,7 +37,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        os.environ.get("PLANS_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:

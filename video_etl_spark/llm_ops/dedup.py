@@ -1626,51 +1626,68 @@ def corpus_components(
     Docs with no shingles (< 3 tokens) cannot collide and come out as
     singleton components.
 
-    Since round 8 the band self-join runs over
-    :func:`collapse_exact_sigs` REPRESENTATIVES only (hot-key guard:
-    pair volume is linear in distinct contents, never quadratic in
-    exact-duplicate copies); collapsed members re-attach to their
-    representative's component afterwards.  Labels are IDENTICAL either
-    way — the representative is its group's min id, so the component
-    label (min reachable id) is unchanged — which the recursive-CTE
-    oracle re-proves every round.
+    Since round 8 the band self-join runs over exact-duplicate-collapse
+    REPRESENTATIVES only (hot-key guard: pair volume is linear in
+    distinct contents, never quadratic in exact-duplicate copies);
+    collapsed members re-attach to their representative's component
+    afterwards.  Since round 16 the collapse here is a window pass
+    (min(id) over the band columns) rather than
+    :func:`collapse_exact_sigs`'s groupBy + join-back — same
+    representatives, one shuffle instead of two plan legs (the groupBy +
+    join form remains the right shape for the incremental/streaming
+    callers, where map-side combine shrinks a dup-dense batch before the
+    shuffle).  Labels are IDENTICAL either way — the representative is
+    its group's min id, so the component label (min reachable id) is
+    unchanged — which the recursive-CTE oracle re-proves every round.
     """
-    # LRU-persist convention (same as _banded_sigs / simhash_pairs): the
-    # RETURN value is now a lazy plan whose member re-attach join reads
-    # the signatures again, so an eager unpersist here would force the
-    # caller's first action to re-derive every signature.  The blocks
-    # are thin (id + n short strings); sweeping callers (driver gate,
-    # bench) clear caches between queries.
+    # Round-16 (guide §2.4/§5, r15-verdict #1): the former
+    # persist(sigs) → collapse groupBy → join-back members → persist(reps)
+    # chain is now ONE window pass over the signatures — min(id) OVER
+    # (PARTITION BY band cols) computes every doc's representative in a
+    # single shuffle, and rep_sigs/members are filters of that one frame
+    # (identical rows: the representative is still the group's min id;
+    # the CC-family oracles re-prove it).  The frame is EAGERLY
+    # localCheckpointed: every downstream consumer (edges melt, node
+    # anti-join, member re-attach) then plans against a tiny
+    # Scan ExistingRDD instead of re-planning (and, on a cold cache,
+    # re-RUNNING) the whole signature subtree per consumer.
+    # Rep-interleaved trio A/B: sum of per-query mins 6.77 → 5.06 s
+    # (4-arm × 4-rep) and 7.98 → 6.00 s (6-rep A/E confirm) — every
+    # sample improved; the window-only and checkpoint-only halves each
+    # measured smaller wins (6.16 / 6.58 vs A 6.77), so BOTH are needed.
+    # This is the measured exception to the "eager populate loses
+    # locally" rule: the checkpoint removes per-consumer RE-PLANNING
+    # (driver latency), not just the compute race.  Checkpoint blocks
+    # are released by GC + ContextCleaner (a checkpointed frame has no
+    # unpersist hook), same lifecycle as the CC rounds' per-round
+    # localCheckpoints; sweeping callers (driver gate, bench) nudge GC
+    # between queries.
+    from pyspark.sql import Window
+
+    band_cols = [f"band{b}" for b in range(n_bands)]
     sigs = minhash_band_signatures(docs, n_bands, rows_per_band, id_col)
-    # Plain persist, NOT an eager count() pre-materialization: the
-    # racing-consumer duplicate computation seen in the round-15 profile
-    # was benched against an explicit materialize-first variant and the
-    # race WON (duplicates overlap on idle cores; the count() is serial
-    # latency) — see OPTIMIZATION_r15.md "materialize_cache".
-    sigs = sigs.persist()
-    rep_sigs, members = collapse_exact_sigs(sigs, n_bands, id_col)
-    rep_sigs = rep_sigs.persist()  # both sides of every band self-join
+    win = sigs.withColumn(
+        "__rep", F.min(id_col).over(Window.partitionBy(*band_cols))
+    ).localCheckpoint()
+    rep_sigs = win.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, *band_cols
+    )
+    members = win.filter(F.col(id_col) != F.col("__rep")).select(
+        id_col, F.col("__rep").alias("rep_id")
+    )
     edges = band_pairs_from_sigs(rep_sigs, n_bands, id_col)
     # CC nodes: representatives + shingle-less docs (absent from sigs);
     # collapsed members rejoin below.
     nodes = docs.select(id_col).join(
         members.select(id_col), id_col, "left_anti"
     )
-    try:
-        comp = connected_components(
-            edges,
-            nodes,
-            node_col=id_col,
-            max_iter=max_iter,
-            edges_distinct=True,
-        )
-    except Exception:
-        # on the non-convergence raise there is no return value the
-        # caches could serve — release them so each "retry with a higher
-        # max_iter" doesn't accumulate pinned signature blocks
-        sigs.unpersist()
-        rep_sigs.unpersist()
-        raise
+    comp = connected_components(
+        edges,
+        nodes,
+        node_col=id_col,
+        max_iter=max_iter,
+        edges_distinct=True,
+    )
     rep_comp = comp.select(F.col("node").alias(id_col), "component")
     member_comp = members.join(
         rep_comp.select(F.col(id_col).alias("rep_id"), "component"),
