@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -312,41 +313,34 @@ def _simhash_rep_structures(
     :func:`simhash_overlap_stats` share: ``(mem, rep_pairs)`` where
     ``mem`` is the (rep, doc_id) membership map (rep included) and
     ``rep_pairs`` the distinct (doc_a, doc_b, hamming) pairs over ONE
-    representative per distinct signature.  The signature and rep frames
-    are persisted (doc_id + 5 longs — tiny next to the corpus); when the
-    caller returns a lazy plan they are left to LRU eviction, but a
-    caller that materializes (``eager=True`` stats) passes ``pinned`` to
-    collect them for an explicit unpersist-in-finally (round-9 verdict
-    #7: dozens of LRU-orphaned frames pressured late bench queries)."""
-    # EAGERLY materialized (round-15, revisited): with the old 3-stage
-    # signature pipeline an explicit count() lost (B=23.2s vs C=21.4s
-    # over 5 queries) because the populate was a ~0.9 s SINGLE-task
-    # serial chain ahead of the consumer fan-out.  The fused form turned
-    # the populate into one cheap 32-task narrow map — profiled at
-    # sf0.1, the unpopulated cache's racing AQE consumers re-ran that
-    # map SEVEN times (7 × ~0.3 s 32-task stages, ~2 s of duplicated
-    # CPU); one eager populate removes all of them for a single ~0.3 s
-    # up-front job.
-    sig = simhash_signatures(docs, text_col).persist()
-    sig.count()
+    representative per distinct signature.  ``pinned``, when given,
+    collects persisted intermediates for an explicit
+    unpersist-in-finally (round-9 verdict #7); since round 16 the rep
+    structures themselves are a localCheckpoint (released by GC +
+    ContextCleaner), so only downstream persists land in ``pinned``."""
+    # Round-16 (guide §2.4/§5, r15-verdict #2 — the CC-trio recipe):
+    # the persist(sig)+count → groupBy(grp) persist → mem join chain is
+    # ONE window pass — min(doc_id) OVER (PARTITION BY simhash) gives
+    # every doc its representative with no join at all, and the frame is
+    # eagerly localCheckpointed so mem / reps / both chunk-join sides
+    # plan against a materialized Scan ExistingRDD instead of
+    # re-planning (and partially re-running) the signature subtree.
+    # Rep-interleaved A/B at sf0.1: sum of per-query mins
+    # 4.73 → 2.71 s (simhash_overlap_stats 2.66 → 1.70,
+    # simhash_near_dup_pairs 2.07 → 1.01), every sample improved;
+    # results bit-identical (oracle re-proved).  The chunks ride along
+    # in the window frame — they are functions of ``simhash``, so
+    # partitioning by the hash alone is the same grouping.
+    sig = simhash_signatures(docs, text_col)
     sig_cols = ["simhash", "chunk0", "chunk1", "chunk2", "chunk3"]
-    # Round-15: persist the groupBy itself, not a projection of it —
-    # ``mem`` below joins ``grp`` directly, and with only the projected
-    # ``reps`` cached every mem consumer re-ran the signature groupBy
-    # (plan: 12 HashAggregate / 14 Exchange → 4 / 10 on the pairs query;
-    # join strategies unchanged).  Lazy on purpose: an eager grp.count()
-    # re-measured as serial latency ahead of the consumer fan-out (the
-    # same trade as the rejected materialize_cache), while the phash twin
-    # showed caching an UNPOPULATED groupBy can flip its broadcast joins
-    # to SMJ on unknown stats — here the mem join is SMJ either way.
-    grp = sig.groupBy(*sig_cols).agg(F.min("doc_id").alias("doc_id")).persist()
-    reps = grp.select("doc_id", *sig_cols)
-    if pinned is not None:
-        pinned.extend([sig, grp])
+    win = sig.withColumn(
+        "__rep", F.min("doc_id").over(Window.partitionBy("simhash"))
+    ).localCheckpoint()
     # membership map includes the representative itself (rep → rep)
-    mem = sig.select("doc_id", "simhash").join(
-        grp.select(F.col("doc_id").alias("rep"), "simhash"), "simhash"
-    ).select("rep", "doc_id")
+    mem = win.select(F.col("__rep").alias("rep"), "doc_id")
+    reps = win.filter(F.col("doc_id") == F.col("__rep")).select(
+        "doc_id", *sig_cols
+    )
     a = _chunk_stacked(reps, "doc_a", "sig_a")
     b = _chunk_stacked(reps, "doc_b", "sig_b")
     rep_pairs = (
@@ -1576,8 +1570,6 @@ def keep_canonical(
     precisely the boilerplate blob the drop list exists for, and the sort
     key is (quality, id) — two scalars, not text.
     """
-    from pyspark.sql import Window
-
     comp = components.select(
         F.col(node_col).alias("__node"),
         F.col(component_col).alias("__component"),
@@ -1662,8 +1654,6 @@ def corpus_components(
     # unpersist hook), same lifecycle as the CC rounds' per-round
     # localCheckpoints; sweeping callers (driver gate, bench) nudge GC
     # between queries.
-    from pyspark.sql import Window
-
     band_cols = [f"band{b}" for b in range(n_bands)]
     sigs = minhash_band_signatures(docs, n_bands, rows_per_band, id_col)
     win = sigs.withColumn(

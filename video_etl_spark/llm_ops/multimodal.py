@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 FEATURE_DIM = 16
@@ -399,31 +400,30 @@ def _phash_rep_structures(
     """The collapse-guarded core :func:`phash_pairs` and
     :func:`phash_overlap_stats` share — the multimodal twin of
     ``dedup._simhash_rep_structures``: ``(mem, rep_pairs)`` with one
-    representative per distinct 64-bit hash.  Signature and rep frames
-    persisted; left to LRU eviction for lazy-plan builders, collected
-    into ``pinned`` for eager callers that unpersist in ``finally``.
+    representative per distinct 64-bit hash.  ``pinned`` collects
+    persisted downstream intermediates for eager callers that unpersist
+    in ``finally``; the rep structures themselves are a localCheckpoint
+    since round 16 (released by GC + ContextCleaner).
 
-    Round-15 NOTE: the simhash twin now persists the groupBy (``grp``)
-    instead of the ``reps`` projection so ``mem`` shares the cache; the
-    SAME change was benched here three ways and REJECTED every time —
-    lazy grp-persist flips the mem joins from broadcast to SMJ on the
-    unpopulated cache's unknown stats (pairs 1.36→1.86 min, every E
-    sample above every A); eager grp.count() restores the broadcasts but
-    its serial populate is bounded by the single-task signature math
-    (pairs +0.15); spreading the post-md5 hex rows to parallelize that
-    populate lost outright (stats 1.51→1.76, pairs 0.99→1.59 — the
-    round-robin exchange costs more than the racing duplicates it
-    removes).  The duplicated groupBy subtrees here are thin (sig is
-    id + 4 small ints) and overlap on idle cores."""
-    sig = sigs.persist()
-    grp = sig.groupBy(*_PHASH_CHUNKS).agg(F.min("doc_id").alias("doc_id"))
-    reps = grp.select("doc_id", *_PHASH_CHUNKS).persist()
-    if pinned is not None:
-        pinned.extend([sig, reps])
-    mem = sig.join(
-        grp.select(*_PHASH_CHUNKS, F.col("doc_id").alias("rep")),
-        list(_PHASH_CHUNKS),
-    ).select("rep", "doc_id")
+    Round-16 (guide §2.4/§5, r15-verdict #2): round 15 rejected three
+    restructures here (lazy grp-persist flipped the mem joins BHJ→SMJ on
+    unknown cache stats; eager grp.count() was serial latency; spreading
+    the post-md5 rows cost more than the race).  The window form
+    sidesteps all three failure modes at once: min(doc_id) OVER
+    (PARTITION BY chunk cols) computes every doc's representative with
+    NO mem join at all (so there is no join strategy to destabilize),
+    and the eager localCheckpoint replaces the racing per-consumer
+    re-plans/re-runs with one materialized frame.  Rep-interleaved A/B
+    at sf0.1: sum of per-query mins 3.55 → 2.52 s (stats 2.06 → 1.47,
+    pairs 1.50 → 1.06), every sample improved; results bit-identical
+    (all-pairs oracle re-proved)."""
+    win = sigs.withColumn(
+        "__rep", F.min("doc_id").over(Window.partitionBy(*_PHASH_CHUNKS))
+    ).localCheckpoint()
+    mem = win.select(F.col("__rep").alias("rep"), "doc_id")
+    reps = win.filter(F.col("doc_id") == F.col("__rep")).select(
+        "doc_id", *_PHASH_CHUNKS
+    )
     a = _chunk_side(reps, "doc_a", "a_")
     b = _chunk_side(reps, "doc_b", "b_")
     rep_pairs = (
