@@ -879,16 +879,24 @@ def incremental_dedup(
     each crawl batch joins against it without re-signing the corpus.
 
     Both frames need ``id_col`` and a ``text`` string column.  The band
-    signatures are persisted for the n_bands-way join fan-out; blocks are
-    (id, n short strings) — tiny relative to the corpus — and eviction is
-    left to Spark's LRU (same policy as ``queries.text._banded_sigs``).
+    signatures feed an n_bands-way join fan-out; since round 16 they are
+    eagerly localCheckpointed (blocks are (id, n short strings) — tiny
+    relative to the corpus; released by GC + ContextCleaner): the per-band
+    probe legs and the collapse/member branches then plan against two
+    materialized frames instead of re-planning (and, cache-cold, partially
+    re-running) the signature pipelines per AQE subtree.  Rep-interleaved
+    A/B at sf0.1: incremental_band_dedup min 1.25 → 0.82 s, every sample
+    improved; output identical (oracle re-proved).  The streaming
+    handlers do NOT route through here — they persist per micro-batch
+    and release explicitly (a checkpoint per batch would pool blocks
+    until GC).
     """
     new_b = minhash_band_signatures(
         new, n_bands, rows_per_band, id_col
-    ).persist()
+    ).localCheckpoint()
     hist_b = minhash_band_signatures(
         history, n_bands, rows_per_band, id_col
-    ).persist()
+    ).localCheckpoint()
     return band_candidates(new_b, hist_b, n_bands, id_col)
 
 
