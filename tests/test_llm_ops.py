@@ -3844,3 +3844,38 @@ def test_connected_components_early_probe_detects_round0_convergence(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(edges, nodes, max_iter=1).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_converges_at_final_early_round(spark):
+    """Round-16 probe gate: after one "not yet" answer the edge-join
+    probe stops firing — EXCEPT on the final budgeted round, where it
+    must still detect at-the-round convergence (a 5-path converges in
+    round 1, so max_iter=2 succeeded before the gate and must keep
+    succeeding after it)."""
+    from video_etl_spark.llm_ops.dedup import connected_components
+
+    n = 5
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, nodes, max_iter=2).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_gated_probe_converges_via_no_change_fallback(spark):
+    """Round-16 probe gate, fallback leg: with budget to spare the gate
+    routes mid-run convergence through the per-round no-change probe
+    (one extra no-op round, same labels) — a 5-path with max_iter=5
+    must converge with labels identical to the max_iter=2 run."""
+    from video_etl_spark.llm_ops.dedup import connected_components
+
+    n = 5
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, nodes, max_iter=5).collect()}
+    assert got == {i: 0 for i in range(n)}

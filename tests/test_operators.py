@@ -1293,3 +1293,76 @@ def test_local_frame_one_partition_and_values(spark):
     assert empty.rdd.getNumPartitions() <= 1
     assert empty.count() == 0
     assert empty.schema == ref.schema
+
+
+def test_cross_source_totals_guard_raises_past_bound(spark, monkeypatch):
+    """Round-16 cardinality guard: the driver-collected per-source
+    totals assume domain-grain sources; past the documented bound the
+    query must raise loudly instead of collecting unbounded rows."""
+    import pytest
+
+    from video_etl_spark.queries import text as qt
+
+    monkeypatch.setattr(qt, "_CROSS_SOURCE_MAX_SOURCES", 1)
+    with pytest.raises(RuntimeError, match="distinct sources"):
+        qt.cross_source_contamination(spark, "/root/testdata/sf0.001")
+
+
+def test_cross_source_totals_guard_passes_at_domain_grain(spark):
+    """Within the bound the guard is invisible: same rows as the oracle
+    pins every round (smoke: non-empty, schema intact)."""
+    from video_etl_spark.queries import text as qt
+
+    out = qt.cross_source_contamination(spark, "/root/testdata/sf0.001")
+    assert out.columns == [
+        "source_a", "source_b", "n_shared_spans", "overlap_ppm"
+    ]
+    assert out.count() > 0
+
+
+def test_bench_compact_line_carries_full_query_map():
+    """Round-16 (r15-verdict #7): PERF_r15.per_query came back EMPTY
+    because the chunk lines only ever fit ~38/58 queries into the
+    driver's exactly-2000-char tail.  The final line now carries the
+    FULL per-query map at 2-decimal resolution and must (a) stay inside
+    the budget with realistic bench-scale values, (b) parse with every
+    headline name present, and (c) degrade GRACEFULLY — shedding
+    advisory fields, then the map — when values widen, never emitting
+    an over-budget (= front-torn, unparseable) line."""
+    import json
+
+    import bench
+
+    compact = {
+        "metric": "headline_queries_total", "value": 53.7777,
+        "value_min": 49.8921, "unit": "sec", "sf": 0.1, "n_queries": 58,
+        "io_cold": False, "jitter_flagged": [],
+        "control_ratio_start": 1.5421, "control_ratio_mid": 0.9158,
+        "control_ratio_end": 0.7139, "control_ratio": 1.2289,
+        "degraded_during_run": False, "start_elevated": True,
+        "mid_elevated": False, "repin_recommended": True,
+        "value_normalized": 43.7608,
+        "full_artifact": "BENCH_FULL_latest.json",
+    }
+    # realistic widths: sf0.1 headline queries run 0.1-9.9 s
+    timings = {n: 2.6423 for n in bench.HEADLINE}
+    timings["dedup_connected_clusters@index"] = 0.1039
+    timings["cluster_aware_split@index"] = 0.3006
+    line = bench.compact_line(compact, timings)
+    assert len(line) <= bench._COMPACT_LINE_BUDGET
+    d = json.loads(line)
+    assert set(d["queries"]) == set(timings)
+    assert d["queries"]["dedup_connected_clusters@index"] == 0.1
+    # the core driver contract survives every shed tier
+    for k in ("metric", "value", "value_min", "unit", "sf",
+              "control_ratio", "repin_recommended", "value_normalized"):
+        assert k in d, k
+
+    # pathological widths (every query >100 s): the map itself cannot
+    # fit, so it sheds LAST and the line falls back to the pre-r16 shape
+    wide = {n: 999.1234 for n in timings}
+    line2 = bench.compact_line(compact, wide)
+    assert len(line2) <= bench._COMPACT_LINE_BUDGET
+    d2 = json.loads(line2)
+    assert "queries" not in d2
+    assert d2["value"] == compact["value"]

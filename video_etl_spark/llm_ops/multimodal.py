@@ -474,13 +474,11 @@ def phash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     Recall is complete only for ``max_hamming`` <= 3 (4-chunk pigeonhole)
     — larger radii raise rather than silently miss pairs, same contract
-    as ``dedup.simhash_pairs``.  The signature frame feeds both join
-    sides, so it is persisted (id + 4 small ints — tiny next to the
-    corpus); like ``queries.text._banded_sigs`` the blocks are
-    deliberately left to Spark's LRU eviction because this builder
-    returns a LAZY plan (there is no post-action hook to unpersist
-    without re-running the signatures); sweeping callers (driver gate,
-    bench) clear caches between queries.
+    as ``dedup.simhash_pairs``.  EAGER AT BUILD (round 16): constructing
+    this frame materializes the signature window via localCheckpoint
+    (see ``_phash_rep_structures``), so building the plan — e.g. for an
+    explain/plan capture — already runs the signature jobs; blocks are
+    id + 4 small ints, released by GC + ContextCleaner.
 
     Hot-key guard (round-7 verdict #1, the multimodal leg): the chunk
     self-join runs over ONE representative per distinct 64-bit hash,

@@ -32,7 +32,29 @@ from pyspark.sql import functions as F
 #: A (theoretical) hash collision could only reuse the WRONG partition
 #: count — a perf-only mis-decision about adding the exchange; results
 #: are never affected.
-_PROBE_MEMO: dict[int, int] = {}
+#:
+#: Round-16 (ADVICE): the key now includes the application id and the
+#: split-relevant read confs, so a second session in the same process or
+#: a mid-session conf change (files.maxPartitionBytes etc.) stops
+#: silently reusing a stale count; the memo is also size-bounded (reset
+#: past _PROBE_MEMO_MAX — it is a latency cache, never correctness).
+_PROBE_MEMO: dict[tuple, int] = {}
+_PROBE_MEMO_MAX = 4096
+
+#: confs that change how many splits the SAME analyzed plan yields
+_PROBE_CONFS = (
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.files.openCostInBytes",
+    "spark.sql.files.minPartitionNum",
+)
+
+
+def _probe_memo_key(spark, plan_hash: int) -> tuple:
+    return (
+        spark.sparkContext.applicationId,
+        tuple(spark.conf.get(c, None) for c in _PROBE_CONFS),
+        plan_hash,
+    )
 
 
 def spread_small_scan(
@@ -62,7 +84,9 @@ def spread_small_scan(
     if t <= 1:
         return df
     try:
-        memo_key = df._jdf.queryExecution().analyzed().semanticHash()
+        memo_key = _probe_memo_key(
+            spark, df._jdf.queryExecution().analyzed().semanticHash()
+        )
     except Exception:  # noqa: BLE001 — diagnostics-only probe
         memo_key = None
     n = _PROBE_MEMO.get(memo_key) if memo_key is not None else None
@@ -72,6 +96,8 @@ def spread_small_scan(
         except Exception:  # noqa: BLE001 — diagnostics-only probe
             return df
         if memo_key is not None:
+            if len(_PROBE_MEMO) >= _PROBE_MEMO_MAX:
+                _PROBE_MEMO.clear()
             _PROBE_MEMO[memo_key] = n
     if n >= t:
         return df

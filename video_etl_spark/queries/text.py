@@ -1836,6 +1836,12 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-source totals derive from the same grouped frame, so the expensive
 # shingle+md5 subtree runs exactly once.  The ppm denominator joins
 # per-source distinct-span totals (broadcast-sized: one row per domain).
+#: round-16 guard bound for the driver-collected per-source totals —
+#: sources are DOMAINS (tens at any corpus size); a per-URL source column
+#: must be aggregated to domain grain before this query.
+_CROSS_SOURCE_MAX_SOURCES = 10_000
+
+
 @query(
     "cross_source_contamination",
     oracle=_duck_shingle_cte()
@@ -1859,6 +1865,12 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: BUILDING this frame runs an action (the bounded per-source
+    # totals collect below populates `by_span`), so plan capture /
+    # explain on the returned frame executes the shingle pipeline — the
+    # same eager-at-build convention as the localCheckpoint-based
+    # builders (corpus_components, the hash-family rep structures).
+    #
     # One pass instead of a span self-join: group each span's DISTINCT
     # source set once (one shuffle on the span hash), then explode the
     # bounded source-pair fan-out (≤ domains² per span, domains in the
@@ -1895,12 +1907,29 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Interleaved A/B: sum 15.08 → 12.74 s over 6 reps, hash-identical.
     from video_etl_spark.session import local_frame
 
+    # Round-16 cardinality guard (r15-verdict #6): "one row per source"
+    # was a data-shape ASSUMPTION — a high-cardinality source column
+    # (e.g. per-URL instead of per-domain) would ship unbounded rows to
+    # the driver at corpus scale.  The collect is now bounded: limit
+    # n+1 (the limit truncates only the one-row-per-source readout; the
+    # groupBy underneath still scans all of by_span, so the cache
+    # populate the pair branch relies on is unchanged) and a loud raise
+    # past the bound instead of a silent driver OOM.
     totals_rows = (
         by_span.select(F.explode("ss").alias("source"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_spans"))
+        .limit(_CROSS_SOURCE_MAX_SOURCES + 1)
         .collect()
     )
+    if len(totals_rows) > _CROSS_SOURCE_MAX_SOURCES:
+        raise RuntimeError(
+            "cross_source_contamination: more than "
+            f"{_CROSS_SOURCE_MAX_SOURCES} distinct sources — the "
+            "driver-collected totals (and the domains^2 pair fan-out) "
+            "assume source is a DOMAIN-grain column; aggregate the "
+            "source column to domain grain first"
+        )
     totals = local_frame(
         spark, totals_rows, "source string, n_spans bigint"
     )
